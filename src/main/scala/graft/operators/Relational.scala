@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators re-expressing the reference's pandas
+  * idioms Spark-first. Citations are into /root/reference/dmCustomerProc.py
+  * (abbreviated `dm`).
+  *
+  * Scale notes: every operator here is a pure lazy plan over DataFrames —
+  * no collect(), no driver-side loops. Aggregations get map-side partial
+  * combine from Catalyst automatically; joins pick broadcast-hash when one
+  * side is small (all the lookup-dim helpers below are broadcast
+  * candidates).
+  */
+object Relational {
+
+  /** Group-count per key with pandas null-key-drop semantics
+    * (`groupby(...).size()`, dm:52,58 — pandas >=1.1 drops null keys).
+    * ≡ `SELECT key, count(*) FROM df WHERE key IS NOT NULL GROUP BY key`.
+    * Partial aggregation on the map side means the shuffle carries one row
+    * per (partition, key), not per input row.
+    */
+  def groupCount(df: DataFrame, key: String, outName: String): DataFrame =
+    df.where(col(key).isNotNull)
+      .groupBy(key)
+      .agg(count(lit(1)).as(outName))
+
+  /** "Latest record per key": grouped dense_rank on `orderCol` descending,
+    * keep rank 1 (dm:65-67, 75-77). Ties on `orderCol` fan out, exactly as
+    * the reference's `rank('dense') == 1` does. One shuffle on `key`; the
+    * window sorts within partitions only.
+    */
+  def latestPerKey(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+    df.withColumn("__rnk", dense_rank().over(w))
+      .where(col("__rnk") === 1)
+      .drop("__rnk")
+  }
+
+  /** Deterministic dedupe-by-key: the reference's `drop_duplicates(
+    * subset=key)` keeps an arbitrary first row (dm:101); the canonical
+    * deterministic reading (SURVEY G6) keeps the row with the smallest
+    * `tiebreak`. row_number (not dense_rank) guarantees exactly one row.
+    */
+  def dedupeByKey(df: DataFrame, key: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tiebreak).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Match-indicator after a left join: the reference's
+    * `apply(lambda x: 1 if pd.notnull(x) else 0)` (dm:70,87,95,198),
+    * expressed as a codegen'd conditional — no UDF.
+    */
+  def existsFlag(probe: Column): Column =
+    when(probe.isNotNull, 1).otherwise(0)
+
+  /** Attach a 0/1 "key exists in `right`" flag to `left`, replicating the
+    * reference's distinct -> left-join -> notnull-flag chain (dm:85-88,
+    * 93-96). The distinct shrinks the build side so Catalyst can broadcast
+    * it; semantically identical to a left-semi-derived flag.
+    */
+  def semiFlag(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, flagName: String): DataFrame = {
+    val keys = right.select(col(rightKey)).where(col(rightKey).isNotNull).distinct()
+    left.join(keys, col(leftKey) === col(rightKey), "left")
+      .withColumn(flagName, existsFlag(col(rightKey)))
+      .drop(rightKey)
+  }
+
+  /** Pandas `!=`-with-NaN semantics (SURVEY G1): `NaN != x` is True in
+    * numpy, but `NULL <> x` is NULL in SQL — bridge with an explicit
+    * null-pass arm (dm:84).
+    */
+  def neqNullPasses(c: Column, sentinel: String): Column =
+    c.isNull || c =!= sentinel
+
+  /** Range membership flag with null -> 0 (dm:182: 174 <= st_id <= 178;
+    * NaN comparisons are False in numpy, and `between` on NULL falls to
+    * `otherwise` in Spark — semantics line up for free).
+    */
+  def rangeFlag(c: Column, lo: Int, hi: Int): Column =
+    when(c.between(lo, hi), 1).otherwise(0)
+}

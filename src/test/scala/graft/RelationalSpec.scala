@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Literal-frame unit tests for the pandas-semantics bridges (SURVEY §7.1
+  * gaps G1/G2/G6/G7) — the null/duplicate edge cases the star-schema
+  * testdata doesn't exercise.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupCount drops null keys like pandas groupby (G2)") {
+    val df = Seq(Some(1L), Some(1L), None, Some(2L)).toDF("k")
+    val got = Relational.groupCount(df, "k", "n")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("latestPerKey keeps ties (dense_rank fan-out, dm:65-67)") {
+    val df = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "ord", "v")
+    val got = Relational.latestPerKey(df, "k", "ord")
+      .select("v").as[String].collect().toSet
+    assert(got == Set("a", "b", "d"))
+  }
+
+  test("dedupeByKey is deterministic: keeps min tiebreak (G6)") {
+    val df = Seq((1L, 30L), (1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "tb")
+    val got = Relational.dedupeByKey(df, "k", "tb")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 5L))
+  }
+
+  test("neqNullPasses: NULL passes != like numpy NaN (G1)") {
+    val df = Seq(Some(" "), Some("x"), None).toDF("c")
+    val got = df.where(Relational.neqNullPasses(col("c"), " "))
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(got == Set(Some("x"), None))
+  }
+
+  test("semiFlag: 0/1 indicator, no fan-out on duplicated right keys") {
+    val left = Seq(1L, 2L, 3L).toDF("id")
+    val right = Seq(1L, 1L, 1L, 3L).toDF("rid") // dup keys must not fan out
+    val got = Relational.semiFlag(left, "id", right, "rid", "f")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1))
+  }
+
+  test("rangeFlag: null -> 0 like numpy chained comparison (dm:182)") {
+    val df = Seq(Some(175L), Some(10L), None).toDF("st")
+    val got = df.select(Relational.rangeFlag(col("st"), 174, 178).as("f"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(1, 0, 0))
+  }
+}
