@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is inverted-index shaped — candidates come
+  * from equi-joins on shingles / LSH buckets / fingerprint bands, never
+  * from an all-pairs cross join (the only exception is the brute-force
+  * embedding path, kept as the exactness baseline). Shuffles are on
+  * shingle/bucket keys, so skew is bounded by the hottest shingle; at
+  * 100 TB you'd additionally drop top-frequency shingles (stopword
+  * shingles) before the self-join.
+  *
+  * Determinism: hash mode `DenseId` ranks the distinct shingle vocabulary
+  * lexicographically — reproducible anywhere, incl. the DuckDB oracle.
+  * `XxHash` skips the vocabulary rank (no global sort — the 100 TB mode)
+  * at the cost of engine-specific hash values.
+  */
+object Dedup {
+
+  sealed trait HashMode
+  case object DenseId extends HashMode
+  case object XxHash extends HashMode
+
+  /** Exact dedup: keep min id per identical text, with multiplicity. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Distinct (doc_id, shingle) pairs: word n-gram shingles (n=3). */
+  def shingleEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .selectExpr("doc_id",
+        """explode(CASE WHEN size(split(__text, ' ')) >= 3
+             THEN transform(sequence(0, size(split(__text, ' ')) - 3),
+                  i -> concat_ws(' ', split(__text, ' ')[i],
+                                 split(__text, ' ')[i+1], split(__text, ' ')[i+2]))
+             ELSE CAST(array() AS array<string>) END) AS shingle""")
+      .distinct()
+
+  /** Shingle-set sizes per doc. */
+  private def shingleSizes(edges: DataFrame): DataFrame =
+    edges.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  /** Exact Jaccard for candidate pairs (doc_a < doc_b) given the edge
+    * list: |A∩B| from a count over the shingle join, |A∪B| = nA+nB-∩.
+    */
+  private def verifiedJaccard(candidates: DataFrame, edges: DataFrame,
+      tau: Double): DataFrame = {
+    val sizes = shingleSizes(edges)
+    val ea = edges.select(col("doc_id").as("doc_a"), col("shingle"))
+    val eb = edges.select(col("doc_id").as("doc_b"), col("shingle"))
+    candidates
+      .join(ea, Seq("doc_a")).join(eb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Near-dup pairs by n-gram Jaccard >= tau: inverted-index self-join on
+    * shingles (only intersecting pairs are ever materialized), then exact
+    * Jaccard from intersection + set sizes.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol)
+    val candidates = edges.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifiedJaccard(candidates, edges, tau)
+  }
+
+  /** Large prime modulus for the permutation family (2^31 - 1). */
+  val MinhashMod = 2147483647L
+  /** Permutation j: h_j(x) = ((37 j + 11) x + 101 j + 7) mod P. */
+  def permute(j: Column, x: Column): Column =
+    ((lit(37L) * j + 11L) * x + lit(101L) * j + 7L) % MinhashMod
+
+  /** Shingle -> integer id. DenseId = lexicographic rank of the distinct
+    * vocabulary (oracle-reproducible); XxHash = xxhash64 & (2^31-1), no
+    * global sort (100 TB mode).
+    */
+  private def shingleIds(edges: DataFrame, mode: HashMode): DataFrame = mode match {
+    case DenseId =>
+      val vocab = edges.select("shingle").distinct()
+        .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+      edges.join(vocab, Seq("shingle")).select("doc_id", "sid")
+    case XxHash =>
+      edges.select(col("doc_id"),
+        abs(xxhash64(col("shingle")) % MinhashMod).as("sid"))
+  }
+
+  /** MinHash signatures: numPerm permutations of the shingle-id universe,
+    * min per (doc, permutation). One explode (x numPerm) + one group-min.
+    */
+  def minhashSignatures(edges: DataFrame, numPerm: Int,
+      mode: HashMode): DataFrame = {
+    val ids = shingleIds(edges, mode)
+    ids.withColumn("j", explode(sequence(lit(0L), lit(numPerm - 1L))))
+      .withColumn("h", permute(col("j"), col("sid")))
+      .groupBy("doc_id", "j").agg(min(col("h")).as("minh"))
+  }
+
+  /** MinHash + LSH banding: signatures split into bands of `rowsPerBand`,
+    * docs sharing any full band become candidates (equi-join on the band
+    * key — never all-pairs), then exact Jaccard >= tau verification.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, rowsPerBand: Int, tau: Double,
+      mode: HashMode = XxHash): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol)
+    val sig = minhashSignatures(edges, numPerm, mode)
+    val buckets = sig.withColumn("band", (col("j") / rowsPerBand).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("minh")))),
+        x => x.getField("minh").cast("string")), ",").as("bucket"))
+    val candidates = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifiedJaccard(candidates, edges, tau)
+  }
+
+  /** SimHash parameters: 31-bit LCG over shingle ids. */
+  val SimhashBits = 32
+  val SimhashA = 1103515245L
+  val SimhashB = 12345L
+
+  /** 32-bit SimHash fingerprint per doc: per bit b, sum +-1 weighted by
+    * bit b of h(sid); fingerprint bit = (sum > 0). Computed as 32
+    * aggregate expressions (no 32x row explode) — one shuffle on doc_id.
+    */
+  def simhashFingerprints(edges: DataFrame, mode: HashMode): DataFrame = {
+    val ids = shingleIds(edges, mode)
+      .withColumn("h", (lit(SimhashA) * col("sid") + SimhashB) % MinhashMod)
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"s$b")
+    }
+    val fp = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    ids.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banding on fingerprint bytes (4 bands of 8
+    * bits — pairs within hamming distance 3 of a 32-bit fingerprint must
+    * share at least one byte), then exact hamming <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, mode: HashMode = XxHash): DataFrame = {
+    val fps = simhashFingerprints(shingleEdges(docs, idCol, textCol), mode)
+    val banded = fps.withColumn("bb", explode(sequence(lit(0), lit(3))))
+      .withColumn("bkey", expr("shiftright(simhash, bb * 8) & 255"))
+    val candidates = banded
+      .select(col("doc_id").as("doc_a"), col("simhash").as("fa"), col("bb"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("fb"),
+        col("bb"), col("bkey")), Seq("bb", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fa", "fb").distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding near-dup: pairs with cosine >= tau. Brute-force baseline
+    * (all pairs a<b) — the exactness reference; for the scale path see
+    * Similarity.lshTopK's bucketing, which bounds the join.
+    */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val withNorm = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      VectorOps.normSq(col(vecCol)).as("nsq"))
+    val a = withNorm.select(col("vid").as("vec_a"), col("vec").as("va"), col("nsq").as("na"))
+    val b = withNorm.select(col("vid").as("vec_b"), col("vec").as("vb"), col("nsq").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .where(col("cosine") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cos_r"))
+  }
+}

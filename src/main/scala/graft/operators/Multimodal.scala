@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payload columns with typed
+  * metadata, and a partition-batched "decode / feature-extract" stage.
+  *
+  * The image/audio codecs aren't in this container, so the decode body is
+  * a clearly-marked DETERMINISTIC STUB — but the Spark-side plumbing is
+  * real and load-bearing: a binary payload column, an explicit output
+  * StructType, and a `mapPartitions` stage that processes rows in
+  * partition-sized batches exactly where a Pandas-UDF / mapInArrow decode
+  * would sit. Swapping the stub for a real codec changes only
+  * `decodeBytes`.
+  *
+  * Scale notes: decode is per-row embarrassing work — no shuffle at all;
+  * partition sizing (spark.sql.files.maxPartitionBytes) is the only knob.
+  * Feature columns come back as typed scalars so downstream stays
+  * codegen'd.
+  */
+object Multimodal {
+
+  /** Attach the opaque payload column (here: utf-8 bytes of `textCol`
+    * standing in for image bytes) plus typed metadata derived from it.
+    */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      octet_length(col(textCol)).as("byte_len"))
+
+  /** Deterministic fake decode: replaces image decode + feature extraction.
+    * Returns (width, height, n_frames, checksum). A real implementation
+    * would parse the codec header and run the feature net; the stub
+    * derives everything from the payload bytes so it is reproducible in
+    * the oracle.
+    */
+  def decodeBytes(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    // ??? <- real codec goes here; deterministic fake below
+    val len = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum += bytes(i) & 0xff; i += 1 }
+    val width = 64 + len % 577
+    val height = 64 + (len * 31) % 389
+    val frames = 1 + len % 7
+    (width, height, frames, sum % 1000000007L)
+  }
+
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** The decode stage: partition-batched, binary in, typed features out.
+    * Sits exactly where `mapInPandas`/`mapInArrow` would; the iterator
+    * shape means constant memory per task regardless of partition size.
+    */
+  def decodeFeatures(payloads: DataFrame): DataFrame = {
+    val enc = Encoders.row(DecodedSchema)
+    payloads.select("doc_id", "media", "byte_len").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val bl = r.getInt(2)
+        val (w, h, f, cs) = decodeBytes(bytes)
+        Row(id, bl, w, h, f, cs)
+      }
+    }(enc)
+  }
+}

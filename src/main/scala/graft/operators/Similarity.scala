@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — the baseline. The query set
+  *    is broadcast against the corpus, so the corpus is never shuffled;
+  *    cost is |Q| x |corpus| dot products, each a codegen'd ordered fold.
+  *  - `lshTopK`: random-hyperplane LSH — the 100 TB path. Corpus and
+  *    queries hash to sign-pattern buckets; candidates come from an
+  *    equi-join on the bucket id, so per-query work drops from |corpus|
+  *    to the bucket occupancy (recall < 1, deterministic given the seeded
+  *    hyperplanes).
+  *
+  * Hyperplanes are PSEUDO-RANDOM FROM INTEGER ARITHMETIC (LCG over
+  * (plane, dim)), not an RNG: reproducible in any engine, including the
+  * DuckDB oracle, with no stored model.
+  */
+object Similarity {
+
+  /** Top-k per query by cosine, exact. Ties broken by ascending id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      VectorOps.normSq(col(vecCol)).as("nb"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("va"),
+      VectorOps.normSq(col(vecCol)).as("na"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    broadcast(q).crossJoin(c)
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
+  /** LCG hyperplane coefficient for (plane j, dim d), in [-0.5, 0.5):
+    * ((1103515245 * (j * dim + d) + 12345) mod 2048) / 2048 - 0.5.
+    * Pure integer arithmetic then one exact binary-fraction division —
+    * bit-identical in any IEEE engine.
+    */
+  def planeCoef(j: Int, d: Int, dim: Int): Double =
+    ((1103515245L * (j * dim + d) + 12345L) % 2048L).toDouble / 2048.0 - 0.5
+
+  /** Sign-pattern bucket id over `numPlanes` hyperplanes. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val bits = (0 until numPlanes).map { j =>
+      val plane = array((0 until dim).map(d => lit(planeCoef(j, d, dim))): _*)
+      when(VectorOps.dot(vec, plane) > 0.0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: candidates share the query's bucket; exact cosine
+    * re-rank within the bucket. Queries whose bucket holds < k corpus
+    * vectors return fewer rows (standard single-probe LSH behavior).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      VectorOps.normSq(col(vecCol)).as("nb"),
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("va"),
+      VectorOps.normSq(col(vecCol)).as("na"),
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    q.join(c, Seq("bucket"))
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: tokenization,
+  * quality scoring, n-gram-heuristic language ID, token counting, and
+  * rolling-hash document fingerprinting. Everything is built from codegen'd
+  * built-ins (split / filter / transform / aggregate) — per-row work scales
+  * embarrassingly; only `fingerprint` shuffles (explode + group-sum).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token (type) count. */
+  def typeCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or any other
+    * single non-space symbol — a crude stand-in for a byte-pair tokenizer's
+    * pre-tokenization regex.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Count of tokens drawn from a marker set. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(x => x: Any): _*)))
+
+  /** Stopword list for quality scoring (high-frequency glue tokens of the
+    * corpus vocabulary).
+    */
+  val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Language-ID marker sets: n-gram-heuristic classification by counting
+    * marker tokens per class, argmax with a fixed priority tiebreak.
+    * (The corpus is synthetic; the classes exercise the machinery.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "sqlish" -> Seq("join", "scan", "table", "merge", "sort"),
+    "streamish" -> Seq("stream", "window", "batch", "event"),
+    "mlish" -> Seq("hash", "key", "dup", "part"))
+
+  /** Predicted language: argmax of marker counts; earlier classes win ties;
+    * all-zero -> 'unk'. Deterministic by construction.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> markerCount(text, markers)
+    }
+    // lang_i wins iff score_i > 0 and score_i >= every later score
+    // (earlier langs already lost when we reach i)
+    val cases = scores.zipWithIndex.map { case ((lang, sc), i) =>
+      val laterMax = scores.drop(i + 1).map(_._2)
+      val beatsLater = laterMax.foldLeft(lit(true))((acc, o) => acc && sc >= o)
+      (sc > 0 && beatsLater, lit(lang))
+    }
+    cases.foldRight(lit("unk")) { case ((cond, v), els) => when(cond, v).otherwise(els) }
+  }
+
+  /** Rolling-hash document fingerprint: tokens get corpus-wide dense ids
+    * (deterministic: rank in lexicographic vocabulary order), each position
+    * contributes `(id+1) * 31^(pos mod 8) mod P`, summed per document
+    * mod P. Pure integer math -> bit-identical everywhere.
+    *
+    * Scale note: the dense-id vocabulary needs a global rank. For a 100 TB
+    * corpus swap `wordIds` for `xxhash64(word)` (no rank shuffle, same
+    * downstream shape) — dense-id mode exists so the DuckDB oracle can
+    * reproduce the hash.
+    */
+  val FpMod = 1000000007L
+  /** 31^k mod FpMod for k = 0..7, precomputed (shared with the oracle). */
+  val FpPows: Seq[Long] = Iterator.iterate(1L)(p => p * 31 % FpMod).take(8).toSeq
+
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+    val vocab = words.select("word").distinct()
+      .withColumn("wid", row_number().over(Window.orderBy("word")))
+    val pows = array(FpPows.map(lit): _*)
+    words.join(vocab, Seq("word"))
+      .withColumn("contrib",
+        (col("wid").cast("long") + 1L) * element_at(pows, (col("pos") % 8 + 1).cast("int")) % FpMod)
+      .groupBy("doc_id")
+      .agg((sum(col("contrib")) % FpMod).as("fingerprint"))
+  }
+}

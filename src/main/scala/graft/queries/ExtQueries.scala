@@ -1,11 +1,346 @@
 package graft.queries
 
-import graft.{GQuery, QueryGroup}
+import graft.{GQuery, QueryGroup, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline extension operators (BASELINE.json north star):
-  * dedup, similarity search, text analysis, multimodal plumbing,
-  * streaming. Populated milestone by milestone.
+/** LLM-data-pipeline extension operators (BASELINE.json north star) over
+  * the documents / embeddings / events fixtures. Oracle SQL is GENERATED
+  * from the same Scala constants the Spark operators use (hash moduli,
+  * marker sets, LSH hyperplanes, rolling-hash powers), so engine and
+  * oracle can't drift.
+  *
+  * Determinism ground rules (see Registry.scala): integer math everywhere
+  * hashes are involved; float reductions are ordered folds mirrored with
+  * DuckDB list_reduce; aggregate sums of doubles are rounded at a digit
+  * where the two engines' summation orders cannot disagree.
   */
 object ExtQueries extends QueryGroup {
-  override val queries: Seq[GQuery] = Seq()
+
+  // Shared SQL fragments ---------------------------------------------------
+
+  /** Distinct (doc_id, shingle) pairs — DuckDB twin of Dedup.shingleEdges
+    * (1-based list indexing vs Spark's 0-based).
+    */
+  private val edgesSql =
+    """edges AS (
+       SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+           THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                     || ' ' || string_split(text, ' ')[i+2])
+           ELSE []::VARCHAR[] END) AS shingle
+       FROM documents)"""
+
+  private val sizesSql =
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM edges GROUP BY doc_id)"
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. */
+  private def verifySql(tau: Double) =
+    s"""inter AS (
+         SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, count(*) AS i
+         FROM cand JOIN edges ea ON cand.doc_a = ea.doc_id
+         JOIN edges eb ON cand.doc_b = eb.doc_id AND ea.shingle = eb.shingle
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, i / (sa.n_sh + sb.n_sh - i) AS jaccard
+       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE i / (sa.n_sh + sb.n_sh - i) >= $tau"""
+
+  /** Embeddings widened to double + squared norms (ordered fold). */
+  private val vecsSql =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings),
+       n AS (SELECT vec_id, vec,
+               list_reduce(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]),
+                           (a, b) -> a + b) AS nsq
+             FROM v)"""
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)"
+
+  // ---------------------------------------------------------- text analysis
+
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nTok = TextAnalysis.tokenCount(t)
+    val nTyp = TextAnalysis.typeCount(t)
+    val nStop = TextAnalysis.markerCount(t, TextAnalysis.Stopwords)
+    val ttr = nTyp / nTok
+    val stopRatio = nStop / nTok
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nTyp.as("n_types"),
+      TextAnalysis.bpeishCount(t).as("n_bpeish"),
+      round(ttr, 6).as("ttr"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(lit(0.4) * ttr + lit(0.6) * (lit(1.0) - stopRatio), 6).as("quality"))
+  }
+
+  private val textStatsSql = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH b AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+           CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS INTEGER) AS n_bpeish,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS INTEGER) AS n_stop
+         FROM documents)
+       SELECT doc_id, n_tokens, n_types, n_bpeish,
+         round(n_types / n_tokens, 6) AS ttr,
+         round(n_stop / n_tokens, 6) AS stop_ratio,
+         round(0.4 * (n_types / n_tokens) + 0.6 * (1.0 - n_stop / n_tokens), 6) AS quality
+       FROM b"""
+  }
+
+  private def textLangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
+
+  private val textLangIdSql = {
+    val scores = TextAnalysis.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+      val set = ms.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS s$i"
+    }.mkString(", ")
+    val n = TextAnalysis.LangMarkers.size
+    val cases = TextAnalysis.LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      val later = (i + 1 until n).map(j => s"s$i >= s$j")
+      val conds = (s"s$i > 0" +: later).mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'unk' END AS pred_lang, lang
+       FROM (SELECT doc_id, lang, $scores FROM documents) t"""
+  }
+
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
+
+  private val textFingerprintSql = {
+    val pows = TextAnalysis.FpPows.mkString("[", ", ", "]")
+    val p = TextAnalysis.FpMod
+    s"""WITH w AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         FROM documents),
+       vocab AS (
+         SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+         FROM (SELECT DISTINCT word FROM w)),
+       c AS (SELECT doc_id, (wid + 1) * ($pows)[(pos % 8) + 1] % $p AS contrib
+             FROM w JOIN vocab USING (word))
+       SELECT doc_id, CAST(sum(contrib) % $p AS BIGINT) AS fingerprint
+       FROM c GROUP BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       FROM documents GROUP BY text"""
+
+  private val JaccardTau = 0.5
+
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", JaccardTau)
+
+  private val dedupJaccardSql =
+    s"""WITH $edgesSql, $sizesSql,
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM edges a JOIN edges b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       ${verifySql(JaccardTau)}"""
+
+  private val MinhashPerms = 16
+  private val MinhashRows = 2
+  private val MinhashTau = 0.8
+
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.DenseId)
+
+  private val dedupMinhashSql =
+    s"""WITH $edgesSql, $sizesSql,
+       vocab AS (
+         SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+         FROM (SELECT DISTINCT shingle FROM edges)),
+       ids AS (SELECT doc_id, sid FROM edges JOIN vocab USING (shingle)),
+       sig AS (
+         SELECT doc_id, j, min(((37 * j + 11) * sid + 101 * j + 7) % ${Dedup.MinhashMod}) AS minh
+         FROM ids, range($MinhashPerms) t(j) GROUP BY doc_id, j),
+       buckets AS (
+         SELECT doc_id, j // $MinhashRows AS band,
+                string_agg(minh::VARCHAR, ',' ORDER BY j) AS bucket
+         FROM sig GROUP BY doc_id, band),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       ${verifySql(MinhashTau)}"""
+
+  private val SimhashMaxHamming = 3
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      SimhashMaxHamming, Dedup.DenseId)
+
+  private val dedupSimhashSql = {
+    val bitSums = (0 until Dedup.SimhashBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val fp = (0 until Dedup.SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH $edgesSql,
+       vocab AS (
+         SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+         FROM (SELECT DISTINCT shingle FROM edges)),
+       ids AS (
+         SELECT doc_id, (${Dedup.SimhashA} * sid + ${Dedup.SimhashB}) % ${Dedup.MinhashMod} AS h
+         FROM edges JOIN vocab USING (shingle)),
+       bitsums AS (SELECT doc_id, $bitSums FROM ids GROUP BY doc_id),
+       fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bitsums),
+       banded AS (
+         SELECT doc_id, simhash, bb, (simhash >> (bb * 8)) & 255 AS bkey
+         FROM fps, range(4) t(bb)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS fa, b.simhash AS fb
+         FROM banded a JOIN banded b
+           ON a.bb = b.bb AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+       FROM cand WHERE bit_count(xor(fa, fb)) <= $SimhashMaxHamming"""
+  }
+
+  private val EmbCosTau = 0.4
+
+  private def dedupEmbCos(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", EmbCosTau)
+
+  private val dedupEmbCosSql =
+    s"""WITH $vecsSql
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round($dotSql / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS cos_r
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) >= $EmbCosTau"""
+
+  // ------------------------------------------------------------- similarity
+
+  private val TopK = 5
+  private val QueryMod = 50
+
+  private def annQueries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).where(col("vec_id") % QueryMod === 0)
+
+  private def annTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK)
+
+  private val annTopKSql =
+    s"""WITH $vecsSql,
+       scored AS (
+         SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
+                $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         FROM n a JOIN n b ON a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+
+  private val LshPlanes = 4
+  private val EmbDim = 64
+
+  private def annLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, LshPlanes, EmbDim)
+
+  private val annLshSql = {
+    // same hyperplane literals the Spark operator builds (Similarity.planeCoef)
+    val bucketExpr = (0 until LshPlanes).map { j =>
+      val plane = (0 until EmbDim).map(dd => Similarity.planeCoef(j, dd, EmbDim))
+        .mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(range(1, len(vec) + 1),
+            i -> vec[i] * ($plane)[i]), (x, y) -> x + y) > 0.0
+          THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+    }.mkString(" + ")
+    s"""WITH $vecsSql,
+       hb AS (SELECT vec_id, vec, nsq, $bucketExpr AS bucket FROM n),
+       scored AS (
+         SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
+                $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         FROM hb a JOIN hb b
+           ON a.bucket = b.bucket AND a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  private def mmProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).cast("long").as("sum_k"))
+
+  private val mmPropsSql =
+    """SELECT event_type, count(*) AS n, count(k) AS n_k,
+              min(k) AS min_k, max(k) AS max_k,
+              CAST(sum(k) AS BIGINT) AS sum_k
+       FROM (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             FROM events) t
+       GROUP BY event_type"""
+
+  private def mmDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeFeatures(
+      Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text"))
+
+  private val mmDecodeSql =
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+              CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+              CAST(64 + (octet_length(encode(text)) * 31) % 389 AS INTEGER) AS height,
+              CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames,
+              CAST(list_reduce(list_transform(regexp_extract_all(text, '.'),
+                     c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b)
+                   % 1000000007 AS BIGINT) AS checksum
+       FROM documents"""
+
+  // -------------------------------------------------------------- streaming
+
+  private def streamWindow(s: SparkSession, d: String): DataFrame =
+    EventsStream.windowedAgg(Tables.events(s, d))
+
+  private val streamWindowSql =
+    s"""SELECT (epoch_ns(ts) // ${EventsStream.WindowSeconds * 1000000000L})
+                 * ${EventsStream.WindowSeconds} AS window_start,
+              event_type, count(*) AS n_events,
+              round(sum(value), 3) AS sum_value,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2"""
+
+  override val queries: Seq[GQuery] = Seq(
+    GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
+    GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
+    GQuery("ext_text_fingerprint", textFingerprint, Some(textFingerprintSql), "rolling-hash fingerprint"),
+    GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
+    GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
+    GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
+    GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
+    GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
+    GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
+    GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
+    GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
+    GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
+    GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"))
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table: event-time tumbling
+  * windows with a watermark for late data, plus the batch-equivalent
+  * transform used by the correctness gate (same aggregation expressed
+  * over a static DataFrame — Structured Streaming's unified-API
+  * guarantee makes the two share semantics).
+  *
+  * `ts` arrives as Long nanoseconds (the driver parquet is
+  * TIMESTAMP(NANOS), read via spark.sql.legacy.parquet.nanosAsLong);
+  * windows are computed on the exact integer nanos, then reported as
+  * epoch-second window starts so engines with different timestamp
+  * precisions (Spark µs vs DuckDB ns) agree bit-for-bit.
+  */
+object EventsStream {
+
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val WindowSeconds = 600L
+
+  /** Tumbling-window aggregate, batch or streaming input alike:
+    * (window_start_sec, event_type) -> count, rounded sum(value),
+    * distinct users.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      // integer division on the exact nanos (double math would lose
+      // precision above 2^53)
+      .withColumn("window_start",
+        expr(s"ts div ${WindowSeconds * 1000000000L}") * WindowSeconds)
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Streaming flavor with a real event-time watermark: nanos -> timestamp
+    * (µs precision suffices for a 10-minute window), 10-minute tumbling
+    * window, 5-minute late-data watermark. Late rows beyond the watermark
+    * are dropped by the state store instead of accumulating forever —
+    * the property that keeps state bounded on an unbounded stream.
+    */
+  def streamingWindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    // FileStreamSource needs a directory: stream the sf dir, filtered to
+    // the events file
+    spark.readStream.schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("event_time", "5 minutes")
+      .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("sum_value"))
+
+  /** Drive the streaming aggregate to completion against the static
+    * parquet via the memory sink (test/demo harness).
+    */
+  def runOnce(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val q = streamingWindowedAgg(spark, dir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the dedup family on crafted micro-corpora where the
+  * expected pairs are known by hand.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "a b c d e f g h"),          // exact dup of 1
+    (3L, "a b c d e f g x"),          // near dup of 1/2
+    (4L, "p q r s t u v w"),          // unrelated
+    (5L, "q r")                       // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exact: min id kept with multiplicity") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L) // docs 1+2 collapse onto min id 1
+    assert(got.values.sum == 5L)
+  }
+
+  test("shingleEdges: n-2 shingles per doc, none for short docs") {
+    val counts = Dedup.shingleEdges(docs, "doc_id", "text")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 6L && counts(4L) == 6L)
+    assert(!counts.contains(5L))
+  }
+
+  test("jaccardPairs finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs: identical docs always collide (both hash modes)") {
+    for (mode <- Seq(Dedup.DenseId, Dedup.XxHash)) {
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.9, mode)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"mode $mode")
+    }
+  }
+
+  test("simhashPairs: identical docs at hamming 0") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", 3, Dedup.DenseId)
+      .as[(Long, Long, Int)].collect()
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+  }
+
+  test("embeddingCosinePairs: parallel vectors pair up, orthogonal don't") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f)),   // cos(1,2) = 1
+      (3L, Seq(0.0f, 1.0f, 0.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

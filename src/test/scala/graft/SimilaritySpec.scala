@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.operators.TextAnalysis
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** ANN, text-analysis, and multimodal-plumbing unit tests. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = Seq(
+    (0L, Seq(1.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f)),
+    (2L, Seq(0.0f, 1.0f)),
+    (3L, Seq(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: nearest neighbor ranked first") {
+    val q = emb.where(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .orderBy("rnk").as[(Long, Int, Long)].collect()
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L)) // by descending cosine
+  }
+
+  test("lshTopK: identical vectors share a bucket and rank") {
+    val corpus = Seq((0L, Seq.fill(4)(0.5f)), (1L, Seq.fill(4)(0.5f)),
+      (2L, Seq.fill(4)(-0.5f))).toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id") === 0)
+    val got = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 5, 4, 4)
+      .as[(Long, Int, Long)].collect()
+    assert(got.exists(r => r._3 == 1L && r._2 == 1))
+  }
+
+  test("langId: marker argmax with priority tiebreak") {
+    val df = Seq(
+      ("join scan table x", "sqlish"),
+      ("stream window batch", "streamish"),
+      ("hash dup key", "mlish"),
+      ("x y z", "unk"),
+      ("join stream", "sqlish") // tie -> earlier class wins
+    ).toDF("text", "expect")
+    val got = df.select(TextAnalysis.langId(col("text")).as("p"), col("expect"))
+      .as[(String, String)].collect()
+    got.foreach { case (p, e) => assert(p == e, s"got $p want $e") }
+  }
+
+  test("fingerprint: equal texts collide, different texts don't") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal decode: real binary plumbing, deterministic stub") {
+    val df = Seq((7L, "abc")).toDF("doc_id", "text")
+    val got = Multimodal.decodeFeatures(Multimodal.withPayload(df, "doc_id", "text"))
+      .collect().head
+    assert(got.getLong(0) == 7L)
+    assert(got.getInt(1) == 3) // byte_len
+    assert(got.getLong(5) == ('a' + 'b' + 'c').toLong) // checksum
+    // schema is the declared typed struct
+    assert(Multimodal.decodeFeatures(Multimodal.withPayload(df, "doc_id", "text"))
+      .schema == Multimodal.DecodedSchema)
+  }
+}
