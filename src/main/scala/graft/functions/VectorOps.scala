@@ -20,9 +20,18 @@ object VectorOps {
   def foldSum(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two embedding columns (widened to double). */
-  def dot(a: Column, b: Column): Column =
+  /** Reference dot product from built-in higher-order functions — same
+    * fold order as the fast path; kept for cross-checking bit-equality.
+    */
+  def dotFold(a: Column, b: Column): Column =
     foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  /** Dot product via the fused codegen expression (see DotProduct.scala).
+    * Requires GraftFunctions.register(spark) / GraftExtensions on the
+    * session — every graft operator that uses it registers on entry.
+    */
+  def dot(a: Column, b: Column): Column =
+    call_function(GraftFunctions.DotName, a, b)
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)

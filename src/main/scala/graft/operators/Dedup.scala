@@ -35,12 +35,12 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs: word n-gram shingles (n=3). */
   def shingleEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // split once behind a projection boundary, then shingle the array
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
       .selectExpr("doc_id",
-        """explode(CASE WHEN size(split(__text, ' ')) >= 3
-             THEN transform(sequence(0, size(split(__text, ' ')) - 3),
-                  i -> concat_ws(' ', split(__text, ' ')[i],
-                                 split(__text, ' ')[i+1], split(__text, ' ')[i+2]))
+        """explode(CASE WHEN size(__w) >= 3
+             THEN transform(sequence(0, size(__w) - 3),
+                  i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))
              ELSE CAST(array() AS array<string>) END) AS shingle""")
       .distinct()
 
@@ -73,11 +73,18 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol)
-    val candidates = edges.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sizes = shingleSizes(edges)
+    // single pass: the shingle self-join IS the intersection count — no
+    // separate candidate set + re-join (halves the heavy join work)
+    edges.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    verifiedJaccard(candidates, edges, tau)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Large prime modulus for the permutation family (2^31 - 1). */
@@ -182,6 +189,7 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val withNorm = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorOps.normSq(col(vecCol)).as("nsq"))
     val a = withNorm.select(col("vid").as("vec_a"), col("vec").as("va"), col("nsq").as("na"))

@@ -26,6 +26,7 @@ object Similarity {
   /** Top-k per query by cosine, exact. Ties broken by ascending id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
       VectorOps.normSq(col(vecCol)).as("nb"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("va"),
@@ -62,6 +63,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
       VectorOps.normSq(col(vecCol)).as("nb"),
       lshBucket(col(vecCol), numPlanes, dim).as("bucket"))

@@ -1,0 +1,20 @@
+package graft.plans
+
+import graft.functions.{DotProduct, GraftFunctions}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * expressions so `SELECT graft_dot(a, b)` works in plain SQL on any
+  * session built with `.withExtensions(new GraftExtensions)` (or via
+  * spark.sql.extensions=graft.plans.GraftExtensions on a cluster).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier(GraftFunctions.DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),
+      GraftFunctions.buildDot))
+  }
+}
