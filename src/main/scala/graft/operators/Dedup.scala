@@ -108,14 +108,20 @@ object Dedup {
   }
 
   /** MinHash signatures: numPerm permutations of the shingle-id universe,
-    * min per (doc, permutation). One explode (x numPerm) + one group-min.
+    * min per (doc, permutation). Computed as numPerm min-aggregates in ONE
+    * groupBy (map-side partial min, no numPerm-x row explode — the shuffle
+    * carries one row per doc instead of numPerm per shingle), then
+    * unpivoted to the (doc_id, j, minh) shape the banding expects.
     */
   def minhashSignatures(edges: DataFrame, numPerm: Int,
       mode: HashMode): DataFrame = {
     val ids = shingleIds(edges, mode)
-    ids.withColumn("j", explode(sequence(lit(0L), lit(numPerm - 1L))))
-      .withColumn("h", permute(col("j"), col("sid")))
-      .groupBy("doc_id", "j").agg(min(col("h")).as("minh"))
+    val mins = (0 until numPerm).map { j =>
+      min(permute(lit(j.toLong), col("sid"))).as(s"m$j")
+    }
+    val wide = ids.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val stacked = (0 until numPerm).map(j => s"${j}L, m$j").mkString(", ")
+    wide.selectExpr("doc_id", s"stack($numPerm, $stacked) AS (j, minh)")
   }
 
   /** MinHash + LSH banding: signatures split into bands of `rowsPerBand`,

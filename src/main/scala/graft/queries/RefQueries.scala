@@ -523,6 +523,30 @@ object RefQueries extends QueryGroup {
           JOIN (SELECT DISTINCT cust_id FROM changed) ck ON s.cust_id = ck.cust_id)
         SELECT * FROM expired UNION ALL BY NAME SELECT * FROM newcur"""
 
+  // ------------------------------------------------------------ SQL-8 bis
+  /** The INTENDED shape of the reference's hand-rolled one-hot topic
+    * flags (dm:105-112, SURVEY §2 #33): a real pivot. The actual code
+    * dedupes first, so actual != pivot — q09 replicates the actual; this
+    * query provides the canonical pivot operator the category checklist
+    * expects. Missing (key, topic) combos are NULL on both sides (Spark
+    * pivot-count over no rows, SQL sum of an empty CASE set).
+    */
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id").as("cust_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .withColumnsRenamed(EventTypes.map(t => t -> s"n_$t").toMap)
+
+  private val q18Sql = {
+    val aggs = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS n_$t")
+      .mkString(", ")
+    s"SELECT user_id AS cust_id, $aggs FROM events GROUP BY user_id"
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q01_denorm_joins", q01, Some(q01Sql), "SQL-1: rename/project/join chain"),
     GQuery("q02_group_count", q02, Some(q02Sql), "SQL-2/3: group-count + attach"),
@@ -540,5 +564,6 @@ object RefQueries extends QueryGroup {
     GQuery("q14_anti_insert", q14, Some(q14Sql), "SQL-13: anti-join insert"),
     GQuery("q15_change_detect", q15, Some(q15Sql), "SQL-14: exceptAll change detect"),
     GQuery("q16_expire", q16, Some(q16Sql), "SQL-15: history expiry"),
-    GQuery("q17_scd2_delta", q17, Some(q17Sql), "SQL-16: flagship SCD2 delta"))
+    GQuery("q17_scd2_delta", q17, Some(q17Sql), "SQL-16: flagship SCD2 delta"),
+    GQuery("q18_pivot_intended", q18, Some(q18Sql), "SQL-8 intended form: groupBy().pivot()"))
 }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Sources and sinks mirroring the reference's IO surface.
+  *
+  * The reference reads 19 Postgres tables via `pandas.read_sql_table`
+  * (dm:18-22 et al.) — an unconditional `SELECT *` that materializes every
+  * row and column into driver RAM, with no predicate or projection ever
+  * reaching the database — and writes via `to_sql(if_exists=
+  * replace/append)` (dm:47-48,164).
+  *
+  * The Spark shape keeps the same API intent but inverts the physics:
+  *  - scans are lazy; Catalyst pushes filters and column pruning into the
+  *    JDBC query (or parquet row groups) automatically;
+  *  - reads can be partitioned across executors (`partitionColumn`),
+  *    instead of one driver-side fetchall;
+  *  - writes stream batched inserts from executors, not the driver.
+  */
+object Sources {
+
+  /** `read_sql_table` analog: full-table JDBC scan, schema reflected from
+    * database metadata. With `partition` set, the scan is split into
+    * `numPartitions` range predicates executed in parallel — the knob that
+    * makes a 100 TB ingest feasible at all.
+    */
+  def readJdbcTable(spark: SparkSession, url: String, schema: String,
+      table: String, user: String, password: String,
+      partition: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("fetchsize", "10000")
+    val qualified = s"$schema.$table"
+    partition match {
+      case Some((column, lower, upper, n)) =>
+        spark.read.jdbc(url, qualified, column, lower, upper, n, props)
+      case None =>
+        spark.read.jdbc(url, qualified, props)
+    }
+  }
+
+  /** `to_sql` analog. pandas `if_exists="replace"` -> Overwrite,
+    * `"append"` -> Append (dm:47-48: replace; dm:164: append).
+    */
+  def writeJdbcTable(df: DataFrame, url: String, schema: String,
+      table: String, user: String, password: String, replace: Boolean): Unit = {
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    df.write
+      .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
+      .jdbc(url, s"$schema.$table", props)
+  }
+
+  /** Harness-side table scan (the driver testdata): self-describing
+    * parquet, one file per table.
+    */
+  def readParquetTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Harness sink with the same replace/append split as the JDBC one. */
+  def writeParquetTable(df: DataFrame, dir: String, table: String,
+      replace: Boolean): Unit =
+    df.write
+      .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(s"$dir/$table")
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Relational, Scd2}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY §5.3) over randomly generated key
+  * sets: the algebra the SCD2 pipeline relies on must hold for ANY data,
+  * not just the fixtures.
+  */
+object InvariantProps extends Properties("graft.invariants") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.plans.GraftExtensions)
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val keys = Gen.listOfN(30, Gen.chooseNum(0L, 15L))
+
+  property("antiInsert ∪ matched = source (keyed partition)") =
+    forAll(keys, keys) { (src, tgt) =>
+      import spark.implicits._
+      val s = src.toDF("id")
+      val t = tgt.toDF("id")
+      val anti = Scd2.antiInsert(s, t, Seq("id")).count()
+      val semi = s.join(t.select("id").distinct(), Seq("id"), "left_semi").count()
+      anti + semi == src.size
+    }
+
+  property("semiFlag is the 0/1 indicator of key membership") =
+    forAll(keys, keys) { (l, r) =>
+      import spark.implicits._
+      val left = l.distinct.toDF("id")
+      val right = r.toDF("rid")
+      val flags = Relational.semiFlag(left, "id", right, "rid", "f")
+        .as[(Long, Int)].collect().toMap
+      val rset = r.toSet
+      l.distinct.forall(k => flags(k) == (if (rset.contains(k)) 1 else 0))
+    }
+
+  property("changedRows is a multiset difference: |new Δ old| counts") =
+    forAll(keys, keys) { (a, b) =>
+      import spark.implicits._
+      val newS = a.toDF("v")
+      val oldS = b.toDF("v")
+      val got = Scd2.changedRows(newS, oldS, Seq("v")).count()
+      val want = a.groupBy(identity).map { case (k, vs) =>
+        math.max(0, vs.size - b.count(_ == k))
+      }.sum
+      got == want
+    }
+
+  property("groupCount never counts null keys and sums to non-null rows") =
+    forAll(Gen.listOfN(30, Gen.option(Gen.chooseNum(0L, 8L)))) { ks =>
+      import spark.implicits._
+      val df = ks.toDF("k")
+      val counts = Relational.groupCount(df, "k", "n")
+        .as[(Long, Long)].collect()
+      counts.map(_._2).sum == ks.count(_.isDefined)
+    }
+
+  property("unionByName row-count additivity with missing columns") =
+    forAll(keys, keys) { (a, b) =>
+      import spark.implicits._
+      val x = a.toDF("id").withColumn("only_x", lit(1))
+      val y = b.toDF("id")
+      x.unionByName(y, allowMissingColumns = true).count() == a.size + b.size
+    }
+}
