@@ -205,4 +205,42 @@ object Dedup {
       .where(col("cosine") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cos_r"))
   }
+
+  /** Scale path for embedding near-dup: banded random-hyperplane LSH with
+    * OR-amplification. Each band hashes `planesPerBand` hyperplanes into a
+    * sign-pattern bucket; candidates share ANY band's bucket (union over
+    * bands = the standard multi-table LSH construction — recall
+    * 1-(1-p^r)^b instead of p^(r*b)), then exact cosine >= tau verifies.
+    * Per-pair work stays bounded by bucket occupancy; a<b + distinct
+    * dedupes pairs colliding in several bands.
+    */
+  def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val withNorm = emb.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      VectorOps.normSq(col(vecCol)).as("nsq"))
+    // band bb uses planes [bb*planesPerBand, (bb+1)*planesPerBand)
+    val banded = withNorm.select(Seq(col("vid"), col("vec"), col("nsq")) ++
+      (0 until bands).map { bb =>
+        val bits = (0 until planesPerBand).map { r =>
+          val j = bb * planesPerBand + r
+          val plane = array((0 until dim).map(d =>
+            lit(Similarity.planeCoef(j, d, dim))): _*)
+          when(VectorOps.dot(col("vec"), plane) > 0.0, lit(1L << r)).otherwise(0L)
+        }
+        bits.reduce(_ + _).as(s"bk$bb")
+      }: _*)
+    val exploded = banded.select(col("vid"), col("vec"), col("nsq"),
+      posexplode(array((0 until bands).map(bb => col(s"bk$bb")): _*)).as(Seq("band", "bucket")))
+    val a = exploded.select(col("vid").as("vec_a"), col("vec").as("va"),
+      col("nsq").as("na"), col("band"), col("bucket"))
+    val b = exploded.select(col("vid").as("vec_b"), col("vec").as("vb"),
+      col("nsq").as("nb"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "va", "na", "vec_b", "vb", "nb").distinct()
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .where(col("cosine") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cos_r"))
+  }
 }

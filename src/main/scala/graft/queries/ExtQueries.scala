@@ -228,6 +228,35 @@ object ExtQueries extends QueryGroup {
        FROM n a JOIN n b ON a.vec_id < b.vec_id
        WHERE $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) >= $EmbCosTau"""
 
+  private val LshBands = 2
+  private val LshPlanesPerBand = 2
+
+  private def dedupEmbLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingLshPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      EmbCosTau, LshBands, LshPlanesPerBand, EmbDim)
+
+  /** Sign-pattern bucket for band bb (planes bb*r .. bb*r + r-1). */
+  private def bandBucketSql(bb: Int): String =
+    (0 until LshPlanesPerBand).map { r =>
+      val j = bb * LshPlanesPerBand + r
+      val plane = (0 until EmbDim).map(dd => Similarity.planeCoef(j, dd, EmbDim))
+        .mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(range(1, len(vec) + 1),
+            i -> vec[i] * ($plane)[i]), (x, y) -> x + y) > 0.0
+          THEN CAST(${1L << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+    }.mkString(" + ")
+
+  private lazy val dedupEmbLshSql = {
+    val bks = (0 until LshBands).map(bb => s"${bandBucketSql(bb)} AS bk$bb").mkString(", ")
+    val anyBand = (0 until LshBands).map(bb => s"a.bk$bb = b.bk$bb").mkString(" OR ")
+    s"""WITH $vecsSql,
+       hb AS (SELECT vec_id, vec, nsq, $bks FROM n)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round($dotSql / (sqrt(a.nsq) * sqrt(b.nsq)), 6) AS cos_r
+       FROM hb a JOIN hb b ON a.vec_id < b.vec_id AND ($anyBand)
+       WHERE $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) >= $EmbCosTau"""
+  }
+
   // ------------------------------------------------------------- similarity
 
   private val TopK = 5
@@ -259,17 +288,20 @@ object ExtQueries extends QueryGroup {
     Similarity.lshTopK(Tables.embeddings(s, d), annQueries(s, d),
       "vec_id", "embedding", TopK, LshPlanes, EmbDim)
 
-  private val annLshSql = {
-    // same hyperplane literals the Spark operator builds (Similarity.planeCoef)
-    val bucketExpr = (0 until LshPlanes).map { j =>
-      val plane = (0 until EmbDim).map(dd => Similarity.planeCoef(j, dd, EmbDim))
-        .mkString("[", ", ", "]")
-      s"""CASE WHEN list_reduce(list_transform(range(1, len(vec) + 1),
-            i -> vec[i] * ($plane)[i]), (x, y) -> x + y) > 0.0
-          THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
-    }.mkString(" + ")
+  /** Sign-pattern bucket — the same hyperplane literals the Spark operator
+    * builds (Similarity.planeCoef), shared by the ANN and pair-dedup SQL.
+    */
+  private lazy val lshBucketSql = (0 until LshPlanes).map { j =>
+    val plane = (0 until EmbDim).map(dd => Similarity.planeCoef(j, dd, EmbDim))
+      .mkString("[", ", ", "]")
+    s"""CASE WHEN list_reduce(list_transform(range(1, len(vec) + 1),
+          i -> vec[i] * ($plane)[i]), (x, y) -> x + y) > 0.0
+        THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+  }.mkString(" + ")
+
+  private lazy val annLshSql = {
     s"""WITH $vecsSql,
-       hb AS (SELECT vec_id, vec, nsq, $bucketExpr AS bucket FROM n),
+       hb AS (SELECT vec_id, vec, nsq, $lshBucketSql AS bucket FROM n),
        scored AS (
          SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
                 $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
@@ -338,6 +370,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
+    GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),

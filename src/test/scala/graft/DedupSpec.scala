@@ -53,6 +53,17 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
   }
 
+  test("embeddingLshPairs: identical vectors collide in every band") {
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.5f, -0.5f, 0.25f)),
+      (2L, Seq(0.5f, 0.5f, -0.5f, 0.25f)),
+      (3L, Seq(-0.5f, -0.5f, 0.5f, -0.25f))) // antipodal: no shared bucket
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingLshPairs(emb, "vec_id", "embedding", 0.9, 2, 2, 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("embeddingCosinePairs: parallel vectors pair up, orthogonal don't") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
