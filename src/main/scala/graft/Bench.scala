@@ -13,15 +13,27 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Each query runs twice: the first (cold) execution carries one-time
+    // whole-stage-codegen compilation + JIT for that plan shape — real,
+    // but not what steady-state throughput looks like. value/queries are
+    // the warm (second-run) numbers; cold numbers ride along for honesty.
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = timed(fn)
+      val warm = timed(fn)
+      (name, cold, warm)
+    }
+    def toJson(vs: Seq[(String, Double)]) =
+      vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warmTotal = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    val qs = toJson(results.map(r => r._1 -> r._3))
+    val qsCold = toJson(results.map(r => r._1 -> r._2))
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"queries_cold":$qsCold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

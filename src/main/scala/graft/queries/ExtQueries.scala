@@ -219,7 +219,7 @@ object ExtQueries extends QueryGroup {
   private val EmbCosTau = 0.4
 
   private def dedupEmbCos(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", EmbCosTau)
+    Dedup.embeddingCosinePairsBlocked(Tables.embeddings(s, d), "vec_id", "embedding", EmbCosTau)
 
   private val dedupEmbCosSql =
     s"""WITH $vecsSql

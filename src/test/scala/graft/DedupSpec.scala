@@ -53,6 +53,14 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
   }
 
+  test("blocked cosine pairs ≡ declarative plan, bit for bit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val fast = Dedup.embeddingCosinePairsBlocked(emb, "vec_id", "embedding", 0.3)
+    val ref = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.3)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
+  }
+
   test("embeddingLshPairs: identical vectors collide in every band") {
     val emb = Seq(
       (1L, Seq(0.5f, 0.5f, -0.5f, 0.25f)),
