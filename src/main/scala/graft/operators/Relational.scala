@@ -84,4 +84,24 @@ object Relational {
     */
   def rangeFlag(c: Column, lo: Int, hi: Int): Column =
     when(c.between(lo, hi), 1).otherwise(0)
+
+  /** Skew-mitigating salted equi-join, semantically identical to
+    * `left.join(right, Seq(key), "inner")`.
+    *
+    * A hot key funnels all its rows through one reducer in a plain
+    * shuffle join; salting splits each left key across `salts` shuffle
+    * partitions (deterministic salt from a hash of the whole left row, so
+    * replays are stable) and replicates each right row once per salt.
+    * Use when AQE's skew-join split isn't enough (e.g. one key is >10% of
+    * the fact table); `salts` multiplies the build side, so keep the
+    * right side the smaller input.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val leftSalted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+    val rightSalted = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    leftSalted.join(rightSalted, Seq(key, "__salt"), "inner").drop("__salt")
+  }
 }

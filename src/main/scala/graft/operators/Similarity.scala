@@ -57,6 +57,46 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF-style ANN (nprobe=1): a small deterministic coarse quantizer —
+    * `numCells` "centroids" drawn from the corpus itself (every
+    * `centroidEvery`-th id, the seeded stand-in for a k-means training
+    * step) — assigns each vector to its nearest centroid by cosine
+    * (ties broken by centroid id); queries search only their own cell.
+    *
+    * Scale shape: assignment is |corpus| x numCells dot products against
+    * a BROADCAST centroid set (numCells is small by construction), then
+    * the search is an equi-join on cell id — per-query work is the cell
+    * occupancy, |corpus|/numCells in expectation. Recall < 1 at cell
+    * borders, the classic IVF trade; raise nprobe by unioning more cells
+    * (not implemented — single-probe keeps the oracle simple).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidEvery: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = corpus.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
+        VectorOps.normSq(col(vecCol)).as("cn"))
+    def assign(df: DataFrame, idAs: String, vecAs: String, nAs: String): DataFrame = {
+      val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          VectorOps.normSq(col(vecCol)).as(nAs))
+        .crossJoin(broadcast(cents))
+        .withColumn("__ccos", VectorOps.cosine(col(vecAs), col("cvec"), col(nAs), col("cn")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col(idAs), col(vecAs), col(nAs), col("cent_id").as("cell"))
+    }
+    val c = assign(corpus, "vec_b", "vb", "nb")
+    val q = assign(queries, "q_id", "va", "na")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    q.join(c, Seq("cell"))
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
   /** Bucketed ANN: candidates share the query's bucket; exact cosine
     * re-rank within the bucket. Queries whose bucket holds < k corpus
     * vectors return fewer rows (standard single-probe LSH behavior).

@@ -58,8 +58,11 @@ object ExtQueries extends QueryGroup {
                            (a, b) -> a + b) AS nsq
              FROM v)"""
 
-  private val dotSql =
-    "list_reduce(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]), (x, y) -> x + y)"
+  /** Ordered-fold dot product over two aliased vec columns. */
+  private def dotOf(l: String, r: String): String =
+    s"list_reduce(list_transform(range(1, len($l) + 1), i -> $l[i] * $r[i]), (x, y) -> x + y)"
+
+  private val dotSql = dotOf("a.vec", "b.vec")
 
   // ---------------------------------------------------------- text analysis
 
@@ -314,6 +317,36 @@ object ExtQueries extends QueryGroup {
        WHERE rnk <= $TopK"""
   }
 
+  private val IvfCentroidEvery = 25
+
+  private def annIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, IvfCentroidEvery)
+
+  private val annIvfSql = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    val searchCos = s"${dotOf("q.vec", "c.vec")} / (sqrt(q.nsq) * sqrt(c.nsq))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       assign AS (
+         SELECT vid, vec, nsq, cell FROM (
+           SELECT n.vec_id AS vid, n.vec, n.nsq, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+           FROM n, cents c) t
+         WHERE rn = 1),
+       scored AS (
+         SELECT q.vid AS q_id, c.vid AS vec_b, $searchCos AS cosine
+         FROM assign q JOIN assign c
+           ON q.cell = c.cell AND q.vid % $QueryMod = 0 AND q.vid <> c.vid)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def mmProps(s: SparkSession, d: String): DataFrame =
@@ -373,6 +406,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
+    GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"))

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Scale-mechanics specs: salted joins preserve semantics, bucketed
+  * tables eliminate the join shuffle, IVF ANN returns ranked neighbors.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin ≡ plain inner join (skew mitigation is semantics-free)") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "lv")
+    val right = Seq((1L, "X"), (2L, "Y"), (3L, "Z")).toDF("k", "rv")
+    val salted = Relational.saltedJoin(left, right, "k", 4)
+      .select("k", "lv", "rv")
+    val plain = left.join(right, Seq("k"), "inner").select("k", "lv", "rv")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle in the plan") {
+    // default warehouse (./spark-warehouse, gitignored) — warehouse.dir
+    // is a static conf and can't move after session start. The in-memory
+    // catalog forgets tables between JVMs but their directories persist,
+    // so clear both before writing.
+    for (t <- Seq("b_orders", "b_counts")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete())
+        loc.delete()
+      }
+    }
+    val orders = Tables.orders(spark, sf0001)
+    orders.write.mode("overwrite").bucketBy(4, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("b_orders")
+    orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").bucketBy(4, "o_custkey").saveAsTable("b_counts")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_counts"), Seq("o_custkey"), "inner")
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join should not shuffle, found ${shuffles.size} exchanges")
+    assert(joined.count() > 0)
+  }
+
+  test("ivfTopK: ranked neighbors from the query's cell only") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val got = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 25)
+    assert(got.count() > 0)
+    // ranks are 1..k dense per query, no self-matches
+    val bad = got.where(col("rnk") < 1 || col("rnk") > 5 ||
+      col("q_id") === col("neighbor_id")).count()
+    assert(bad == 0)
+  }
+}
