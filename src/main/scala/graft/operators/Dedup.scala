@@ -272,15 +272,8 @@ object Dedup {
       VectorOps.normSq(col(vecCol)).as("nsq"))
     // band bb uses planes [bb*planesPerBand, (bb+1)*planesPerBand)
     val banded = withNorm.select(Seq(col("vid"), col("vec"), col("nsq")) ++
-      (0 until bands).map { bb =>
-        val bits = (0 until planesPerBand).map { r =>
-          val j = bb * planesPerBand + r
-          val plane = array((0 until dim).map(d =>
-            lit(Similarity.planeCoef(j, d, dim))): _*)
-          when(VectorOps.dot(col("vec"), plane) > 0.0, lit(1L << r)).otherwise(0L)
-        }
-        bits.reduce(_ + _).as(s"bk$bb")
-      }: _*)
+      (0 until bands).map(bb =>
+        Similarity.bandBucket(col("vec"), bb, planesPerBand, dim).as(s"bk$bb")): _*)
     val exploded = banded.select(col("vid"), col("vec"), col("nsq"),
       posexplode(array((0 until bands).map(bb => col(s"bk$bb")): _*)).as(Seq("band", "bucket")))
     val a = exploded.select(col("vid").as("vec_a"), col("vec").as("va"),

@@ -48,15 +48,6 @@ object Similarity {
   def planeCoef(j: Int, d: Int, dim: Int): Double =
     ((1103515245L * (j * dim + d) + 12345L) % 2048L).toDouble / 2048.0 - 0.5
 
-  /** Sign-pattern bucket id over `numPlanes` hyperplanes. */
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
-    val bits = (0 until numPlanes).map { j =>
-      val plane = array((0 until dim).map(d => lit(planeCoef(j, d, dim))): _*)
-      when(VectorOps.dot(vec, plane) > 0.0, lit(1L << j)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
-
   /** IVF-style ANN (nprobe=1): a small deterministic coarse quantizer —
     * `numCells` "centroids" drawn from the corpus itself (every
     * `centroidEvery`-th id, the seeded stand-in for a k-means training
@@ -97,22 +88,42 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
-  /** Bucketed ANN: candidates share the query's bucket; exact cosine
-    * re-rank within the bucket. Queries whose bucket holds < k corpus
-    * vectors return fewer rows (standard single-probe LSH behavior).
+  /** Sign-pattern bucket for band `bb` over `planesPerBand` hyperplanes
+    * (planes bb*planesPerBand .. +planesPerBand-1).
+    */
+  def bandBucket(vec: Column, bb: Int, planesPerBand: Int, dim: Int): Column = {
+    val bits = (0 until planesPerBand).map { r =>
+      val j = bb * planesPerBand + r
+      val plane = array((0 until dim).map(d => lit(planeCoef(j, d, dim))): _*)
+      when(VectorOps.dot(vec, plane) > 0.0, lit(1L << r)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Banded (multi-probe) LSH ANN: `bands` hash tables of `planesPerBand`
+    * hyperplanes each; candidates share ANY band's bucket (union over
+    * bands — recall 1-(1-p^r)^b instead of single-table p^(r*b)), then
+    * exact cosine re-rank over the distinct candidate set. Candidates
+    * still come from equi-joins on (band, bucket); per-query work is the
+    * sum of its bands' bucket occupancies.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+      vecCol: String, k: Int, bands: Int, planesPerBand: Int,
+      dim: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
-      VectorOps.normSq(col(vecCol)).as("nb"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("va"),
-      VectorOps.normSq(col(vecCol)).as("na"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    def banded(df: DataFrame, idAs: String, vecAs: String, nAs: String) = {
+      val base = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        VectorOps.normSq(col(vecCol)).as(nAs))
+      base.select(col(idAs), col(vecAs), col(nAs),
+        posexplode(array((0 until bands).map(bb =>
+          bandBucket(col(vecAs), bb, planesPerBand, dim)): _*)).as(Seq("band", "bucket")))
+    }
+    val c = banded(corpus, "vec_b", "vb", "nb")
+    val q = banded(queries, "q_id", "va", "na")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
-    q.join(c, Seq("bucket"))
+    q.join(c, Seq("band", "bucket"))
       .where(col("q_id") =!= col("vec_b"))
+      .select("q_id", "va", "na", "vec_b", "vb", "nb").distinct()
       .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

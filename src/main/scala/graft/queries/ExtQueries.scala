@@ -284,32 +284,26 @@ object ExtQueries extends QueryGroup {
              FROM scored) r
        WHERE rnk <= $TopK"""
 
-  private val LshPlanes = 4
   private val EmbDim = 64
 
   private def annLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), annQueries(s, d),
-      "vec_id", "embedding", TopK, LshPlanes, EmbDim)
+      "vec_id", "embedding", TopK, LshBands, LshPlanesPerBand, EmbDim)
 
-  /** Sign-pattern bucket — the same hyperplane literals the Spark operator
-    * builds (Similarity.planeCoef), shared by the ANN and pair-dedup SQL.
+  /** Banded twin of Similarity.lshTopK: candidates share ANY band's
+    * bucket (an OR-condition join expresses the same union the Spark
+    * side gets from posexplode + equi-join + distinct).
     */
-  private lazy val lshBucketSql = (0 until LshPlanes).map { j =>
-    val plane = (0 until EmbDim).map(dd => Similarity.planeCoef(j, dd, EmbDim))
-      .mkString("[", ", ", "]")
-    s"""CASE WHEN list_reduce(list_transform(range(1, len(vec) + 1),
-          i -> vec[i] * ($plane)[i]), (x, y) -> x + y) > 0.0
-        THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
-  }.mkString(" + ")
-
   private lazy val annLshSql = {
+    val bks = (0 until LshBands).map(bb => s"${bandBucketSql(bb)} AS bk$bb").mkString(", ")
+    val anyBand = (0 until LshBands).map(bb => s"a.bk$bb = b.bk$bb").mkString(" OR ")
     s"""WITH $vecsSql,
-       hb AS (SELECT vec_id, vec, nsq, $lshBucketSql AS bucket FROM n),
+       hb AS (SELECT vec_id, vec, nsq, $bks FROM n),
        scored AS (
          SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
                 $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
          FROM hb a JOIN hb b
-           ON a.bucket = b.bucket AND a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id)
+           ON ($anyBand) AND a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id)
        SELECT q_id, rnk, vec_b AS neighbor_id
        FROM (SELECT q_id, vec_b,
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk

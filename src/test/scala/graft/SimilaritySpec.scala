@@ -27,7 +27,7 @@ class SimilaritySpec extends SparkSpec {
     val corpus = Seq((0L, Seq.fill(4)(0.5f)), (1L, Seq.fill(4)(0.5f)),
       (2L, Seq.fill(4)(-0.5f))).toDF("vec_id", "embedding")
     val q = corpus.where(col("vec_id") === 0)
-    val got = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 5, 4, 4)
+    val got = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 5, 2, 2, 4)
       .as[(Long, Int, Long)].collect()
     assert(got.exists(r => r._3 == 1L && r._2 == 1))
   }
