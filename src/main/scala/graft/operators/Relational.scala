@@ -85,6 +85,55 @@ object Relational {
   def rangeFlag(c: Column, lo: Int, hi: Int): Column =
     when(c.between(lo, hi), 1).otherwise(0)
 
+  /** As-of join: for each left row, the latest right row with
+    * `right.tsCol <= left.tsCol` within the same `key` (inclusive) —
+    * the operator Spark's join zoo lacks.
+    *
+    * Implemented as UNION + ORDERED WINDOW instead of a range join:
+    * tag both sides, union them, and carry the right side's payload
+    * forward with `last(_, ignoreNulls)` over (key, ts) order. Cost is
+    * one shuffle on the key plus a per-partition sort — O(n log n) —
+    * where a range-join formulation explodes to |L| x |matching R| rows
+    * before its filter. At equal timestamps the right row sorts first,
+    * so same-instant matches are included; `tiebreak` must totally order
+    * rows within (key, ts) for determinism.
+    *
+    * Right payload columns must not collide with left column names
+    * (alias them before the call).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      tiebreak: String, payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__is_r", lit(0))
+    val r = right.select(Seq(col(key), col(tsCol), col(tiebreak)) ++
+        payloadCols.map(col): _*)
+      .withColumn("__is_r", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col("__is_r").desc, col(tiebreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__is_r") === 0).drop("__is_r")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event (per key, ordered by ts) exceeds `gapNanos`. Returns
+    * the input plus a dense per-key `session_id` (cumulative sum of
+    * session starts) — lag + prefix-sum windows, one shuffle on the key.
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String,
+      gapNanos: Long): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(col(tsCol).asc)
+    val prefix = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gapNanos, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(prefix))
+      .drop("__prev", "__new")
+  }
+
   /** Skew-mitigating salted equi-join, semantically identical to
     * `left.join(right, Seq(key), "inner")`.
     *

@@ -375,6 +375,81 @@ object ExtQueries extends QueryGroup {
                    % 1000000007 AS BIGINT) AS checksum
        FROM documents"""
 
+  // ------------------------------------------------------------ time series
+
+  /** As-of join over the events stream: each purchase gets the latest
+    * click at-or-before it by the same user (Relational.asofJoin's
+    * union+window form; the oracle emulates it with the identical
+    * IGNORE NULLS carry-forward window).
+    */
+  private def asof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    graft.operators.Relational
+      .asofJoin(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("click_id", "click_value"))
+      .select("event_id", "user_id", "click_id", "click_value")
+  }
+
+  private val asofSql =
+    """WITH u AS (
+         SELECT user_id, ts, event_id,
+                CAST(NULL AS BIGINT) AS click_id,
+                CAST(NULL AS DOUBLE) AS click_value, 0 AS is_r
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, ts, event_id, event_id, value, 1
+         FROM events WHERE event_type = 'click'),
+       w AS (
+         SELECT *,
+           last_value(click_id IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+              ROWS UNBOUNDED PRECEDING) AS a_click_id,
+           last_value(click_value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+              ROWS UNBOUNDED PRECEDING) AS a_click_value
+         FROM u)
+       SELECT event_id, user_id, a_click_id AS click_id,
+              a_click_value AS click_value
+       FROM w WHERE is_r = 0"""
+
+  /** Gap-based sessions (30-minute inactivity) summarized per user. */
+  private val SessionGapNs = 30L * 60 * 1000000000L
+
+  private def sessionized(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational
+      .sessionize(Tables.events(s, d), "user_id", "ts", SessionGapNs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("total_events"))
+
+  private val sessionizedSql =
+    s"""WITH g AS (
+         SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                     > $SessionGapNs
+                THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (
+         SELECT user_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g),
+       per AS (SELECT user_id, session_id, count(*) AS n_events
+               FROM s GROUP BY user_id, session_id)
+       SELECT user_id, count(*) AS n_sessions,
+              max(n_events) AS max_session_events,
+              CAST(sum(n_events) AS BIGINT) AS total_events
+       FROM per GROUP BY user_id"""
+
   // -------------------------------------------------------------- streaming
 
   private def streamWindow(s: SparkSession, d: String): DataFrame =
@@ -403,5 +478,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
+    GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
+    GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"))
 }

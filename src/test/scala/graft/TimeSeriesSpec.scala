@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** As-of join and sessionization edge cases on literal frames. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: latest at-or-before match; null when no prior right row") {
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 100L, 12L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 60L, 20L, "a"), (1L, 100L, 21L, "b"), (2L, 200L, 22L, "c"))
+      .toDF("k", "ts", "rid", "payload")
+    val got = Relational.asofJoin(left, right, "k", "ts", "rid", Seq("payload"))
+      .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+    assert(got(10L).contains("b")) // ts=100: same-instant right row included
+    assert(got(11L).isEmpty)       // ts=50: no right row at-or-before
+    assert(got(12L).isEmpty)       // right exists only after left
+  }
+
+  test("sessionize: exact-gap events stay in one session, beyond-gap split") {
+    val df = Seq((1L, 0L), (1L, 100L), (1L, 201L), (2L, 0L))
+      .toDF("k", "ts")
+    val got = Relational.sessionize(df, "k", "ts", gapNanos = 100L)
+      .select("k", "ts", "session_id").as[(Long, Long, Long)].collect().toSet
+    // gap of exactly 100 does NOT split (strict >); 101 does
+    assert(got == Set((1L, 0L, 1L), (1L, 100L, 1L), (1L, 201L, 2L), (2L, 0L, 1L)))
+  }
+}
