@@ -463,6 +463,22 @@ object ExtQueries extends QueryGroup {
               count(DISTINCT user_id) AS n_users
        FROM events GROUP BY 1, 2"""
 
+  /** Scale flavor of the window aggregate: HyperLogLog++ distinct users
+    * (constant memory per group vs countDistinct's exact shuffle of every
+    * key). NO ORACLE on purpose: DuckDB's approx_distinct uses a
+    * different sketch, so values can't hash-match — the driver records
+    * the weaker rows-only check. Spark's HLL++ is itself deterministic
+    * for a fixed input (register merge is max-based, order-independent).
+    */
+  private def streamWindowApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("window_start",
+        expr(s"ts div ${EventsStream.WindowSeconds * 1000000000L}")
+          * EventsStream.WindowSeconds)
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -480,5 +496,6 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
-    GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"))
+    GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
+    GQuery("ext_stream_approx", streamWindowApprox, None, "HLL++ distinct users (sketch differs from DuckDB's — rows-only check)"))
 }

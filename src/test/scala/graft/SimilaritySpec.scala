@@ -54,6 +54,14 @@ class SimilaritySpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("QualityAggregator: typed weighted mean, map-side partials merge") {
+    import graft.functions.QualityAggregator
+    val ds = Seq((0.8, 10L), (0.4, 30L), (1.0, 0L)).toDS()
+      .repartition(3) // force merge() across partials
+    val got = ds.select(QualityAggregator.toColumn).collect().head
+    assert(math.abs(got - (0.8 * 10 + 0.4 * 30) / 40.0) < 1e-12)
+  }
+
   test("multimodal decode: real binary plumbing, deterministic stub") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val got = Multimodal.decodeFeatures(Multimodal.withPayload(df, "doc_id", "text"))
