@@ -72,7 +72,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
-    val edges = shingleEdges(docs, idCol, textCol)
+    val edges = shingleEdges(docs, idCol, textCol).persist()
     val sizes = shingleSizes(edges)
     // single pass: the shingle self-join IS the intersection count — no
     // separate candidate set + re-join (halves the heavy join work)
@@ -131,7 +131,11 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int, rowsPerBand: Int, tau: Double,
       mode: HashMode = XxHash): DataFrame = {
-    val edges = shingleEdges(docs, idCol, textCol)
+    // the edge list feeds the vocabulary, the signatures, the set sizes,
+    // and both verification joins — persist it once (a few MB per million
+    // docs of shingle strings; MEMORY_AND_DISK by default) instead of
+    // re-running the explode+distinct per consumer
+    val edges = shingleEdges(docs, idCol, textCol).persist()
     val sig = minhashSignatures(edges, numPerm, mode)
     val buckets = sig.withColumn("band", (col("j") / rowsPerBand).cast("long"))
       .groupBy("doc_id", "band")
@@ -174,7 +178,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, mode: HashMode = XxHash): DataFrame = {
-    val fps = simhashFingerprints(shingleEdges(docs, idCol, textCol), mode)
+    val fps = simhashFingerprints(shingleEdges(docs, idCol, textCol).persist(), mode)
     val banded = fps.withColumn("bb", explode(sequence(lit(0), lit(3))))
       .withColumn("bkey", expr("shiftright(simhash, bb * 8) & 255"))
     val candidates = banded
