@@ -17,15 +17,17 @@ object Bench {
     // whole-stage-codegen compilation + JIT for that plan shape — real,
     // but not what steady-state throughput looks like. value/queries are
     // the warm (second-run) numbers; cold numbers ride along for honesty.
-    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, succeeded) — a query that throws must NOT masquerade as a
+    // fast run; it is reported in the errors list
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timed(fn)
-      val warm = timed(fn)
-      (name, cold, warm)
+      val (cold, okCold) = timed(fn)
+      val (warm, okWarm) = timed(fn)
+      (name, cold, warm, okCold && okWarm)
     }
     def toJson(vs: Seq[(String, Double)]) =
       vs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -33,7 +35,8 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     val qs = toJson(results.map(r => r._1 -> r._3))
     val qsCold = toJson(results.map(r => r._1 -> r._2))
-    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"queries_cold":$qsCold,"sf":"$sfDir"}""")
+    val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"queries_cold":$qsCold,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,10 +42,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** NULL on length mismatch (same as the zip_with fold, which pads with
+    * null, and the oracle's out-of-bounds list index) — a partial dot
+    * product over truncated inputs would be a plausible-looking wrong
+    * number, exactly the failure mode that must surface as null instead.
+    */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemType(left) == FloatType
     val yf = elemType(right) == FloatType
     var s = 0.0
@@ -69,12 +77,16 @@ case class DotProduct(left: Expression, right: Expression)
         case _ => s"$arr.getDouble($i)"
       }
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, left)} * ${get(b, right)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${get(a, left)} * ${get(b, right)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

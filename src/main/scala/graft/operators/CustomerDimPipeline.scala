@@ -68,7 +68,8 @@ object CustomerDimPipeline {
 
     // -- SQL-14..16: change detect -> expire -> new-current -> delta
     val compareCols = Seq("cust_id", "cust_name", "mkt_segment", "acct_bal")
-    val changedKeys = Scd2.changedRows(newSnap, staged, compareCols).select("cust_id")
+    val changedKeys = Scd2.changedRows(newSnap, staged, compareCols)
+      .select("cust_id").distinct()
     val udate = coalesce(col("latest_order_date"), lts(cdate))
     val expired = hist
       .join(changedKeys, Seq("cust_id"), "inner")

@@ -37,13 +37,22 @@ object Multimodal {
     * the oracle.
     */
   def decodeBytes(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-    // ??? <- real codec goes here; deterministic fake below
+    // ??? <- real codec goes here; deterministic fake below.
+    // Checksum sums UNICODE CODEPOINTS of the decoded payload (not raw
+    // bytes) so the SQL oracle — which only sees characters — can
+    // reproduce it for non-ASCII content too. Long arithmetic throughout:
+    // len * 31 overflows Int already at ~69 MB payloads.
     val len = bytes.length
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     var sum = 0L
     var i = 0
-    while (i < len) { sum += bytes(i) & 0xff; i += 1 }
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      sum += cp
+      i += Character.charCount(cp)
+    }
     val width = 64 + len % 577
-    val height = 64 + (len * 31) % 389
+    val height = 64 + (len.toLong * 31 % 389).toInt
     val frames = 1 + len % 7
     (width, height, frames, sum % 1000000007L)
   }

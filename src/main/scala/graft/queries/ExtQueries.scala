@@ -370,8 +370,11 @@ object ExtQueries extends QueryGroup {
               CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
               CAST(64 + (octet_length(encode(text)) * 31) % 389 AS INTEGER) AS height,
               CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames,
-              CAST(list_reduce(list_transform(regexp_extract_all(text, '.'),
-                     c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b)
+              CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_extract_all(text, '(?s).'),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> a + b)
                    % 1000000007 AS BIGINT) AS checksum
        FROM documents"""
 

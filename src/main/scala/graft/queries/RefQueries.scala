@@ -460,8 +460,12 @@ object RefQueries extends QueryGroup {
         col("c_mktsegment").as("mkt_segment"), col("c_acctbal").as("acct_bal"))
       .join(udates, col("cust_id") === col("o_custkey"), "left").drop("o_custkey")
       .withColumn("udate_party", coalesce(col("__udate"), ts(CDATE))).drop("__udate")
+    // distinct: exceptAll is a multiset, a key could appear twice if the
+    // staging side ever carried duplicate business keys — the oracle's
+    // SELECT DISTINCT must see the same set
     val changedKeys = Scd2.changedRows(stg, hist,
-      Seq("cust_id", "cust_name", "mkt_segment", "acct_bal")).select("cust_id")
+      Seq("cust_id", "cust_name", "mkt_segment", "acct_bal"))
+      .select("cust_id").distinct()
     val expired = hist
       .join(changedKeys, Seq("cust_id"), "inner")
       .join(stg.select(col("cust_id"), col("udate_party")), Seq("cust_id"), "left")

@@ -56,17 +56,22 @@ object EventsStream {
     spark.readStream.schema(EventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division (double math would round ns values above 2^53)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "5 minutes")
       .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("sum_value"))
 
   /** Drive the streaming aggregate to completion against the static
-    * parquet via the memory sink (test/demo harness).
+    * parquet via the memory sink. APPEND mode on purpose: that is the
+    * mode where the watermark actually finalizes-and-evicts window state
+    * (complete mode retains everything and the watermark is inert), so
+    * windows newer than max(event_time) - watermark stay unemitted —
+    * the bounded-state behavior this module exists to demonstrate.
     */
   def runOnce(spark: SparkSession, dir: String, name: String): StreamingQuery = {
     val q = streamingWindowedAgg(spark, dir).writeStream
-      .outputMode("complete")
+      .outputMode("append")
       .format("memory")
       .queryName(name)
       .start()

@@ -28,6 +28,12 @@ class DotProductSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("graft_dot: length mismatch is NULL, like the fold and the oracle") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D)) AS d").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("graft_dot handles mixed float/double arrays (vec x plane)") {
     import spark.implicits._
     GraftFunctions.register(spark)
