@@ -74,6 +74,39 @@ object TextAnalysis {
     * downstream shape) — dense-id mode exists so the DuckDB oracle can
     * reproduce the hash.
     */
+  /** Term frequencies per document plus document frequency per term —
+    * the building blocks of TF-IDF. One explode + two aggregates; the
+    * document-frequency side is tiny (vocabulary-sized) and broadcasts
+    * back onto the term table.
+    */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    terms.join(df, Seq("term"))
+  }
+
+  /** Top-k TF-IDF terms per document. tfidf = tf * ln(N / df), rounded
+    * BEFORE ranking so near-ties (engines may differ in the last ulp of
+    * ln) become exact ties broken lexicographically — the ordering is
+    * then engine-independent.
+    */
+  def topTfidf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    // corpus size as a broadcast 1-row aggregate — keeps the operator one
+    // lazy DAG (no driver-side count at plan-build time)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val stats = termStats(docs, idCol, textCol)
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    stats.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "term", "tfidf")
+  }
+
   val FpMod = 1000000007L
   /** 31^k mod FpMod for k = 0..7, precomputed (shared with the oracle). */
   val FpPows: Seq[Long] = Iterator.iterate(1L)(p => p * 31 % FpMod).take(8).toSeq

@@ -137,6 +137,51 @@ object ExtQueries extends QueryGroup {
        FROM c GROUP BY doc_id"""
   }
 
+  private val TfidfK = 3
+
+  private def textTfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topTfidf(Tables.documents(s, d), "doc_id", "text", TfidfK)
+
+  private val textTfidfSql =
+    s"""WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tfs AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+       scored AS (
+         SELECT doc_id, term, tf,
+                round(tf * ln((SELECT count(*) FROM documents) / df), 6) AS tfidf
+         FROM tfs JOIN dfs USING (term))
+       SELECT doc_id, rnk, term, tfidf
+       FROM (SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TfidfK"""
+
+  private val TopTermsK = 5
+
+  private def textTopTerms(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("term").asc)
+    terms.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopTermsK)
+      .select("lang", "rnk", "term", "cnt")
+  }
+
+  private val textTopTermsSql =
+    s"""WITH terms AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+       counts AS (SELECT lang, term, count(*) AS cnt FROM terms GROUP BY lang, term)
+       SELECT lang, rnk, term, cnt
+       FROM (SELECT lang, term, cnt,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, term ASC) AS INTEGER) AS rnk
+             FROM counts) r
+       WHERE rnk <= $TopTermsK"""
+
   // ------------------------------------------------------------------ dedup
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -486,6 +531,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
     GQuery("ext_text_fingerprint", textFingerprint, Some(textFingerprintSql), "rolling-hash fingerprint"),
+    GQuery("ext_text_tfidf", textTfidf, Some(textTfidfSql), "top-k TF-IDF terms per doc (round-then-rank)"),
+    GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
