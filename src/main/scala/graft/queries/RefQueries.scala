@@ -551,6 +551,49 @@ object RefQueries extends QueryGroup {
     s"SELECT user_id AS cust_id, $aggs FROM events GROUP BY user_id"
   }
 
+  // ---------------------------------------------------- beyond-reference ops
+  /** Rollup subtotals (absent from the reference; closes the grouping-
+    * sets category): NULL grouping markers behave identically in Spark
+    * rollup and SQL GROUP BY ROLLUP.
+    */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  private val q19Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+  /** Multiset intersection: customers holding BOTH an open and a
+    * finished order (intersectAll ≡ INTERSECT ALL on key sets).
+    */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("cust_id")).distinct()
+      .intersectAll(
+        o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("cust_id")).distinct())
+  }
+
+  private val q20Sql =
+    """SELECT DISTINCT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT ALL
+       SELECT DISTINCT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'"""
+
+  /** Ordered LIMIT (top-10 orders by price, unique tiebreak makes the
+    * selected SET deterministic even though row order isn't compared).
+    */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private val q21Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q01_denorm_joins", q01, Some(q01Sql), "SQL-1: rename/project/join chain"),
     GQuery("q02_group_count", q02, Some(q02Sql), "SQL-2/3: group-count + attach"),
@@ -569,5 +612,8 @@ object RefQueries extends QueryGroup {
     GQuery("q15_change_detect", q15, Some(q15Sql), "SQL-14: exceptAll change detect"),
     GQuery("q16_expire", q16, Some(q16Sql), "SQL-15: history expiry"),
     GQuery("q17_scd2_delta", q17, Some(q17Sql), "SQL-16: flagship SCD2 delta"),
-    GQuery("q18_pivot_intended", q18, Some(q18Sql), "SQL-8 intended form: groupBy().pivot()"))
+    GQuery("q18_pivot_intended", q18, Some(q18Sql), "SQL-8 intended form: groupBy().pivot()"),
+    GQuery("q19_rollup", q19, Some(q19Sql), "grouping sets: rollup subtotals"),
+    GQuery("q20_intersect", q20, Some(q20Sql), "multiset intersection"),
+    GQuery("q21_top_limit", q21, Some(q21Sql), "ordered LIMIT top-k"))
 }
