@@ -87,6 +87,17 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Pairs -> cleaned corpus: greedy lower-id-wins sweep. A document
+    * survives unless it appears as the HIGHER id of any near-dup pair —
+    * the standard practical closure of pairwise dedup (no transitive
+    * clustering pass; deterministic; one anti-join). For full
+    * connected-component canonicalization, iterate min-label
+    * propagation over the pair graph instead.
+    */
+  def sweep(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Large prime modulus for the permutation family (2^31 - 1). */
   val MinhashMod = 2147483647L
   /** Permutation j: h_j(x) = ((37 j + 11) x + 101 j + 7) mod P. */

@@ -276,6 +276,22 @@ object ExtQueries extends QueryGroup {
        FROM n a JOIN n b ON a.vec_id < b.vec_id
        WHERE $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) >= $EmbCosTau"""
 
+  /** End-to-end corpus clean: MinHash near-dup pairs swept into a
+    * surviving-document set (the operation a training pipeline actually
+    * runs on its corpus).
+    */
+  private def dedupSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.sweep(
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+      "doc_id",
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.DenseId))
+
+  private lazy val dedupSweepSql =
+    s"""WITH pairs AS ($dedupMinhashSql)
+       SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.doc_b = documents.doc_id)"""
+
   private val LshBands = 2
   private val LshPlanesPerBand = 2
 
@@ -539,6 +555,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
     GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),
+    GQuery("ext_dedup_sweep", dedupSweep, Some(dedupSweepSql), "pairs -> cleaned corpus (greedy sweep)"),
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
