@@ -98,6 +98,44 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Connected components over the near-dup pair graph by min-label
+    * propagation: every node repeatedly adopts the smallest label in its
+    * neighborhood (including itself). Each iteration is one groupBy-min
+    * over the edge list — the classic scale-out CC formulation (no
+    * driver-side union-find). Labels advance one hop per iteration, so
+    * `iterations` >= the component diameter guarantees convergence (near-
+    * dup clusters are shallow in practice; the large-star/small-star
+    * variant gets log-round convergence if ever needed). Deterministic
+    * for any fixed iteration count that reaches convergence.
+    * Returns (doc_id, component) with component = min doc
+    * id in the component — the canonical representative for FULL
+    * transitive dedup (vs `sweep`'s greedy pairwise rule).
+    */
+  def connectedComponents(pairs: DataFrame, iterations: Int): DataFrame = {
+    // ITERATIVE ALGORITHM: without lineage truncation each round's plan
+    // embeds every previous round (and re-derives `pairs` from scratch),
+    // so plans — and re-execution cost — grow linearly and memory
+    // quadratically with iterations. localCheckpoint materializes each
+    // round's labels and cuts the lineage, making every round O(1) plan;
+    // the edge list is persisted once for the same reason.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.withColumn("component", col("doc_id")).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("component")).as("__nbr"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Large prime modulus for the permutation family (2^31 - 1). */
   val MinhashMod = 2147483647L
   /** Permutation j: h_j(x) = ((37 j + 11) x + 101 j + 7) mod P. */

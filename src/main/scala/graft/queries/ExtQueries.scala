@@ -556,6 +556,12 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
     GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),
     GQuery("ext_dedup_sweep", dedupSweep, Some(dedupSweepSql), "pairs -> cleaned corpus (greedy sweep)"),
+    GQuery("ext_dedup_minhash_fast",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.XxHash),
+      None,
+      "MinHash in XxHash mode — the production path (no global vocabulary " +
+        "rank); engine-specific hashes, so rows-only check"),
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),

@@ -53,6 +53,25 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
   }
 
+  test("connectedComponents: min-label propagation finds transitive groups") {
+    // chain 1-2-3, pair 7-8, and 1-3 redundant edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents: chain converges within diameter rounds") {
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, iterations = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+    // under-iterating leaves distant nodes unconverged — documented behavior
+    val partial = Dedup.connectedComponents(chain, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(partial(9L) == 7L)
+  }
+
   test("blocked cosine pairs ≡ declarative plan, bit for bit") {
     val emb = Tables.embeddings(spark, sf0001)
     val fast = Dedup.embeddingCosinePairsBlocked(emb, "vec_id", "embedding", 0.3)

@@ -63,6 +63,26 @@ object InvariantProps extends Properties("graft.invariants") {
       counts.map(_._2).sum == ks.count(_.isDefined)
     }
 
+  property("asofJoin payload equals brute-force latest at-or-before match") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L)))) { (ls, rs) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+        .toDF("k", "ts", "tb")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (k, t, 2000L + i, 2000L + i) }
+        .toDF("k", "ts", "tb", "rid")
+      val got = Relational.asofJoin(left, right, "k", "ts", "tb", Seq("rid"))
+        .select("k", "ts", "tb", "rid")
+        .as[(Long, Long, Long, Option[Long])].collect()
+      got.forall { case (k, t, _, rid) =>
+        val cands = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt <= t }
+        val want = if (cands.isEmpty) None
+          // latest ts; among equal ts the max tiebreak (2000+i) sorts last
+          else Some(2000L + cands.maxBy { case ((_, rt), i) => (rt, i) }._2)
+        rid == want
+      }
+    }
+
   property("unionByName row-count additivity with missing columns") =
     forAll(keys, keys) { (a, b) =>
       import spark.implicits._
