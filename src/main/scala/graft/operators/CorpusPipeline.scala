@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data corpus clean — the operation the
+  * BASELINE.json north star describes: keep documents that
+  *
+  *  1. meet a quality bar (type-token ratio / stopword-density score),
+  *  2. are in an accepted language (marker-heuristic language ID),
+  *  3. survive near-duplicate removal (MinHash-LSH pairs, lower-id-wins
+  *     sweep).
+  *
+  * One lazy DAG: the quality and language predicates are per-row codegen
+  * and push down to the scan; only the dedup leg shuffles (on shingle and
+  * band keys). At 100 TB the cheap per-row filters run FIRST, shrinking
+  * the corpus the near-dup machinery sees.
+  */
+object CorpusPipeline {
+
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, langs: Seq[String],
+      numPerm: Int, rowsPerBand: Int, tau: Double,
+      mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
+    val t = col(textCol)
+    val nTok = TextAnalysis.tokenCount(t)
+    val quality = round(
+      lit(0.4) * (TextAnalysis.typeCount(t) / nTok) +
+        lit(0.6) * (lit(1.0) - TextAnalysis.markerCount(t, TextAnalysis.Stopwords) / nTok), 6)
+    val prefiltered = docs
+      .withColumn("quality", quality)
+      .withColumn("pred_lang", TextAnalysis.langId(t))
+      .where(col("quality") >= minQuality && col("pred_lang").isin(langs.map(x => x: Any): _*))
+    val pairs = Dedup.minhashLshPairs(prefiltered, idCol, textCol,
+      numPerm, rowsPerBand, tau, mode)
+    Dedup.sweep(prefiltered, idCol, pairs)
+  }
+}

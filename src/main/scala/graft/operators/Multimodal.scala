@@ -65,6 +65,19 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("checksum", LongType)))
 
+  /** Frame sampling: explode each media item into its frames with a
+    * deterministic per-frame fingerprint (stub for "decode frame k and
+    * hash/feature it"). Row count multiplies by n_frames — the Spark
+    * side of a video pipeline's frame extraction; the real decoder slots
+    * into the fingerprint expression.
+    */
+  def sampleFrames(decoded: DataFrame): DataFrame =
+    decoded.select(col("doc_id"), col("n_frames"), col("checksum"),
+        explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
+      .withColumn("frame_hash",
+        (col("checksum") * 31L + col("frame_idx")) % 1000000007L)
+      .select("doc_id", "frame_idx", "frame_hash")
+
   /** The decode stage: partition-batched, binary in, typed features out.
     * Sits exactly where `mapInPandas`/`mapInArrow` would; the iterator
     * shape means constant memory per task regardless of partition size.

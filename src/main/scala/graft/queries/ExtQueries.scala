@@ -22,17 +22,20 @@ object ExtQueries extends QueryGroup {
   // Shared SQL fragments ---------------------------------------------------
 
   /** Distinct (doc_id, shingle) pairs — DuckDB twin of Dedup.shingleEdges
-    * (1-based list indexing vs Spark's 0-based).
+    * (1-based list indexing vs Spark's 0-based). Parameterized by source
+    * relation so composites can shingle a prefiltered subset.
     */
-  private val edgesSql =
-    """edges AS (
+  private def edgesSqlFrom(src: String) =
+    s"""edges AS (
        SELECT DISTINCT doc_id,
          unnest(CASE WHEN len(string_split(text, ' ')) >= 3
            THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
                      || ' ' || string_split(text, ' ')[i+2])
            ELSE []::VARCHAR[] END) AS shingle
-       FROM documents)"""
+       FROM $src)"""
+
+  private val edgesSql = edgesSqlFrom("documents")
 
   private val sizesSql =
     "sizes AS (SELECT doc_id, count(*) AS n_sh FROM edges GROUP BY doc_id)"
@@ -211,8 +214,9 @@ object ExtQueries extends QueryGroup {
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
       MinhashPerms, MinhashRows, MinhashTau, Dedup.DenseId)
 
-  private val dedupMinhashSql =
-    s"""WITH $edgesSql, $sizesSql,
+  /** The full MinHash CTE chain (edges .. candidate pairs) over `src`. */
+  private def minhashCtesSql(src: String) =
+    s"""${edgesSqlFrom(src)}, $sizesSql,
        vocab AS (
          SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
          FROM (SELECT DISTINCT shingle FROM edges)),
@@ -227,7 +231,10 @@ object ExtQueries extends QueryGroup {
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM buckets a JOIN buckets b
-           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+  private val dedupMinhashSql =
+    s"""WITH ${minhashCtesSql("documents")},
        ${verifySql(MinhashTau)}"""
 
   private val SimhashMaxHamming = 3
@@ -514,6 +521,62 @@ object ExtQueries extends QueryGroup {
               CAST(sum(n_events) AS BIGINT) AS total_events
        FROM per GROUP BY user_id"""
 
+  private def mmFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.decodeFeatures(
+      Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")))
+
+  private val mmFramesSql =
+    s"""WITH d AS ($mmDecodeSql)
+       SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+              (checksum * 31 + f) % 1000000007 AS frame_hash
+       FROM (SELECT doc_id, checksum, unnest(generate_series(1, n_frames)) AS f
+             FROM d) t"""
+
+  /** End-to-end corpus clean: quality bar + language allowlist + MinHash
+    * near-dup sweep, one lazy DAG (the BASELINE.json north-star op).
+    */
+  private val CleanMinQuality = 0.7
+  private val CleanLangs = Seq("sqlish", "streamish")
+
+  private def corpusClean(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusPipeline.clean(
+      Tables.documents(s, d), "doc_id", "text",
+      CleanMinQuality, CleanLangs,
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.DenseId)
+      .select("doc_id", "pred_lang", "quality", "n_chars")
+
+  private lazy val corpusCleanSql = {
+    val langList = CleanLangs.map(l => s"'$l'").mkString(", ")
+    // same score/langid expressions as ext_text_stats / ext_text_langid
+    val scores = TextAnalysis.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+      val set = ms.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS s$i"
+    }.mkString(", ")
+    val n = TextAnalysis.LangMarkers.size
+    val cases = TextAnalysis.LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      val later = (i + 1 until n).map(j => s"s$i >= s$j")
+      val conds = (s"s$i > 0" +: later).mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH scored AS (
+         SELECT doc_id, text, n_chars,
+           round(0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+                 + 0.6 * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ($stop)))
+                          / len(string_split(text, ' '))), 6) AS quality,
+           CASE $cases ELSE 'unk' END AS pred_lang
+         FROM (SELECT doc_id, text, n_chars, $scores FROM documents) t0),
+       pre AS (
+         SELECT * FROM scored
+         WHERE quality >= $CleanMinQuality AND pred_lang IN ($langList)),
+       pairs AS (
+         WITH ${minhashCtesSql("pre")},
+         ${verifySql(MinhashTau)})
+       SELECT doc_id, pred_lang, quality, n_chars
+       FROM pre
+       WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.doc_b = pre.doc_id)"""
+  }
+
   // -------------------------------------------------------------- streaming
 
   private def streamWindow(s: SparkSession, d: String): DataFrame =
@@ -567,6 +630,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
+    GQuery("ext_mm_frames", mmFrames, Some(mmFramesSql), "frame sampling with per-frame fingerprints"),
+    GQuery("ext_corpus_clean", corpusClean, Some(corpusCleanSql), "quality+lang+dedup corpus clean (north-star composite)"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
