@@ -23,12 +23,8 @@ object CorpusPipeline {
       numPerm: Int, rowsPerBand: Int, tau: Double,
       mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
     val t = col(textCol)
-    val nTok = TextAnalysis.tokenCount(t)
-    val quality = round(
-      lit(0.4) * (TextAnalysis.typeCount(t) / nTok) +
-        lit(0.6) * (lit(1.0) - TextAnalysis.markerCount(t, TextAnalysis.Stopwords) / nTok), 6)
     val prefiltered = docs
-      .withColumn("quality", quality)
+      .withColumn("quality", TextAnalysis.qualityScore(t))
       .withColumn("pred_lang", TextAnalysis.langId(t))
       .where(col("quality") >= minQuality && col("pred_lang").isin(langs.map(x => x: Any): _*))
     val pairs = Dedup.minhashLshPairs(prefiltered, idCol, textCol,

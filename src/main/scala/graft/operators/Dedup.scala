@@ -133,6 +133,10 @@ object Dedup {
           least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
         .localCheckpoint()
     }
+    // the final labels are materialized (checkpointed), so the edge cache
+    // can be released; intermediate checkpoint blocks are reclaimed by
+    // the ContextCleaner once their round's DataFrame is unreferenced
+    edges.unpersist()
     labels
   }
 

@@ -47,6 +47,16 @@ object TextAnalysis {
     "streamish" -> Seq("stream", "window", "batch", "event"),
     "mlish" -> Seq("hash", "key", "dup", "part"))
 
+  /** Quality score: 0.4 * type-token-ratio + 0.6 * (1 - stopword ratio),
+    * rounded to 6 decimals — THE quality formula, shared by the stats
+    * query and the corpus-clean composite so the two can't drift.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    round(lit(0.4) * (typeCount(text) / nTok) +
+      lit(0.6) * (lit(1.0) - markerCount(text, Stopwords) / nTok), 6)
+  }
+
   /** Predicted language: argmax of marker counts; earlier classes win ties;
     * all-zero -> 'unk'. Deterministic by construction.
     */

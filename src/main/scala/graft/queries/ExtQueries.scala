@@ -69,57 +69,71 @@ object ExtQueries extends QueryGroup {
 
   // ---------------------------------------------------------- text analysis
 
+  /** THE quality formula as SQL, parameterized by the count expressions —
+    * single source shared by ext_text_stats and ext_corpus_clean (twin of
+    * TextAnalysis.qualityScore).
+    */
+  private def qualitySqlOver(nTypes: String, nTokens: String, nStop: String): String =
+    s"round(0.4 * ($nTypes / $nTokens) + 0.6 * (1.0 - $nStop / $nTokens), 6)"
+
+  private val stopListSql = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
   private def textStats(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
     val nTok = TextAnalysis.tokenCount(t)
     val nTyp = TextAnalysis.typeCount(t)
     val nStop = TextAnalysis.markerCount(t, TextAnalysis.Stopwords)
-    val ttr = nTyp / nTok
-    val stopRatio = nStop / nTok
     Tables.documents(s, d).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       nTyp.as("n_types"),
       TextAnalysis.bpeishCount(t).as("n_bpeish"),
-      round(ttr, 6).as("ttr"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(lit(0.4) * ttr + lit(0.6) * (lit(1.0) - stopRatio), 6).as("quality"))
+      round(nTyp / nTok, 6).as("ttr"),
+      round(nStop / nTok, 6).as("stop_ratio"),
+      TextAnalysis.qualityScore(t).as("quality"))
   }
 
-  private val textStatsSql = {
-    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+  private val textStatsSql =
     s"""WITH b AS (
          SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
            CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS INTEGER) AS n_bpeish,
-           CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS INTEGER) AS n_stop
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql))) AS INTEGER) AS n_stop
          FROM documents)
        SELECT doc_id, n_tokens, n_types, n_bpeish,
          round(n_types / n_tokens, 6) AS ttr,
          round(n_stop / n_tokens, 6) AS stop_ratio,
-         round(0.4 * (n_types / n_tokens) + 0.6 * (1.0 - n_stop / n_tokens), 6) AS quality
+         ${qualitySqlOver("n_types", "n_tokens", "n_stop")} AS quality
        FROM b"""
-  }
 
   private def textLangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("pred_lang"), col("lang"))
 
-  private val textLangIdSql = {
-    val scores = TextAnalysis.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
+  /** Marker-count select-list (s0..sN) — twin of TextAnalysis.markerCount
+    * per language class; shared by ext_text_langid and ext_corpus_clean.
+    */
+  private lazy val langScoresSql = TextAnalysis.LangMarkers.zipWithIndex
+    .map { case ((_, ms), i) =>
       val set = ms.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS s$i"
     }.mkString(", ")
+
+  /** Argmax-with-priority CASE over s0..sN — twin of TextAnalysis.langId. */
+  private lazy val langCaseSql = {
     val n = TextAnalysis.LangMarkers.size
     val cases = TextAnalysis.LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
       val later = (i + 1 until n).map(j => s"s$i >= s$j")
       val conds = (s"s$i > 0" +: later).mkString(" AND ")
       s"WHEN $conds THEN '$lang'"
     }.mkString(" ")
-    s"""SELECT doc_id, CASE $cases ELSE 'unk' END AS pred_lang, lang
-       FROM (SELECT doc_id, lang, $scores FROM documents) t"""
+    s"CASE $cases ELSE 'unk' END"
   }
+
+  private lazy val textLangIdSql =
+    s"""SELECT doc_id, $langCaseSql AS pred_lang, lang
+       FROM (SELECT doc_id, lang, $langScoresSql FROM documents) t"""
 
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
@@ -547,25 +561,15 @@ object ExtQueries extends QueryGroup {
 
   private lazy val corpusCleanSql = {
     val langList = CleanLangs.map(l => s"'$l'").mkString(", ")
-    // same score/langid expressions as ext_text_stats / ext_text_langid
-    val scores = TextAnalysis.LangMarkers.zipWithIndex.map { case ((_, ms), i) =>
-      val set = ms.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS s$i"
-    }.mkString(", ")
-    val n = TextAnalysis.LangMarkers.size
-    val cases = TextAnalysis.LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
-      val later = (i + 1 until n).map(j => s"s$i >= s$j")
-      val conds = (s"s$i > 0" +: later).mkString(" AND ")
-      s"WHEN $conds THEN '$lang'"
-    }.mkString(" ")
-    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    val quality = qualitySqlOver(
+      "len(list_distinct(string_split(text, ' ')))",
+      "len(string_split(text, ' '))",
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql)))")
     s"""WITH scored AS (
          SELECT doc_id, text, n_chars,
-           round(0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
-                 + 0.6 * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ($stop)))
-                          / len(string_split(text, ' '))), 6) AS quality,
-           CASE $cases ELSE 'unk' END AS pred_lang
-         FROM (SELECT doc_id, text, n_chars, $scores FROM documents) t0),
+           $quality AS quality,
+           $langCaseSql AS pred_lang
+         FROM (SELECT doc_id, text, n_chars, $langScoresSql FROM documents) t0),
        pre AS (
          SELECT * FROM scored
          WHERE quality >= $CleanMinQuality AND pred_lang IN ($langList)),

@@ -558,28 +558,33 @@ object RefQueries extends QueryGroup {
     */
   private def q19(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
+      // exact integer cents: a rounded DOUBLE grand total over the whole
+      // table would eventually straddle a rounding boundary as the sum
+      // (and its order-dependent fp error) grows with scale
+      .withColumn("__cents", round(col("o_totalprice") * 100).cast("long"))
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"), sum(col("__cents")).as("total_cents"))
 
   private val q19Sql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              round(sum(o_totalprice), 2) AS total
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
-  /** Multiset intersection: customers holding BOTH an open and a
-    * finished order (intersectAll ≡ INTERSECT ALL on key sets).
+  /** Multiset intersection with REAL multiplicity: each customer key
+    * appears min(#open orders, #finished orders) times — intersectAll's
+    * min-of-counts semantics, identical to SQL INTERSECT ALL.
     */
   private def q20(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("cust_id")).distinct()
+    o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("cust_id"))
       .intersectAll(
-        o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("cust_id")).distinct())
+        o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("cust_id")))
   }
 
   private val q20Sql =
-    """SELECT DISTINCT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
+    """SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
        INTERSECT ALL
-       SELECT DISTINCT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'"""
+       SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'"""
 
   /** Ordered LIMIT (top-10 orders by price, unique tiebreak makes the
     * selected SET deterministic even though row order isn't compared).
