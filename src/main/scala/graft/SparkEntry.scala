@@ -11,7 +11,14 @@ import graft.queries.{ExtQueries, RefQueries}
   * search, text analysis, multimodal plumbing, streaming-equivalent).
   */
 object SparkEntry {
-  private def all: Seq[GQuery] = RefQueries.queries ++ ExtQueries.queries
+  private def all: Seq[GQuery] = {
+    val qs = RefQueries.queries ++ ExtQueries.queries
+    // a name collision would silently drop a query from the driver's
+    // correctness gate when converted to a Map — fail loudly instead
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query (SCD2 delta, SQL-16) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -65,6 +65,12 @@ object Relational {
     */
   def semiFlag(left: DataFrame, leftKey: String, right: DataFrame,
       rightKey: String, flagName: String): DataFrame = {
+    // same-named keys would make the join condition self-referential
+    // (col(k) === col(k) resolves both sides to one of them) — callers
+    // must rename the probe side first, so misuse fails loudly here
+    require(leftKey != rightKey,
+      s"semiFlag: leftKey and rightKey must differ (both '$leftKey'); " +
+        "rename the right key before the call")
     val keys = right.select(col(rightKey)).where(col(rightKey).isNotNull).distinct()
     left.join(keys, col(leftKey) === col(rightKey), "left")
       .withColumn(flagName, existsFlag(col(rightKey)))

@@ -21,6 +21,14 @@ object Scd2 {
     * `keys`, take the source value when present else keep the target's
     * (per-column coalesce). `updated` maps target column -> source column
     * holding its new value.
+    *
+    * PRECONDITION: `source` must be unique on `keys` — a duplicate
+    * business key in source fans out the matching target row once per
+    * duplicate (a left join cannot do otherwise). Callers with
+    * possibly-duplicated sources should dedupe first, e.g.
+    * `Relational.dedupeByKey(source, key, tiebreak)` for a deterministic
+    * pick; this operator does not dedupe silently because which duplicate
+    * wins is a policy decision.
     */
   def keyedUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
       updated: Map[String, String]): DataFrame = {

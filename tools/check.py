@@ -17,10 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamp-ish columns to utc-naive µs for comparison
+    # unify timestamp dtype WIDTH without losing precision: upcast to ns
+    # (µs -> ns is lossless, so a genuine sub-µs mismatch still fails;
+    # the old µs truncation would have masked it)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
+            df[c] = df[c].astype("datetime64[ns]")
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
