@@ -23,10 +23,16 @@ object CorpusPipeline {
       numPerm: Int, rowsPerBand: Int, tau: Double,
       mode: Dedup.HashMode = Dedup.XxHash): DataFrame = {
     val t = col(textCol)
+    // quality + langId are heavy string expressions (each re-splits the
+    // text); the filtered set feeds BOTH the near-dup pair derivation and
+    // the final sweep, so materialize it once. localCheckpoint also cuts
+    // the lineage, keeping the sweep's plan independent of the scoring
+    // subtree (blocks are reclaimed when the result is unreferenced).
     val prefiltered = docs
       .withColumn("quality", TextAnalysis.qualityScore(t))
       .withColumn("pred_lang", TextAnalysis.langId(t))
       .where(col("quality") >= minQuality && col("pred_lang").isin(langs.map(x => x: Any): _*))
+      .localCheckpoint()
     val pairs = Dedup.minhashLshPairs(prefiltered, idCol, textCol,
       numPerm, rowsPerBand, tau, mode)
     Dedup.sweep(prefiltered, idCol, pairs)

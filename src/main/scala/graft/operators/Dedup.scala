@@ -162,35 +162,74 @@ object Dedup {
   def permute(j: Column, x: Column): Column =
     ((lit(37L) * j + 11L) * x + lit(101L) * j + 7L) % MinhashMod
 
-  /** Shingle -> integer id. DenseId = lexicographic rank of the distinct
+  /** Shingle -> integer id, plus a release handle for any cache the
+    * mapping pinned. DenseId = lexicographic rank of the distinct
     * vocabulary (oracle-reproducible); XxHash = xxhash64 & (2^31-1), no
     * global sort (100 TB mode).
     */
-  private def shingleIds(edges: DataFrame, mode: HashMode): DataFrame = mode match {
+  private def shingleIds(edges: DataFrame,
+      mode: HashMode): (DataFrame, () => Unit) = mode match {
     case DenseId =>
-      val vocab = edges.select("shingle").distinct()
-        .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
-      edges.join(vocab, Seq("shingle")).select("doc_id", "sid")
+      // lexicographic rank WITHOUT a global single-partition window:
+      // range-partition the distinct vocabulary on the shingle, sort each
+      // partition, and number rows contiguously (zipWithIndex follows
+      // partition order, and range partitions tile the total order, so
+      // the result is exactly row_number() OVER (ORDER BY shingle) — but
+      // every stage is parallel and nothing ever sits on one thread).
+      // The distinct vocabulary is persisted because three consumers pull
+      // on it (the range-partitioner's sample pass, zipWithIndex's
+      // partition-count job — which runs eagerly right here — and the
+      // rank join); the returned release() drops it once the caller has
+      // materialized downstream results.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val distinctV = edges.select("shingle").distinct().persist()
+      val vocab = distinctV
+        .repartitionByRange(parts, col("shingle"))
+        .sortWithinPartitions("shingle")
+        .as[String].rdd.zipWithIndex()
+        .map { case (s, i) => (s, i + 1L) }
+        .toDF("shingle", "sid")
+      (edges.join(vocab, Seq("shingle")).select("doc_id", "sid"),
+        () => { distinctV.unpersist(); () })
     case XxHash =>
-      edges.select(col("doc_id"),
-        abs(xxhash64(col("shingle")) % MinhashMod).as("sid"))
+      (edges.select(col("doc_id"),
+        abs(xxhash64(col("shingle")) % MinhashMod).as("sid")),
+        () => ())
   }
 
-  /** MinHash signatures: numPerm permutations of the shingle-id universe,
-    * min per (doc, permutation). Computed as numPerm min-aggregates in ONE
-    * groupBy (map-side partial min, no numPerm-x row explode — the shuffle
-    * carries one row per doc instead of numPerm per shingle), then
-    * unpivoted to the (doc_id, j, minh) shape the banding expects.
+  /** Wide MinHash signatures: numPerm permutations of the shingle-id
+    * universe, min per (doc, permutation), as ONE row per doc with columns
+    * m0..m{numPerm-1}. numPerm min-aggregates in a single groupBy —
+    * map-side partial min, no numPerm-x row explode; the shuffle carries
+    * one row per (partition, doc).
     */
-  def minhashSignatures(edges: DataFrame, numPerm: Int,
-      mode: HashMode): DataFrame = {
-    val ids = shingleIds(edges, mode)
+  def minhashWide(edges: DataFrame, numPerm: Int, mode: HashMode): DataFrame =
+    // inspectable wrapper: drops the vocab release handle, leaving the
+    // (small) distinct-vocabulary cache to the ContextCleaner. The pair
+    // operators use the releasable variant and free it deterministically.
+    minhashWideReleasable(edges, numPerm, mode)._1
+
+  private def minhashWideReleasable(edges: DataFrame, numPerm: Int,
+      mode: HashMode): (DataFrame, () => Unit) = {
+    val (ids, release) = shingleIds(edges, mode)
     val mins = (0 until numPerm).map { j =>
       min(permute(lit(j.toLong), col("sid"))).as(s"m$j")
     }
-    val wide = ids.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    (ids.groupBy("doc_id").agg(mins.head, mins.tail: _*), release)
+  }
+
+  /** MinHash signatures in long form (doc_id, j, minh) — the wide frame
+    * unpivoted. Kept as the inspectable/testable shape; the LSH banding
+    * reads the wide frame directly (band keys are just column tuples, no
+    * re-grouping).
+    */
+  def minhashSignatures(edges: DataFrame, numPerm: Int,
+      mode: HashMode): DataFrame = {
     val stacked = (0 until numPerm).map(j => s"${j}L, m$j").mkString(", ")
-    wide.selectExpr("doc_id", s"stack($numPerm, $stacked) AS (j, minh)")
+    minhashWide(edges, numPerm, mode)
+      .selectExpr("doc_id", s"stack($numPerm, $stacked) AS (j, minh)")
   }
 
   /** MinHash + LSH banding: signatures split into bands of `rowsPerBand`,
@@ -205,17 +244,27 @@ object Dedup {
     // docs of shingle strings; MEMORY_AND_DISK by default) instead of
     // re-running the explode+distinct per consumer
     val edges = shingleEdges(docs, idCol, textCol).persist()
-    val sig = minhashSignatures(edges, numPerm, mode)
-    val buckets = sig.withColumn("band", (col("j") / rowsPerBand).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("minh")))),
-        x => x.getField("minh").cast("string")), ",").as("bucket"))
-    val candidates = buckets.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-      .join(buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
+    val (wide, releaseVocab) = minhashWideReleasable(edges, numPerm, mode)
+    // band b's bucket key is the tuple (m[b*r] .. m[b*r + r-1]) read
+    // straight off the wide signature row — one stack() per doc, no
+    // re-grouping shuffle and no string bucket encoding. Same candidate
+    // set as joining on a serialized bucket: tuple equality IS band
+    // equality.
+    val numBands = numPerm / rowsPerBand
+    val keyCols = (0 until rowsPerBand).map(r => s"k$r")
+    val stackRows = (0 until numBands).map { b =>
+      s"${b}L, " + (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
+    }.mkString(", ")
+    val buckets = wide.selectExpr("doc_id",
+      s"stack($numBands, $stackRows) AS (band, ${keyCols.mkString(", ")})")
+    val candidates = buckets.toDF("doc_a" +: "band" +: keyCols: _*)
+      .join(buckets.toDF("doc_b" +: "band" +: keyCols: _*),
+        Seq("band") ++ keyCols)
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    materializePairs(verifiedJaccard(candidates, edges, tau), edges)
+    val out = materializePairs(verifiedJaccard(candidates, edges, tau), edges)
+    releaseVocab()
+    out
   }
 
   /** SimHash parameters: 31-bit LCG over shingle ids. */
@@ -227,8 +276,13 @@ object Dedup {
     * bit b of h(sid); fingerprint bit = (sum > 0). Computed as 32
     * aggregate expressions (no 32x row explode) — one shuffle on doc_id.
     */
-  def simhashFingerprints(edges: DataFrame, mode: HashMode): DataFrame = {
-    val ids = shingleIds(edges, mode)
+  def simhashFingerprints(edges: DataFrame, mode: HashMode): DataFrame =
+    simhashFingerprintsReleasable(edges, mode)._1
+
+  private def simhashFingerprintsReleasable(edges: DataFrame,
+      mode: HashMode): (DataFrame, () => Unit) = {
+    val (rawIds, release) = shingleIds(edges, mode)
+    val ids = rawIds
       .withColumn("h", (lit(SimhashA) * col("sid") + SimhashB) % MinhashMod)
     val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -237,8 +291,8 @@ object Dedup {
     val fp = (0 until SimhashBits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    ids.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    (ids.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash")), release)
   }
 
   /** SimHash near-dup pairs: banding on fingerprint bytes (4 bands of 8
@@ -248,7 +302,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, mode: HashMode = XxHash): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol).persist()
-    val fps = simhashFingerprints(edges, mode)
+    val (fps, releaseVocab) = simhashFingerprintsReleasable(edges, mode)
     val banded = fps.withColumn("bb", explode(sequence(lit(0), lit(3))))
       .withColumn("bkey", expr("shiftright(simhash, bb * 8) & 255"))
     val candidates = banded
@@ -261,7 +315,9 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-    materializePairs(pairs, edges)
+    val out = materializePairs(pairs, edges)
+    releaseVocab()
+    out
   }
 
   /** Embedding near-dup: pairs with cosine >= tau. Brute-force baseline
