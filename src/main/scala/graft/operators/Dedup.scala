@@ -16,16 +16,19 @@ import org.apache.spark.sql.functions._
   * 100 TB you'd additionally drop top-frequency shingles (stopword
   * shingles) before the self-join.
   *
-  * Determinism: hash mode `DenseId` ranks the distinct shingle vocabulary
-  * lexicographically — reproducible anywhere, incl. the DuckDB oracle.
-  * `XxHash` skips the vocabulary rank (no global sort — the 100 TB mode)
-  * at the cost of engine-specific hash values.
+  * Determinism: hash mode `PolyHash` (default for oracle parity) derives
+  * shingle ids from a polynomial character fold — reproducible anywhere,
+  * incl. the DuckDB oracle, with no vocabulary structure at all.
+  * `DenseId` ranks the distinct shingle vocabulary lexicographically
+  * (also reproducible, but pays a distinct + global sort + join).
+  * `XxHash` is the engine-specific fastest path (rows-only check).
   */
 object Dedup {
 
   sealed trait HashMode
   case object DenseId extends HashMode
   case object XxHash extends HashMode
+  case object PolyHash extends HashMode
 
   /** Exact dedup: keep min id per identical text, with multiplicity. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -163,9 +166,17 @@ object Dedup {
     ((lit(37L) * j + 11L) * x + lit(101L) * j + 7L) % MinhashMod
 
   /** Shingle -> integer id, plus a release handle for any cache the
-    * mapping pinned. DenseId = lexicographic rank of the distinct
-    * vocabulary (oracle-reproducible); XxHash = xxhash64 & (2^31-1), no
-    * global sort (100 TB mode).
+    * mapping pinned. Three modes:
+    *  - DenseId: lexicographic rank of the distinct vocabulary —
+    *    oracle-reproducible but pays a distinct + range-sort + join.
+    *  - PolyHash: polynomial rolling hash over the shingle's characters,
+    *    (acc*31 + codepoint) mod P — oracle-reproducible (DuckDB computes
+    *    the identical integer fold) AND shuffle-free: the id is a codegen
+    *    scalar expression, so nothing is sorted, joined, or cached. The
+    *    default oracle-parity mode; at 100 TB there is no vocabulary
+    *    structure at all.
+    *  - XxHash: xxhash64 & (2^31-1) — fastest, engine-specific values
+    *    (rows-only check).
     */
   private def shingleIds(edges: DataFrame,
       mode: HashMode): (DataFrame, () => Unit) = mode match {
@@ -193,11 +204,26 @@ object Dedup {
         .toDF("shingle", "sid")
       (edges.join(vocab, Seq("shingle")).select("doc_id", "sid"),
         () => { distinctV.unpersist(); () })
+    case PolyHash =>
+      (edges.select(col("doc_id"), polyHash(col("shingle")).as("sid")),
+        () => ())
     case XxHash =>
       (edges.select(col("doc_id"),
         abs(xxhash64(col("shingle")) % MinhashMod).as("sid")),
         () => ())
   }
+
+  /** Polynomial rolling hash over a string's characters:
+    * fold(0, c -> (acc * 31 + codepoint(c)) mod P). Pure integer
+    * arithmetic (max intermediate < 2^36), identical in any engine that
+    * can fold over characters — the DuckDB twin is a list_reduce over
+    * regexp_extract_all(s, '(?s).'). Codegen'd HOF, no shuffle, no state.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      regexp_extract_all(s, lit("(?s)."), lit(0)),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % MinhashMod)
 
   /** Wide MinHash signatures: numPerm permutations of the shingle-id
     * universe, min per (doc, permutation), as ONE row per doc with columns

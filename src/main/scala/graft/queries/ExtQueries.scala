@@ -40,6 +40,19 @@ object ExtQueries extends QueryGroup {
   private val sizesSql =
     "sizes AS (SELECT doc_id, count(*) AS n_sh FROM edges GROUP BY doc_id)"
 
+  /** DuckDB twin of Dedup.polyHash: the identical integer character fold
+    * (acc*31 + codepoint) mod P — shingle ids with no vocabulary CTE.
+    */
+  private def polyHashSql(s: String) =
+    s"""list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_extract_all($s, '(?s).'),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % ${Dedup.MinhashMod})"""
+
+  private val polyIdsSql =
+    s"ids AS (SELECT doc_id, ${polyHashSql("shingle")} AS sid FROM edges)"
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. */
   private def verifySql(tau: Double) =
     s"""inter AS (
@@ -226,15 +239,12 @@ object ExtQueries extends QueryGroup {
 
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-      MinhashPerms, MinhashRows, MinhashTau, Dedup.DenseId)
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
 
   /** The full MinHash CTE chain (edges .. candidate pairs) over `src`. */
   private def minhashCtesSql(src: String) =
     s"""${edgesSqlFrom(src)}, $sizesSql,
-       vocab AS (
-         SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-         FROM (SELECT DISTINCT shingle FROM edges)),
-       ids AS (SELECT doc_id, sid FROM edges JOIN vocab USING (shingle)),
+       $polyIdsSql,
        sig AS (
          SELECT doc_id, j, min(((37 * j + 11) * sid + 101 * j + 7) % ${Dedup.MinhashMod}) AS minh
          FROM ids, range($MinhashPerms) t(j) GROUP BY doc_id, j),
@@ -255,7 +265,7 @@ object ExtQueries extends QueryGroup {
 
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-      SimhashMaxHamming, Dedup.DenseId)
+      SimhashMaxHamming, Dedup.PolyHash)
 
   private val dedupSimhashSql = {
     val bitSums = (0 until Dedup.SimhashBits)
@@ -265,13 +275,11 @@ object ExtQueries extends QueryGroup {
       .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
     s"""WITH $edgesSql,
-       vocab AS (
-         SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-         FROM (SELECT DISTINCT shingle FROM edges)),
-       ids AS (
+       $polyIdsSql,
+       hs AS (
          SELECT doc_id, (${Dedup.SimhashA} * sid + ${Dedup.SimhashB}) % ${Dedup.MinhashMod} AS h
-         FROM edges JOIN vocab USING (shingle)),
-       bitsums AS (SELECT doc_id, $bitSums FROM ids GROUP BY doc_id),
+         FROM ids),
+       bitsums AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
        fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bitsums),
        banded AS (
          SELECT doc_id, simhash, bb, (simhash >> (bb * 8)) & 255 AS bkey
@@ -306,7 +314,7 @@ object ExtQueries extends QueryGroup {
       Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
       "doc_id",
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        MinhashPerms, MinhashRows, MinhashTau, Dedup.DenseId))
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash))
 
   private lazy val dedupSweepSql =
     s"""WITH pairs AS ($dedupMinhashSql)
@@ -556,7 +564,7 @@ object ExtQueries extends QueryGroup {
     graft.operators.CorpusPipeline.clean(
       Tables.documents(s, d), "doc_id", "text",
       CleanMinQuality, CleanLangs,
-      MinhashPerms, MinhashRows, MinhashTau, Dedup.DenseId)
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
       .select("doc_id", "pred_lang", "quality", "n_chars")
 
   private lazy val corpusCleanSql = {

@@ -39,8 +39,8 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("minhashLshPairs: identical docs always collide (both hash modes)") {
-    for (mode <- Seq(Dedup.DenseId, Dedup.XxHash)) {
+  test("minhashLshPairs: identical docs always collide (all hash modes)") {
+    for (mode <- Seq(Dedup.DenseId, Dedup.PolyHash, Dedup.XxHash)) {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.9, mode)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       assert(pairs.contains((1L, 2L)), s"mode $mode")
@@ -48,9 +48,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashPairs: identical docs at hamming 0") {
-    val got = Dedup.simhashPairs(docs, "doc_id", "text", 3, Dedup.DenseId)
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", 3, Dedup.PolyHash)
       .as[(Long, Long, Int)].collect()
     assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+  }
+
+  test("polyHash: integer char fold, stable and order-sensitive") {
+    val got = Seq("ab", "ba", "ab", "").toDF("s")
+      .select(Dedup.polyHash(col("s")).as("h")).as[Long].collect()
+    assert(got(0) == ('a'.toLong * 31 + 'b'))  // (0*31+97)*31+98
+    assert(got(0) != got(1) && got(0) == got(2) && got(3) == 0L)
   }
 
   test("connectedComponents: min-label propagation finds transitive groups") {
