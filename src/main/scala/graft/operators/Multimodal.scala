@@ -78,6 +78,23 @@ object Multimodal {
         (col("checksum") * 31L + col("frame_idx")) % 1000000007L)
       .select("doc_id", "frame_idx", "frame_hash")
 
+  /** Resize stage (stub): cap the longer side at `maxSide`, preserving
+    * aspect ratio with pure integer arithmetic, and re-fingerprint the
+    * "resized" payload. A real implementation swaps the checksum formula
+    * for the actual pixel resample; dims/scale plumbing — the part a
+    * pipeline schema depends on — is real. Per-row codegen expressions,
+    * no shuffle, no UDF.
+    */
+  def resizeStub(decoded: DataFrame, maxSide: Int): DataFrame =
+    decoded
+      .withColumn("out_w", least(col("width"), lit(maxSide)))
+      .withColumn("out_h",
+        expr("CAST((height * out_w) div width AS INT)"))
+      .withColumn("resized_checksum",
+        (col("checksum") * 37L + col("out_w").cast("long") * 31L
+          + col("out_h")) % 1000000007L)
+      .select("doc_id", "width", "height", "out_w", "out_h", "resized_checksum")
+
   /** The decode stage: partition-batched, binary in, typed features out.
     * Sits exactly where `mapInPandas`/`mapInArrow` would; the iterator
     * shape means constant memory per task regardless of partition size.

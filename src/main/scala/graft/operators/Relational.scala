@@ -140,6 +140,34 @@ object Relational {
       .drop("__prev", "__new")
   }
 
+  /** Binned range join: rows of `right` with
+    * `left.leftTs + lo <= right.rightTs <= left.leftTs + hi`, equi-matched
+    * on `key` — the interval/range join Spark's join zoo lacks.
+    *
+    * A naive theta-join (key equality + range predicate) degenerates to a
+    * per-key nested loop; the binned form stays an EQUI-join: time is
+    * bucketed into bins of the window width, each left row's window
+    * overlaps at most two bins, so the left side explodes into <= 2 rows
+    * joined on (key, bin) and the exact range predicate filters the
+    * residue. Shuffle keys are (key, bin) — adding the bin also shears a
+    * hot key's rows across time, so a skewed key only concentrates within
+    * single windows. Timestamps are plain longs (any monotonic unit).
+    *
+    * Left and right column names must not collide (alias before the call).
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lo: Long, hi: Long): DataFrame = {
+    require(hi > lo, s"rangeJoinBinned: empty window [$lo, $hi]")
+    val w = hi - lo
+    val lbinned = left.withColumn("__bin",
+      explode(array_distinct(array(
+        expr(s"($leftTs + $lo) div $w"), expr(s"($leftTs + $hi) div $w")))))
+    val rbinned = right.withColumn("__bin", expr(s"$rightTs div $w"))
+    lbinned.join(rbinned, Seq(key, "__bin"))
+      .where(col(rightTs) >= col(leftTs) + lo && col(rightTs) <= col(leftTs) + hi)
+      .drop("__bin")
+  }
+
   /** Skew-mitigating salted equi-join, semantically identical to
     * `left.join(right, Seq(key), "inner")`.
     *

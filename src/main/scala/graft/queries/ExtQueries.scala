@@ -543,6 +543,137 @@ object ExtQueries extends QueryGroup {
               CAST(sum(n_events) AS BIGINT) AS total_events
        FROM per GROUP BY user_id"""
 
+  /** Binned range join: clicks in the hour before each purchase by the
+    * same user. The Spark side is an equi-join on (user, time-bin); the
+    * oracle states the plain inequality join — same result, but the
+    * binned plan scales (no per-key nested loop, skew sheared by bin).
+    */
+  private val RangeGapNs = 3600L * 1000000000L
+
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_val"))
+    val matched = graft.operators.Relational
+      .rangeJoinBinned(p, c, "user_id", "p_ts", "c_ts", -RangeGapNs, 0L)
+    val agg = matched.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks_1h"),
+        round(sum(col("c_val")), 3).as("sum_click_value"))
+    p.select("event_id", "user_id")
+      .join(agg, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"),
+        col("sum_click_value"))
+  }
+
+  private val rangeJoinSql =
+    s"""WITH p AS (
+         SELECT event_id, user_id, epoch_ns(ts) AS pts
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, epoch_ns(ts) AS cts, value
+         FROM events WHERE event_type = 'click'),
+       m AS (
+         SELECT p.event_id, count(*) AS n, round(sum(c.value), 3) AS sv
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.cts BETWEEN p.pts - $RangeGapNs AND p.pts
+         GROUP BY p.event_id)
+       SELECT p.event_id, p.user_id,
+              coalesce(m.n, 0) AS n_clicks_1h,
+              m.sv AS sum_click_value
+       FROM p LEFT JOIN m USING (event_id)"""
+
+  /** Salted skew join, grouped: semantically the plain events x customer
+    * equi-join (which IS the oracle), executed with the hot-key shear.
+    */
+  private def skewSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.Relational.saltedJoin(ev, dim, "user_id", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"))
+  }
+
+  private val skewSaltedSql =
+    """SELECT c_mktsegment, count(*) AS n_events,
+              round(sum(value), 3) AS sum_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c_mktsegment"""
+
+  /** Full transitive near-dup clustering: connected components over the
+    * MinHash pair graph by min-label propagation. The oracle UNROLLS the
+    * same fixed iteration count, so even a hypothetically unconverged
+    * label state hash-matches (both sides run the identical algorithm).
+    */
+  private val CcIterations = 4
+
+  private def ccComponents(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+        .select("doc_a", "doc_b"),
+      CcIterations)
+
+  private lazy val ccComponentsSql = {
+    val iters = (0 until CcIterations).map { k =>
+      s"""l${k + 1} AS (
+           SELECT l.doc_id,
+                  least(l.component, coalesce(nm.m, l.component)) AS component
+           FROM l$k l LEFT JOIN (
+             SELECT e.s AS doc_id, min(ln.component) AS m
+             FROM e JOIN l$k ln ON e.d = ln.doc_id GROUP BY e.s) nm
+           USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH pairs AS ($dedupMinhashSql),
+       e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+       l0 AS (SELECT DISTINCT s AS doc_id, s AS component FROM e),
+       $iters
+       SELECT doc_id, component FROM l$CcIterations"""
+  }
+
+  /** Exact per-group percentiles (linear interpolation — Spark
+    * `percentile` and DuckDB `quantile_cont` share the (n-1)p rank
+    * definition). Exact quantiles sort each group; at 100 TB swap in
+    * `approx_percentile` (t-digest, mergeable sketch) and accept the
+    * rows-only check, as ext_stream_approx does for HLL.
+    */
+  private def eventsQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+
+  private val eventsQuantilesSql =
+    """SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90
+       FROM events GROUP BY event_type"""
+
+  /** Resize stage over decoded media (stub resample, real dims/plumbing). */
+  private val ResizeMaxSide = 224
+
+  private def mmResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeStub(
+      Multimodal.decodeFeatures(
+        Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")),
+      ResizeMaxSide)
+
+  private val mmResizeSql =
+    s"""WITH d AS ($mmDecodeSql)
+       SELECT doc_id, width, height,
+              CAST(least(width, $ResizeMaxSide) AS INTEGER) AS out_w,
+              CAST((height * least(width, $ResizeMaxSide)) // width AS INTEGER) AS out_h,
+              CAST((checksum * 37 + least(width, $ResizeMaxSide) * 31
+                    + (height * least(width, $ResizeMaxSide)) // width)
+                   % 1000000007 AS BIGINT) AS resized_checksum
+       FROM d"""
+
   private def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.decodeFeatures(
       Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")))
@@ -640,7 +771,12 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
+    GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
+    GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
+    GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
+    GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
+    GQuery("ext_mm_resize", mmResize, Some(mmResizeSql), "aspect-preserving resize stage (stub resample, real plumbing)"),
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
     GQuery("ext_mm_frames", mmFrames, Some(mmFramesSql), "frame sampling with per-frame fingerprints"),
     GQuery("ext_corpus_clean", corpusClean, Some(corpusCleanSql), "quality+lang+dedup corpus clean (north-star composite)"),

@@ -20,6 +20,23 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("rangeJoinBinned ≡ naive theta range join") {
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 100L, 12L), (1L, 90L, 13L))
+      .toDF("k", "lts", "lid")
+    val right = Seq((1L, 95L, 20L), (1L, 100L, 21L), (1L, 106L, 22L),
+      (1L, 200L, 23L), (2L, 40L, 24L), (3L, 100L, 25L))
+      .toDF("k", "rts", "rid")
+    // window [lts-10, lts]: inclusive both ends, bin width == window width
+    val binned = Relational.rangeJoinBinned(left, right, "k", "lts", "rts", -10L, 0L)
+      .select("lid", "rid")
+    val naive = left.join(right.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("rts") >= col("lts") - 10L && col("rts") <= col("lts"),
+        "inner")
+      .select("lid", "rid")
+    assert(binned.exceptAll(naive).count() == 0 && naive.exceptAll(binned).count() == 0)
+    assert(binned.count() == 3) // (1,100)->{95,100}; (1,205)->{200}; others empty
+  }
+
   test("bucketed tables co-locate the join: no shuffle in the plan") {
     // default warehouse (./spark-warehouse, gitignored) — warehouse.dir
     // is a static conf and can't move after session start. The in-memory
