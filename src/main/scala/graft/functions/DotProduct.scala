@@ -98,6 +98,7 @@ case class DotProduct(left: Expression, right: Expression)
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val PolyHashName = "graft_polyhash"
 
   /** Arity-checked builder shared by both registration paths. */
   def buildDot(exprs: Seq[Expression]): Expression = {
@@ -106,10 +107,19 @@ object GraftFunctions {
     DotProduct(exprs.head, exprs(1))
   }
 
+  def buildPolyHash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"$PolyHashName requires exactly 1 argument (string), got ${exprs.length}")
+    PolyHashExpr(exprs.head)
+  }
+
   /** Idempotent per-session registration (for sessions not built with
     * GraftExtensions).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, buildDot, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PolyHashName, buildPolyHash, "built-in")
+  }
 }

@@ -205,6 +205,7 @@ object Dedup {
       (edges.join(vocab, Seq("shingle")).select("doc_id", "sid"),
         () => { distinctV.unpersist(); () })
     case PolyHash =>
+      graft.functions.GraftFunctions.register(edges.sparkSession)
       (edges.select(col("doc_id"), polyHash(col("shingle")).as("sid")),
         () => ())
     case XxHash =>
@@ -217,9 +218,18 @@ object Dedup {
     * fold(0, c -> (acc * 31 + codepoint(c)) mod P). Pure integer
     * arithmetic (max intermediate < 2^36), identical in any engine that
     * can fold over characters — the DuckDB twin is a list_reduce over
-    * regexp_extract_all(s, '(?s).'). Codegen'd HOF, no shuffle, no state.
+    * regexp_extract_all(s, '(?s).'). Fast path: the graft_polyhash native
+    * expression (see functions/PolyHash.scala) — a zero-allocation byte
+    * loop in whole-stage codegen; requires GraftFunctions.register /
+    * GraftExtensions on the session.
     */
   def polyHash(s: Column): Column =
+    call_function(graft.functions.GraftFunctions.PolyHashName, s)
+
+  /** Built-in-HOF twin of [[polyHash]] (per-char array + lambda fold) —
+    * kept for bit-equality cross-checks of the native kernel.
+    */
+  def polyHashFold(s: Column): Column =
     aggregate(
       regexp_extract_all(s, lit("(?s)."), lit(0)),
       lit(0L),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions}
+import graft.functions.{DotProduct, GraftFunctions, PolyHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),
       GraftFunctions.buildDot))
+    e.injectFunction((
+      new FunctionIdentifier(GraftFunctions.PolyHashName),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, GraftFunctions.PolyHashName),
+      GraftFunctions.buildPolyHash))
   }
 }

@@ -54,10 +54,21 @@ class DedupSpec extends SparkSpec {
   }
 
   test("polyHash: integer char fold, stable and order-sensitive") {
+    graft.functions.GraftFunctions.register(spark)
     val got = Seq("ab", "ba", "ab", "").toDF("s")
       .select(Dedup.polyHash(col("s")).as("h")).as[Long].collect()
     assert(got(0) == ('a'.toLong * 31 + 'b'))  // (0*31+97)*31+98
     assert(got(0) != got(1) && got(0) == got(2) && got(3) == 0L)
+  }
+
+  test("polyHash native kernel ≡ HOF fold on real corpus shingles") {
+    graft.functions.GraftFunctions.register(spark)
+    val edges = Dedup.shingleEdges(Tables.documents(spark, sf0001), "doc_id", "text")
+    val diff = edges
+      .select(Dedup.polyHash(col("shingle")).as("a"),
+        Dedup.polyHashFold(col("shingle")).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() == 0)
   }
 
   test("connectedComponents: min-label propagation finds transitive groups") {
