@@ -141,8 +141,14 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     val nodes = edges.select(col("src").as("doc_id")).distinct()
-    var labels = nodes.withColumn("component", col("doc_id")).localCheckpoint()
-    for (_ <- 0 until iterations) {
+    // LAZY checkpoints for the inner rounds: each round's plan still ends
+    // at a checkpoint boundary (O(1) plan depth, lineage cut), but no
+    // per-round job is forced. The FINAL round checkpoints eagerly — one
+    // action materializes the whole cascade (each round's blocks saved as
+    // computed), after which the edge cache can be released safely.
+    var labels = nodes.withColumn("component", col("doc_id"))
+      .localCheckpoint(eager = false)
+    for (it <- 0 until iterations) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
@@ -150,7 +156,7 @@ object Dedup {
       labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = it == iterations - 1)
     }
     // the final labels are materialized (checkpointed), so the edge cache
     // can be released; intermediate checkpoint blocks are reclaimed by
