@@ -106,6 +106,33 @@ object Dedup {
     materializePairs(pairs, edges)
   }
 
+  /** Near-dup pairs by Jaccard with DOCUMENT-FREQUENCY CAPPING: shingles
+    * appearing in more than `maxDf` documents are excluded from CANDIDATE
+    * GENERATION (verification still uses full shingle sets, so reported
+    * jaccard values are exact). This is the standard stopword-shingle
+    * suppression that makes the inverted-index self-join viable at
+    * 100 TB: a shingle shared by d documents contributes d^2/2 candidate
+    * rows, so the hottest few shingles dominate the join; capping bounds
+    * per-shingle work at maxDf^2/2. Recall < 1 only for pairs whose EVERY
+    * shared shingle is hot — near-dups share many shingles, so real pairs
+    * keep colliding on the rare ones. Deterministic; the oracle mirrors
+    * the same df filter.
+    */
+  def jaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double, maxDf: Int): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val rare = edges.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select("shingle")
+    val rareEdges = edges.join(rare, Seq("shingle"))
+    val candidates = rareEdges.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(rareEdges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    materializePairs(verifiedJaccard(candidates, edges, tau), edges)
+  }
+
   /** Pairs -> cleaned corpus: greedy lower-id-wins sweep. A document
     * survives unless it appears as the HIGHER id of any near-dup pair —
     * the standard practical closure of pairwise dedup (no transitive

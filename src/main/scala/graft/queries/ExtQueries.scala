@@ -233,6 +233,26 @@ object ExtQueries extends QueryGroup {
          FROM edges a JOIN edges b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        ${verifySql(JaccardTau)}"""
 
+  /** DF cap for the scale-path Jaccard: candidate generation skips
+    * shingles in > JaccardMaxDf docs (verification stays exact).
+    */
+  private val JaccardMaxDf = 20
+
+  private def dedupJaccardCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairsCapped(Tables.documents(s, d), "doc_id", "text",
+      JaccardTau, JaccardMaxDf)
+
+  private val dedupJaccardCappedSql =
+    s"""WITH $edgesSql, $sizesSql,
+       rare AS (
+         SELECT shingle FROM edges GROUP BY shingle
+         HAVING count(*) <= $JaccardMaxDf),
+       re AS (SELECT doc_id, shingle FROM edges JOIN rare USING (shingle)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM re a JOIN re b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       ${verifySql(JaccardTau)}"""
+
   private val MinhashPerms = 16
   private val MinhashRows = 2
   private val MinhashTau = 0.8
@@ -757,6 +777,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
+    GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),

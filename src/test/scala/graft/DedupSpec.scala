@@ -39,6 +39,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccardPairsCapped: high cap ≡ uncapped; cap 1 kills shared-shingle candidates") {
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+    val highCap = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 0.5, 100)
+      .select("doc_a", "doc_b", "jaccard")
+    assert(highCap.exceptAll(uncapped).count() == 0 &&
+      uncapped.exceptAll(highCap).count() == 0)
+    // docs 1/2/3 share every shingle pairwise (df >= 2), so cap 1 finds nothing
+    assert(Dedup.jaccardPairsCapped(docs, "doc_id", "text", 0.5, 1).count() == 0)
+  }
+
   test("minhashLshPairs: identical docs always collide (all hash modes)") {
     for (mode <- Seq(Dedup.DenseId, Dedup.PolyHash, Dedup.XxHash)) {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.9, mode)
