@@ -29,4 +29,27 @@ class StreamingSpec extends SparkSpec {
       assert(withheld.where(col("window_start") < cutoff).count() == 0)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessions: timeout emits completed sessions") {
+    import spark.implicits._
+    graft.streaming.SessionState.runSessions(spark, sf0001, "ev_sessions",
+      gapMs = 30L * 60 * 1000)
+    val sessions = spark.table("ev_sessions")
+    assert(sessions.count() > 0)
+    // single-batch drive: each user's events fold into one open session,
+    // so an EMITTED (timed-out) session must carry the user's FULL batch
+    // event count and min-max duration — check against the static table
+    val perUser = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_all"),
+        // state folds ms-truncated per-event times, so truncate BEFORE
+        // differencing (floor(max/1e6) - floor(min/1e6), not floor(diff))
+        expr("max(ts) div 1000000 - min(ts) div 1000000").as("dur_ms"))
+    val joined = sessions.join(perUser, Seq("user_id"))
+    assert(joined.where(col("n_events") =!= col("n_all")).count() == 0)
+    assert(joined.where(col("duration_ms") =!= col("dur_ms")).count() == 0)
+    // at most one emitted session per user in a single-batch run
+    val dups = sessions.groupBy("user_id").count().where(col("count") > 1)
+    assert(dups.count() == 0)
+  }
 }
