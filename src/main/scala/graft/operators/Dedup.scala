@@ -121,16 +121,58 @@ object Dedup {
   def jaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, maxDf: Int): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol).persist()
-    val rare = edges.groupBy("shingle")
-      .agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= maxDf)
-      .select("shingle")
-    val rareEdges = edges.join(rare, Seq("shingle"))
-    val candidates = rareEdges.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sizes = shingleSizes(edges)
+    val dfs = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // vocabulary-sized sides: broadcast at these corpus sizes (drop the
+    // hints when |vocabulary| outgrows broadcast — the joins then shuffle
+    // on the shingle, which the self-join needs anyway)
+    val rareEdges = edges.join(
+      broadcast(dfs.where(col("__df") <= maxDf).select("shingle")), Seq("shingle"))
+    val hotEdges = edges.join(
+      broadcast(dfs.where(col("__df") > maxDf).select("shingle")), Seq("shingle"))
+    // single pass over RARE shingles: the self-join IS candidate
+    // generation AND the rare part of the intersection count — per-shingle
+    // fan-out bounded by maxDf^2/2
+    // single pass over RARE shingles produces candidates WITH their rare
+    // intersection count; per-doc sizes and hot-shingle counts attach via
+    // broadcast-sized joins, and the UPPER BOUND
+    //   inter <= __ri + min(hot_a, hot_b)
+    // prunes the candidate stream in the same pipeline (jaccard is
+    // monotonic in inter, so no false negatives). Only the tiny survivor
+    // set is materialized.
+    val rareInter = rareEdges.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(rareEdges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    materializePairs(verifiedJaccard(candidates, edges, tau), edges)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ri"))
+    val hotCounts = hotEdges.groupBy("doc_id").agg(count(lit(1)).as("__nh"))
+    // per-doc aggregates are orders of magnitude smaller than the pair
+    // stream; hint broadcast (the static planner can't size a post-agg
+    // side) so the four attaches stay shuffle-free map work. At corpus
+    // sizes where a per-doc table outgrows broadcast, drop the hint and
+    // these become co-partitioned SMJs on the pair stream's keys.
+    val cand = rareInter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .join(broadcast(hotCounts.select(col("doc_id").as("doc_a"), col("__nh").as("__ha"))), Seq("doc_a"), "left")
+      .join(broadcast(hotCounts.select(col("doc_id").as("doc_b"), col("__nh").as("__hb"))), Seq("doc_b"), "left")
+      .withColumn("__imax", col("__ri")
+        + least(coalesce(col("__ha"), lit(0L)), coalesce(col("__hb"), lit(0L))))
+      .where(col("__imax") / (col("na") + col("nb") - col("__imax")) >= tau)
+      .localCheckpoint() // tiny; feeds both the hot count and the merge
+    // exact hot contribution for survivors only, via each doc's
+    // (by-definition tiny) hot-shingle list — NEVER a hot self-join,
+    // which is exactly the d^2 blowup the cap exists to avoid
+    val hotInter = cand.select("doc_a", "doc_b")
+      .join(hotEdges.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(hotEdges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__hi"))
+    val pairs = cand
+      .join(hotInter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", col("__ri") + coalesce(col("__hi"), lit(0L)))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+    materializePairs(pairs, edges)
   }
 
   /** Pairs -> cleaned corpus: greedy lower-id-wins sweep. A document

@@ -212,6 +212,67 @@ object ExtQueries extends QueryGroup {
              FROM counts) r
        WHERE rnk <= $TopTermsK"""
 
+  /** PII-style redaction: mask number runs, report the redaction count
+    * and an oracle-checkable fingerprint of the redacted text (the
+    * graft_polyhash char fold — same kernel as the dedup shingle ids).
+    */
+  private def textRedact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val red = regexp_replace(col("text"), "[0-9]+", "<num>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_redactions"),
+      Dedup.polyHash(red).as("redacted_hash"))
+  }
+
+  private val textRedactSql =
+    s"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_redactions,
+         ${polyHashSql("regexp_replace(text, '[0-9]+', '<num>', 'g')")} AS redacted_hash
+       FROM documents"""
+
+  /** Corpus stats over all (lang, source) slices at once — CUBE grouping
+    * sets; the null-marker rows are the per-lang / per-source / grand
+    * totals (keys are non-null in the corpus, so markers are unambiguous,
+    * as in q19_rollup).
+    */
+  private def corpusCube(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+
+  private val corpusCubeSql =
+    """SELECT lang, source, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY CUBE (lang, source)"""
+
+  /** Deterministic train/val/test corpus split: the polyhash char fold of
+    * (text + salt) is an engine-independent PRNG, so the assignment —
+    * unlike `DataFrame.sample` or rand(seed) — reproduces bit-for-bit in
+    * any engine, across partitionings, and in the oracle. 80/10/10 by
+    * hash bucket; emitted as per (lang, split) counts.
+    */
+  private val SplitSalt = "|graft-split-42"
+
+  private def corpusSplit(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val corpusSplitSql =
+    s"""SELECT lang,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         count(*) AS n_docs
+       FROM (SELECT lang, ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS b
+             FROM documents) t
+       GROUP BY 1, 2"""
+
   // ------------------------------------------------------------------ dedup
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -775,6 +836,9 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_fingerprint", textFingerprint, Some(textFingerprintSql), "rolling-hash fingerprint"),
     GQuery("ext_text_tfidf", textTfidf, Some(textTfidfSql), "top-k TF-IDF terms per doc (round-then-rank)"),
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
+    GQuery("ext_text_redact", textRedact, Some(textRedactSql), "number-run redaction + redacted-text fingerprint"),
+    GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
+    GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
