@@ -736,6 +736,32 @@ object ExtQueries extends QueryGroup {
               round(quantile_cont(value, 0.9), 6) AS p90
        FROM events GROUP BY event_type"""
 
+  /** Snapshot reconciliation via FULL OUTER join — keys present on either
+    * side survive with zero-filled counterparts (both engines coalesce
+    * the USING key in a full join).
+    */
+  private def reconcileFull(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val open = o.where(col("o_orderstatus") === "O")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_open"))
+    val done = o.where(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_done"))
+    open.join(done, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey").as("cust_id"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_done"), lit(0L)).as("n_done"))
+  }
+
+  private val reconcileFullSql =
+    """SELECT o_custkey AS cust_id,
+              coalesce(n_open, 0) AS n_open,
+              coalesce(n_done, 0) AS n_done
+       FROM (SELECT o_custkey, count(*) AS n_open FROM orders
+             WHERE o_orderstatus = 'O' GROUP BY 1) a
+       FULL JOIN (SELECT o_custkey, count(*) AS n_done FROM orders
+             WHERE o_orderstatus = 'F' GROUP BY 1) b
+       USING (o_custkey)"""
+
   /** Resize stage over decoded media (stub resample, real dims/plumbing). */
   private val ResizeMaxSide = 224
 
@@ -860,6 +886,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
+    GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
     GQuery("ext_mm_resize", mmResize, Some(mmResizeSql), "aspect-preserving resize stage (stub resample, real plumbing)"),
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
