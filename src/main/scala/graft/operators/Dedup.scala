@@ -122,20 +122,20 @@ object Dedup {
       tau: Double, maxDf: Int): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol).persist()
     val sizes = shingleSizes(edges)
-    val dfs = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    // vocabulary-sized sides: broadcast at these corpus sizes (drop the
-    // hints when |vocabulary| outgrows broadcast — the joins then shuffle
-    // on the shingle, which the self-join needs anyway)
-    val rareEdges = edges.join(
-      broadcast(dfs.where(col("__df") <= maxDf).select("shingle")), Seq("shingle"))
-    val hotEdges = edges.join(
-      broadcast(dfs.where(col("__df") > maxDf).select("shingle")), Seq("shingle"))
+    // the HOT shingle set (by definition tiny) is the one df aggregate,
+    // materialized ONCE: both edge splits consume the checkpointed set as
+    // a broadcast side (anti-join = rare, join = hot). When the hot set
+    // ever outgrew broadcast the corpus would be pathological — maxDf is
+    // chosen so hot shingles are a handful of stopword-like outliers.
+    val hotShingles = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select("shingle")
+      .localCheckpoint()
+    val rareEdges = edges.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
+    val hotEdges = edges.join(broadcast(hotShingles), Seq("shingle"))
     // single pass over RARE shingles: the self-join IS candidate
-    // generation AND the rare part of the intersection count — per-shingle
-    // fan-out bounded by maxDf^2/2
-    // single pass over RARE shingles produces candidates WITH their rare
-    // intersection count; per-doc sizes and hot-shingle counts attach via
-    // broadcast-sized joins, and the UPPER BOUND
+    // generation AND the rare part of the intersection count (per-shingle
+    // fan-out bounded by maxDf^2/2); per-doc sizes and hot-shingle counts
+    // attach via broadcast-sized joins, and the UPPER BOUND
     //   inter <= __ri + min(hot_a, hot_b)
     // prunes the candidate stream in the same pipeline (jaccard is
     // monotonic in inter, so no false negatives). Only the tiny survivor

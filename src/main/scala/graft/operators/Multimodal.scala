@@ -87,9 +87,16 @@ object Multimodal {
     */
   def resizeStub(decoded: DataFrame, maxSide: Int): DataFrame =
     decoded
-      .withColumn("out_w", least(col("width"), lit(maxSide)))
+      // cap the LONGER side at maxSide; the shorter side scales by the
+      // same integer ratio (never upscales: least() is a no-op when the
+      // media is already within bounds)
+      .withColumn("out_w",
+        when(col("width") >= col("height"), least(col("width"), lit(maxSide)))
+          .otherwise(expr(s"CAST((width * least(height, $maxSide)) div height AS INT)")))
       .withColumn("out_h",
-        expr("CAST((height * out_w) div width AS INT)"))
+        when(col("width") >= col("height"),
+          expr(s"CAST((height * least(width, $maxSide)) div width AS INT)"))
+          .otherwise(least(col("height"), lit(maxSide))))
       .withColumn("resized_checksum",
         (col("checksum") * 37L + col("out_w").cast("long") * 31L
           + col("out_h")) % 1000000007L)

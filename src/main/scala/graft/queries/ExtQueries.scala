@@ -771,15 +771,18 @@ object ExtQueries extends QueryGroup {
         Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")),
       ResizeMaxSide)
 
-  private val mmResizeSql =
+  private val mmResizeSql = {
+    val m = ResizeMaxSide
+    val outW = s"CASE WHEN width >= height THEN least(width, $m) ELSE (width * least(height, $m)) // height END"
+    val outH = s"CASE WHEN width >= height THEN (height * least(width, $m)) // width ELSE least(height, $m) END"
     s"""WITH d AS ($mmDecodeSql)
        SELECT doc_id, width, height,
-              CAST(least(width, $ResizeMaxSide) AS INTEGER) AS out_w,
-              CAST((height * least(width, $ResizeMaxSide)) // width AS INTEGER) AS out_h,
-              CAST((checksum * 37 + least(width, $ResizeMaxSide) * 31
-                    + (height * least(width, $ResizeMaxSide)) // width)
+              CAST($outW AS INTEGER) AS out_w,
+              CAST($outH AS INTEGER) AS out_h,
+              CAST((checksum * 37 + ($outW) * 31 + ($outH))
                    % 1000000007 AS BIGINT) AS resized_checksum
        FROM d"""
+  }
 
   private def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.decodeFeatures(

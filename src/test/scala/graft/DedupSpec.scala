@@ -58,10 +58,12 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("simhashPairs: identical docs at hamming 0") {
-    val got = Dedup.simhashPairs(docs, "doc_id", "text", 3, Dedup.PolyHash)
-      .as[(Long, Long, Int)].collect()
-    assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+  test("simhashPairs: identical docs at hamming 0 (all hash modes)") {
+    for (mode <- Seq(Dedup.DenseId, Dedup.PolyHash, Dedup.XxHash)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", 3, mode)
+        .as[(Long, Long, Int)].collect()
+      assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0), s"mode $mode")
+    }
   }
 
   test("polyHash: integer char fold, stable and order-sensitive") {
