@@ -13,11 +13,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Each query runs three times: the first (cold) execution carries
+    // Each query runs four times: the first (cold) execution carries
     // one-time whole-stage-codegen compilation + JIT for that plan shape —
     // real, but not steady-state throughput. value/queries are the best of
-    // the two warm runs (min damps scheduler/GC jitter); cold numbers ride
-    // along on a diagnostic line.
+    // the three warm runs (min damps scheduler/GC jitter); cold numbers
+    // ride along on a diagnostic line.
     // (seconds, succeeded) — a query that throws must NOT masquerade as a
     // fast run; it is reported in the errors list
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
@@ -27,9 +27,8 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = timed(fn)
-      val (w1, ok1) = timed(fn)
-      val (w2, ok2) = timed(fn)
-      (name, cold, math.min(w1, w2), okCold && ok1 && ok2)
+      val warm = Seq.fill(3)(timed(fn))
+      (name, cold, warm.map(_._1).min, okCold && warm.forall(_._2))
     }
     // The driver keeps only the final ~2000 chars of output, so the
     // canonical line printed LAST must stay short: per-query values
