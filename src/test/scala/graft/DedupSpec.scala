@@ -48,6 +48,12 @@ class DedupSpec extends SparkSpec {
       uncapped.exceptAll(highCap).count() == 0)
     // docs 1/2/3 share every shingle pairwise (df >= 2), so cap 1 finds nothing
     assert(Dedup.jaccardPairsCapped(docs, "doc_id", "text", 0.5, 1).count() == 0)
+    // intermediate cap: only 'fgh' (df 2) and 'fgx' (df 1) are rare, so the
+    // sole candidate is (1,2) — and its jaccard must still be the EXACT
+    // full-set value (1.0), hot shingles included via the survivor path
+    val mid = Dedup.jaccardPairsCapped(docs, "doc_id", "text", 0.5, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mid == Set((1L, 2L, 1.0)))
   }
 
   test("minhashLshPairs: identical docs always collide (all hash modes)") {

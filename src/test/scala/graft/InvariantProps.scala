@@ -90,4 +90,35 @@ object InvariantProps extends Properties("graft.invariants") {
       val y = b.toDF("id")
       x.unionByName(y, allowMissingColumns = true).count() == a.size + b.size
     }
+
+  property("rangeJoinBinned ≡ naive theta range join for any window") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 100L))),
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 100L))),
+      Gen.chooseNum(1L, 40L)) { (ls, rs, w) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "lts", "lid")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) }
+        .toDF("k", "rts", "rid")
+      val got = Relational.rangeJoinBinned(left, right, "k", "lts", "rts", -w, 0L)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        ((lk, lt), li) <- ls.zipWithIndex
+        ((rk, rt), ri) <- rs.zipWithIndex
+        if lk == rk && rt >= lt - w && rt <= lt
+      } yield (li.toLong, 100L + ri)).toSet
+      got == want
+    }
+
+  property("polyHash kernel matches the pure-Scala fold on any ASCII string") =
+    forAll(Gen.listOfN(8, Gen.listOfN(12, Gen.chooseNum(32, 121))
+      .map(_.map(_.toChar).mkString))) { strs =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val got = strs.toDF("s")
+        .select(graft.operators.Dedup.polyHash(col("s")).as("h"))
+        .as[Long].collect().toSeq
+      val want = strs.map(_.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L))
+      got == want
+    }
 }
