@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The engine is consumable from pure SQL, not just the DataFrame API:
+  * testdata tables register as temp views, graft's native expressions
+  * (graft_dot, graft_polyhash) parse in SQL text via GraftExtensions,
+  * and a SQL restatement of an operator matches its DataFrame twin —
+  * the "spark.sql(...)" surface a cluster user would script against.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("temp views + SQL restatement match the DataFrame operator") {
+    Tables.orders(spark, sf0001).createOrReplaceTempView("orders_v")
+    val sql = spark.sql(
+      """SELECT o_custkey, count(*) AS n FROM orders_v
+         WHERE o_custkey IS NOT NULL GROUP BY o_custkey""")
+    val df = graft.operators.Relational
+      .groupCount(Tables.orders(spark, sf0001), "o_custkey", "n")
+    assert(sql.count() > 0)
+    assert(sql.exceptAll(df).count() == 0 && df.exceptAll(sql).count() == 0)
+  }
+
+  test("native graft expressions are callable from SQL text") {
+    val row = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "graft_polyhash('ab') AS h").head()
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getLong(1) == 'a'.toLong * 31 + 'b')
+    // null propagation + length-mismatch null, same as the DataFrame path
+    val nulls = spark.sql(
+      "SELECT graft_dot(array(1.0D), array(1.0D, 2.0D)) AS mism, " +
+        "graft_polyhash(CAST(NULL AS STRING)) AS nh").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+}
