@@ -234,6 +234,20 @@ object Dedup {
     labels
   }
 
+  /** Pairs -> cleaned corpus with FULL transitive semantics: every
+    * document that is not its component's minimum id is removed (exactly
+    * one survivor per near-dup cluster — vs `sweep`'s greedy pairwise
+    * rule, which can drop B of (A,B) while keeping C of (B,C)). `labels`
+    * is `connectedComponents` output; docs absent from it have no pairs
+    * and survive untouched.
+    */
+  def sweepByComponent(docs: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame =
+    docs.join(
+      labels.where(col("component") =!= col("doc_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Large prime modulus for the permutation family (2^31 - 1). */
   val MinhashMod = 2147483647L
   /** Permutation j: h_j(x) = ((37 j + 11) x + 101 j + 7) mod P. */

@@ -762,6 +762,25 @@ object ExtQueries extends QueryGroup {
              WHERE o_orderstatus = 'F' GROUP BY 1) b
        USING (o_custkey)"""
 
+  /** Transitive dedup end-to-end: MinHash pairs -> connected components
+    * -> one survivor (the min id) per cluster.
+    */
+  private def ccSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.sweepByComponent(
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+      "doc_id",
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+          .select("doc_a", "doc_b"),
+        CcIterations))
+
+  private lazy val ccSweepSql =
+    s"""WITH cc AS ($ccComponentsSql)
+       SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE NOT EXISTS (SELECT 1 FROM cc
+         WHERE cc.doc_id = documents.doc_id AND cc.component <> cc.doc_id)"""
+
   /** Resize stage over decoded media (stub resample, real dims/plumbing). */
   private val ResizeMaxSide = 224
 
@@ -886,6 +905,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
+    GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per component"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
