@@ -72,7 +72,7 @@ object Dedup {
   /** Materialize the (small) pair result eagerly, then release the edge
     * cache. The pair functions persist the shingle-edge list because it
     * feeds several joins; leaving the cache to GC/ContextCleaner would let
-    * repeated invocations (Bench runs every query three times) accumulate
+    * repeated invocations (Bench runs every query four times) accumulate
     * blocks. localCheckpoint is eager by default, so by the time it
     * returns the edges are consumed and can be unpersisted
     * deterministically — the caller gets a lineage-free DataFrame of
@@ -234,12 +234,15 @@ object Dedup {
     labels
   }
 
-  /** Pairs -> cleaned corpus with FULL transitive semantics: every
-    * document that is not its component's minimum id is removed (exactly
-    * one survivor per near-dup cluster — vs `sweep`'s greedy pairwise
-    * rule, which can drop B of (A,B) while keeping C of (B,C)). `labels`
-    * is `connectedComponents` output; docs absent from it have no pairs
-    * and survive untouched.
+  /** Pairs -> cleaned corpus with transitive semantics: every document
+    * that is not its component's minimum id is removed — one survivor per
+    * CONVERGED cluster (convergence needs `connectedComponents`
+    * iterations >= the cluster diameter; an under-iterated chain leaves
+    * one survivor per still-distinct label). Differs from `sweep`'s
+    * greedy doc_b rule where a doc appears only on the doc_a side: pairs
+    * (A,C),(B,C) with A<B — greedy keeps both A and B, this keeps only A
+    * (B is in A's component). `labels` is `connectedComponents` output;
+    * docs absent from it have no pairs and survive untouched.
     */
   def sweepByComponent(docs: DataFrame, idCol: String,
       labels: DataFrame): DataFrame =

@@ -766,14 +766,12 @@ object ExtQueries extends QueryGroup {
     * -> one survivor (the min id) per cluster.
     */
   private def ccSweep(s: SparkSession, d: String): DataFrame =
+    // reuses ccComponents verbatim — its oracle twin is likewise built
+    // from ccComponentsSql, so the two cc queries cannot drift apart
     Dedup.sweepByComponent(
       Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
       "doc_id",
-      Dedup.connectedComponents(
-        Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-          MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
-          .select("doc_a", "doc_b"),
-        CcIterations))
+      ccComponents(s, d))
 
   private lazy val ccSweepSql =
     s"""WITH cc AS ($ccComponentsSql)
@@ -905,7 +903,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
-    GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per component"),
+    GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),

@@ -90,6 +90,19 @@ class DedupSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("sweepByComponent diverges from greedy sweep on doc_a-only duplicates") {
+    // pairs (1,3),(2,3): greedy drops only doc_b's (3) and keeps BOTH 1
+    // and 2; component {1,2,3} has one survivor (1) under transitive sweep
+    val corpus = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val greedy = Dedup.sweep(corpus, "doc_id", pairs).as[Long].collect().toSet
+    assert(greedy == Set(1L, 2L, 4L))
+    val labels = Dedup.connectedComponents(pairs, iterations = 3)
+    val transitive = Dedup.sweepByComponent(corpus, "doc_id", labels)
+      .as[Long].collect().toSet
+    assert(transitive == Set(1L, 4L))
+  }
+
   test("connectedComponents: min-label propagation finds transitive groups") {
     // chain 1-2-3, pair 7-8, and 1-3 redundant edge
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
