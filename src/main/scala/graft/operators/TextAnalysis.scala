@@ -74,16 +74,6 @@ object TextAnalysis {
     cases.foldRight(lit("unk")) { case ((cond, v), els) => when(cond, v).otherwise(els) }
   }
 
-  /** Rolling-hash document fingerprint: tokens get corpus-wide dense ids
-    * (deterministic: rank in lexicographic vocabulary order), each position
-    * contributes `(id+1) * 31^(pos mod 8) mod P`, summed per document
-    * mod P. Pure integer math -> bit-identical everywhere.
-    *
-    * Scale note: the dense-id vocabulary needs a global rank. For a 100 TB
-    * corpus swap `wordIds` for `xxhash64(word)` (no rank shuffle, same
-    * downstream shape) — dense-id mode exists so the DuckDB oracle can
-    * reproduce the hash.
-    */
   /** Term frequencies per document plus document frequency per term —
     * the building blocks of TF-IDF. One explode + two aggregates; the
     * document-frequency side is tiny (vocabulary-sized) and broadcasts
@@ -121,15 +111,22 @@ object TextAnalysis {
   /** 31^k mod FpMod for k = 0..7, precomputed (shared with the oracle). */
   val FpPows: Seq[Long] = Iterator.iterate(1L)(p => p * 31 % FpMod).take(8).toSeq
 
+  /** Rolling-hash document fingerprint: word ids from the graft_polyhash
+    * character fold (oracle-reproducible, no vocabulary structure), each
+    * position contributes `(id+1) * 31^(pos mod 8) mod P`, summed per
+    * document mod P. Pure integer math -> bit-identical everywhere.
+    * One explode + one partial/final group-sum; no global sort — the old
+    * dense-id formulation ranked the vocabulary through a SINGLE-PARTITION
+    * window, the one anti-scale plan shape in the round-1 query set.
+    */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val words = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
-    val vocab = words.select("word").distinct()
-      .withColumn("wid", row_number().over(Window.orderBy("word")))
     val pows = array(FpPows.map(lit): _*)
-    words.join(vocab, Seq("word"))
+    words
       .withColumn("contrib",
-        (col("wid").cast("long") + 1L) * element_at(pows, (col("pos") % 8 + 1).cast("int")) % FpMod)
+        (Dedup.polyHash(col("word")) + 1L) * element_at(pows, (col("pos") % 8 + 1).cast("int")) % FpMod)
       .groupBy("doc_id")
       .agg((sum(col("contrib")) % FpMod).as("fingerprint"))
   }

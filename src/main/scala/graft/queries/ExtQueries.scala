@@ -151,18 +151,16 @@ object ExtQueries extends QueryGroup {
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
 
-  private val textFingerprintSql = {
+  private lazy val textFingerprintSql = {
     val pows = TextAnalysis.FpPows.mkString("[", ", ", "]")
     val p = TextAnalysis.FpMod
     s"""WITH w AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                 generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
          FROM documents),
-       vocab AS (
-         SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
-         FROM (SELECT DISTINCT word FROM w)),
-       c AS (SELECT doc_id, (wid + 1) * ($pows)[(pos % 8) + 1] % $p AS contrib
-             FROM w JOIN vocab USING (word))
+       c AS (SELECT doc_id,
+               (${polyHashSql("word")} + 1) * ($pows)[(pos % 8) + 1] % $p AS contrib
+             FROM w)
        SELECT doc_id, CAST(sum(contrib) % $p AS BIGINT) AS fingerprint
        FROM c GROUP BY doc_id"""
   }
