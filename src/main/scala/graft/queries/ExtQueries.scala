@@ -210,6 +210,25 @@ object ExtQueries extends QueryGroup {
              FROM counts) r
        WHERE rnk <= $TopTermsK"""
 
+  /** Cross-document boilerplate detection: word 3-grams appearing in at
+    * least `BoilerplateMinDf` documents (the repeated headers/footers/
+    * templates a training pipeline strips before dedup). One explode +
+    * one partial/final aggregate over the shingle edge list — the same
+    * inverted index the near-dup family builds on.
+    */
+  private val BoilerplateMinDf = 5
+
+  private def textBoilerplate(s: SparkSession, d: String): DataFrame =
+    Dedup.shingleEdges(Tables.documents(s, d), "doc_id", "text")
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .where(col("df") >= BoilerplateMinDf)
+
+  private val textBoilerplateSql =
+    s"""WITH $edgesSql
+       SELECT shingle, count(*) AS df, min(doc_id) AS first_doc
+       FROM edges GROUP BY shingle HAVING count(*) >= $BoilerplateMinDf"""
+
   /** PII-style redaction: mask number runs, report the redaction count
     * and an oracle-checkable fingerprint of the redacted text (the
     * graft_polyhash char fold — same kernel as the dedup shingle ids).
@@ -881,6 +900,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_tfidf", textTfidf, Some(textTfidfSql), "top-k TF-IDF terms per doc (round-then-rank)"),
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
     GQuery("ext_text_redact", textRedact, Some(textRedactSql), "number-run redaction + redacted-text fingerprint"),
+    GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
