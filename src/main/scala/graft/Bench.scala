@@ -41,13 +41,18 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     println(s"""{"bench_detail":{"cold_total":${fmt(coldTotal)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"errors":$errs}}""")
-    def finalLine(qs: String) =
-      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"errors":$errs,"sf":"$sfDir"}"""
-    val line = finalLine(toJson(results.map(r => r._1 -> r._3)))
+    def finalLine(qs: String, errsJson: String) =
+      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
     // hard guard: the canonical line must survive the driver's ~2000-char
     // output tail or the whole bench reads as unparsed (round-1 lesson).
-    // Degrade by dropping the per-query map before ever exceeding it.
-    println(if (line.length <= 1900) line else finalLine("{}"))
+    // Degrade in steps — drop the per-query map, then collapse the error
+    // list (itself unbounded when every query fails) to a count.
+    val line = Seq(
+      finalLine(toJson(results.map(r => r._1 -> r._3)), errs),
+      finalLine("{}", errs),
+      finalLine("{}", s"""["${results.count(!_._4)}_queries_failed"]"""))
+      .find(_.length <= 1900).get
+    println(line)
     spark.stop()
   }
 }

@@ -118,6 +118,13 @@ object TextAnalysis {
     * One explode + one partial/final group-sum; no global sort — the old
     * dense-id formulation ranked the vocabulary through a SINGLE-PARTITION
     * window, the one anti-scale plan shape in the round-1 query set.
+    *
+    * Tradeoff vs dense ids: the base-31 fold can collide distinct words
+    * (e.g. "Aa"/"BB"), giving correlated fingerprints to documents that
+    * differ only in colliding words. Fingerprint equality is a strong
+    * NEAR-duplicate signal, not an identity proof — engine-only consumers
+    * wanting fewer collisions can swap in xxhash64(word) (same plan
+    * shape, no oracle).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
