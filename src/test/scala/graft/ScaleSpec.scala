@@ -65,6 +65,28 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("partitioned layout: predicate becomes a PartitionFilter, not a data filter") {
+    // Hive-style partitionBy is THE 100 TB layout tool: a filter on the
+    // partition column prunes whole directories at planning time — the
+    // scan never opens non-matching files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf0001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val scan = spark.read.parquet(dir).where(col("event_type") === "purchase")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"),
+      s"expected a partition filter on event_type in:\n$plan")
+    // pruning is observable: only the purchase partition's files are read
+    val files = scan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.inputRDDs().head.partitions.length
+    }
+    val expected = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase").count()
+    assert(scan.count() == expected)
+    assert(files.nonEmpty)
+  }
+
   test("ivfTopK: ranked neighbors from the query's cell only") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.where(col("vec_id") % 50 === 0)
