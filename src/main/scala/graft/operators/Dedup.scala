@@ -251,6 +251,74 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds —
+    * the log-convergence formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): each round rewires edges
+    * toward per-neighborhood minima, so path lengths roughly halve per
+    * round and a diameter-D component converges in O(log D) rounds where
+    * min-label propagation needs D. The 100 TB path for DEEP clusters;
+    * `connectedComponents` stays the simple choice for the shallow ones
+    * near-dup graphs usually produce.
+    *
+    *  - large-star(u): m = min(N(u) ∪ u); for v in N(u), v > u: edge (v,m)
+    *  - small-star(u): m = min(N(u) ∪ u); for v in N(u) ∪ u, v <= u:
+    *    edge (v,m)
+    *
+    * Both preserve connectivity; the fixed point is a star per component
+    * centered at its minimum. Convergence is detected by edge-set
+    * equality (two tiny aggregate jobs per round); `maxRounds` bounds the
+    * loop. Returns (doc_id, component), component = min id, identical to
+    * `connectedComponents` output at convergence.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    def canonical(df: DataFrame): DataFrame =
+      df.where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    def adj(edges: DataFrame): DataFrame =
+      edges.select(col("a").as("node"), col("b").as("nbr"))
+        .union(edges.select(col("b").as("node"), col("a").as("nbr")))
+    // m per node: min over neighborhood incl. self
+    def mins(adjacency: DataFrame): DataFrame =
+      adjacency.groupBy("node").agg(min(col("nbr")).as("__mn"))
+        .select(col("node"), least(col("node"), col("__mn")).as("m"))
+    def largeStar(edges: DataFrame): DataFrame = {
+      val a = adj(edges)
+      canonical(a.join(mins(a), Seq("node"))
+        .where(col("nbr") > col("node"))
+        .select(col("nbr").as("a"), col("m").as("b")))
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val a = adj(edges)
+      val withM = mins(a)
+      val fromNbrs = a.join(withM, Seq("node"))
+        .where(col("nbr") <= col("node"))
+        .select(col("nbr").as("a"), col("m").as("b"))
+      val fromSelf = withM.select(col("node").as("a"), col("m").as("b"))
+      canonical(fromNbrs.union(fromSelf))
+    }
+    var edges = canonical(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))).localCheckpoint()
+    val inputNodes = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id"))).distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    // fixed point is a star (member, min): label = min over neighbors+self
+    val labels = mins(adj(edges))
+      .select(col("node").as("doc_id"), col("m").as("component"))
+    // star centers keep themselves; nodes that became isolated mid-stream
+    // (every neighbor rewired past them) still label themselves
+    inputNodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
   /** Large prime modulus for the permutation family (2^31 - 1). */
   val MinhashMod = 2147483647L
   /** Permutation j: h_j(x) = ((37 j + 11) x + 101 j + 7) mod P. */

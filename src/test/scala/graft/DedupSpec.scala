@@ -111,6 +111,36 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponentsStar: log-round convergence matches propagation") {
+    // chain of 16 — propagation needs 15 rounds, star pairs need ~log2
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(chain, maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(star.size == 16 && star.values.toSet == Set(1L))
+    // mixed graph: two components + redundant edge + reversed pair order
+    val pairs = Seq((5L, 2L), (2L, 9L), (9L, 5L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
+  }
+
+  test("connectedComponentsStar ≡ propagation on seeded random graphs") {
+    // bounded deterministic sweep (a 100-case scalacheck run of two
+    // distributed CC algorithms costs minutes; 12 seeds catch the same
+    // structural variety: multi-component, cycles, isolated chains)
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val pairs = Seq.fill(10)((rng.nextInt(13).toLong, rng.nextInt(13).toLong))
+        .filter(p => p._1 != p._2)
+      val df = pairs.toDF("doc_a", "doc_b")
+      // 13 nodes -> diameter < 13 bounds propagation convergence
+      val prop = Dedup.connectedComponents(df, iterations = 13)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(df)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"pairs $pairs")
+    }
+  }
+
   test("connectedComponents: chain converges within diameter rounds") {
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val got = Dedup.connectedComponents(chain, iterations = 8)
