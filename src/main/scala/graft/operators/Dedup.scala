@@ -192,8 +192,8 @@ object Dedup {
     * over the edge list — the classic scale-out CC formulation (no
     * driver-side union-find). Labels advance one hop per iteration, so
     * `iterations` >= the component diameter guarantees convergence (near-
-    * dup clusters are shallow in practice; the large-star/small-star
-    * variant gets log-round convergence if ever needed). Deterministic
+    * dup clusters are shallow in practice; [[connectedComponentsStar]]
+    * provides the log-round variant for deep ones). Deterministic
     * for any fixed iteration count that reaches convergence.
     * Returns (doc_id, component) with component = min doc
     * id in the component — the canonical representative for FULL
