@@ -297,18 +297,29 @@ object Dedup {
       val fromSelf = withM.select(col("node").as("a"), col("m").as("b"))
       canonical(fromNbrs.union(fromSelf))
     }
-    var edges = canonical(
-      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))).localCheckpoint()
-    val inputNodes = edges.select(col("a").as("doc_id"))
-      .union(edges.select(col("b").as("doc_id"))).distinct().localCheckpoint()
+    val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    var edges = canonical(raw).localCheckpoint()
+    // node set from the RAW pairs: a self-pair (x,x) contributes node x
+    // (labelled x), matching connectedComponents — canonical() would drop
+    // it before it reaches the edge list
+    val inputNodes = raw.select(col("a").as("doc_id"))
+      .union(raw.select(col("b").as("doc_id"))).distinct().localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // both sides are distinct sets, so equal counts + empty one-sided
+      // difference is full set equality (one anti-join, not two)
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
       edges = next
       round += 1
     }
+    // silent non-convergence would hand a consumer (e.g. sweepByComponent)
+    // labels where one component carries several ids — fail loudly; the
+    // caller raises maxRounds (log-round convergence makes 20 cover
+    // diameters past 100k)
+    require(converged,
+      s"connectedComponentsStar: not converged after $maxRounds rounds")
     // fixed point is a star (member, min): label = min over neighbors+self
     val labels = mins(adj(edges))
       .select(col("node").as("doc_id"), col("m").as("component"))
