@@ -5,12 +5,36 @@ import graft.streaming.SessionState
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Parquet source/sink round-trip (the harness half of the IO surface —
-  * the JDBC half shares the same mode mapping but has no database in this
-  * container) and the stateful-streaming running aggregate.
+/** Source/sink round-trips for BOTH halves of the IO surface — parquet
+  * (the harness flavor) and real JDBC against embedded Derby (the
+  * reference's read_sql_table / to_sql shape: schema reflection from DB
+  * metadata, replace/append modes, partitioned parallel read) — plus the
+  * stateful-streaming running aggregate.
   */
 class SourcesStateSpec extends SparkSpec {
   import spark.implicits._
+
+  test("JDBC source/sink round-trip (embedded Derby): replace, append, partitioned read") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val df = (1L to 20L).map(i => (i, s"name_$i", i * 1.5)).toDF("id", "name", "score")
+    Sources.writeJdbcTable(df, url, "APP", "customers", "app", "", replace = true)
+    // schema reflected from database metadata, like read_sql_table
+    val back = Sources.readJdbcTable(spark, url, "APP", "customers", "app", "")
+    assert(back.columns.map(_.toLowerCase).toSeq == Seq("id", "name", "score"))
+    assert(back.count() == 20)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      df.as[(Long, String, Double)].collect().toSet)
+    // append doubles; replace resets
+    Sources.writeJdbcTable(df, url, "APP", "customers", "app", "", replace = false)
+    assert(Sources.readJdbcTable(spark, url, "APP", "customers", "app", "").count() == 40)
+    Sources.writeJdbcTable(df, url, "APP", "customers", "app", "", replace = true)
+    // partitioned read: 4 range predicates, same multiset
+    val part = Sources.readJdbcTable(spark, url, "APP", "customers", "app", "",
+      partition = Some(("id", 1L, 20L, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 20)
+    assert(part.select("id").as[Long].collect().toSet == (1L to 20L).toSet)
+  }
 
   test("parquet sink: replace vs append mirror to_sql if_exists") {
     val dir = Files.createTempDirectory("graft_sink").toString
