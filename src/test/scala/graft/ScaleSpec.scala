@@ -93,6 +93,36 @@ class ScaleSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the runtime half of the skew story (saltedJoin is the manual half):
+    // with thresholds scaled to test data, AQE must mark and split the
+    // hot key's partition — `skew=true` on the SMJ in the adaptive plan
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // one hot key carrying 50k rows vs 1000 singleton keys
+      val left = ((1 to 50000).map(i => (0L, s"hot_$i")) ++
+        (1 to 1000).map(i => (i.toLong, s"cold_$i"))).toDF("k", "lv")
+      val right = (0 to 1000).map(i => (i.toLong, s"r_$i")).toDF("k", "rv")
+      val joined = left.join(right, Seq("k"), "inner")
+      // collect() drives THIS Dataset's QueryExecution (count() would
+      // plan a derived aggregate and leave this one un-finalized)
+      assert(joined.collect().length == 51000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ivfTopK: ranked neighbors from the query's cell only") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.where(col("vec_id") % 50 === 0)
