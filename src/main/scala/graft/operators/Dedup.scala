@@ -266,9 +266,12 @@ object Dedup {
     *
     * Both preserve connectivity; the fixed point is a star per component
     * centered at its minimum. Convergence is detected by edge-set
-    * equality (two tiny aggregate jobs per round); `maxRounds` bounds the
-    * loop. Returns (doc_id, component), component = min id, identical to
-    * `connectedComponents` output at convergence.
+    * equality against the previous round, so reaching the fixed point at
+    * round N is DETECTED at round N+1 — `maxRounds` must exceed the
+    * rounds-to-fixed-point by one (log-round convergence leaves the
+    * default ample headroom; diameter 2^18 needs ~19). Returns (doc_id,
+    * component), component = min id, identical to `connectedComponents`
+    * output at convergence.
     */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     def canonical(df: DataFrame): DataFrame =
@@ -297,7 +300,11 @@ object Dedup {
       val fromSelf = withM.select(col("node").as("a"), col("m").as("b"))
       canonical(fromNbrs.union(fromSelf))
     }
+    // the pairs lineage (typically the expensive LSH candidate join) is
+    // materialized exactly ONCE; edges and the node set both read the
+    // checkpointed blocks
     val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
     var edges = canonical(raw).localCheckpoint()
     // node set from the RAW pairs: a self-pair (x,x) contributes node x
     // (labelled x), matching connectedComponents — canonical() would drop
@@ -319,7 +326,8 @@ object Dedup {
     // caller raises maxRounds (log-round convergence makes 20 cover
     // diameters past 100k)
     require(converged,
-      s"connectedComponentsStar: not converged after $maxRounds rounds")
+      s"connectedComponentsStar: fixed point not detected within $maxRounds " +
+        "rounds (detection costs one round past convergence — raise maxRounds)")
     // fixed point is a star (member, min): label = min over neighbors+self
     val labels = mins(adj(edges))
       .select(col("node").as("doc_id"), col("m").as("component"))
