@@ -107,6 +107,36 @@ object TextAnalysis {
       .select("doc_id", "rnk", "term", "tfidf")
   }
 
+  /** Corpus-model fluency scoring — the "perplexity filter" of an LLM
+    * data pipeline, with the corpus itself as the bigram model: each
+    * document scores the average log-probability ln(C(w1 w2) / C(w1 ·))
+    * of its bigram instances under corpus-wide counts. Low scorers are
+    * the disfluent/outlier documents a quality gate drops.
+    *
+    * Shape: one explode to bigram instances, two count aggregates (the
+    * model), two joins back (model sides are vocabulary-sized →
+    * broadcast), one final group-avg. No smoothing: every scored bigram
+    * exists in the model by construction (the corpus scores itself); for
+    * scoring NEW text against a frozen model, add-one smooth the join's
+    * null side.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      .selectExpr("doc_id",
+        """explode(CASE WHEN size(__w) >= 2
+             THEN transform(sequence(0, size(__w) - 2),
+                  i -> struct(__w[i] AS w1, __w[i+1] AS w2))
+             ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END) AS bg""")
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val prefixCounts = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bi.join(biCounts, Seq("w1", "w2")).join(prefixCounts, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cb") / col("cu"))), 4).as("avg_logprob"))
+  }
+
   val FpMod = 1000000007L
   /** 31^k mod FpMod for k = 0..7, precomputed (shared with the oracle). */
   val FpPows: Seq[Long] = Iterator.iterate(1L)(p => p * 31 % FpMod).take(8).toSeq

@@ -210,6 +210,21 @@ object ExtQueries extends QueryGroup {
              FROM counts) r
        WHERE rnk <= $TopTermsK"""
 
+  private def textBigramLm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+
+  private val textBigramLmSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       bi AS (
+         SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w) t),
+       bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       uc AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln(cb / cu)), 4) AS avg_logprob
+       FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+       GROUP BY doc_id"""
+
   /** Cross-document boilerplate detection: word 3-grams appearing in at
     * least `BoilerplateMinDf` documents (the repeated headers/footers/
     * templates a training pipeline strips before dedup). One explode +
@@ -901,6 +916,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
     GQuery("ext_text_redact", textRedact, Some(textRedactSql), "number-run redaction + redacted-text fingerprint"),
     GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
+    GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),

@@ -54,6 +54,20 @@ class SimilaritySpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("bigramLogProb: corpus-model average log-probability, hand-checked") {
+    // C(a b)=2, C(b a)=1, C(a c)=1; prefixes C(a ·)=3, C(b ·)=1
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc1: avg(ln(2/3), ln(1/1), ln(2/3)); doc2: ln(1/3); doc3: no bigrams
+    assert(got(1L) == (3L, BigDecimal(2 * math.log(2.0 / 3) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(2L) == (1L, BigDecimal(math.log(1.0 / 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(!got.contains(3L))
+  }
+
   test("QualityAggregator: typed weighted mean, map-side partials merge") {
     import graft.functions.QualityAggregator
     val ds = Seq((0.8, 10L), (0.4, 30L), (1.0, 0L)).toDS()
