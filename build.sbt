@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's final JSON stdout line. sbt's default
+// LoggedOutput strategy prefixes every forked-process line with "[info] ",
+// which breaks a strict json.loads on the line (BENCH_r01/r02 both came
+// back "parsed": null with the full line intact in the captured tail).
+// StdoutOutput passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress the trailing "[success] Total time" line so the JSON is
+// the LAST line of the process output (robust whether the driver scans
+// lines or takes only the final one).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
