@@ -10,21 +10,20 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     import graft.operators.Dedup
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $label ${(System.nanoTime()-t0)/1e9}%.3f"); r
+    def t(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime()-t0)/1e9
+      println(f"PROBE $label $s%.3f"); s
     }
-    for (round <- 1 to 2) {
-      println(s"PROBE --- round $round")
-      val docs = Tables.documents(spark, d)
-      val edges = t("edges_distinct_count") { val e = Dedup.shingleEdges(docs, "doc_id", "text").persist(); e.count(); e }
-      t("sig16") { Dedup.minhashSignatures(edges, 16, Dedup.DenseId).count() }
-      t("sig16_xx") { Dedup.minhashSignatures(edges, 16, Dedup.XxHash).count() }
-      t("full_minhash_dense") { Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.8, Dedup.DenseId).count() }
-      t("full_minhash_xx") { Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.8, Dedup.XxHash).count() }
-      t("jaccard") { Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count() }
-      edges.unpersist()
+    val docs = Tables.documents(spark, d)
+    def run(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 4).map(_ => t(label)(f))
+      println(f"PROBE $label MIN ${ts.drop(1).min}%.3f")
     }
+    run("minhash_poly") { Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.8, Dedup.PolyHash).count() }
+    run("minhash_xx") { Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.8, Dedup.XxHash).count() }
+    run("sweep") { Dedup.sweep(docs.select("doc_id","lang","source","n_chars"), "doc_id",
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.8, Dedup.PolyHash)).count() }
     spark.stop()
   }
 }

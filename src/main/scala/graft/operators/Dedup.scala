@@ -59,6 +59,14 @@ object Dedup {
     val sizes = shingleSizes(edges)
     val ea = edges.select(col("doc_id").as("doc_a"), col("shingle"))
     val eb = edges.select(col("doc_id").as("doc_b"), col("shingle"))
+    // Kept as ONE fused pipeline of co-partitioned joins on purpose:
+    // broadcast-hinting the candidate set (or semi-filtering the edge
+    // list by candidate docs) measures SLOWER here — each broadcast build
+    // is a serialization barrier (candidate generation must fully
+    // complete before verification starts), while the shuffle plan
+    // overlaps all map stages. The flip point is corpus-scale edge lists:
+    // when shuffling edges twice dominates, pre-filter `edges` to
+    // candidate docs (a broadcast semi-join) before these joins.
     candidates
       .join(ea, Seq("doc_a")).join(eb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -98,8 +106,11 @@ object Dedup {
       .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      // per-doc sizes ≪ pair stream — broadcast (post-agg sides are
+      // unsized by the static planner); drop the hints at corpus sizes
+      // where a per-doc table outgrows broadcast
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
@@ -183,7 +194,13 @@ object Dedup {
     * propagation over the pair graph instead.
     */
   def sweep(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+    // the removal list (distinct higher ids of near-dup pairs) is a small
+    // fraction of the corpus, and pair sets arrive checkpointed — whose
+    // stats the static planner can't see, so without the hint this anti
+    // join would shuffle the whole corpus into an SMJ. Broadcast keeps the
+    // corpus side map-only; drop the hint if dup density ever makes the
+    // removal list itself corpus-scale.
+    docs.join(broadcast(pairs.select(col("doc_b").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
 
   /** Connected components over the near-dup pair graph by min-label
@@ -199,13 +216,25 @@ object Dedup {
     * id in the component — the canonical representative for FULL
     * transitive dedup (vs `sweep`'s greedy pairwise rule).
     */
-  def connectedComponents(pairs: DataFrame, iterations: Int): DataFrame = {
+  def connectedComponents(pairs: DataFrame, iterations: Int,
+      broadcastLabels: Boolean = false): DataFrame = {
     // ITERATIVE ALGORITHM: without lineage truncation each round's plan
     // embeds every previous round (and re-derives `pairs` from scratch),
     // so plans — and re-execution cost — grow linearly and memory
     // quadratically with iterations. localCheckpoint materializes each
     // round's labels and cuts the lineage, making every round O(1) plan;
     // the edge list is persisted once for the same reason.
+    //
+    // broadcastLabels: the label table has one row per NODE of the pair
+    // graph — docs with at least one near-dup pair, typically a small
+    // fraction of the corpus. With the hint, each round costs ONE shuffle
+    // (the tiny partial-min aggregate) instead of three (edges-on-dst,
+    // labels-on-id, plus the agg): both label joins become map-side
+    // broadcast joins and the edge list never moves. Leave false when the
+    // dup graph itself is corpus-scale (labels then exceed the broadcast
+    // threshold) — the joins revert to co-partitioned shuffles.
+    val hint: DataFrame => DataFrame =
+      if (broadcastLabels) broadcast(_) else identity
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -219,10 +248,10 @@ object Dedup {
       .localCheckpoint(eager = false)
     for (it <- 0 until iterations) {
       val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("component")), Seq("dst"))
+        .join(hint(labels.select(col("doc_id").as("dst"), col("component"))), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("__nbr"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      labels = labels.join(hint(neighborMin), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
         .localCheckpoint(eager = it == iterations - 1)
@@ -246,9 +275,12 @@ object Dedup {
     */
   def sweepByComponent(docs: DataFrame, idCol: String,
       labels: DataFrame): DataFrame =
+    // labels cover only pair-graph nodes (docs with a near-dup), so the
+    // non-minimum member list is small; broadcast for the same reason as
+    // [[sweep]] — labels arrive checkpointed with unknown stats
     docs.join(
-      labels.where(col("component") =!= col("doc_id"))
-        .select(col("doc_id").as(idCol)),
+      broadcast(labels.where(col("component") =!= col("doc_id"))
+        .select(col("doc_id").as(idCol))),
       Seq(idCol), "left_anti")
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds —

@@ -725,11 +725,13 @@ object ExtQueries extends QueryGroup {
   private val CcIterations = 4
 
   private def ccComponents(s: SparkSession, d: String): DataFrame =
+    // broadcastLabels: the near-dup pair graph is a small fraction of the
+    // corpus, so each propagation round runs with one tiny shuffle
     Dedup.connectedComponents(
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
         .select("doc_a", "doc_b"),
-      CcIterations)
+      CcIterations, broadcastLabels = true)
 
   private lazy val ccComponentsSql = {
     val iters = (0 until CcIterations).map { k =>
