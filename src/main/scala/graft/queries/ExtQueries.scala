@@ -698,6 +698,66 @@ object ExtQueries extends QueryGroup {
               m.sv AS sum_click_value
        FROM p LEFT JOIN m USING (event_id)"""
 
+  /** Ordered window FRAMES per user over the event stream: running total
+    * (ROWS UNBOUNDED PRECEDING), trailing 4-event moving average (ROWS 3
+    * PRECEDING), and the inter-event gap via lag — the window-frame
+    * family the reference never uses (its only windows are dense_rank
+    * partitions). One shuffle on user_id serves all three frames; ties on
+    * the ns timestamp are totally ordered by event_id so every frame is
+    * deterministic. Rounding damps the engines' differing sliding-sum
+    * accumulation (DuckDB aggregates window frames via segment trees, not
+    * sequential adds). The lag delta is over `value`, NOT the timestamp:
+    * DuckDB's parquet reader rounds the TIMESTAMP(NANOS) column to µs, so
+    * a raw ns difference can never hash-match (the standing events.ts
+    * rule) — ts serves only as the window ORDER key here.
+    */
+  private def tsRolling(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Long.MinValue, 0)
+    val w4 = w.rowsBetween(-3, 0)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      round(sum(col("value")).over(wRun), 3).as("run_sum"),
+      round(avg(col("value")).over(w4), 6).as("avg4"),
+      round(col("value") - lag(col("value"), 1).over(w), 6).as("d_value"))
+  }
+
+  private val tsRollingSql =
+    """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 3) AS run_sum,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg4,
+         round(value - lag(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id), 6) AS d_value
+       FROM events"""
+
+  /** Explicit GROUPING SETS — arbitrary slice combinations, the general
+    * form of which q19's ROLLUP and ext_corpus_cube's CUBE are the two
+    * standard specializations: per (lang, source), per source alone, and
+    * the grand total, with grouping_id disambiguating genuine NULL keys
+    * from subtotal markers (same bit order in both engines: left key =
+    * high bit).
+    */
+  private def corpusGsets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select("lang", "source", "gid", "n_docs", "total_chars")
+
+  private val corpusGsetsSql =
+    """SELECT lang, source,
+              CAST(GROUPING(lang, source) AS INTEGER) AS gid,
+              count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents
+       GROUP BY GROUPING SETS ((lang, source), (source), ())"""
+
   /** Salted skew join, grouped: semantically the plain events x customer
     * equi-join (which IS the oracle), executed with the hot-key shear.
     */
@@ -949,6 +1009,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
     GQuery("ext_mm_frames", mmFrames, Some(mmFramesSql), "frame sampling with per-frame fingerprints"),
     GQuery("ext_corpus_clean", corpusClean, Some(corpusCleanSql), "quality+lang+dedup corpus clean (north-star composite)"),
+    GQuery("ext_ts_rolling", tsRolling, Some(tsRollingSql), "window frames: running sum, trailing avg, lag gap per user"),
+    GQuery("ext_corpus_gsets", corpusGsets, Some(corpusGsetsSql), "explicit GROUPING SETS slices w/ grouping_id"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),

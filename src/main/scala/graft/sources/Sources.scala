@@ -66,4 +66,41 @@ object Sources {
     df.write
       .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
       .parquet(s"$dir/$table")
+
+  /** CSV scan with an EXPLICIT schema. Header row for column names, but
+    * types are caller-supplied: `inferSchema` costs a whole extra pass
+    * over the data (fatal at 100 TB) and silently guesses — a staging
+    * feed's contract should be declared, not sniffed. Multiline quoting
+    * on so embedded newlines in text columns round-trip.
+    */
+  def readCsvTable(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(s"$dir/$table.csv")
+
+  def writeCsvTable(df: DataFrame, dir: String, table: String,
+      replace: Boolean): Unit =
+    df.write
+      .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(s"$dir/$table.csv")
+
+  /** JSON-lines scan, schema declared for the same no-extra-pass reason
+    * as CSV (splittable per line, so it scales out; timestamps/longs keep
+    * their declared types instead of JSON's stringly defaults).
+    */
+  def readJsonTable(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(s"$dir/$table.jsonl")
+
+  def writeJsonTable(df: DataFrame, dir: String, table: String,
+      replace: Boolean): Unit =
+    df.write
+      .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
+      .json(s"$dir/$table.jsonl")
 }

@@ -46,6 +46,37 @@ class SourcesStateSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 2)
   }
 
+  test("CSV source/sink: declared-schema round-trip incl. quoted newlines, replace/append") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    // embedded newline + comma + quote exercise the quoting/escape path
+    val df = Seq((1L, "plain", 1.5), (2L, "has,comma", 2.5),
+      (3L, "line\nbreak \"q\"", 3.5)).toDF("id", "txt", "score")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("txt", StringType), StructField("score", DoubleType)))
+    Sources.writeCsvTable(df, dir, "t", replace = true)
+    val back = Sources.readCsvTable(spark, dir, "t", schema)
+    assert(back.schema == schema)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      df.as[(Long, String, Double)].collect().toSet)
+    Sources.writeCsvTable(df, dir, "t", replace = false)
+    assert(Sources.readCsvTable(spark, dir, "t", schema).count() == 6)
+  }
+
+  test("JSON-lines source/sink: declared-schema round-trip keeps types") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_json").toString
+    val df = Seq((1L, "a \"quoted\" str", 10), (2L, "unicode é", 20))
+      .toDF("id", "txt", "n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("txt", StringType), StructField("n", IntegerType)))
+    Sources.writeJsonTable(df, dir, "t", replace = true)
+    val back = Sources.readJsonTable(spark, dir, "t", schema)
+    assert(back.schema == schema)
+    assert(back.as[(Long, String, Int)].collect().toSet ==
+      df.as[(Long, String, Int)].collect().toSet)
+  }
+
   test("readParquetTable reflects schema like read_sql_table") {
     val got = Sources.readParquetTable(spark, sf0001, "nation")
     assert(got.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
