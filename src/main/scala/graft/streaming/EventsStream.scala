@@ -78,4 +78,50 @@ object EventsStream {
     q.processAllAvailable()
     q
   }
+
+  /** File stream over the events parquet with an event-time column —
+    * shared head of the streaming join below.
+    */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming dedup: first arrival of each key is emitted, replays
+    * within the watermark horizon are dropped, and — the part plain
+    * dropDuplicates can't do on an unbounded stream — key state is
+    * EVICTED once the watermark passes it, so memory is bounded by the
+    * horizon, not the key cardinality. The streaming face of the dedup
+    * family (exact/MinHash/SimHash batch variants in operators/Dedup).
+    */
+  def dedupedStream(events: DataFrame, horizon: String,
+      keys: String*): DataFrame =
+    events.withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-stream INTERVAL join: each purchase pairs with same-user
+    * clicks at most `gapSeconds` before it. Both sides carry watermarks
+    * and the join condition carries the time range — together they bound
+    * the state store (a click older than purchase-watermark + gap can
+    * never match again and is evicted). The streaming face of
+    * Relational.rangeJoinBinned; inner-join append output emits exactly
+    * the batch join's matches once both sides are drained.
+    */
+  def purchaseClickJoin(spark: SparkSession, dir: String,
+      gapSeconds: Long): DataFrame = {
+    val p = eventsFileStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val c = eventsFileStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "10 minutes")
+    p.join(c, expr(
+      s"user_id = c_user AND c_time BETWEEN p_time - INTERVAL $gapSeconds SECONDS AND p_time"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
 }

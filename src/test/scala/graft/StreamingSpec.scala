@@ -30,6 +30,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val q = EventsStream.purchaseClickJoin(spark, sf0001, gapSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pc_join").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pc_join")
+      // batch twin over the same events at the same µs truncation
+      val ev = Tables.events(spark, sf0001)
+        .withColumn("t_us", expr("ts div 1000"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("t_us").as("p_us"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("c_us"))
+      val batch = p.join(c, Seq("user_id"))
+        .where(col("c_us") >= col("p_us") - 3600L * 1000000L && col("c_us") <= col("p_us"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+      assert(streamed.count() > 0)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: replays within the horizon are dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val deduped = EventsStream.dedupedStream(
+      input.toDF().toDF("event_id", "ts_ms")
+        .withColumn("event_time", timestamp_millis(col("ts_ms"))),
+      "10 seconds", "event_id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      val t0 = 1700000000000L
+      // batch 1: ids 1,2 (+ an in-batch replay of 1)
+      input.addData((1L, t0), (2L, t0 + 1000), (1L, t0 + 2000))
+      q.processAllAvailable()
+      // batch 2: replay of 2 inside the horizon + fresh 3
+      input.addData((2L, t0 + 3000), (3L, t0 + 4000))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select(col("event_id")).as[Long]
+        .collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L)) // each key exactly once
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions: timeout emits completed sessions") {
     import spark.implicits._
     graft.streaming.SessionState.runSessions(spark, sf0001, "ev_sessions",
