@@ -117,6 +117,30 @@ object Dedup {
     materializePairs(pairs, edges)
   }
 
+  /** Near-dup pairs by OVERLAP COEFFICIENT (max containment):
+    * |A∩B| / min(|A|,|B|) >= tau. Catches the partial-overlap duplication
+    * Jaccard structurally misses — a short document quoted whole inside a
+    * long one scores low Jaccard (the union is dominated by the long
+    * doc) but containment 1.0; training pipelines run this alongside
+    * Jaccard to catch quote-inclusion and boilerplate-wrapped copies.
+    * Same inverted-index self-join shape as [[jaccardPairs]].
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val sizes = shingleSizes(edges)
+    val pairs = edges.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+      .where(col("containment") >= tau)
+      .select("doc_a", "doc_b", "containment")
+    materializePairs(pairs, edges)
+  }
+
   /** Near-dup pairs by Jaccard with DOCUMENT-FREQUENCY CAPPING: shingles
     * appearing in more than `maxDf` documents are excluded from CANDIDATE
     * GENERATION (verification still uses full shingle sets, so reported

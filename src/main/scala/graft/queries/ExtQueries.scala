@@ -326,6 +326,26 @@ object ExtQueries extends QueryGroup {
          FROM edges a JOIN edges b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        ${verifySql(JaccardTau)}"""
 
+  /** Overlap-coefficient threshold: high on purpose — containment ~1
+    * means one doc's shingle set sits (almost) wholly inside the other's,
+    * the quote-inclusion case Jaccard misses.
+    */
+  private val ContainTau = 0.8
+
+  private def dedupContain(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", ContainTau)
+
+  private val dedupContainSql =
+    s"""WITH $edgesSql, $sizesSql,
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM edges a JOIN edges b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, i / least(sa.n_sh, sb.n_sh) AS containment
+       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE i / least(sa.n_sh, sb.n_sh) >= $ContainTau"""
+
   /** DF cap for the scale-path Jaccard: candidate generation skips
     * shingles in > JaccardMaxDf docs (verification stays exact).
     */
@@ -983,6 +1003,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
+    GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),

@@ -39,6 +39,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs catches quote-inclusion that Jaccard misses") {
+    // doc 11 is quoted whole inside doc 10 (10's set strictly contains
+    // 11's): containment = 1.0, but jaccard = 4/16 = 0.25
+    val quote = Seq(
+      (10L, "z1 z2 z3 z4 z5 z6 a b c d e f z7 z8 z9 z10 z11 z12"),
+      (11L, "a b c d e f"),
+      (12L, "m n o p q r")            // unrelated
+    ).toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(quote, "doc_id", "text", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(contained.map(p => (p._1, p._2)).toSet == Set((10L, 11L)))
+    assert(contained.head._3 == 1.0)
+    val jac = Dedup.jaccardPairs(quote, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((10L, 11L)))
+  }
+
   test("jaccardPairsCapped: high cap ≡ uncapped; cap 1 kills shared-shingle candidates") {
     val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b", "jaccard")
