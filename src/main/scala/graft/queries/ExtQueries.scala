@@ -850,6 +850,37 @@ object ExtQueries extends QueryGroup {
               round(quantile_cont(value, 0.9), 6) AS p90
        FROM events GROUP BY event_type"""
 
+  /** Cohort retention: users bucketed by first-activity week, then
+    * distinct-active counts per (cohort_week, week_offset) — the grid a
+    * retention curve is read off. Scale shape: one shuffle on user_id
+    * serves the (user, week) distinct AND the per-user cohort min
+    * (exchange reuse) AND the co-partitioned join; only the final small
+    * (cohort, offset) aggregate reshuffles. Week buckets are integer
+    * division on the exact nanos (stream_window precedent — never raw
+    * event timestamps).
+    */
+  private val WeekNs = 7L * 86400L * 1000000000L
+
+  private def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $WeekNs").as("week"))
+      .distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      // (user, week) is distinct, so a plain count counts each active
+      // user exactly once per cell — no second distinct needed
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val eventsRetentionSql =
+    s"""WITH ew AS (
+         SELECT DISTINCT user_id, epoch_ns(ts) // $WeekNs AS week FROM events),
+       c AS (SELECT user_id, min(week) AS cohort_week FROM ew GROUP BY user_id)
+       SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+       FROM ew JOIN c USING (user_id)
+       GROUP BY 1, 2"""
+
   /** Snapshot reconciliation via FULL OUTER join — keys present on either
     * side survive with zero-filled counterparts (both engines coalesce
     * the USING key in a full join).
@@ -1024,6 +1055,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
+    GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
     GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
     GQuery("ext_mm_resize", mmResize, Some(mmResizeSql), "aspect-preserving resize stage (stub resample, real plumbing)"),
