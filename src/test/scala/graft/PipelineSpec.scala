@@ -11,6 +11,26 @@ class PipelineSpec extends SparkSpec {
   lazy val out: CustomerDimPipeline.Outputs =
     CustomerDimPipeline.run(spark, sf0001)
 
+  test("corpus clean funnel: observe() metrics match independent counts") {
+    import graft.operators.{CorpusPipeline, Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sf0001)
+    val f = CorpusPipeline.cleanObserved(docs, "doc_id", "text", 0.7,
+      Seq("sqlish", "streamish"), 16, 2, 0.8, Dedup.PolyHash)
+    val nClean = f.cleaned.count()
+    // the pipeline's own checkpoint action populated both observations —
+    // no extra scan happened to produce these numbers
+    val scored = f.scored.get.apply("n").asInstanceOf[Long]
+    val kept = f.kept.get.apply("n").asInstanceOf[Long]
+    assert(scored == docs.count())
+    val keptDirect = docs
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("l", TextAnalysis.langId(col("text")))
+      .where(col("q") >= 0.7 && col("l").isin("sqlish", "streamish"))
+      .count()
+    assert(kept == keptDirect)
+    assert(nClean > 0 && nClean <= kept) // dedup only ever removes
+  }
+
   test("upsert image keeps exactly one row per customer") {
     val n = Tables.customer(spark, sf0001).count()
     assert(out.upsertImage.count() == n)
