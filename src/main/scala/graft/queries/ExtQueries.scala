@@ -852,26 +852,26 @@ object ExtQueries extends QueryGroup {
 
   /** Cohort retention: users bucketed by first-activity week, then
     * distinct-active counts per (cohort_week, week_offset) — the grid a
-    * retention curve is read off. Scale shape: one shuffle on user_id
-    * serves the (user, week) distinct AND the per-user cohort min
-    * (exchange reuse) AND the co-partitioned join; only the final small
-    * (cohort, offset) aggregate reshuffles. Week buckets are integer
+    * retention curve is read off. Scale shape: ONE shuffle on user_id
+    * carrying map-side-combined per-user week SETS (bounded by the
+    * calendar, not the event count), cohort = array_min of the same set —
+    * no second distinct exchange and no cohort join; only the final small
+    * (cohort, offset) cell aggregate reshuffles. Week buckets are integer
     * division on the exact nanos (stream_window precedent — never raw
     * event timestamps).
     */
   private val WeekNs = 7L * 86400L * 1000000000L
 
-  private def eventsRetention(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  private def eventsRetention(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(col("user_id"), expr(s"ts div $WeekNs").as("week"))
-      .distinct()
-    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
-    ev.join(cohorts, Seq("user_id"))
+      .groupBy("user_id").agg(collect_set(col("week")).as("weeks"))
+      .select(explode(col("weeks")).as("week"),
+        array_min(col("weeks")).as("cohort_week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      // (user, week) is distinct, so a plain count counts each active
-      // user exactly once per cell — no second distinct needed
+      // each user contributes each of their weeks exactly once (set
+      // semantics), so a plain count counts users per cell
       .agg(count(lit(1)).as("n_users"))
-  }
 
   private val eventsRetentionSql =
     s"""WITH ew AS (
@@ -880,6 +880,61 @@ object ExtQueries extends QueryGroup {
        SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
        FROM ew JOIN c USING (user_id)
        GROUP BY 1, 2"""
+
+  /** Staged conversion funnel: users reaching view -> click-after-view ->
+    * purchase-after-that, in temporal order per user. Stage membership is
+    * a chain of PREFIX-MAX windows over 0/1 flags (one user_id shuffle,
+    * no self-joins, no per-stage passes): `seen_view` marks rows at/after
+    * the user's first view, a click there is a staged click, and so on.
+    * Integer flags end-to-end, so the result is engine-exact; ts is only
+    * the window order key (standing events.ts rule).
+    */
+  private def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(Long.MinValue, 0)
+    val flags = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "view", 1).otherwise(0).as("is_v"),
+      when(col("event_type") === "click", 1).otherwise(0).as("is_c"),
+      when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+    val staged = flags
+      .withColumn("seen_v", max(col("is_v")).over(w))
+      .withColumn("cav", col("is_c") * col("seen_v"))
+      .withColumn("seen_cav", max(col("cav")).over(w))
+      .withColumn("pac", col("is_p") * col("seen_cav"))
+    staged.groupBy("user_id")
+      .agg(max("is_v").as("v"), max("cav").as("c"), max("pac").as("p"))
+      .agg(sum("v").as("nv"), sum("c").as("nc"), sum("p").as("np"))
+      .selectExpr(
+        "stack(3, 'view', 1, nv, 'click', 2, nc, 'purchase', 3, np) AS (stage, stage_idx, n_users)")
+  }
+
+  private val eventsFunnelSql =
+    """WITH f AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+         FROM events),
+       s1 AS (
+         SELECT *, max(is_v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seen_v
+         FROM f),
+       s2 AS (SELECT *, is_c * seen_v AS cav FROM s1),
+       s3 AS (
+         SELECT *, max(cav) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seen_cav
+         FROM s2),
+       per AS (
+         SELECT user_id, max(is_v) AS v, max(cav) AS c,
+                max(is_p * seen_cav) AS p
+         FROM s3 GROUP BY user_id),
+       tot AS (
+         SELECT CAST(sum(v) AS BIGINT) AS nv, CAST(sum(c) AS BIGINT) AS nc,
+                CAST(sum(p) AS BIGINT) AS np
+         FROM per)
+       SELECT 'view' AS stage, 1 AS stage_idx, nv AS n_users FROM tot
+       UNION ALL SELECT 'click', 2, nc FROM tot
+       UNION ALL SELECT 'purchase', 3, np FROM tot"""
 
   /** Snapshot reconciliation via FULL OUTER join — keys present on either
     * side survive with zero-filled counterparts (both engines coalesce
@@ -1056,6 +1111,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
+    GQuery("ext_events_funnel", eventsFunnel, Some(eventsFunnelSql), "staged conversion funnel via prefix-max windows"),
     GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),
     GQuery("ext_mm_resize", mmResize, Some(mmResizeSql), "aspect-preserving resize stage (stub resample, real plumbing)"),
