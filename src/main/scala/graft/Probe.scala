@@ -20,10 +20,10 @@ object Probe {
       val ts = (1 to 4).map(_ => t(label)(f))
       println(f"PROBE $label MIN ${ts.drop(1).min}%.3f")
     }
-    run("jaccard_capped") { Dedup.jaccardPairsCapped(docs, "doc_id", "text", 0.5, 20).count() }
-    run("cc") { Dedup.connectedComponents(
-      Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.8, Dedup.PolyHash)
-        .select("doc_a","doc_b"), 4, broadcastLabels = true).count() }
+    run("edges_native") { Dedup.shingleEdges(docs, "doc_id", "text").count() }
+    run("edges_hof") { Dedup.shingleEdgesHof(docs, "doc_id", "text").count() }
+    run("minhash_poly") { Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.8, Dedup.PolyHash).count() }
+    run("jaccard") { Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count() }
     spark.stop()
   }
 }

@@ -99,6 +99,7 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_dot"
   val PolyHashName = "graft_polyhash"
+  val ShinglesName = "graft_shingles"
 
   /** Arity-checked builder shared by both registration paths. */
   def buildDot(exprs: Seq[Expression]): Expression = {
@@ -113,6 +114,12 @@ object GraftFunctions {
     PolyHashExpr(exprs.head)
   }
 
+  def buildShingles(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"$ShinglesName requires exactly 1 argument (string), got ${exprs.length}")
+    ShingleGenerator(exprs.head)
+  }
+
   /** Idempotent per-session registration (for sessions not built with
     * GraftExtensions).
     */
@@ -121,5 +128,7 @@ object GraftFunctions {
       DotName, buildDot, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       PolyHashName, buildPolyHash, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShinglesName, buildShingles, "built-in")
   }
 }

@@ -36,8 +36,25 @@ object Dedup {
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Distinct (doc_id, shingle) pairs: word n-gram shingles (n=3). */
-  def shingleEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Distinct (doc_id, shingle) pairs: word n-gram shingles (n=3), via
+    * the native `graft_shingles` Generator — zero-copy byte-slice
+    * emission, no intermediate word/index/shingle arrays (see
+    * functions/ShingleGenerator.scala; bit-equality with
+    * [[shingleEdgesHof]] is spec-asserted).
+    */
+  def shingleEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .selectExpr("doc_id",
+        s"${graft.functions.GraftFunctions.ShinglesName}(__t) AS shingle")
+      .distinct()
+  }
+
+  /** Built-in-HOF twin of [[shingleEdges]] (split -> sequence ->
+    * transform -> explode) — kept for bit-equality cross-checks of the
+    * native generator, mirroring the polyHash / polyHashFold pairing.
+    */
+  def shingleEdgesHof(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // split once behind a projection boundary, then shingle the array
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
       .selectExpr("doc_id",

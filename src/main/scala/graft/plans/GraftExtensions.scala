@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions, PolyHashExpr}
+import graft.functions.{DotProduct, GraftFunctions, PolyHashExpr, ShingleGenerator}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(GraftFunctions.PolyHashName),
       new ExpressionInfo(classOf[PolyHashExpr].getName, GraftFunctions.PolyHashName),
       GraftFunctions.buildPolyHash))
+    e.injectFunction((
+      new FunctionIdentifier(GraftFunctions.ShinglesName),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, GraftFunctions.ShinglesName),
+      GraftFunctions.buildShingles))
   }
 }

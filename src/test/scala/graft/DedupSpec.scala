@@ -31,6 +31,25 @@ class DedupSpec extends SparkSpec {
     assert(!counts.contains(5L))
   }
 
+  test("graft_shingles generator ≡ HOF shingling, incl. empty-word edges") {
+    // consecutive/leading/trailing spaces make empty words; unicode words
+    // exercise the multi-byte path of the byte-slice emission
+    val tricky = Seq(
+      (1L, "a b c d"),
+      (2L, "a  b c"),          // double space -> empty middle word
+      (3L, " a b"),            // leading space, still < 3 shingle words? (4 words: "", a, b)
+      (4L, "a b c "),          // trailing space -> trailing empty word
+      (5L, ""),                // one empty word
+      (6L, "é ü 漢 x"),        // multi-byte codepoints
+      (7L, "x y")              // too short
+    ).toDF("doc_id", "text")
+    for (df <- Seq(tricky, Tables.documents(spark, sf0001))) {
+      val native = Dedup.shingleEdges(df, "doc_id", "text")
+      val hof = Dedup.shingleEdgesHof(df, "doc_id", "text")
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    }
+  }
+
   test("jaccardPairs finds exact and near dups, skips unrelated") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
