@@ -109,30 +109,35 @@ object Dedup {
     out
   }
 
-  /** Near-dup pairs by n-gram Jaccard >= tau: inverted-index self-join on
-    * shingles (only intersecting pairs are ever materialized), then exact
-    * Jaccard from intersection + set sizes.
+  /** Shared shape of the set-similarity pair operators: inverted-index
+    * self-join on shingles — the single pass IS the intersection count
+    * (no separate candidate set + re-join) — then a caller-chosen score
+    * from (inter, |A|, |B|). Per-doc sizes ≪ pair stream, so they attach
+    * broadcast (post-agg sides are unsized by the static planner); drop
+    * the hints at corpus sizes where a per-doc table outgrows broadcast.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame = {
+  private def scoredIntersectionPairs(docs: DataFrame, idCol: String,
+      textCol: String, scoreName: String,
+      score: (Column, Column, Column) => Column, tau: Double): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol).persist()
     val sizes = shingleSizes(edges)
-    // single pass: the shingle self-join IS the intersection count — no
-    // separate candidate set + re-join (halves the heavy join work)
     val pairs = edges.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      // per-doc sizes ≪ pair stream — broadcast (post-agg sides are
-      // unsized by the static planner); drop the hints at corpus sizes
-      // where a per-doc table outgrows broadcast
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn(scoreName, score(col("inter"), col("na"), col("nb")))
+      .where(col(scoreName) >= tau)
+      .select("doc_a", "doc_b", scoreName)
     materializePairs(pairs, edges)
   }
+
+  /** Near-dup pairs by n-gram Jaccard >= tau: |A∩B| / |A∪B|. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame =
+    scoredIntersectionPairs(docs, idCol, textCol, "jaccard",
+      (inter, na, nb) => inter / (na + nb - inter), tau)
 
   /** Near-dup pairs by OVERLAP COEFFICIENT (max containment):
     * |A∩B| / min(|A|,|B|) >= tau. Catches the partial-overlap duplication
@@ -140,23 +145,11 @@ object Dedup {
     * long one scores low Jaccard (the union is dominated by the long
     * doc) but containment 1.0; training pipelines run this alongside
     * Jaccard to catch quote-inclusion and boilerplate-wrapped copies.
-    * Same inverted-index self-join shape as [[jaccardPairs]].
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame = {
-    val edges = shingleEdges(docs, idCol, textCol).persist()
-    val sizes = shingleSizes(edges)
-    val pairs = edges.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
-      .withColumn("containment", col("inter") / least(col("na"), col("nb")))
-      .where(col("containment") >= tau)
-      .select("doc_a", "doc_b", "containment")
-    materializePairs(pairs, edges)
-  }
+      tau: Double): DataFrame =
+    scoredIntersectionPairs(docs, idCol, textCol, "containment",
+      (inter, na, nb) => inter / least(na, nb), tau)
 
   /** Near-dup pairs by Jaccard with DOCUMENT-FREQUENCY CAPPING: shingles
     * appearing in more than `maxDf` documents are excluded from CANDIDATE

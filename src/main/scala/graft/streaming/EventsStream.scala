@@ -51,13 +51,7 @@ object EventsStream {
     * the property that keeps state bounded on an unbounded stream.
     */
   def streamingWindowedAgg(spark: SparkSession, dir: String): DataFrame =
-    // FileStreamSource needs a directory: stream the sf dir, filtered to
-    // the events file
-    spark.readStream.schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // integer division (double math would round ns values above 2^53)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    eventsFileStream(spark, dir)
       .withWatermark("event_time", "5 minutes")
       .groupBy(window(col("event_time"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("sum_value"))
@@ -79,8 +73,12 @@ object EventsStream {
     q
   }
 
-  /** File stream over the events parquet with an event-time column —
-    * shared head of the streaming join below.
+  /** File stream over the events parquet with an event-time column — the
+    * shared head of every streaming operator here. FileStreamSource needs
+    * a directory: stream the sf dir, filtered to the events file. The
+    * event-time conversion is integer division on the Long nanos (double
+    * math would round ns values above 2^53); µs precision suffices for
+    * minute-scale windows and watermarks.
     */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventsSchema)
