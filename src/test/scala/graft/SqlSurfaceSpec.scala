@@ -33,4 +33,19 @@ class SqlSurfaceSpec extends SparkSpec {
         "graft_polyhash(CAST(NULL AS STRING)) AS nh").head()
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
+
+  test("graft_shingles generator works as a SQL table-generating function") {
+    import spark.implicits._
+    val got = spark.sql("SELECT graft_shingles('a b c d') AS shingle")
+      .as[String].collect().toSeq
+    assert(got == Seq("a b c", "b c d"))
+    // LATERAL VIEW form, and null/short inputs generate zero rows
+    Seq((1L, "x y z w"), (2L, "x y"), (3L, null)).toDF("id", "t")
+      .createOrReplaceTempView("sql_sh_docs")
+    val lv = spark.sql(
+      """SELECT id, s FROM sql_sh_docs
+         LATERAL VIEW graft_shingles(t) g AS s ORDER BY id, s""")
+      .as[(Long, String)].collect().toSeq
+    assert(lv == Seq((1L, "x y z"), (1L, "y z w")))
+  }
 }
