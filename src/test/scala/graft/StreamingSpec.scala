@@ -79,6 +79,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2: foreachBatch folds updates with expire/insert semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val empty = Seq.empty[(Long, String, Long, Option[Long], Int)]
+      .toDF("k", "v", "effective_from", "effective_to", "is_current")
+    val state = new graft.streaming.Scd2Stream.DimState(empty, "k", "v", "ts")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("k", "v", "ts").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    try {
+      input.addData((1L, "a", 10L), (2L, "b", 10L))
+      q.processAllAvailable()
+      // batch 2: key 1 changes, key 2 is a NO-OP update, key 3 is new
+      input.addData((1L, "a2", 20L), (2L, "b", 20L), (3L, "c", 20L))
+      q.processAllAvailable()
+      val dim = state.dim.as[(Long, String, Long, Option[Long], Int)]
+        .collect().toSet
+      assert(dim == Set(
+        (1L, "a", 10L, Some(20L), 0),  // expired at the superseding ts
+        (1L, "a2", 20L, None, 1),
+        (2L, "b", 10L, None, 1),       // no-op update: row untouched
+        (3L, "c", 20L, None, 1)))
+      // invariant: exactly one current row per key
+      val dups = state.dim.where(col("is_current") === 1)
+        .groupBy("k").count().where(col("count") > 1)
+      assert(dups.count() == 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions: timeout emits completed sessions") {
     import spark.implicits._
     graft.streaming.SessionState.runSessions(spark, sf0001, "ev_sessions",
