@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * (expire superseded rows, insert new current rows — dm:185-232) applied
   * per micro-batch of arriving updates via foreachBatch.
   *
-  * Shape: the dimension snapshot is the fold state; each micro-batch
-  * joins against the CURRENT slice only (history rows pass through
-  * untouched), so per-batch work scales with |batch| + |current keys|,
-  * never with accumulated history. foreachBatch delivers at-least-once;
-  * `applyBatch` is deterministic in (dim, batch), so a replayed batch
-  * folds to the identical snapshot — production sinks additionally key
-  * writes on batchId for idempotence.
+  * Shape: the dimension snapshot is the fold state; each micro-batch's
+  * JOIN work touches only the CURRENT slice (history rows pass through
+  * untouched), so the comparison cost scales with |batch| + |current
+  * keys|. The snapshot rewrite itself is O(|dimension|) per batch — the
+  * cost of modeling the fold as immutable DataFrames; at production
+  * scale the state lives in a table format with keyed merge/partition
+  * overwrite instead of a full rewrite, with identical per-batch logic.
+  * foreachBatch delivers at-least-once; `applyBatch` is deterministic in
+  * (dim, batch), so a replayed batch folds to the identical snapshot —
+  * production sinks additionally key writes on batchId for idempotence.
   *
   * Dimension schema: (keyCol, valueCol, effective_from, effective_to,
   * is_current) with Long event-time stamps (`effective_to` null on the
@@ -25,8 +28,14 @@ object Scd2Stream {
   /** Fold ONE batch of updates into the dimension snapshot:
     *  - several updates for a key in one batch collapse to the latest
     *    (by ts, value tiebreak — a total order, G6 discipline);
-    *  - a no-op update (same value as current) leaves the dimension
-    *    untouched — no spurious version churn;
+    *  - LATE data is dropped: an update at-or-before the current row's
+    *    effective_from would regress the dimension and mint an inverted
+    *    validity interval — the batch-side analog of a watermark;
+    *  - null business keys are dropped (the reference's groupBy G2 rule:
+    *    a dimension row needs a key);
+    *  - a no-op update (value null-safely equal to current) leaves the
+    *    dimension untouched — no spurious version churn; transitions TO
+    *    and FROM null values are real changes and are recorded;
     *  - a changed/new value expires the open row at the update's ts and
     *    opens a new current row from it.
     */
@@ -34,13 +43,20 @@ object Scd2Stream {
       valueCol: String, tsCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).desc, col(valueCol).desc)
-    val latest = updates.withColumn("__rn", row_number().over(w))
+    val latest = updates
+      .where(col(keyCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     val cur = dim.where(col("is_current") === 1)
     val hist = dim.where(col("is_current") === 0)
     val changed = latest
-      .join(cur.select(col(keyCol), col(valueCol).as("__cur_v")), Seq(keyCol), "left")
-      .where(col("__cur_v").isNull || col("__cur_v") =!= col(valueCol))
+      .join(cur.select(col(keyCol), col(valueCol).as("__cur_v"),
+        col("effective_from").as("__cur_from"), lit(1).as("__has_cur")),
+        Seq(keyCol), "left")
+      // new key, or value changed under null-safe equality; stale
+      // updates (not strictly newer than the open row) are dropped
+      .where((col("__has_cur").isNull || !(col("__cur_v") <=> col(valueCol)))
+        && (col("__cur_from").isNull || col(tsCol) > col("__cur_from")))
       .select(col(keyCol), col(valueCol), col(tsCol))
     val newCurrent = changed.select(col(keyCol), col(valueCol),
       col(tsCol).as("effective_from"),
@@ -54,15 +70,37 @@ object Scd2Stream {
     hist.unionByName(expired).unionByName(untouched).unionByName(newCurrent)
   }
 
+  /** Release the block set behind a localCheckpoint'd snapshot. Dataset
+    * .unpersist only knows cache() entries, so reach the checkpoint RDD
+    * through the LogicalRDD node — without this, every superseded
+    * snapshot's blocks linger until the ContextCleaner notices the
+    * dropped reference (the cache-lifetime hazard Dedup.materializePairs
+    * documents).
+    */
+  private def releaseSnapshot(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** foreachBatch fold state: each batch replaces the snapshot with the
     * folded one. localCheckpoint per batch keeps the snapshot's plan O(1)
     * instead of embedding every prior batch's lineage (the same
-    * iterative-algorithm rule as connectedComponents).
+    * iterative-algorithm rule as connectedComponents); the superseded
+    * snapshot's blocks are released deterministically once the new one
+    * has materialized, bounding state to one snapshot (plus the one in
+    * flight).
     */
   final class DimState(initial: DataFrame, keyCol: String,
       valueCol: String, tsCol: String) {
     @volatile var dim: DataFrame = initial.localCheckpoint()
-    def sink(batch: DataFrame, batchId: Long): Unit =
-      dim = applyBatch(dim, batch, keyCol, valueCol, tsCol).localCheckpoint()
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val old = dim
+      // eager checkpoint: the new snapshot is fully materialized before
+      // the old one's blocks are released
+      dim = applyBatch(old, batch, keyCol, valueCol, tsCol).localCheckpoint()
+      releaseSnapshot(old)
+    }
   }
 }

@@ -95,6 +95,10 @@ class StreamingSpec extends SparkSpec {
       // batch 2: key 1 changes, key 2 is a NO-OP update, key 3 is new
       input.addData((1L, "a2", 20L), (2L, "b", 20L), (3L, "c", 20L))
       q.processAllAvailable()
+      // batch 3: LATE update for key 1 (ts 5 < current effective_from 20)
+      // must be dropped, not regress the dimension
+      input.addData((1L, "stale", 5L))
+      q.processAllAvailable()
       val dim = state.dim.as[(Long, String, Long, Option[Long], Int)]
         .collect().toSet
       assert(dim == Set(
@@ -107,6 +111,29 @@ class StreamingSpec extends SparkSpec {
         .groupBy("k").count().where(col("count") > 1)
       assert(dups.count() == 0)
     } finally q.stop()
+  }
+
+  test("SCD2 applyBatch: null values transition null-safely, null keys drop") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    val dim = Seq((1L, Option("a"), 10L, Option.empty[Long], 1))
+      .toDF("k", "v", "effective_from", "effective_to", "is_current")
+    // transition TO null is a real change; null-key update is dropped
+    val up1 = Seq((Option(1L), Option.empty[String], 20L),
+      (Option.empty[Long], Option("x"), 20L)).toDF("k", "v", "ts")
+    val d1 = Scd2Stream.applyBatch(dim, up1, "k", "v", "ts")
+    assert(d1.count() == 2)
+    assert(d1.where(col("is_current") === 1 && col("v").isNull).count() == 1)
+    // null -> null is a NO-OP (null-safe equality), not version churn
+    val up2 = Seq((Option(1L), Option.empty[String], 30L)).toDF("k", "v", "ts")
+    val d2 = Scd2Stream.applyBatch(d1, up2, "k", "v", "ts")
+    assert(d2.count() == 2)
+    // null -> "b" is again a real change
+    val up3 = Seq((Option(1L), Option("b"), 40L)).toDF("k", "v", "ts")
+    val d3 = Scd2Stream.applyBatch(d2, up3, "k", "v", "ts")
+    assert(d3.count() == 3)
+    assert(d3.where(col("is_current") === 1).as[(Long, String, Long, Option[Long], Int)]
+      .collect().toSeq == Seq((1L, "b", 40L, None, 1)))
   }
 
   test("flatMapGroupsWithState sessions: timeout emits completed sessions") {
