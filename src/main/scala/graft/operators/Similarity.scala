@@ -58,27 +58,31 @@ object Similarity {
     * a BROADCAST centroid set (numCells is small by construction), then
     * the search is an equi-join on cell id — per-query work is the cell
     * occupancy, |corpus|/numCells in expectation. Recall < 1 at cell
-    * borders, the classic IVF trade; raise nprobe by unioning more cells
-    * (not implemented — single-probe keeps the oracle simple).
+    * borders, the classic IVF trade; `nprobe` > 1 is the standard
+    * mitigation — each QUERY probes its nprobe nearest cells (the corpus
+    * side stays single-cell, so the pair space is still unique: a corpus
+    * vector reaches a query only through its one cell), multiplying
+    * per-query work by nprobe and recovering border neighbors.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroidEvery: Int): DataFrame = {
+      vecCol: String, k: Int, centroidEvery: Int, nprobe: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = corpus.where(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
         VectorOps.normSq(col(vecCol)).as("cn"))
-    def assign(df: DataFrame, idAs: String, vecAs: String, nAs: String): DataFrame = {
+    def assign(df: DataFrame, idAs: String, vecAs: String, nAs: String,
+        cells: Int): DataFrame = {
       val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
           VectorOps.normSq(col(vecCol)).as(nAs))
         .crossJoin(broadcast(cents))
         .withColumn("__ccos", VectorOps.cosine(col(vecAs), col("cvec"), col(nAs), col("cn")))
         .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
+        .where(col("__rn") <= cells)
         .select(col(idAs), col(vecAs), col(nAs), col("cent_id").as("cell"))
     }
-    val c = assign(corpus, "vec_b", "vb", "nb")
-    val q = assign(queries, "q_id", "va", "na")
+    val c = assign(corpus, "vec_b", "vb", "nb", 1)
+    val q = assign(queries, "q_id", "va", "na", nprobe)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
     q.join(c, Seq("cell"))
       .where(col("q_id") =!= col("vec_b"))

@@ -564,6 +564,38 @@ object ExtQueries extends QueryGroup {
        WHERE rnk <= $TopK"""
   }
 
+  /** Multi-probe IVF (nprobe=2): each query searches its TWO nearest
+    * cells — the standard recall knob; corpus assignment stays
+    * single-cell so the candidate pair space stays unique.
+    */
+  private def annIvf2(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, IvfCentroidEvery, nprobe = 2)
+
+  private val annIvf2Sql = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    val searchCos = s"${dotOf("q.vec", "c.vec")} / (sqrt(q.nsq) * sqrt(c.nsq))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       ranked AS (
+         SELECT n.vec_id AS vid, n.vec, n.nsq, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vid, vec, nsq, cell FROM ranked WHERE rn = 1),
+       qassign AS (SELECT vid, vec, nsq, cell FROM ranked
+                   WHERE rn <= 2 AND vid % $QueryMod = 0),
+       scored AS (
+         SELECT q.vid AS q_id, c.vid AS vec_b, $searchCos AS cosine
+         FROM qassign q JOIN assign c ON q.cell = c.cell AND q.vid <> c.vid)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def mmProps(s: SparkSession, d: String): DataFrame =
@@ -1105,6 +1137,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
+    GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),

@@ -32,6 +32,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(r => r._3 == 1L && r._2 == 1))
   }
 
+  test("IVF multi-probe: nprobe=2 recall@5 >= nprobe=1, both nonzero") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val p1 = pairs(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, 25))
+    val p2 = pairs(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, 25, nprobe = 2))
+    val r1 = (p1 & exact).size.toDouble / exact.size
+    val r2 = (p2 & exact).size.toDouble / exact.size
+    // probing a second cell only ADDS candidates, and a candidate can
+    // displace an exact hit from the top-5 only by being closer — i.e.
+    // by being an exact hit itself — so recall is monotone in nprobe
+    assert(r2 >= r1 && r1 > 0.0)
+  }
+
   test("langId: marker argmax with priority tiebreak") {
     val df = Seq(
       ("join scan table x", "sqlish"),
