@@ -109,24 +109,34 @@ object Dedup {
     out
   }
 
+  /** Apply the broadcast hint, or pass through when the caller knows the
+    * "small" side has outgrown broadcast (the same opt-out shape as
+    * connectedComponents' broadcastLabels). */
+  private def hintIf(enabled: Boolean)(df: DataFrame): DataFrame =
+    if (enabled) broadcast(df) else df
+
   /** Shared shape of the set-similarity pair operators: inverted-index
     * self-join on shingles — the single pass IS the intersection count
     * (no separate candidate set + re-join) — then a caller-chosen score
     * from (inter, |A|, |B|). Per-doc sizes ≪ pair stream, so they attach
-    * broadcast (post-agg sides are unsized by the static planner); drop
-    * the hints at corpus sizes where a per-doc table outgrows broadcast.
+    * broadcast (post-agg sides are unsized by the static planner); pass
+    * `broadcastSizes = false` at corpus sizes where a per-doc table
+    * outgrows broadcast — the attaches become co-partitioned SMJs on the
+    * pair stream's keys.
     */
   private def scoredIntersectionPairs(docs: DataFrame, idCol: String,
       textCol: String, scoreName: String,
-      score: (Column, Column, Column) => Column, tau: Double): DataFrame = {
+      score: (Column, Column, Column) => Column, tau: Double,
+      broadcastSizes: Boolean = true): DataFrame = {
+    val hint = hintIf(broadcastSizes) _
     val edges = shingleEdges(docs, idCol, textCol).persist()
     val sizes = shingleSizes(edges)
     val pairs = edges.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .join(hint(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(hint(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
       .withColumn(scoreName, score(col("inter"), col("na"), col("nb")))
       .where(col(scoreName) >= tau)
       .select("doc_a", "doc_b", scoreName)
@@ -135,9 +145,9 @@ object Dedup {
 
   /** Near-dup pairs by n-gram Jaccard >= tau: |A∩B| / |A∪B|. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame =
+      tau: Double, broadcastSizes: Boolean = true): DataFrame =
     scoredIntersectionPairs(docs, idCol, textCol, "jaccard",
-      (inter, na, nb) => inter / (na + nb - inter), tau)
+      (inter, na, nb) => inter / (na + nb - inter), tau, broadcastSizes)
 
   /** Near-dup pairs by OVERLAP COEFFICIENT (max containment):
     * |A∩B| / min(|A|,|B|) >= tau. Catches the partial-overlap duplication
@@ -147,9 +157,9 @@ object Dedup {
     * Jaccard to catch quote-inclusion and boilerplate-wrapped copies.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame =
+      tau: Double, broadcastSizes: Boolean = true): DataFrame =
     scoredIntersectionPairs(docs, idCol, textCol, "containment",
-      (inter, na, nb) => inter / least(na, nb), tau)
+      (inter, na, nb) => inter / least(na, nb), tau, broadcastSizes)
 
   /** Near-dup pairs by Jaccard with DOCUMENT-FREQUENCY CAPPING: shingles
     * appearing in more than `maxDf` documents are excluded from CANDIDATE
@@ -227,14 +237,16 @@ object Dedup {
     * connected-component canonicalization, iterate min-label
     * propagation over the pair graph instead.
     */
-  def sweep(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+  def sweep(docs: DataFrame, idCol: String, pairs: DataFrame,
+      broadcastRemovals: Boolean = true): DataFrame =
     // the removal list (distinct higher ids of near-dup pairs) is a small
     // fraction of the corpus, and pair sets arrive checkpointed — whose
     // stats the static planner can't see, so without the hint this anti
     // join would shuffle the whole corpus into an SMJ. Broadcast keeps the
-    // corpus side map-only; drop the hint if dup density ever makes the
-    // removal list itself corpus-scale.
-    docs.join(broadcast(pairs.select(col("doc_b").as(idCol)).distinct()),
+    // corpus side map-only; pass broadcastRemovals = false if dup density
+    // ever makes the removal list itself corpus-scale.
+    docs.join(
+      hintIf(broadcastRemovals)(pairs.select(col("doc_b").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
 
   /** Connected components over the near-dup pair graph by min-label
@@ -308,12 +320,13 @@ object Dedup {
     * docs absent from it have no pairs and survive untouched.
     */
   def sweepByComponent(docs: DataFrame, idCol: String,
-      labels: DataFrame): DataFrame =
+      labels: DataFrame, broadcastRemovals: Boolean = true): DataFrame =
     // labels cover only pair-graph nodes (docs with a near-dup), so the
     // non-minimum member list is small; broadcast for the same reason as
-    // [[sweep]] — labels arrive checkpointed with unknown stats
+    // [[sweep]] — labels arrive checkpointed with unknown stats. Opt out
+    // via broadcastRemovals when dup density makes the list corpus-scale.
     docs.join(
-      broadcast(labels.where(col("component") =!= col("doc_id"))
+      hintIf(broadcastRemovals)(labels.where(col("component") =!= col("doc_id"))
         .select(col("doc_id").as(idCol))),
       Seq(idCol), "left_anti")
 
@@ -628,9 +641,10 @@ object Dedup {
     *
     * The collect() here is the broadcast BUILD — the same driver hop any
     * broadcast hash join performs — valid while one side fits the
-    * broadcast threshold. Beyond that, shard the corpus into B blocks and
-    * run this block x block (distributed GEMM); the inner loop is
-    * unchanged.
+    * broadcast threshold. Beyond that, use `embeddingCosinePairsSharded`
+    * (the block x block distributed GEMM with the identical inner loop);
+    * that is the path the registered ext_dedup_embcos query takes — this
+    * kernel stays as the single-machine opt-in.
     */
   def embeddingCosinePairsBlocked(emb: DataFrame, idCol: String,
       vecCol: String, tau: Double): DataFrame = {
@@ -666,6 +680,83 @@ object Dedup {
         }
         out.iterator
       }
+    }.toDF("vec_a", "vec_b", "cos_r")
+  }
+
+  /** Distributed block x block GEMM for brute-force cosine pairs — the
+    * scale form of `embeddingCosinePairsBlocked` with NO driver-side
+    * materialization. The corpus is sharded into `numBlocks` blocks by
+    * `floorMod(id, numBlocks)`; each row is replicated to every block
+    * pair it participates in (replication factor B), and each of the
+    * B*(B+1)/2 unordered block pairs runs the same partition-local
+    * primitive-array inner loop as the blocked kernel over ~2N/B rows.
+    *
+    * Scale: pick B so one block (~N/B rows x dim floats) fits a single
+    * task's memory; driver memory is never touched, and the quadratic
+    * work — inherent to an EXACT all-pairs baseline — spreads over
+    * B*(B+1)/2 independent tasks. The arithmetic (index-ascending double
+    * fold, sqrt-product denominator, HALF_UP round-6) is byte-identical
+    * to the blocked and declarative kernels; per-term products and the
+    * norm product are symmetric in IEEE754, so pair orientation cannot
+    * perturb bits. Cross-checked bit-for-bit in DedupSpec.
+    */
+  def embeddingCosinePairsSharded(emb: DataFrame, idCol: String,
+      vecCol: String, tau: Double, numBlocks: Int = 8): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val B = numBlocks
+    val data = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // (pairKey, blockId, id, vec, normSq): one copy per block pair the
+    // row participates in; normSq computed once, before replication
+    val keyed = data.flatMap { case (id, v) =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+      val b = java.lang.Math.floorMod(id, B.toLong).toInt
+      (0 until B).map { o =>
+        val lo = math.min(b, o); val hi = math.max(b, o)
+        (lo * B + hi, b, id, v, n)
+      }
+    }
+    keyed.groupByKey(_._1).flatMapGroups { (pk: Int, it: Iterator[(Int, Int, Long, Array[Float], Double)]) =>
+      val lo = pk / B; val hi = pk % B
+      val rows = it.toArray
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      def emit(ida: Long, va: Array[Float], na: Double,
+               idb: Long, vb: Array[Float], nb: Double): Unit = {
+        var dot = 0.0; var i = 0
+        while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (cos >= tau) out += ((math.min(ida, idb), math.max(ida, idb),
+          BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      if (lo == hi) {
+        var i = 0
+        while (i < rows.length) {
+          var j = i + 1
+          while (j < rows.length) {
+            emit(rows(i)._3, rows(i)._4, rows(i)._5,
+              rows(j)._3, rows(j)._4, rows(j)._5)
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        val left = rows.filter(_._2 == lo)
+        val right = rows.filter(_._2 == hi)
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) {
+            emit(left(i)._3, left(i)._4, left(i)._5,
+              right(j)._3, right(j)._4, right(j)._5)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      out.iterator
     }.toDF("vec_a", "vec_b", "cos_r")
   }
 

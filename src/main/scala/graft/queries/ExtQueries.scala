@@ -429,7 +429,7 @@ object ExtQueries extends QueryGroup {
   private val EmbCosTau = 0.4
 
   private def dedupEmbCos(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingCosinePairsBlocked(Tables.embeddings(s, d), "vec_id", "embedding", EmbCosTau)
+    Dedup.embeddingCosinePairsSharded(Tables.embeddings(s, d), "vec_id", "embedding", EmbCosTau)
 
   private val dedupEmbCosSql =
     s"""WITH $vecsSql
@@ -589,6 +589,73 @@ object ExtQueries extends QueryGroup {
        scored AS (
          SELECT q.vid AS q_id, c.vid AS vec_b, $searchCos AS cosine
          FROM qassign q JOIN assign c ON q.cell = c.cell AND q.vid <> c.vid)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
+  /** Fixed Lloyd-iteration count for the k-means-refined IVF — small and
+    * constant (quality saturates fast on a coarse quantizer), which is
+    * also what lets the oracle UNROLL the loop as CTE chains.
+    */
+  private val KmIters = 2
+
+  private def annIvfKmeans(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfKmeansTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, IvfCentroidEvery, KmIters)
+
+  /** Twin of Similarity.ivfKmeansTopK. The Lloyd mean runs on the 2^20
+    * integer grid image (exact BIGINT sums, one long/long division —
+    * both order-free), so each round is bit-reproducible here and the
+    * fixed iteration count unrolls as a$k/m$k/c$k CTE chains from the
+    * seeded c0. Assignment/search cosines are the usual ordered folds.
+    */
+  private lazy val annIvfKmeansSql = {
+    val grid = Similarity.KmeansGrid
+    def assignCos(s: String, c: String) =
+      s"${dotOf(s"$s.vec", s"$c.cvec")} / (sqrt($s.nsq) * sqrt($c.cn))"
+    val rounds = (1 to KmIters).map { it =>
+      s"""a$it AS (
+           SELECT vid, cell FROM (
+             SELECT s.vec_id AS vid, c.cent_id AS cell,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY ${assignCos("s", "c")} DESC, c.cent_id ASC) AS rn
+             FROM si s, c${it - 1} c) t
+           WHERE rn = 1),
+         m$it AS (
+           SELECT a.cell, r.range AS d,
+                  CAST(sum(s.si[r.range + 1]) AS BIGINT)
+                    / CAST(count(*) * $grid AS BIGINT) AS m
+           FROM a$it a JOIN si s ON a.vid = s.vec_id
+           CROSS JOIN range(0, $EmbDim) r
+           GROUP BY 1, 2),
+         c$it AS (
+           SELECT cent_id, cvec,
+                  list_reduce(list_transform(range(1, len(cvec) + 1),
+                    i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cn
+           FROM (SELECT cell AS cent_id, list(m ORDER BY d) AS cvec
+                 FROM m$it GROUP BY cell) t)"""
+    }.mkString(",\n       ")
+    s"""WITH $vecsSql,
+       si AS (SELECT vec_id, vec, nsq,
+                list_transform(vec, x -> CAST(round(x * $grid) AS BIGINT)) AS si
+              FROM n),
+       c0 AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+              FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       $rounds,
+       fin AS (
+         SELECT s.vec_id AS vid, s.vec, s.nsq, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY s.vec_id
+                  ORDER BY ${assignCos("s", "c")} DESC, c.cent_id ASC) AS rn
+         FROM si s, c$KmIters c),
+       assign AS (SELECT vid, vec, nsq, cell FROM fin WHERE rn = 1),
+       scored AS (
+         SELECT q.vid AS q_id, c.vid AS vec_b,
+                ${dotOf("q.vec", "c.vec")} / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosine
+         FROM assign q JOIN assign c
+           ON q.cell = c.cell AND q.vid % $QueryMod = 0 AND q.vid <> c.vid)
        SELECT q_id, rnk, vec_b AS neighbor_id
        FROM (SELECT q_id, vec_b,
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
@@ -1138,6 +1205,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
+    GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),

@@ -196,6 +196,18 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
   }
 
+  test("sharded GEMM cosine pairs ≡ declarative plan, bit for bit, any block count") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val ref = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.3)
+    assert(ref.count() > 0)
+    // B=1 (single diagonal block), B=3 (ids don't split evenly), B=8 (default)
+    for (b <- Seq(1, 3, 8)) {
+      val sharded = Dedup.embeddingCosinePairsSharded(emb, "vec_id", "embedding", 0.3, b)
+      assert(sharded.exceptAll(ref).count() == 0 && ref.exceptAll(sharded).count() == 0,
+        s"numBlocks=$b diverged from the declarative reference")
+    }
+  }
+
   test("embeddingLshPairs: identical vectors collide in every band") {
     val emb = Seq(
       (1L, Seq(0.5f, 0.5f, -0.5f, 0.25f)),
