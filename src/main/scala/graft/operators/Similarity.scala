@@ -92,6 +92,85 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** Integer grid for cross-engine-exact centroid means: 2^20. A float
+    * times a power of two is EXACT in double (exponent shift only), so
+    * `round(vec[d] * Grid)` is the same integer in any IEEE engine, and
+    * integer sums are order-independent — the whole Lloyd update becomes
+    * deterministic without ordered float folds.
+    */
+  val KmeansGrid = 1048576L
+
+  /** IVF with a K-MEANS-REFINED coarse quantizer: the seeded every-Nth-id
+    * pick of [[ivfTopK]] becomes the Lloyd INIT, then `lloydIters`
+    * assign/update rounds tighten the cells before the final search.
+    * Tighter cells put true neighbors in the query's cell more often —
+    * the standard recall lift at identical search cost (same nprobe,
+    * same expected occupancy).
+    *
+    * Determinism across engines (the oracle-parity contract): the mean
+    * is the ONE step where float fold order could diverge, so it runs on
+    * the [[KmeansGrid]] integer image of the vectors — exact per-dim
+    * BIGINT sums (order-free), then a single exact-integer division
+    * `sum / (n * Grid)` to double. Assignment/search cosines fold
+    * ascending-dim like everything else. Cells keep their seed centroid
+    * id as a stable label (argmax tie-break); cells that lose all
+    * members drop out, identically in SQL's GROUP BY.
+    *
+    * Scale shape: centroids stay a broadcast set (numCells rows); each
+    * Lloyd round is one broadcast crossJoin + argmax (no corpus shuffle
+    * beyond the per-cell-dim aggregation, which AQE-combines map-side);
+    * rounds are a fixed small count, not data-dependent.
+    */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidEvery: Int, lloydIters: Int,
+      nprobe: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      VectorOps.normSq(col(vecCol)).as("nsq"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * KmeansGrid).cast("long")).as("si"))
+    // nearest cell(s) by cosine, ties to the smaller centroid label
+    def assign(df: DataFrame, cents: DataFrame, cells: Int): DataFrame = {
+      val w = Window.partitionBy("vid").orderBy(col("__ccos").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("__ccos", VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= cells)
+        .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+    }
+    val init = base.where(col("vid") % centroidEvery === 0)
+      .select(col("vid").as("cent_id"), col("vec").as("cvec"), col("nsq").as("cn"))
+    val refined = (1 to lloydIters).foldLeft(init) { (cents, _) =>
+      val sums = assign(base, cents, 1)
+        .select(col("cell"), posexplode(col("si")).as(Seq("d", "v")))
+        .groupBy("cell", "d")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        // exact-integer division straight to double, then rebuild the
+        // array in dim order (sort on d — deterministic)
+        .withColumn("m", col("s") / (col("n") * KmeansGrid))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      sums.select(col("cell").as("cent_id"),
+          transform(col("dm"), e => e.getField("m")).as("cvec"))
+        .withColumn("cn", VectorOps.normSq(col("cvec")))
+    }
+    val c = assign(base, refined, 1)
+      .select(col("vid").as("vec_b"), col("vec").as("vb"), col("nsq").as("nb"), col("cell"))
+    val qbase = queries.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"),
+      VectorOps.normSq(col(vecCol)).as("nsq"))
+    val q = assign(qbase, refined, nprobe)
+      .select(col("vid").as("q_id"), col("vec").as("va"), col("nsq").as("na"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    q.join(c, Seq("cell"))
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
   /** Sign-pattern bucket for band `bb` over `planesPerBand` hyperplanes
     * (planes bb*planesPerBand .. +planesPerBand-1).
     */

@@ -46,6 +46,48 @@ class SimilaritySpec extends SparkSpec {
     // displace an exact hit from the top-5 only by being closer — i.e.
     // by being an exact hit itself — so recall is monotone in nprobe
     assert(r2 >= r1 && r1 > 0.0)
+    // k-means refinement on ISOTROPIC synthetic embeddings cannot beat
+    // the seeded quantizer (there is no cluster structure to exploit —
+    // measured 0.90 vs 0.94 across 1..4 Lloyd rounds); pin a floor so a
+    // broken refinement (collapsed cells, wrong means) still fails, and
+    // leave the "refinement wins" claim to the clustered-data test below
+    val pk = pairs(Similarity.ivfKmeansTopK(corpus, queries, "vec_id", "embedding", 5, 25, 2))
+    val rk = (pk & exact).size.toDouble / exact.size
+    info(f"recall@5 seeded=$r1%.3f nprobe2=$r2%.3f kmeans=$rk%.3f")
+    assert(rk >= 0.8, f"k-means IVF recall collapsed: $rk%.3f")
+  }
+
+  test("ivfKmeansTopK with 0 Lloyd rounds ≡ seeded ivfTopK, bit for bit") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val seeded = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, 25)
+    val km0 = Similarity.ivfKmeansTopK(corpus, queries, "vec_id", "embedding", 5, 25, 0)
+    assert(km0.exceptAll(seeded).count() == 0 && seeded.exceptAll(km0).count() == 0)
+    assert(seeded.count() > 0)
+  }
+
+  test("Lloyd refinement fixes a bad seeded init on CLUSTERED data") {
+    // two tight orthogonal clusters; ids arranged so the seeded pick
+    // (every 6th id -> 0 and 6) lands BOTH centroids in cluster A. The
+    // seeded quantizer then splits cluster A across its two near-equal
+    // cells; two Lloyd rounds must re-separate the cells onto the true
+    // clusters, putting every query's same-cluster neighbors back in its
+    // cell — the recall lift k-means exists for.
+    val eps = 0.01f
+    val rows = (0 until 6).map(i => (2L * i, Seq(1f, eps * i, 0f, 0f))) ++
+      (0 until 6).map(i => ((2L * i) + 1, Seq(eps * i, 1f, 0f, 0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    def recall(df: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]): Double = {
+      val p = df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (p & exact).size.toDouble / exact.size
+    }
+    val exact = Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rSeeded = recall(Similarity.ivfTopK(corpus, corpus, "vec_id", "embedding", 3, 6), exact)
+    val rKmeans = recall(Similarity.ivfKmeansTopK(corpus, corpus, "vec_id", "embedding", 3, 6, 2), exact)
+    info(f"clustered recall@3 seeded=$rSeeded%.3f kmeans=$rKmeans%.3f")
+    assert(rSeeded < 1.0, "init must actually be bad for this test to bite")
+    assert(rKmeans == 1.0, f"refined cells should align with the true clusters, recall=$rKmeans%.3f")
   }
 
   test("langId: marker argmax with priority tiebreak") {
