@@ -113,6 +113,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD2 KeyedDimState: batches rewrite only touched partitions, output ≡ full-rewrite backend") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    val empty = Seq.empty[(Long, String, Long, Option[Long], Int)]
+      .toDF("k", "v", "effective_from", "effective_to", "is_current")
+    val keyed = new Scd2Stream.KeyedDimState(empty, "k", "v", "ts", numPartitions = 4)
+    val full = new Scd2Stream.DimState(empty, "k", "v", "ts")
+    val b1 = (1L to 8L).map(k => (k, s"v$k", 10L)).toDF("k", "v", "ts")
+    // batch 2 touches ONE key: only that key's partition may be rewritten
+    val b2 = Seq((1L, "v1b", 20L)).toDF("k", "v", "ts")
+    // batch 3: change + new key + late row, exercising the fold per-slice
+    val b3 = Seq((2L, "v2b", 30L), (9L, "v9", 30L), (1L, "stale", 5L))
+      .toDF("k", "v", "ts")
+    keyed.sink(b1, 0L); full.sink(b1, 0L)
+    val afterSeed = keyed.partitionVersions
+    keyed.sink(b2, 1L); full.sink(b2, 1L)
+    val afterB2 = keyed.partitionVersions
+    val rewrittenByB2 = afterSeed.zip(afterB2).count { case (a, b) => b > a }
+    assert(rewrittenByB2 == 1,
+      s"single-key batch must rewrite exactly 1 of 4 slices, rewrote $rewrittenByB2")
+    keyed.sink(b3, 2L); full.sink(b3, 2L)
+    val afterB3 = keyed.partitionVersions
+    // b3 touches at most 3 distinct keys → at most 3 slices; dropped-late
+    // key 1 still routes (touched is derived pre-fold), so >= 1
+    val rewrittenByB3 = afterB2.zip(afterB3).count { case (a, b) => b > a }
+    assert(rewrittenByB3 >= 1 && rewrittenByB3 <= 3)
+    val got = keyed.dim.as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    val want = full.dim.as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    assert(got == want, "keyed-merge backend diverged from full-rewrite backend")
+    assert(got.exists { case (k, v, _, _, cur) => k == 1L && v == "v1b" && cur == 1 })
+    assert(got.exists { case (k, _, _, to, cur) => k == 1L && cur == 0 && to.contains(20L) })
+  }
+
   test("SCD2 applyBatch: null values transition null-safely, null keys drop") {
     import spark.implicits._
     import graft.streaming.Scd2Stream
