@@ -1,6 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** (name, coldSec, warmSec, succeeded) per query. */
+  type Result = (String, Double, Double, Boolean)
+
+  private def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+  private def toJson(vs: Seq[(String, Double)]) =
+    vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** Deterministic short keys for the per-query map: first segment's
+    * first 3 chars + 2-char initials of the remaining segments, then
+    * de-collided by a numeric suffix in sorted-name order. ~10 chars vs
+    * ~18 for full names — the step that keeps per-query values on the
+    * canonical line out to ~110 queries.
+    */
+  private[graft] def abbrev(names: Seq[String]): Map[String, String] = {
+    val used = scala.collection.mutable.Set[String]()
+    names.sorted.map { n =>
+      val segs = n.split('_')
+      val a = segs.head.take(3) + segs.tail.map(_.take(2)).mkString
+      var cand = a; var i = 1
+      while (used(cand)) { cand = a + i; i += 1 }
+      used += cand
+      n -> cand
+    }.toMap
+  }
+
+  /** Canonical-line builder, exposed for BenchLineSpec. The driver keeps
+    * only the final ~2000 chars of process output and json-parses the
+    * LAST line, so this must stay under 1900 chars (round-1 lesson).
+    * Degrade ladder, richest representation that fits:
+    *   1. full query names;
+    *   2. abbreviated query names (see [[abbrev]] — headroom past 80
+    *      queries, spec-asserted in BenchLineSpec);
+    *   3. no per-query map (full values remain on the earlier
+    *      bench_detail diagnostic line);
+    *   4. error list collapsed to a count (unbounded when every query
+    *      fails).
+    */
+  private[graft] def canonicalLine(results: Seq[Result], sfDir: String): String = {
+    val warmTotal = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    def line(qs: String, errsJson: String) =
+      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
+    val short = abbrev(results.map(_._1))
+    Seq(
+      line(toJson(results.map(r => r._1 -> r._3)), errs),
+      line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3)), errs),
+      line("{}", errs),
+      line("{}", s"""["${results.count(!_._4)}_queries_failed"]"""))
+      .find(_.length <= 1900).get
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,34 +78,16 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results: Seq[Result] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = timed(fn)
       val warm = Seq.fill(3)(timed(fn))
       (name, cold, warm.map(_._1).min, okCold && warm.forall(_._2))
     }
-    // The driver keeps only the final ~2000 chars of output, so the
-    // canonical line printed LAST must stay short: per-query values
-    // rounded to ms, no cold map (that goes on the earlier bench_detail
-    // line, which may scroll off).
-    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def toJson(vs: Seq[(String, Double)]) =
-      vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val warmTotal = results.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
+    // diagnostic line (may scroll off the tail): cold per-query map with
+    // FULL names, plus the error list
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"bench_detail":{"cold_total":${fmt(coldTotal)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"errors":$errs}}""")
-    def finalLine(qs: String, errsJson: String) =
-      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
-    // hard guard: the canonical line must survive the driver's ~2000-char
-    // output tail or the whole bench reads as unparsed (round-1 lesson).
-    // Degrade in steps — drop the per-query map, then collapse the error
-    // list (itself unbounded when every query fails) to a count.
-    val line = Seq(
-      finalLine(toJson(results.map(r => r._1 -> r._3)), errs),
-      finalLine("{}", errs),
-      finalLine("{}", s"""["${results.count(!_._4)}_queries_failed"]"""))
-      .find(_.length <= 1900).get
-    println(line)
+    println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"errors":$errs}}""")
+    println(canonicalLine(results, sfDir))
     spark.stop()
   }
 }
