@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Second JDBC dialect (Postgres-flavored) for SourcesStateSpec: a DuckDB
+// JDBC jar already sits in the pre-warmed local cache. Attach it as an
+// unmanaged TEST-ONLY jar if (and only if) it is present — no new
+// dependency resolution, offline-safe, and the dialect test assumes-away
+// gracefully when the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier" / "v1"
+  val found = if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get() else Seq.empty
+  found.take(1).map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // The driver parses graft.Bench's final JSON stdout line. sbt's default

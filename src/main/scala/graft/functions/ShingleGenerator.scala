@@ -16,13 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why it is faster: the HOF shape materializes (1) the word array, (2)
   * the index sequence, (3) the transformed shingle array — all per row,
-  * before the explode even starts. This generator scans the document's
-  * bytes once for space positions and then emits each shingle as a
-  * ZERO-COPY slice of the original byte buffer: words split on a single
-  * space are separated by exactly one space in the source, so the span
-  * from word i's first byte to word i+2's last byte IS the
-  * `concat_ws(' ', ...)` result. (Splitting on the 0x20 byte is exact
-  * for UTF-8: a space byte cannot occur inside a multi-byte sequence.)
+  * before the explode even starts. This generator makes ONE copy per
+  * document (`UTF8String.getBytes` materializes the value's bytes when
+  * it doesn't exactly span its backing array — the common case for
+  * UnsafeRow/columnar-scan inputs), scans those bytes once for space
+  * positions, then emits each shingle as a copy-free slice of that one
+  * buffer: words split on a single space are separated by exactly one
+  * space in the source, so the span from word i's first byte to word
+  * i+2's last byte IS the `concat_ws(' ', ...)` result. (Splitting on
+  * the 0x20 byte is exact for UTF-8: a space byte cannot occur inside a
+  * multi-byte sequence.) One copy + k slices still beats the HOF form's
+  * three per-row array materializations.
   *
   * Semantics are bit-identical to the HOF form, including the empty-word
   * behavior of `split` with its implicit limit -1 (consecutive spaces

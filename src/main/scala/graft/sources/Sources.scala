@@ -17,6 +17,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - reads can be partitioned across executors (`partitionColumn`),
   *    instead of one driver-side fetchall;
   *  - writes stream batched inserts from executors, not the driver.
+  *
+  * Dialect coverage. The reference's actual boundary is Postgres
+  * (psycopg2, dm:10); no Postgres server exists in this sandbox, so the
+  * JDBC shape is exercised against TWO embedded dialects in
+  * SourcesStateSpec — Derby (JavaDB) and DuckDB (whose SQL surface is
+  * deliberately Postgres-flavored). Spark routes both through
+  * JdbcDialects; the deltas that matter when pointing `url` at real
+  * Postgres:
+  *  - Spark ships a first-class PostgresDialect (keyed off the
+  *    `jdbc:postgresql:` URL), so type mapping is tighter than the
+  *    NOOP dialect Derby/DuckDB get: StringType -> Postgres TEXT,
+  *    BooleanType -> BOOLEAN (Derby maps CHAR(1)), BYTEA for binary,
+  *    and array types map natively.
+  *  - Schema-qualified `to_sql` replace: pandas drops/recreates inside
+  *    the schema; Spark's Overwrite likewise issues DROP TABLE then
+  *    CREATE TABLE on the qualified name. Postgres accepts
+  *    `schema.table` exactly as Derby/DuckDB do here, but CASE differs:
+  *    Postgres folds unquoted identifiers to LOWER case, Derby folds to
+  *    UPPER (hence the "APP" schema in the Derby test); pass lower-case
+  *    names for Postgres.
+  *  - `if_exists=append` on a missing table: pandas creates it; Spark
+  *    Append also creates it when absent — same on all three.
+  *  - Truncate-vs-drop: with `.option("truncate", true)` Spark's
+  *    PostgresDialect swaps DROP+CREATE for TRUNCATE (keeps grants/
+  *    indexes); Derby's dialect has no such fast path.
   */
 object Sources {
 

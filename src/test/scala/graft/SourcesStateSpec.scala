@@ -36,6 +36,45 @@ class SourcesStateSpec extends SparkSpec {
     assert(part.select("id").as[Long].collect().toSet == (1L to 20L).toSet)
   }
 
+  test("JDBC second dialect (DuckDB, Postgres-flavored): replace/append/partitioned round-trip") {
+    // the driver jar is attached as an unmanaged test jar only when the
+    // local cache has it — cancel (don't fail) when it's absent
+    assume(
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: Throwable => false },
+      "duckdb_jdbc not on the test classpath")
+    // Spark 4's tableExists RETHROWS the probe's SQLException unless the
+    // dialect classifies it as object-not-found (JdbcUtils.tableExists →
+    // isObjectNotFoundException); unregistered URLs get the NOOP dialect,
+    // which classifies by SQLState — null in DuckDB's driver. Registering
+    // a minimal dialect is the production answer for any out-of-tree
+    // JDBC target (the same hook a real Postgres fork would use).
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbTestDialect)
+    val db = Files.createTempDirectory("graft_duck").resolve("g.duckdb")
+    val url = s"jdbc:duckdb:$db"
+    // single partition per write: embedded DuckDB uses optimistic
+    // concurrency, so two executor connections appending the same table
+    // in one transaction window could conflict — a property of the
+    // EMBEDDED target, not of the sink (server Postgres takes the
+    // parallel executor inserts as-is)
+    val df = (1L to 20L).map(i => (i, s"name_$i", i * 1.5))
+      .toDF("id", "name", "score").coalesce(1)
+    // unquoted identifiers fold to lower case (the Postgres rule; Derby
+    // folds UPPER — exactly the dialect delta Sources.scala documents)
+    Sources.writeJdbcTable(df, url, "main", "customers", "", "", replace = true)
+    val back = Sources.readJdbcTable(spark, url, "main", "customers", "", "")
+    assert(back.columns.map(_.toLowerCase).toSeq == Seq("id", "name", "score"))
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      df.as[(Long, String, Double)].collect().toSet)
+    Sources.writeJdbcTable(df, url, "main", "customers", "", "", replace = false)
+    assert(Sources.readJdbcTable(spark, url, "main", "customers", "", "").count() == 40)
+    Sources.writeJdbcTable(df, url, "main", "customers", "", "", replace = true)
+    val part = Sources.readJdbcTable(spark, url, "main", "customers", "", "",
+      partition = Some(("id", 1L, 20L, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.select("id").as[Long].collect().toSet == (1L to 20L).toSet)
+  }
+
   test("parquet sink: replace vs append mirror to_sql if_exists") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
@@ -94,4 +133,21 @@ class SourcesStateSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
   }
+}
+
+/** Minimal dialect for the embedded-DuckDB test target: URL routing plus
+  * the object-not-found classification Spark 4's tableExists probe needs
+  * (DuckDB SQLExceptions carry no SQLState, so the NOOP dialect would
+  * rethrow the probe failure instead of returning "absent").
+  */
+object DuckDbTestDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+  override def canHandle(url: String): Boolean = url.startsWith("jdbc:duckdb:")
+  override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+    e.getMessage != null && e.getMessage.contains("does not exist")
+  // the driver's ResultSetMetaData.isSigned returns false, which makes
+  // Spark's default mapping read BIGINT back as DECIMAL(20,0) — the
+  // unsigned-bigint rule misfiring; DuckDB BIGINT is signed 64-bit
+  override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+      md: org.apache.spark.sql.types.MetadataBuilder): Option[org.apache.spark.sql.types.DataType] =
+    if (sqlType == java.sql.Types.BIGINT) Some(org.apache.spark.sql.types.LongType) else None
 }
