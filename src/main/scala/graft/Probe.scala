@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch A/B harness (not part of the driver contract) — currently:
-  * recall sweep for the k-means-refined IVF quantizer.
+  * timing the IVF assignment shapes at sf0.1.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -13,23 +13,18 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Similarity
-    val d = "/root/testdata/sf0.01"
+    val d = "/root/testdata/sf0.1"
     val corpus = Tables.embeddings(spark, d)
     val queries = corpus.where(col("vec_id") % 50 === 0)
-    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
-      import spark.implicits._
-      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    }
-    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
-    def rec(p: Set[(Long, Long)]) = (p & exact).size.toDouble / exact.size
-    for (ce <- Seq(25, 20)) {
-      val seeded = rec(pairs(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, ce)))
-      println(f"PROBE ce=$ce seeded recall=$seeded%.4f")
-      for (iters <- 1 to 4; np <- Seq(1, 2)) {
-        val r = rec(pairs(Similarity.ivfKmeansTopK(corpus, queries, "vec_id", "embedding", 5, ce, iters, np)))
-        println(f"PROBE ce=$ce iters=$iters nprobe=$np recall=$r%.4f")
+    def run(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      println(f"PROBE $label MIN ${ts.drop(1).min}%.3f ALL ${ts.map(t => f"$t%.2f").mkString(",")}")
     }
+    run("ivf") { Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, 25).count() }
+    run("ivf2") { Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, 25, nprobe = 2).count() }
+    run("kmeans") { Similarity.ivfKmeansTopK(corpus, queries, "vec_id", "embedding", 5, 25, 2).count() }
     spark.stop()
   }
 }

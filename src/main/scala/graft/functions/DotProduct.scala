@@ -100,6 +100,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val PolyHashName = "graft_polyhash"
   val ShinglesName = "graft_shingles"
+  val NearestCentroidName = "graft_nearest_centroid"
 
   /** Arity-checked builder shared by both registration paths. */
   def buildDot(exprs: Seq[Expression]): Expression = {
@@ -120,6 +121,12 @@ object GraftFunctions {
     ShingleGenerator(exprs.head)
   }
 
+  def buildNearestCentroid(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"$NearestCentroidName requires exactly 3 arguments (cents, vec, nsq), got ${exprs.length}")
+    NearestCentroid(exprs.head, exprs(1), exprs(2))
+  }
+
   /** Idempotent per-session registration (for sessions not built with
     * GraftExtensions).
     */
@@ -130,5 +137,7 @@ object GraftFunctions {
       PolyHashName, buildPolyHash, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName, buildShingles, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NearestCentroidName, buildNearestCentroid, "built-in")
   }
 }

@@ -48,6 +48,24 @@ object Similarity {
   def planeCoef(j: Int, d: Int, dim: Int): Double =
     ((1103515245L * (j * dim + d) + 12345L) % 2048L).toDouble / 2048.0 - 0.5
 
+  /** The centroid set as ONE row holding an array<struct<cent_id,cvec,cn>>
+    * — the broadcast build for [[argmaxCell]]'s per-row fold. Array order
+    * is whatever collect_list sees; argmaxCell's total tie-break makes
+    * the assignment independent of it.
+    */
+  private def centArray(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cent_id"), col("cvec"), col("cn"))).as("__cents"))
+
+  /** Nearest-centroid id for one row — the codegen'd
+    * [[graft.functions.NearestCentroid]] loop over `__cents` (see its
+    * scaladoc for why neither a window, an aggregate, nor an `aggregate()`
+    * HOF is the right plan shape for this). No shuffle, no sort, numCells
+    * fused dot products per row, tie-break (cos DESC, cent_id ASC).
+    */
+  private def argmaxCell(vec: Column, nsq: Column): Column =
+    call_function(graft.functions.GraftFunctions.NearestCentroidName,
+      col("__cents"), vec, nsq)
+
   /** IVF-style ANN (nprobe=1): a small deterministic coarse quantizer —
     * `numCells` "centroids" drawn from the corpus itself (every
     * `centroidEvery`-th id, the seeded stand-in for a k-means training
@@ -72,14 +90,29 @@ object Similarity {
         VectorOps.normSq(col(vecCol)).as("cn"))
     def assign(df: DataFrame, idAs: String, vecAs: String, nAs: String,
         cells: Int): DataFrame = {
-      val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-          VectorOps.normSq(col(vecCol)).as(nAs))
-        .crossJoin(broadcast(cents))
-        .withColumn("__ccos", VectorOps.cosine(col(vecAs), col("cvec"), col(nAs), col("cn")))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= cells)
-        .select(col(idAs), col(vecAs), col(nAs), col("cent_id").as("cell"))
+      val base = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        VectorOps.normSq(col(vecCol)).as(nAs))
+      if (cells == 1)
+        // single-cell assignment as a SHUFFLE-FREE per-row fold over the
+        // centroid set collected into ONE broadcast array row: inside
+        // whole-stage codegen the broadcast row is read by reference, so
+        // the corpus streams through map-only — no exchange, no sort (the
+        // window form shuffles |corpus| x numCells rows; a max(struct)
+        // agg plans as SortAggregate, same sort again). The fold's
+        // explicit tie-break (greater cos, then smaller cent_id) makes
+        // the result independent of centroid array order — identical to
+        // the oracle's ORDER BY cos DESC, cent_id ASC.
+        base.crossJoin(broadcast(centArray(cents)))
+          .withColumn("cell", argmaxCell(col(vecAs), col(nAs)))
+          .drop("__cents")
+      else {
+        val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
+        base.crossJoin(broadcast(cents))
+          .withColumn("__ccos", VectorOps.cosine(col(vecAs), col("cvec"), col(nAs), col("cn")))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= cells)
+          .select(col(idAs), col(vecAs), col(nAs), col("cent_id").as("cell"))
+      }
     }
     val c = assign(corpus, "vec_b", "vb", "nb", 1)
     val q = assign(queries, "q_id", "va", "na", nprobe)
@@ -130,15 +163,24 @@ object Similarity {
       VectorOps.normSq(col(vecCol)).as("nsq"),
       transform(col(vecCol),
         x => round(x.cast("double") * KmeansGrid).cast("long")).as("si"))
-    // nearest cell(s) by cosine, ties to the smaller centroid label
-    def assign(df: DataFrame, cents: DataFrame, cells: Int): DataFrame = {
-      val w = Window.partitionBy("vid").orderBy(col("__ccos").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("__ccos", VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= cells)
-        .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
-    }
+    // nearest cell(s) by cosine, ties to the smaller centroid label.
+    // cells == 1 (every Lloyd round + the corpus side of the search) is
+    // the shuffle-free per-row fold over the broadcast centroid array
+    // (see argmaxCell); cells > 1 keeps the ranked window (query side
+    // only, a tiny input).
+    def assign(df: DataFrame, cents: DataFrame, cells: Int): DataFrame =
+      if (cells == 1)
+        df.crossJoin(broadcast(centArray(cents)))
+          .withColumn("cell", argmaxCell(col("vec"), col("nsq")))
+          .drop("__cents")
+      else {
+        val w = Window.partitionBy("vid").orderBy(col("__ccos").desc, col("cent_id").asc)
+        df.crossJoin(broadcast(cents))
+          .withColumn("__ccos", VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= cells)
+          .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+      }
     val init = base.where(col("vid") % centroidEvery === 0)
       .select(col("vid").as("cent_id"), col("vec").as("cvec"), col("nsq").as("cn"))
     val refined = (1 to lloydIters).foldLeft(init) { (cents, _) =>

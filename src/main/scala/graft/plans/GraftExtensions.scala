@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions, PolyHashExpr, ShingleGenerator}
+import graft.functions.{DotProduct, GraftFunctions, NearestCentroid, PolyHashExpr, ShingleGenerator}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(GraftFunctions.ShinglesName),
       new ExpressionInfo(classOf[ShingleGenerator].getName, GraftFunctions.ShinglesName),
       GraftFunctions.buildShingles))
+    e.injectFunction((
+      new FunctionIdentifier(GraftFunctions.NearestCentroidName),
+      new ExpressionInfo(classOf[NearestCentroid].getName, GraftFunctions.NearestCentroidName),
+      GraftFunctions.buildNearestCentroid))
   }
 }
