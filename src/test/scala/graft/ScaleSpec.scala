@@ -133,4 +133,38 @@ class ScaleSpec extends SparkSpec {
       col("q_id") === col("neighbor_id")).count()
     assert(bad == 0)
   }
+
+  /** Shuffle-exchange arguments in the STATIC plan (AQE's initial plan —
+    * what the audited claims in PLANS.md are written against).
+    */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    "Exchange (hashpartitioning\\([^)]*\\)|SinglePartition|rangepartitioning\\([^)]*\\))".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString).map(_.group(1)).toList
+
+  test("plan audit: audited exchange counts hold (PLANS.md claims)") {
+    // a Spark upgrade or query edit that adds a shuffle to one of these
+    // fails here first — re-audit PLANS.md before bumping a number
+    def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+    val rolling = shuffles(q("ext_ts_rolling"))
+    assert(rolling.size == 1 && rolling.head.contains("user_id"),
+      s"ext_ts_rolling: one user_id exchange feeds all three frames, got $rolling")
+    val funnel = shuffles(q("ext_events_funnel"))
+    assert(funnel.size == 2, s"ext_events_funnel: user_id + stage-total, got $funnel")
+    val retention = shuffles(q("ext_events_retention"))
+    assert(retention.size == 2, s"ext_events_retention: user_id + cohort cell, got $retention")
+    val gsets = shuffles(q("ext_corpus_gsets"))
+    assert(gsets.size == 1 && gsets.head.contains("spark_grouping_id"),
+      s"ext_corpus_gsets: Expand feeds ONE grouping-sets aggregate exchange, got $gsets")
+    val embcos = shuffles(q("ext_dedup_embcos"))
+    assert(embcos.size == 1,
+      s"ext_dedup_embcos: the block-pair groupByKey is the only exchange, got $embcos")
+    // IVF: the corpus is NEVER hash-partitioned — assignment is the
+    // map-only graft_nearest_centroid fold; the only hash exchange is the
+    // final per-query top-k window over candidate rows, plus the two
+    // single-row centroid-array builds
+    val ivf = shuffles(q("ext_ann_ivf"))
+    val ivfHash = ivf.filter(_.startsWith("hashpartitioning"))
+    assert(ivfHash.size == 1 && ivfHash.head.contains("q_id"),
+      s"ext_ann_ivf: only the q_id top-k window may hash-shuffle, got $ivf")
+  }
 }
