@@ -34,6 +34,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("graft_nearest_centroid is callable from SQL text, argmax + tie-break") {
+    // centroid 20 ties centroid 10 on cosine (same direction) -> smaller
+    // id wins; empty centroid array -> null
+    val row = spark.sql(
+      """SELECT graft_nearest_centroid(
+           array(named_struct('cent_id', 10L, 'cvec', array(1.0D, 0.0D), 'cn', 1.0D),
+                 named_struct('cent_id', 20L, 'cvec', array(2.0D, 0.0D), 'cn', 4.0D),
+                 named_struct('cent_id', 30L, 'cvec', array(0.0D, 1.0D), 'cn', 1.0D)),
+           array(0.9D, 0.1D), 0.82D) AS cell,
+           graft_nearest_centroid(
+             CAST(array() AS ARRAY<STRUCT<cent_id: BIGINT, cvec: ARRAY<DOUBLE>, cn: DOUBLE>>),
+             array(1.0D), 1.0D) AS empty""").head()
+    assert(row.getLong(0) == 10L)
+    assert(row.isNullAt(1))
+  }
+
   test("graft_shingles generator works as a SQL table-generating function") {
     import spark.implicits._
     val got = spark.sql("SELECT graft_shingles('a b c d') AS shingle")
