@@ -113,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 on the keyed backend: live foreachBatch, same dimension") {
+    // the production backend under a REAL streaming query (the batch-wise
+    // equivalence test below covers the slice mechanics; this covers the
+    // foreachBatch wiring end to end)
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val empty = Seq.empty[(Long, String, Long, Option[Long], Int)]
+      .toDF("k", "v", "effective_from", "effective_to", "is_current")
+    val state = new graft.streaming.Scd2Stream.KeyedDimState(empty, "k", "v", "ts", 4)
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("k", "v", "ts").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    try {
+      input.addData((1L, "a", 10L), (2L, "b", 10L))
+      q.processAllAvailable()
+      input.addData((1L, "a2", 20L), (3L, "c", 20L))
+      q.processAllAvailable()
+      val dim = state.dim.as[(Long, String, Long, Option[Long], Int)]
+        .collect().toSet
+      assert(dim == Set(
+        (1L, "a", 10L, Some(20L), 0),
+        (1L, "a2", 20L, None, 1),
+        (2L, "b", 10L, None, 1),
+        (3L, "c", 20L, None, 1)))
+      // the second batch touched 2 keys -> at most 2 of 4 slices rewritten twice
+      assert(state.partitionVersions.count(_ >= 2) <= 2)
+    } finally q.stop()
+  }
+
   test("SCD2 KeyedDimState: batches rewrite only touched partitions, output ≡ full-rewrite backend") {
     import spark.implicits._
     import graft.streaming.Scd2Stream
