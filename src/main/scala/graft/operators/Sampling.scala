@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data curation.
+  *
+  * Why not `DataFrame.sample` / `rand(seed)`: those draw from a
+  * partition-dependent RNG stream — the selected set changes with
+  * partitioning, cluster size, and engine, which is poison for
+  * reproducible dataset builds (and for the DuckDB oracle). Here the
+  * "random" order is the [[Dedup.polyHash]] char fold of (text + salt):
+  * an engine-independent PRNG keyed on content, so a draw reproduces
+  * bit-for-bit anywhere, and different salts give independent draws
+  * (same trick as ExtQueries' train/val/test split).
+  *
+  * Scale shape: the rank filter compiles to WindowGroupLimit (Spark 4's
+  * rank-limit pushdown — see PLANS.md "Top-k"): every map task keeps at
+  * most `quota` rows per stratum BEFORE the shuffle, so the per-stratum
+  * reducer receives ≤ quota x mapTasks rows no matter how hot the
+  * stratum — stratified sampling of a 100 TB corpus moves only
+  * sample-sized data. One exchange total.
+  */
+object Sampling {
+
+  /** Exact per-stratum quota sample. `quota` is a Column so mixing
+    * weights can vary by stratum (e.g. boost an under-represented
+    * source); strata smaller than their quota are taken whole. Output =
+    * input columns + `smp_rank` (1..quota within the stratum, in the
+    * salted-hash draw order; ties on the hash — e.g. exact-duplicate
+    * texts — break by `idCol` so the rank is total).
+    *
+    * The salt is a PREFIX, deliberately: a suffix only adds a constant
+    * offset to the char fold (`poly(text||s) = poly(text)*31^|s| +
+    * poly(s) mod P`), which preserves the relative ORDER of almost every
+    * pair — two "independent" suffix-salted draws select nearly the same
+    * rows (spec-caught). A prefix multiplies by 31^|text| per document,
+    * scrambling order properly. (The train/val/test split's suffix salt
+    * is fine — it consumes the absolute VALUE, which a constant shift
+    * does change.)
+    */
+  def stratified(df: DataFrame, strataCols: Seq[String], idCol: String,
+      textCol: String, quota: Column, salt: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(Dedup.polyHash(concat(lit(salt), col(textCol))), col(idCol))
+    df.withColumn("smp_rank", row_number().over(w))
+      .where(col("smp_rank") <= quota)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryGroup, Tables}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -304,6 +304,31 @@ object ExtQueries extends QueryGroup {
        FROM (SELECT lang, ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS b
              FROM documents) t
        GROUP BY 1, 2"""
+
+  /** Stratified (lang, source) sample with a WEIGHTED quota — src0 is
+    * double-sampled, modeling a source-mixing boost. See
+    * operators/Sampling.scala for the determinism + WindowGroupLimit
+    * scale story.
+    */
+  private val SampleSalt = "|graft-sample-7"
+  private val SampleQuota = 2
+  private val SampleBoostQuota = 4
+
+  private def corpusSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratified(Tables.documents(s, d), Seq("lang", "source"),
+        "doc_id", "text",
+        when(col("source") === "src0", SampleBoostQuota).otherwise(SampleQuota),
+        SampleSalt)
+      .select("lang", "source", "smp_rank", "doc_id")
+
+  private val corpusSampleSql =
+    s"""SELECT lang, source, smp_rank, doc_id
+       FROM (SELECT lang, source, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang, source
+                 ORDER BY ${polyHashSql(s"'$SampleSalt' || text")}, doc_id) AS INTEGER) AS smp_rank
+             FROM documents) t
+       WHERE smp_rank <= CASE WHEN source = 'src0'
+                              THEN $SampleBoostQuota ELSE $SampleQuota END"""
 
   // ------------------------------------------------------------------ dedup
 
@@ -1186,6 +1211,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
+    GQuery("ext_corpus_sample", corpusSample, Some(corpusSampleSql), "stratified weighted-quota sample (deterministic salted-hash draw)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),
