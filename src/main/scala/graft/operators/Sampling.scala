@@ -48,4 +48,38 @@ object Sampling {
     df.withColumn("smp_rank", row_number().over(w))
       .where(col("smp_rank") <= quota)
   }
+
+  /** Sequence packing for LLM pretraining: documents are concatenated in
+    * a deterministic salted-hash order and chunked into fixed
+    * `budget`-sized context windows; each document's PACK id is the
+    * window its first unit lands in (`floor(prefix_before / budget)` —
+    * the concat-then-chunk pipeline, where a document may span the
+    * boundary into the next window; `spans_next` flags those).
+    *
+    * Packing runs PER STRATUM (e.g. per language), which is both the
+    * realistic shape (streams are packed per domain/language, not across
+    * a 100 TB global order) and the scale-correct one: the prefix sum is
+    * a window over the stratum key, never the single-partition global
+    * window PLANS.md bans. Determinism: same salted-hash order as
+    * [[stratified]] (prefix salt), integer unit sums only.
+    *
+    * Output: input columns + `pack_id` (0-based window index within the
+    * stratum) + `spans_next` (1 when the document crosses into the next
+    * window).
+    */
+  def packSequences(df: DataFrame, strataCols: Seq[String], idCol: String,
+      unitsCol: String, budget: Long, salt: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(Dedup.polyHash(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(unitsCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(unitsCol)) / budget).cast("long"))
+      .withColumn("spans_next",
+        when(floor((col("__cum") - lit(1)) / budget).cast("long") > col("pack_id"), 1)
+          .otherwise(0))
+      .drop("__cum")
+  }
 }

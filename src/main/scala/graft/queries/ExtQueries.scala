@@ -330,6 +330,40 @@ object ExtQueries extends QueryGroup {
        WHERE smp_rank <= CASE WHEN source = 'src0'
                               THEN $SampleBoostQuota ELSE $SampleQuota END"""
 
+  /** Sequence packing: concat-then-chunk documents into fixed char
+    * budgets per language, emitted as per-pack occupancy stats (docs,
+    * chars, boundary-spanning count). See Sampling.packSequences.
+    */
+  private val PackSalt = "|graft-pack-3"
+  private val PackBudget = 4096L
+
+  private def corpusPack(s: SparkSession, d: String): DataFrame =
+    Sampling.packSequences(Tables.documents(s, d), Seq("lang"),
+        "doc_id", "n_chars", PackBudget, PackSalt)
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("spans_next")).cast("long").as("n_spanning"))
+
+  private val corpusPackSql =
+    s"""WITH ordered AS (
+         SELECT lang, doc_id, n_chars,
+           sum(n_chars) OVER (PARTITION BY lang
+             ORDER BY ${polyHashSql(s"'$PackSalt' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents),
+       packed AS (
+         SELECT lang, n_chars,
+           CAST(floor((cum - n_chars) / $PackBudget) AS BIGINT) AS pack_id,
+           CASE WHEN CAST(floor((cum - 1) / $PackBudget) AS BIGINT)
+                   > CAST(floor((cum - n_chars) / $PackBudget) AS BIGINT)
+                THEN 1 ELSE 0 END AS spans_next
+         FROM ordered)
+       SELECT lang, pack_id, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(spans_next) AS BIGINT) AS n_spanning
+       FROM packed GROUP BY 1, 2"""
+
   // ------------------------------------------------------------------ dedup
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -1212,6 +1246,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_corpus_sample", corpusSample, Some(corpusSampleSql), "stratified weighted-quota sample (deterministic salted-hash draw)"),
+    GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),

@@ -46,4 +46,37 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected rank-limit pushdown in:\n$plan")
   }
+
+  test("packSequences: concat-then-chunk arithmetic, hand-checked") {
+    // one stratum, force the draw order to the id order by checking
+    // invariants that hold under ANY order: total unit conservation,
+    // contiguous pack ids from 0, every non-final pack filled to >=
+    // budget by its docs plus its spanning doc's overflow
+    val df = Seq((1L, "g", 4L), (2L, "g", 4L), (3L, "g", 4L))
+      .toDF("doc_id", "grp", "n")
+    val got = Sampling.packSequences(df, Seq("grp"), "doc_id", "n", 10L, "|p1")
+      .select("doc_id", "pack_id", "spans_next")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    // cum prefix per draw order: first two docs fit window 0 (prefix 0, 4),
+    // the third starts at prefix 8 < 10 -> pack 0 but ends at 12 -> spans
+    assert(got.map(_._2).toSet == Set(0L), s"all three start in pack 0: $got")
+    assert(got.count(_._3 == 1) == 1, s"exactly one doc crosses the boundary: $got")
+  }
+
+  test("packSequences: packs are contiguous, conserve units, deterministic") {
+    val packed = Sampling.packSequences(docs, Seq("lang"), "doc_id", "n_chars",
+      4096L, "|p2")
+    // unit conservation: no doc lost or duplicated
+    assert(packed.count() == docs.count())
+    // pack ids contiguous 0..max per lang (concat-then-chunk leaves no gap)
+    val gaps = packed.groupBy("lang")
+      .agg(countDistinct(col("pack_id")).as("n"), max(col("pack_id")).as("mx"))
+      .where(col("n") =!= col("mx") + 1)
+    assert(gaps.count() == 0)
+    // partition-independence
+    val again = Sampling.packSequences(docs.repartition(5, col("doc_id")),
+      Seq("lang"), "doc_id", "n_chars", 4096L, "|p2")
+      .select("doc_id", "pack_id", "spans_next")
+    assert(again.exceptAll(packed.select("doc_id", "pack_id", "spans_next")).count() == 0)
+  }
 }
