@@ -1205,6 +1205,82 @@ object ExtQueries extends QueryGroup {
        WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.doc_b = pre.doc_id)"""
   }
 
+  /** THE whole-pipeline composite: clean (quality + language + near-dup
+    * sweep) → stratified sample per predicted language → sequence-pack
+    * into context budgets — the full curation path a training-data build
+    * runs, as ONE lazy DAG (the clean's localCheckpoint is its only
+    * materialization). Emits per-pack occupancy plus the pack's minimum
+    * quality (min is fold-order-free, unlike avg).
+    */
+  private val CurateSampleSalt = "|graft-curate-s"
+  private val CuratePackSalt = "|graft-curate-p"
+  private val CurateQuota = 25
+  private val CurateBudget = 2048L
+
+  private def corpusCurate(s: SparkSession, d: String): DataFrame = {
+    val cleaned = graft.operators.CorpusPipeline.clean(
+      Tables.documents(s, d), "doc_id", "text",
+      CleanMinQuality, CleanLangs,
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+    val sampled = Sampling.stratified(cleaned, Seq("pred_lang"),
+      "doc_id", "text", lit(CurateQuota), CurateSampleSalt)
+    Sampling.packSequences(sampled, Seq("pred_lang"),
+        "doc_id", "n_chars", CurateBudget, CuratePackSalt)
+      .groupBy("pred_lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("spans_next")).cast("long").as("n_spanning"),
+        min(col("quality")).as("min_quality"))
+  }
+
+  private lazy val corpusCurateSql = {
+    val langList = CleanLangs.map(l => s"'$l'").mkString(", ")
+    val quality = qualitySqlOver(
+      "len(list_distinct(string_split(text, ' ')))",
+      "len(string_split(text, ' '))",
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql)))")
+    s"""WITH scored AS (
+         SELECT doc_id, text, n_chars,
+           $quality AS quality,
+           $langCaseSql AS pred_lang
+         FROM (SELECT doc_id, text, n_chars, $langScoresSql FROM documents) t0),
+       pre AS (
+         SELECT * FROM scored
+         WHERE quality >= $CleanMinQuality AND pred_lang IN ($langList)),
+       pairs AS (
+         WITH ${minhashCtesSql("pre")},
+         ${verifySql(MinhashTau)}),
+       cleaned AS (
+         SELECT doc_id, text, pred_lang, quality, n_chars
+         FROM pre
+         WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.doc_b = pre.doc_id)),
+       sampled AS (
+         SELECT doc_id, pred_lang, quality, n_chars FROM (
+           SELECT doc_id, pred_lang, quality, n_chars,
+             row_number() OVER (PARTITION BY pred_lang
+               ORDER BY ${polyHashSql(s"'$CurateSampleSalt' || text")}, doc_id) AS rn
+           FROM cleaned) t
+         WHERE rn <= $CurateQuota),
+       ordered AS (
+         SELECT pred_lang, quality, n_chars,
+           sum(n_chars) OVER (PARTITION BY pred_lang
+             ORDER BY ${polyHashSql(s"'$CuratePackSalt' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM sampled),
+       packed AS (
+         SELECT pred_lang, quality, n_chars,
+           CAST(floor((cum - n_chars) / $CurateBudget) AS BIGINT) AS pack_id,
+           CASE WHEN CAST(floor((cum - 1) / $CurateBudget) AS BIGINT)
+                   > CAST(floor((cum - n_chars) / $CurateBudget) AS BIGINT)
+                THEN 1 ELSE 0 END AS spans_next
+         FROM ordered)
+       SELECT pred_lang, pack_id, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(spans_next) AS BIGINT) AS n_spanning,
+              min(quality) AS min_quality
+       FROM packed GROUP BY 1, 2"""
+  }
+
   // -------------------------------------------------------------- streaming
 
   private def streamWindow(s: SparkSession, d: String): DataFrame =
@@ -1247,6 +1323,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_corpus_sample", corpusSample, Some(corpusSampleSql), "stratified weighted-quota sample (deterministic salted-hash draw)"),
     GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
+    GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),
