@@ -161,6 +161,39 @@ object Dedup {
     scoredIntersectionPairs(docs, idCol, textCol, "containment",
       (inter, na, nb) => inter / least(na, nb), tau, broadcastSizes)
 
+  /** CROSS-CORPUS contamination: for each document in `eval`, the
+    * `train` documents whose shingle overlap covers >= `tau` of the EVAL
+    * document's shingle set (coverage = |T∩E| / |E| — the train doc
+    * "contains" the eval doc). This is benchmark DEcontamination, not
+    * self-dedup: the join is bipartite (train-side inverted index probes
+    * eval-side shingles), the score denominator is one-sided, and a hit
+    * means the eval document leaked into training data — the reported
+    * train_id is what to purge (or the eval_id to discard).
+    *
+    * Scale shape: identical to the self-join pair operators — one
+    * equi-join on the shingle key, per-shingle fan-out |train docs with
+    * s| x |eval docs with s| (eval is typically tiny: a benchmark).
+    * Eval-side sizes attach broadcast by default (same opt-out as the
+    * other pair ops).
+    */
+  def crossContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, tau: Double,
+      broadcastSizes: Boolean = true): DataFrame = {
+    val hint = hintIf(broadcastSizes) _
+    val trainEdges = shingleEdges(train, idCol, textCol)
+    val evalEdges = shingleEdges(eval, idCol, textCol).persist()
+    val evalSizes = shingleSizes(evalEdges)
+    val pairs = evalEdges.select(col("doc_id").as("eval_id"), col("shingle"))
+      .join(trainEdges.select(col("doc_id").as("train_id"), col("shingle")), Seq("shingle"))
+      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("inter"))
+      .join(hint(evalSizes.select(col("doc_id").as("eval_id"), col("n_sh").as("ne"))),
+        Seq("eval_id"))
+      .withColumn("coverage", col("inter") / col("ne"))
+      .where(col("coverage") >= tau)
+      .select("eval_id", "train_id", "coverage")
+    materializePairs(pairs, evalEdges)
+  }
+
   /** Near-dup pairs by Jaccard with DOCUMENT-FREQUENCY CAPPING: shingles
     * appearing in more than `maxDf` documents are excluded from CANDIDATE
     * GENERATION (verification still uses full shingle sets, so reported

@@ -25,8 +25,8 @@ object ExtQueries extends QueryGroup {
     * (1-based list indexing vs Spark's 0-based). Parameterized by source
     * relation so composites can shingle a prefiltered subset.
     */
-  private def edgesSqlFrom(src: String) =
-    s"""edges AS (
+  private def edgesSqlFrom(src: String, cte: String = "edges") =
+    s"""$cte AS (
        SELECT DISTINCT doc_id,
          unnest(CASE WHEN len(string_split(text, ' ')) >= 3
            THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -365,6 +365,41 @@ object ExtQueries extends QueryGroup {
        FROM packed GROUP BY 1, 2"""
 
   // ------------------------------------------------------------------ dedup
+
+  /** Benchmark decontamination over the SAME deterministic split the
+    * train/val/test query defines: train bucket (< 80) probed by the
+    * test bucket (>= 90) for shingle coverage — a hit is an eval doc
+    * leaked into training data. Coverage threshold is LOW (0.3) on
+    * purpose: decontamination errs toward recall.
+    */
+  private val ContamTau = 0.3
+
+  private def dedupContaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val docs = Tables.documents(s, d)
+    Dedup.crossContamination(
+      docs.where(bucket < 80), docs.where(bucket >= 90),
+      "doc_id", "text", ContamTau)
+  }
+
+  private lazy val dedupContaminateSql = {
+    val bucketed =
+      s"""b AS (SELECT doc_id, text,
+            ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS bk
+          FROM documents)"""
+    s"""WITH $bucketed,
+       ${edgesSqlFrom("(SELECT doc_id, text FROM b WHERE bk < 80)", "te")},
+       ${edgesSqlFrom("(SELECT doc_id, text FROM b WHERE bk >= 90)", "ee")},
+       es AS (SELECT doc_id, count(*) AS n_sh FROM ee GROUP BY doc_id),
+       inter AS (
+         SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS i
+         FROM ee e JOIN te t ON e.shingle = t.shingle
+         GROUP BY 1, 2)
+       SELECT eval_id, train_id, i / es.n_sh AS coverage
+       FROM inter JOIN es ON inter.eval_id = es.doc_id
+       WHERE i / es.n_sh >= $ContamTau"""
+  }
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
@@ -1327,6 +1362,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),
+    GQuery("ext_dedup_contaminate", dedupContaminate, Some(dedupContaminateSql), "cross-corpus benchmark decontamination (train x test shingle coverage)"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),

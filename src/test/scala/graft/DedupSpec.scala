@@ -196,6 +196,26 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
   }
 
+  test("crossContamination: bipartite coverage of the EVAL doc's shingles") {
+    val train = Seq(
+      (1L, "a b c d e f"),      // contains eval 10 wholly
+      (2L, "x y z w v u"),      // shares half of eval 11's shingles
+      (3L, "p q r s t")         // unrelated
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "b c d e"),         // 2 shingles, both in train 1 -> 1.0
+      (11L, "x y z k1 k2 k3"),  // 4 shingles, 1 in train 2 -> 0.25
+      (12L, "m n o")            // no overlap -> absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossContamination(train, eval, "doc_id", "text", 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((10L, 1L, 1.0), (11L, 2L, 0.25)))
+    // threshold excludes the partial hit; denominator is EVAL-side only
+    val strict = Dedup.crossContamination(train, eval, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(strict == Set((10L, 1L, 1.0)))
+  }
+
   test("sharded GEMM cosine pairs ≡ declarative plan, bit for bit, any block count") {
     val emb = Tables.embeddings(spark, sf0001)
     val ref = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.3)
