@@ -110,6 +110,52 @@ object InvariantProps extends Properties("graft.invariants") {
       got == want
     }
 
+  /** The pure-Scala twin of the polyhash char fold, for reference
+    * implementations of the salted-draw operators below.
+    */
+  private def pureHash(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % graft.operators.Dedup.MinhashMod)
+
+  property("packSequences matches sequential reference packing for any units/budget") =
+    forAll(Gen.listOfN(20, Gen.chooseNum(1L, 50L)), Gen.chooseNum(5L, 100L)) {
+      (units, budget) =>
+        import spark.implicits._
+        val salt = "|prop-pack"
+        val rows = units.zipWithIndex.map { case (n, i) => (i.toLong, "g", n) }
+        val got = graft.operators.Sampling
+          .packSequences(rows.toDF("id", "g", "n"), Seq("g"), "id", "n", budget, salt)
+          .select("id", "pack_id", "spans_next")
+          .as[(Long, Long, Int)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        // sequential reference: same salted order, running prefix, floor chunks
+        var prefix = 0L
+        val want = rows.sortBy { case (id, _, _) => (pureHash(salt + id.toString), id) }
+          .map { case (id, _, n) =>
+            val pack = prefix / budget
+            val spans = if ((prefix + n - 1) / budget > pack) 1 else 0
+            prefix += n
+            id -> ((pack, spans))
+          }.toMap
+        got == want
+    }
+
+  property("stratified sample is each stratum's top-quota by the salted draw") =
+    forAll(Gen.listOfN(24, Gen.zip(Gen.chooseNum(0, 2),
+        Gen.listOfN(6, Gen.chooseNum(97, 122)).map(_.map(_.toChar).mkString))),
+      Gen.chooseNum(1, 5)) { (docs, quota) =>
+        import spark.implicits._
+        val salt = "|prop-sample"
+        val rows = docs.zipWithIndex.map { case ((g, t), i) => (i.toLong, s"g$g", t) }
+        val got = graft.operators.Sampling
+          .stratified(rows.toDF("id", "g", "t"), Seq("g"), "id", "t", lit(quota), salt)
+          .select("id", "smp_rank").as[(Long, Int)].collect().toSet
+        val want = rows.groupBy(_._2).values.flatMap { grp =>
+          grp.sortBy { case (id, _, t) => (pureHash(salt + t), id) }
+            .take(quota).zipWithIndex.map { case ((id, _, _), r) => (id, r + 1) }
+        }.toSet
+        got == want
+    }
+
   property("polyHash kernel matches the pure-Scala fold on any ASCII string") =
     forAll(Gen.listOfN(8, Gen.listOfN(12, Gen.chooseNum(32, 121))
       .map(_.map(_.toChar).mkString))) { strs =>
