@@ -39,14 +39,25 @@ object Sampling {
     * scrambling order properly. (The train/val/test split's suffix salt
     * is fine — it consumes the absolute VALUE, which a constant shift
     * does change.)
+    *
+    * `quotaCap`: the rank-limit pushdown (WindowGroupLimit) only fires
+    * on a LITERAL bound — a dynamic per-stratum quota expression alone
+    * would shuffle every row of a hot stratum. Pass the maximum quota so
+    * the plan carries a constant `smp_rank <= cap` conjunct (map tasks
+    * prune to cap rows per stratum pre-shuffle) with the dynamic quota
+    * refining after; semantically redundant, physically essential.
     */
   def stratified(df: DataFrame, strataCols: Seq[String], idCol: String,
-      textCol: String, quota: Column, salt: String): DataFrame = {
+      textCol: String, quota: Column, salt: String,
+      quotaCap: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(Dedup.polyHash(concat(lit(salt), col(textCol))), col(idCol))
-    df.withColumn("smp_rank", row_number().over(w))
-      .where(col("smp_rank") <= quota)
+    val ranked = df.withColumn("smp_rank", row_number().over(w))
+    quotaCap match {
+      case Some(cap) => ranked.where(col("smp_rank") <= cap && col("smp_rank") <= quota)
+      case None => ranked.where(col("smp_rank") <= quota)
+    }
   }
 
   /** Sequence packing for LLM pretraining: documents are concatenated in

@@ -318,7 +318,7 @@ object ExtQueries extends QueryGroup {
     Sampling.stratified(Tables.documents(s, d), Seq("lang", "source"),
         "doc_id", "text",
         when(col("source") === "src0", SampleBoostQuota).otherwise(SampleQuota),
-        SampleSalt)
+        SampleSalt, quotaCap = Some(SampleBoostQuota))
       .select("lang", "source", "smp_rank", "doc_id")
 
   private val corpusSampleSql =

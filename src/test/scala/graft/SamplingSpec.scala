@@ -47,6 +47,21 @@ class SamplingSpec extends SparkSpec {
       s"expected rank-limit pushdown in:\n$plan")
   }
 
+  test("weighted quota + quotaCap: pushdown restored, same rows as uncapped") {
+    // a dynamic quota expression alone defeats the rank-limit pushdown
+    // (literal bounds only); the cap conjunct brings it back without
+    // changing results
+    val q = when(col("source") === "src0", 4).otherwise(2)
+    val uncapped = Sampling.stratified(docs, Seq("lang", "source"),
+      "doc_id", "text", q, "|s6")
+    val capped = Sampling.stratified(docs, Seq("lang", "source"),
+      "doc_id", "text", q, "|s6", quotaCap = Some(4))
+    assert(!uncapped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    assert(capped.exceptAll(uncapped).count() == 0 &&
+      uncapped.exceptAll(capped).count() == 0)
+  }
+
   test("packSequences: concat-then-chunk arithmetic, hand-checked") {
     // one stratum, force the draw order to the id order by checking
     // invariants that hold under ANY order: total unit conservation,

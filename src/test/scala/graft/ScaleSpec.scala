@@ -166,5 +166,12 @@ class ScaleSpec extends SparkSpec {
     val ivfHash = ivf.filter(_.startsWith("hashpartitioning"))
     assert(ivfHash.size == 1 && ivfHash.head.contains("q_id"),
       s"ext_ann_ivf: only the q_id top-k window may hash-shuffle, got $ivf")
+    val sample = shuffles(q("ext_corpus_sample"))
+    assert(sample.size == 1, s"ext_corpus_sample: one strata window exchange, got $sample")
+    // the strata exchange also serves the final per-pack aggregate: a
+    // hashpartitioning on a SUBSET of the grouping keys satisfies it
+    val pack = shuffles(q("ext_corpus_pack"))
+    assert(pack.size == 1 && pack.head.contains("lang"),
+      s"ext_corpus_pack: the lang window exchange serves the groupBy too, got $pack")
   }
 }
