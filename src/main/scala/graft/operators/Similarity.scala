@@ -213,6 +213,43 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage form of a
+    * billion-vector ANN index (4x smaller than float32, SIMD-friendly
+    * dot products). scale = max|v| / 127, q_i = floor(v_i / scale + 0.5)
+    * (round-half-up — floor over the BINARY double, because decimal
+    * `round` disagrees between engines on doubles whose shortest decimal
+    * representation crosses .5: Spark rounds the decimal string, DuckDB
+    * the binary value; floor(+0.5) is the same IEEE op sequence in
+    * both): every component lands in [-127, 127] by construction. Returns the
+    * quantized vector plus order-free audit metrics (max reconstruction
+    * error, saturated-component count) — avg-style metrics would be
+    * float-fold-order-dependent, max/count are not.
+    *
+    * Scale shape: a pure projection — no shuffle, no aggregate; the
+    * plan is scan + project whatever the corpus size. All-zero vectors
+    * get scale 0 and a zero quantized vector (guarded, no NaN).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    // the working scale is named __scale, NOT "scale": the final select
+    // aliases the rounded value as "scale", and Spark's lateral column
+    // alias resolution would bind a same-name col("scale") inside the
+    // sibling max_err expression to the ROUNDED alias instead of the
+    // input column — reconstructing against the wrong scale (caught by
+    // the oracle gate: max_err landed above scale/2)
+    emb.select(col(idCol), vecD.as("__v"))
+      .withColumn("__scale", array_max(transform(col("__v"), x => abs(x))) / 127.0d)
+      .withColumn("qvec",
+        when(col("__scale") === 0.0d, transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"),
+            x => floor(x / col("__scale") + 0.5d).cast("int"))))
+      .select(col(idCol),
+        round(col("__scale"), 6).as("scale"),
+        round(array_max(zip_with(col("__v"), col("qvec"),
+          (x, q) => abs(x - q * col("__scale")))), 6).as("max_err"),
+        size(filter(col("qvec"), q => abs(q) === 127)).as("n_saturated"))
+  }
+
   /** Sign-pattern bucket for band `bb` over `planesPerBand` hyperplanes
     * (planes bb*planesPerBand .. +planesPerBand-1).
     */

@@ -757,6 +757,35 @@ object ExtQueries extends QueryGroup {
        WHERE rnk <= $TopK"""
   }
 
+  private def embQuant(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+
+  /** Twin of Similarity.quantizeInt8: same scale/floor(+0.5)/
+    * reconstruct op sequence (decimal round() disagrees between engines
+    * on doubles — see the operator scaladoc); max and count are
+    * fold-order-free, so no ordered-fold machinery is needed.
+    */
+  private val embQuantSql =
+    """WITH v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         FROM embeddings),
+       s AS (SELECT vec_id, vec,
+           list_reduce(list_transform(vec, x -> abs(x)),
+             (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+         FROM v),
+       q AS (SELECT vec_id, vec, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(vec, x -> 0)
+                ELSE list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+           END AS qv
+         FROM s)
+       SELECT vec_id, round(scale, 6) AS scale,
+         round(list_reduce(
+           list_transform(range(1, len(vec) + 1), i -> abs(vec[i] - qv[i] * scale)),
+           (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6) AS max_err,
+         CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_saturated
+       FROM q"""
+
   // ------------------------------------------------------------- multimodal
 
   private def mmProps(s: SparkSession, d: String): DataFrame =
@@ -1380,6 +1409,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
+    GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),

@@ -90,6 +90,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rKmeans == 1.0, f"refined cells should align with the true clusters, recall=$rKmeans%.3f")
   }
 
+  test("quantizeInt8: error bounded by scale/2, saturation at the max component") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    assert(got.count() == emb.count())
+    // round-half-up quantization cannot err more than half a grid step
+    // (rounded-to-6 columns: allow the rounding slack)
+    val bad = got.where(col("max_err") > col("scale") / 2 + 1e-6).count()
+    assert(bad == 0, s"$bad vectors exceed the half-step error bound")
+    // the max-|component| of every vector lands exactly on +/-127
+    assert(got.where(col("n_saturated") < 1).count() == 0)
+  }
+
   test("langId: marker argmax with priority tiebreak") {
     val df = Seq(
       ("join scan table x", "sqlish"),
