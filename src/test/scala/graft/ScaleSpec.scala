@@ -166,6 +166,11 @@ class ScaleSpec extends SparkSpec {
     val ivfHash = ivf.filter(_.startsWith("hashpartitioning"))
     assert(ivfHash.size == 1 && ivfHash.head.contains("q_id"),
       s"ext_ann_ivf: only the q_id top-k window may hash-shuffle, got $ivf")
+    // the k-means rounds shuffle only (cell, dim) partial sums — never
+    // the corpus by vector id
+    val km = shuffles(q("ext_ann_ivf_kmeans"))
+    assert(!km.exists(_.contains("vid")),
+      s"ext_ann_ivf_kmeans: corpus must never hash-partition on vid, got $km")
     val sample = shuffles(q("ext_corpus_sample"))
     assert(sample.size == 1, s"ext_corpus_sample: one strata window exchange, got $sample")
     // the strata exchange also serves the final per-pack aggregate: a
