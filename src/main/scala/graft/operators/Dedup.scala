@@ -194,6 +194,66 @@ object Dedup {
     materializePairs(pairs, evalEdges)
   }
 
+  /** Near-dup pairs by cosine over TOP-K TF-IDF SIGNATURES: each
+    * document is reduced to its k highest-TF-IDF terms (its topical
+    * signature), and pairs sharing signature terms are scored by the
+    * cosine of the truncated weight vectors. Complements the set-overlap
+    * family: Jaccard/containment weigh all shingles equally, while this
+    * weighs matches by distinctiveness — two documents agreeing on rare
+    * vocabulary score high even when their common-word framing differs.
+    *
+    * Scale shape: the signature step bounds the inverted index at k
+    * entries per document (the rank filter is a literal bound, so it
+    * compiles to WindowGroupLimit — map-side top-k pruning before the
+    * doc_id shuffle, as in Sampling.stratified). Candidate fan-out per
+    * term is |docs with that term in their top-k|² / 2 — on a natural
+    * Zipf vocabulary top-k terms are rare, bounding the join; for
+    * adversarial vocabularies compose the DF cap of
+    * [[jaccardPairsCapped]] on the signature table.
+    *
+    * Determinism (oracle-exact): tfidf is rounded to 6 decimals BEFORE
+    * ranking (ties then break lexicographically — engine-independent, as
+    * in TextAnalysis.topTfidf), and weights are quantized to a 1e4
+    * integer grid so dot products and norms are exact BIGINT sums —
+    * order-free across any partitioning. The one float op, dot /
+    * sqrt(na*nb), maps exact integers through correctly-rounded IEEE
+    * ops: na,nb < 2^45 are exact doubles, so both engines see identical
+    * inputs. na*nb is multiplied as DOUBLE (the exact product can
+    * overflow BIGINT).
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tau: Double, grid: Long = 10000L,
+      materialize: Boolean = true): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = TextAnalysis.termStats(docs, idCol, textCol)
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    val sigRaw = scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k && col("tfidf") > 0)
+      .select(col("doc_id"), col("term"),
+        round(col("tfidf") * grid, 0).cast("long").as("wq"))
+    // materialize=false exposes the un-checkpointed plan (spec audits the
+    // WindowGroupLimit pruning; sig is then recomputed per use)
+    val sig = if (materialize) sigRaw.persist() else sigRaw
+    val norms = sig.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("nsq"))
+    val pairs = sig.select(col("doc_id").as("doc_a"), col("term"), col("wq").as("wa"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("term"), col("wq").as("wb")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nsq").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nsq").as("nb")), Seq("doc_b"))
+      .withColumn("cos_sim",
+        round(col("dot") / sqrt(col("na").cast("double") * col("nb")), 6))
+      .where(col("cos_sim") >= tau)
+      .select("doc_a", "doc_b", "cos_sim")
+    if (materialize) materializePairs(pairs, sig) else pairs
+  }
+
   /** Near-dup pairs by Jaccard with DOCUMENT-FREQUENCY CAPPING: shingles
     * appearing in more than `maxDf` documents are excluded from CANDIDATE
     * GENERATION (verification still uses full shingle sets, so reported

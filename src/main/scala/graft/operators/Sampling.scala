@@ -93,4 +93,42 @@ object Sampling {
           .otherwise(0))
       .drop("__cum")
   }
+
+  /** Value-based decile (n-quantile) profile per stratum — the curation
+    * threshold primitive ("keep the top 3 quality deciles per
+    * language"). Buckets are assigned to VALUES, not rows: every row
+    * with score v lands in bucket ceil(nBuckets * cumCount(>=v) /
+    * total), so ties share a bucket and a single hot value can leave
+    * neighbouring buckets empty — the deterministic reading (row-level
+    * NTILE splits ties by arbitrary row identity AND serializes each
+    * stratum through one reducer).
+    *
+    * Scale shape: the raw table is reduced FIRST to a per-(stratum,
+    * value) histogram — one map-side-combinable aggregate, output
+    * bounded by |distinct scores| (scores are rounded, so this is
+    * vocabulary-sized) — and the cumulative window + bucket aggregate
+    * run over that tiny histogram. Compare NTILE over the raw rows: a
+    * 100 TB stratum would funnel through a single window task. Bucket
+    * arithmetic is pure integer math (`(n*cum + total - 1) div total`),
+    * exact in any engine.
+    *
+    * Output: strataCol, decile (1..nBuckets), n_docs, max_q, min_q.
+    */
+  def valueDeciles(df: DataFrame, strataCol: String, value: Column,
+      nBuckets: Int = 10): DataFrame = {
+    val hist = df.groupBy(col(strataCol), value.as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ordered = Window.partitionBy(strataCol).orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(strataCol)
+    hist
+      .withColumn("__cum", sum("__cnt").over(ordered))
+      .withColumn("__tot", sum("__cnt").over(whole))
+      .withColumn("decile",
+        expr(s"CAST(($nBuckets * __cum + __tot - 1) DIV __tot AS INT)"))
+      .groupBy(col(strataCol), col("decile"))
+      .agg(sum("__cnt").as("n_docs"),
+        max(col("__v")).as("max_q"),
+        min(col("__v")).as("min_q"))
+  }
 }

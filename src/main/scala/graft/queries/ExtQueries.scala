@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryGroup, Tables}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Incremental, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -225,6 +225,37 @@ object ExtQueries extends QueryGroup {
        FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
        GROUP BY doc_id"""
 
+  /** Intra-document repetition profile (Gopher/C4-style quality rules):
+    * repeated-3-gram fraction, top-3-gram coverage, repeated-token
+    * fraction. Spark side is a ZERO-shuffle per-row fold
+    * (TextAnalysis.repetitionStats); the oracle computes the same
+    * numbers the readable way (unnest + two GROUP BYs) — identical
+    * results, different plan shape.
+    */
+  private def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+
+  private val textRepetitionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+             FROM t WHERE len(ws) >= 3),
+       c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+       d AS (SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_grams,
+                    CAST(count(*) AS INTEGER) AS n_distinct,
+                    CAST(max(cnt) AS INTEGER) AS top_cnt
+             FROM c GROUP BY 1),
+       w AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types
+             FROM documents WHERE len(string_split(text, ' ')) >= 3)
+       SELECT doc_id, n_grams, n_distinct, top_cnt,
+         round((n_grams - n_distinct) / n_grams, 6) AS dup_gram_frac,
+         round(top_cnt / n_grams, 6) AS top_gram_frac,
+         round((n_tokens - n_types) / n_tokens, 6) AS dup_token_frac
+       FROM d JOIN w USING (doc_id)"""
+
   /** Cross-document boilerplate detection: word 3-grams appearing in at
     * least `BoilerplateMinDf` documents (the repeated headers/footers/
     * templates a training pipeline strips before dedup). One explode +
@@ -364,6 +395,36 @@ object ExtQueries extends QueryGroup {
               CAST(sum(spans_next) AS BIGINT) AS n_spanning
        FROM packed GROUP BY 1, 2"""
 
+  /** Per-language quality deciles over THE quality score — the curation
+    * threshold table ("keep the top-3 deciles of each language"). Value-
+    * based buckets via the histogram formulation (the windows run over a
+    * per-(lang, score) aggregate, never the raw corpus — see
+    * Sampling.valueDeciles for the NTILE-at-100TB argument).
+    */
+  private def corpusDeciles(s: SparkSession, d: String): DataFrame =
+    Sampling.valueDeciles(
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.qualityScore(col("text")).as("q")),
+      "lang", col("q"))
+
+  private lazy val corpusDecilesSql =
+    s"""WITH b AS (
+         SELECT lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql))) AS INTEGER) AS n_stop
+         FROM documents),
+       q AS (SELECT lang, ${qualitySqlOver("n_types", "n_tokens", "n_stop")} AS q FROM b),
+       h AS (SELECT lang, q, count(*) AS cnt FROM q GROUP BY 1, 2),
+       c AS (SELECT lang, q, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY q DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS tot
+             FROM h)
+       SELECT lang, CAST((10 * cum + tot - 1) // tot AS INTEGER) AS decile,
+              CAST(sum(cnt) AS BIGINT) AS n_docs, max(q) AS max_q, min(q) AS min_q
+       FROM c GROUP BY 1, 2"""
+
   // ------------------------------------------------------------------ dedup
 
   /** Benchmark decontamination over the SAME deterministic split the
@@ -419,6 +480,43 @@ object ExtQueries extends QueryGroup {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM edges a JOIN edges b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        ${verifySql(JaccardTau)}"""
+
+  /** Top-k TF-IDF signature cosine: k=5 keeps the inverted index at 5
+    * entries/doc; tau=0.9 keeps only topically-near-identical pairs.
+    * Integer-grid weights make every sum exact (see
+    * Dedup.tfidfCosinePairs).
+    */
+  private val TfidfCosK = 5
+  private val TfidfCosTau = 0.9
+  private val TfidfCosGrid = 10000L
+
+  private def dedupTfidfCos(s: SparkSession, d: String): DataFrame =
+    Dedup.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+      TfidfCosK, TfidfCosTau, TfidfCosGrid)
+
+  private val dedupTfidfCosSql =
+    s"""WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tfs AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY 1),
+       sc AS (SELECT doc_id, term,
+                round(tf * ln((SELECT count(*) FROM documents) / df), 6) AS tfidf
+              FROM tfs JOIN dfs USING (term)),
+       sig AS (SELECT doc_id, term,
+                 CAST(round(tfidf * $TfidfCosGrid, 0) AS BIGINT) AS wq
+               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rnk
+                     FROM sc) r
+               WHERE rnk <= $TfidfCosK AND tfidf > 0),
+       norms AS (SELECT doc_id, sum(wq * wq) AS nsq FROM sig GROUP BY 1),
+       dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wq * b.wq) AS dot
+                FROM sig a JOIN sig b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(dot / sqrt(CAST(na.nsq AS DOUBLE) * nb.nsq), 6) AS cos_sim
+       FROM dots JOIN norms na ON doc_a = na.doc_id
+       JOIN norms nb ON doc_b = nb.doc_id
+       WHERE round(dot / sqrt(CAST(na.nsq AS DOUBLE) * nb.nsq), 6) >= $TfidfCosTau"""
 
   /** Overlap-coefficient threshold: high on purpose — containment ~1
     * means one doc's shingle set sits (almost) wholly inside the other's,
@@ -1059,6 +1157,32 @@ object ExtQueries extends QueryGroup {
     * `approx_percentile` (t-digest, mergeable sketch) and accept the
     * rows-only check, as ext_stream_approx does for HLL.
     */
+  /** Incremental aggregate maintenance: per-user metrics computed as
+    * state(first half) ⊕ state(second half) — the merge path a 100 TB
+    * metrics table actually runs (aggregate only the new batch, merge
+    * into kept state) — gated against the oracle's full recompute over
+    * all events. The cutoff splits the fixture's event month in half; ts
+    * is the raw nanosecond long (nanosAsLong), so the split is a pure
+    * integer comparison. See operators/Incremental.scala.
+    */
+  private val IncrCutoffNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+
+  private def incrAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Incremental.withDerived(Incremental.mergeStates(
+      Incremental.eventState(ev.where(col("ts") < IncrCutoffNs)),
+      Incremental.eventState(ev.where(col("ts") >= IncrCutoffNs))))
+  }
+
+  private val incrAggSql =
+    """WITH c AS (SELECT user_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+       SELECT user_id, count(*) AS n_events,
+              CAST(sum(cents) AS BIGINT) AS total_cents,
+              max(cents) AS max_cents,
+              round(CAST(sum(cents) AS BIGINT) / 100.0 / count(*), 6) AS avg_value
+       FROM c GROUP BY 1"""
+
   private def eventsQuantiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy("event_type")
       .agg(round(expr("percentile(value, 0.25)"), 6).as("p25"),
@@ -1383,14 +1507,17 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_redact", textRedact, Some(textRedactSql), "number-run redaction + redacted-text fingerprint"),
     GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
     GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),
+    GQuery("ext_text_repetition", textRepetition, Some(textRepetitionSql), "intra-doc repeated-n-gram quality profile (zero-shuffle fold)"),
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_corpus_sample", corpusSample, Some(corpusSampleSql), "stratified weighted-quota sample (deterministic salted-hash draw)"),
     GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
     GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
+    GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),
+    GQuery("ext_dedup_tfidfcos", dedupTfidfCos, Some(dedupTfidfCosSql), "top-k TF-IDF signature cosine pairs (integer-grid exact sums)"),
     GQuery("ext_dedup_contaminate", dedupContaminate, Some(dedupContaminateSql), "cross-corpus benchmark decontamination (train x test shingle coverage)"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
@@ -1415,6 +1542,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
+    GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
     GQuery("ext_events_funnel", eventsFunnel, Some(eventsFunnelSql), "staged conversion funnel via prefix-max windows"),
     GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),

@@ -249,4 +249,43 @@ class DedupSpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  private val sigCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta epsilon"), // identical -> cos exactly 1.0
+    (3L, "alpha beta gamma delta zeta"),    // 4/5 signature terms shared
+    (4L, "one two three four five")         // no shared terms at all
+  ).toDF("doc_id", "text")
+
+  test("tfidfCosinePairs: identical signatures score exactly 1.0") {
+    val got = Dedup.tfidfCosinePairs(sigCorpus, "doc_id", "text", k = 5, tau = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc 4 shares no vocabulary: never joins into a pair
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(got((1L, 2L)) == 1.0)
+    // 1-3 share only the low-IDF common terms; the differing term is the
+    // HIGH-idf one, so the weighted score is far below jaccard's 4/6
+    assert(got((1L, 3L)) > 0.2 && got((1L, 3L)) < 0.3)
+    assert(got((1L, 3L)) == got((2L, 3L))) // identical docs score alike
+  }
+
+  test("tfidfCosinePairs: tau thresholds and k truncates the signature") {
+    val strict = Dedup.tfidfCosinePairs(sigCorpus, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(strict == Set((1L, 2L)))
+    // k=1 keeps only each doc's single top term: docs 1/2 keep 'epsilon',
+    // doc 3 keeps 'zeta' -> only the identical pair survives even at tau=0
+    val k1 = Dedup.tfidfCosinePairs(sigCorpus, "doc_id", "text", 1, 0.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(k1 == Set((1L, 2L)))
+  }
+
+  test("tfidfCosinePairs: top-k rank filter compiles to WindowGroupLimit") {
+    val plan = Dedup.tfidfCosinePairs(Tables.documents(spark, sf0001),
+        "doc_id", "text", 5, 0.9, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "signature top-k must prune map-side before the doc_id shuffle")
+  }
 }

@@ -94,4 +94,54 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "pack_id", "spans_next")
     assert(again.exceptAll(packed.select("doc_id", "pack_id", "spans_next")).count() == 0)
   }
+
+  test("valueDeciles: counts conserved, buckets ordered and value-disjoint") {
+    val scored = docs.select(col("lang"), (col("doc_id") % 97).as("q"))
+    val dec = Sampling.valueDeciles(scored, "lang", col("q"))
+    // per-stratum doc counts conserved
+    val got = dec.groupBy("lang").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == want)
+    // buckets in 1..10, and within a stratum value ranges are disjoint
+    // and DESCENDING in the decile number (decile 1 = best values)
+    val rows = dec.select("lang", "decile", "max_q", "min_q")
+      .as[(String, Int, Long, Long)].collect()
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 10))
+    rows.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(hi, lo) => assert(hi._4 > lo._3,
+          s"decile ${hi._2} range must sit wholly above decile ${lo._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("valueDeciles: a single hot value collapses into one bucket") {
+    val tied = docs.select(col("lang"), lit(5L).as("q"))
+    val dec = Sampling.valueDeciles(tied, "lang", col("q"))
+      .as[(String, Int, Long, Long, Long)].collect()
+    // every stratum: exactly one bucket, number 10 (value-based buckets
+    // never split ties), holding all rows
+    assert(dec.forall(_._2 == 10))
+    val want = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(dec.map(r => r._1 -> r._3).toMap == want)
+  }
+
+  test("valueDeciles: windows run over the histogram, not raw rows") {
+    val dec = Sampling.valueDeciles(
+      docs.select(col("lang"), col("doc_id").as("q")), "lang", col("q"))
+    val plan = dec.queryExecution.executedPlan.toString
+    // the aggregate that builds the histogram must sit BELOW the first
+    // window: a Window directly over the scan would serialize each
+    // stratum through one task at corpus scale
+    val firstWindow = plan.indexOf("Window")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstWindow >= 0 && firstAgg >= 0,
+      s"expected both Window and HashAggregate in: $plan")
+    // executedPlan prints top-down: the aggregate appearing AFTER the
+    // window in the text means it executes BEFORE it (it is deeper)
+    assert(plan.lastIndexOf("HashAggregate") > firstWindow,
+      "histogram aggregate must feed the cumulative window")
+  }
 }
