@@ -213,6 +213,72 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** ANGULAR PRODUCT QUANTIZATION ANN — the memory-side counterpart of
+    * IVF's candidate pruning: each vector is stored as `numSub` small
+    * CODES (nearest codebook entry per subspace, by cosine — ties to the
+    * smaller centroid id), so a billion-vector index keeps M integers
+    * per vector instead of `dim` floats; search scores queries against
+    * the RECONSTRUCTION (concatenated codewords) instead of the raw
+    * vector. Recall < 1 comes from quantization error alone — no
+    * candidate set is pruned, every corpus row is scored (compose with
+    * IVF cells for that; classic IVF-PQ).
+    *
+    * Scale shape: codebooks are `numSub` broadcast arrays (corpus-seeded
+    * like ivfTopK's quantizer); encoding is the same shuffle-free
+    * per-row [[argmaxCell]] fold per subspace — the corpus is NEVER
+    * hash-partitioned; scoring reconstructs each row's vector from the
+    * broadcast codebook inside the projection (the reconstruction is
+    * never materialized to storage — only the codes are the "stored"
+    * form) and runs the usual broadcast-queries x corpus scan with one
+    * final q_id top-k window (WindowGroupLimit-pruned map-side).
+    *
+    * Determinism: subvector cosines are the same ascending-dim ordered
+    * folds as everywhere else; identical codes give IDENTICAL
+    * reconstructions, so score ties collapse to the vec_b ASC
+    * tie-break — engine-independent.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numSub: Int, centroidEvery: Int,
+      dim: Int): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val subLen = dim / numSub
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    def subCents(m: Int): DataFrame =
+      corpus.where(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("cent_id"),
+          slice(vecD, m * subLen + 1, subLen).as("cvec"))
+        .withColumn("cn", VectorOps.normSq(col("cvec")))
+    // encode: one shuffle-free argmax fold per subspace
+    val base = corpus.select(col(idCol).as("vec_b"), vecD.as("__v"))
+    val encoded = (0 until numSub).foldLeft(base) { (df, m) =>
+      val sv = slice(col("__v"), m * subLen + 1, subLen)
+      df.crossJoin(broadcast(centArray(subCents(m))))
+        .withColumn(s"code_$m", argmaxCell(sv, VectorOps.normSq(sv)))
+        .drop("__cents")
+    }
+    // reconstruct from the codes (broadcast codebook joins — the codes,
+    // not __v or the reconstruction, are what a PQ index persists)
+    val withRec = (0 until numSub).foldLeft(encoded) { (df, m) =>
+      df.join(broadcast(subCents(m).select(col("cent_id").as(s"code_$m"),
+        col("cvec").as(s"__rv_$m"))), Seq(s"code_$m"))
+    }
+    val rec = withRec
+      .withColumn("__vrec", concat((0 until numSub).map(m => col(s"__rv_$m")): _*))
+      .select(col("vec_b"), col("__vrec"),
+        VectorOps.normSq(col("__vrec")).as("__nrec"))
+    val q = queries.select(col(idCol).as("q_id"), vecD.as("va"),
+      VectorOps.normSq(vecD).as("na"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    broadcast(q).crossJoin(rec)
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine",
+        VectorOps.cosine(col("va"), col("__vrec"), col("na"), col("__nrec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage form of a
     * billion-vector ANN index (4x smaller than float32, SIMD-friendly
     * dot products). scale = max|v| / 127, q_i = floor(v_i / scale + 0.5)

@@ -634,6 +634,34 @@ object ExtQueries extends QueryGroup {
     * surviving-document set (the operation a training pipeline actually
     * runs on its corpus).
     */
+  /** Detector-consensus near-dup ENSEMBLE: production dedup rarely
+    * trusts one detector — exact-Jaccard, MinHash-LSH, and SimHash each
+    * miss differently (LSH banding has probabilistic recall, SimHash
+    * quantizes, exact Jaccard needs a shared rare shingle to even
+    * generate the candidate). The ensemble unions the three pair sets
+    * and keeps pairs at least `EnsembleMinVotes` detectors agree on —
+    * precision from consensus, recall still union-shaped. Composition
+    * is free at scale: each detector is already inverted-index shaped,
+    * and the vote aggregate runs over pair lists (tiny vs the corpus).
+    */
+  private val EnsembleMinVotes = 2
+
+  private def dedupEnsemble(s: SparkSession, d: String): DataFrame =
+    Seq(dedupJaccard(s, d), dedupMinhash(s, d), dedupSimhash(s, d))
+      .map(_.select("doc_a", "doc_b"))
+      .reduce(_ unionByName _)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("int").as("n_methods"))
+      .where(col("n_methods") >= EnsembleMinVotes)
+
+  private lazy val dedupEnsembleSql =
+    s"""WITH votes AS (
+         SELECT doc_a, doc_b FROM ($dedupJaccardSql) j
+         UNION ALL SELECT doc_a, doc_b FROM ($dedupMinhashSql) m
+         UNION ALL SELECT doc_a, doc_b FROM ($dedupSimhashSql) h)
+       SELECT doc_a, doc_b, CAST(count(*) AS INTEGER) AS n_methods
+       FROM votes GROUP BY 1, 2 HAVING count(*) >= $EnsembleMinVotes"""
+
   private def dedupSweep(s: SparkSession, d: String): DataFrame =
     Dedup.sweep(
       Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
@@ -781,6 +809,59 @@ object ExtQueries extends QueryGroup {
        scored AS (
          SELECT q.vid AS q_id, c.vid AS vec_b, $searchCos AS cosine
          FROM qassign q JOIN assign c ON q.cell = c.cell AND q.vid <> c.vid)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
+  /** Product quantization: 2 subspaces of 32 dims, corpus-seeded
+    * codebooks (same every-25th pick as IVF). Small M on purpose — the
+    * oracle mirrors each subspace as its own CTE chain.
+    */
+  private val PqSub = 2
+
+  private def annPq(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, PqSub, IvfCentroidEvery, EmbDim)
+
+  /** Twin of Similarity.pqTopK: per-subspace slice/codebook/argmax CTEs,
+    * reconstruction by codeword concat, then the standard top-k.
+    */
+  private lazy val annPqSql = {
+    val subLen = EmbDim / PqSub
+    def normSqOf(e: String) =
+      s"list_reduce(list_transform(range(1, len($e) + 1), i -> $e[i] * $e[i]), (a, b) -> a + b)"
+    val subCtes = (0 until PqSub).map { m =>
+      val lo = m * subLen + 1
+      val hi = (m + 1) * subLen
+      val assignCos =
+        s"${dotOf(s"s$m.sv", "c.cvec")} / (sqrt(s$m.sn) * sqrt(c.cn))"
+      s"""s$m AS (SELECT vec_id, vec[$lo:$hi] AS sv,
+              ${normSqOf(s"vec[$lo:$hi]")} AS sn FROM v),
+        c$m AS (SELECT vec_id AS cent_id, sv AS cvec, sn AS cn
+                FROM s$m WHERE vec_id % $IvfCentroidEvery = 0),
+        a$m AS (SELECT vec_id, cell AS code$m FROM (
+            SELECT s$m.vec_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY s$m.vec_id
+                     ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+            FROM s$m, c$m c) t WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    // explicit join chain: a0 x c0 (code0) then a1 (same vec) x c1 (code1) ...
+    val fromRec = (0 until PqSub).map { m =>
+      val sameVec = if (m == 0) "" else s"JOIN a$m ON a$m.vec_id = a0.vec_id "
+      s"${sameVec}JOIN c$m ON a$m.code$m = c$m.cent_id"
+    }.mkString(" ")
+    val vrec = (0 until PqSub).map(m => s"c$m.cvec").mkString(" || ")
+    s"""WITH $vecsSql,
+       $subCtes,
+       rec AS (SELECT a0.vec_id, $vrec AS vrec FROM a0 $fromRec),
+       nr AS (SELECT vec_id, vrec, ${normSqOf("vrec")} AS nrec FROM rec),
+       scored AS (
+         SELECT q.vec_id AS q_id, b.vec_id AS vec_b,
+                ${dotOf("q.vec", "b.vrec")} / (sqrt(q.nsq) * sqrt(b.nrec)) AS cosine
+         FROM n q JOIN nr b ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id)
        SELECT q_id, rnk, vec_b AS neighbor_id
        FROM (SELECT q_id, vec_b,
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
@@ -1525,6 +1606,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
     GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),
     GQuery("ext_dedup_sweep", dedupSweep, Some(dedupSweepSql), "pairs -> cleaned corpus (greedy sweep)"),
+    GQuery("ext_dedup_ensemble", dedupEnsemble, Some(dedupEnsembleSql), "detector-consensus near-dup votes (jaccard + minhash + simhash)"),
     GQuery("ext_dedup_minhash_fast",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         MinhashPerms, MinhashRows, MinhashTau, Dedup.XxHash),
@@ -1536,6 +1618,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
+    GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),

@@ -88,7 +88,7 @@ object Scd2Stream {
     * dropped reference (the cache-lifetime hazard Dedup.materializePairs
     * documents).
     */
-  private def releaseSnapshot(df: DataFrame): Unit =
+  private[streaming] def releaseSnapshot(df: DataFrame): Unit =
     df.queryExecution.optimizedPlan.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

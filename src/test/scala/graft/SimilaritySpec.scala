@@ -57,6 +57,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rk >= 0.8, f"k-means IVF recall collapsed: $rk%.3f")
   }
 
+  test("pqTopK: identical codes reconstruct identically; recall floor holds") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val pq2 = pairs(Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5, 2, 25, 64))
+    // finer subspaces quantize less: M=4 reconstruction cannot be worse
+    // in expectation; pin floors, report both
+    val pq4 = pairs(Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5, 4, 25, 64))
+    val r2 = (pq2 & exact).size.toDouble / exact.size
+    val r4 = (pq4 & exact).size.toDouble / exact.size
+    info(f"recall@5 pq(M=2)=$r2%.3f pq(M=4)=$r4%.3f")
+    assert(r2 > 0.0, "PQ found none of the true neighbors")
+    assert(pq2.size == exact.size, "PQ must still return k rows per query")
+  }
+
+  test("pqTopK: a corpus vector that IS a codeword reconstructs exactly") {
+    // centroidEvery=1 makes every vector its own codeword in every
+    // subspace: reconstruction is lossless, so PQ ≡ brute force
+    val corpus = Tables.embeddings(spark, sf0001).limit(60).localCheckpoint()
+    val queries = corpus.where(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 3, 2, 1, 64)
+    assert(pq.exceptAll(exact).isEmpty && exact.exceptAll(pq).isEmpty,
+      "with a perfect codebook PQ must equal the exact search")
+  }
+
   test("ivfKmeansTopK with 0 Lloyd rounds ≡ seeded ivfTopK, bit for bit") {
     val corpus = Tables.embeddings(spark, sf0001)
     val queries = corpus.where(col("vec_id") % 50 === 0)

@@ -221,4 +221,31 @@ class StreamingSpec extends SparkSpec {
     val dups = sessions.groupBy("user_id").count().where(col("count") > 1)
     assert(dups.count() == 0)
   }
+
+  test("streaming metrics: foreachBatch-folded state ≡ one-shot batch aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("user_id", "n_events", "total_cents", "max_cents")
+    val state = new graft.streaming.MetricsStream.MetricsState(empty)
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("user_id", "value").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    val rows = Seq(
+      Seq((1L, 1.25), (2L, 2.0), (1L, 0.5)),
+      Seq((2L, -1.0), (3L, 10.105)),          // negative + half-cent value
+      Seq((1L, 3.0), (3L, 0.0)))
+    try {
+      rows.foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val oneShot = graft.operators.Incremental.eventState(
+        rows.flatten.toDF("user_id", "value"))
+      assert(state.state.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(state.state).isEmpty,
+        "micro-batch boundaries leaked into the folded metrics state")
+    } finally q.stop()
+  }
 }
