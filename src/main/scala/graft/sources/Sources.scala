@@ -128,4 +128,19 @@ object Sources {
     df.write
       .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
       .json(s"$dir/$table.jsonl")
+
+  /** ORC scan — the other columnar lake format Spark ships natively
+    * (self-describing like parquet; same predicate-pushdown and
+    * column-pruning path, min/max stripe skipping instead of row
+    * groups). Completes the format matrix: columnar (parquet, ORC),
+    * row-text (CSV, JSON-lines), relational (JDBC).
+    */
+  def readOrcTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+
+  def writeOrcTable(df: DataFrame, dir: String, table: String,
+      replace: Boolean): Unit =
+    df.write
+      .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
+      .orc(s"$dir/$table.orc")
 }

@@ -171,6 +171,12 @@ class ScaleSpec extends SparkSpec {
     val km = shuffles(q("ext_ann_ivf_kmeans"))
     assert(!km.exists(_.contains("vid")),
       s"ext_ann_ivf_kmeans: corpus must never hash-partition on vid, got $km")
+    // PQ follows the IVF discipline: encode + reconstruct + score are all
+    // broadcast-side — the only hash exchange is the q_id top-k window
+    val pq = shuffles(q("ext_ann_pq"))
+    val pqHash = pq.filter(_.startsWith("hashpartitioning"))
+    assert(pqHash.size == 1 && pqHash.head.contains("q_id"),
+      s"ext_ann_pq: only the q_id top-k window may hash-shuffle, got $pq")
     val sample = shuffles(q("ext_corpus_sample"))
     assert(sample.size == 1, s"ext_corpus_sample: one strata window exchange, got $sample")
     // the strata exchange also serves the final per-pack aggregate: a

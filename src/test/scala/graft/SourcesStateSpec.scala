@@ -116,6 +116,22 @@ class SourcesStateSpec extends SparkSpec {
       df.as[(Long, String, Int)].collect().toSet)
   }
 
+  test("ORC source/sink: self-describing round-trip, replace/append, pushdown") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
+    Sources.writeOrcTable(df, dir, "docs", replace = true)
+    val back = Sources.readOrcTable(spark, dir, "docs")
+    assert(back.schema == df.schema) // self-describing like parquet
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    Sources.writeOrcTable(df, dir, "docs", replace = false)
+    assert(Sources.readOrcTable(spark, dir, "docs").count() == 2 * df.count())
+    // predicate reaches the ORC scan (stripe-skipping path), as parquet
+    val plan = Sources.readOrcTable(spark, dir, "docs")
+      .where(col("doc_id") === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"filter must push into the ORC scan, plan was: $plan")
+  }
+
   test("readParquetTable reflects schema like read_sql_table") {
     val got = Sources.readParquetTable(spark, sf0001, "nation")
     assert(got.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
