@@ -114,6 +114,67 @@ object Sampling {
     *
     * Output: strataCol, decile (1..nBuckets), n_docs, max_q, min_q.
     */
+  /** Per-stratum Tukey outlier fences — the robust quality gate
+    * ("drop documents whose length sits outside q1/q3 ± k·IQR for their
+    * language") — computed ENTIRELY from the per-(stratum, value)
+    * histogram: exact type-7 quantiles (the percentile/quantile_cont
+    * interpolation) are read off the cumulative counts as order
+    * statistics, so nothing ever buffers a stratum's raw values (the
+    * builtin `percentile` materializes every value per group — the
+    * deciles/NTILE argument again, see [[valueDeciles]]). After the one
+    * map-side-combinable histogram aggregate, every further step is
+    * histogram-sized, including the outlier counts (summed from the
+    * same histogram, not a second corpus scan).
+    *
+    * Order statistic k (0-indexed, value-ascending) = min v with
+    * cum(v) >= k+1; type-7 quantile p = stat(floor(h)) + (h-floor(h)) *
+    * (stat(ceil(h)) - stat(floor(h))) with h = (n-1)*p. All arithmetic
+    * is exact-input IEEE (h is a multiple of 2^-2 for quartiles), so the
+    * DuckDB twin reproduces it bit-for-bit — spec-asserted ≡
+    * `percentile(0.25/0.75)`.
+    *
+    * Output: strataCol, q1, q3, lo_fence, hi_fence (rounded 6),
+    * n_low, n_high, n_rows.
+    */
+  def robustFences(df: DataFrame, strataCol: String, value: Column,
+      k: Double = 1.5): DataFrame = {
+    val hist = df.groupBy(col(strataCol), value.as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ordered = Window.partitionBy(strataCol).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(strataCol)
+    val h = hist
+      .withColumn("__cum", sum("__cnt").over(ordered))
+      .withColumn("__n", sum("__cnt").over(whole))
+    def hAt(p: Double) = (col("__n") - 1) * p
+    def stat(target: Column) =
+      min(when(col("__cum") >= target + 1, col("__v")))
+    val agg = h.groupBy(col(strataCol)).agg(
+      stat(floor(hAt(0.25))).as("__l25"),
+      stat(ceil(hAt(0.25))).as("__u25"),
+      stat(floor(hAt(0.75))).as("__l75"),
+      stat(ceil(hAt(0.75))).as("__u75"),
+      max(hAt(0.25) - floor(hAt(0.25))).as("__f25"),
+      max(hAt(0.75) - floor(hAt(0.75))).as("__f75"),
+      max(col("__n")).as("n_rows"))
+      .withColumn("__q1", col("__l25") + col("__f25") * (col("__u25") - col("__l25")))
+      .withColumn("__q3", col("__l75") + col("__f75") * (col("__u75") - col("__l75")))
+      .withColumn("__lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("__hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+    // outlier counts from the SAME histogram (strata-sized join, no
+    // second pass over df)
+    val counts = hist.join(agg.select(col(strataCol), col("__lo"), col("__hi")),
+        Seq(strataCol))
+      .groupBy(col(strataCol)).agg(
+        sum(when(col("__v") < col("__lo"), col("__cnt")).otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > col("__hi"), col("__cnt")).otherwise(0L)).as("n_high"))
+    agg.join(counts, Seq(strataCol))
+      .select(col(strataCol),
+        round(col("__q1"), 6).as("q1"), round(col("__q3"), 6).as("q3"),
+        round(col("__lo"), 6).as("lo_fence"), round(col("__hi"), 6).as("hi_fence"),
+        col("n_low"), col("n_high"), col("n_rows"))
+  }
+
   def valueDeciles(df: DataFrame, strataCol: String, value: Column,
       nBuckets: Int = 10): DataFrame = {
     val hist = df.groupBy(col(strataCol), value.as("__v"))

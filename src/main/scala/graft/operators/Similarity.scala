@@ -237,11 +237,18 @@ object Similarity {
     * reconstructions, so score ties collapse to the vec_b ASC
     * tie-break — engine-independent.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numSub: Int, centroidEvery: Int,
-      dim: Int): DataFrame = {
+  /** PQ encode + reconstruct: `df` (carrying the double vector in
+    * `__v`) gains `__vrec` (concatenated nearest codewords per
+    * subspace) and `__nrec`. Codebooks are seeded from `corpus`
+    * (every-`centroidEvery`-th id, per-subspace slices); encoding is a
+    * shuffle-free [[argmaxCell]] fold per subspace, reconstruction a
+    * chain of broadcast codebook joins. `keep` lists the columns to
+    * carry through.
+    */
+  private def pqReconstruct(df: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, numSub: Int, centroidEvery: Int, dim: Int,
+      keep: Seq[String]): DataFrame = {
     require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val subLen = dim / numSub
     val vecD = transform(col(vecCol), x => x.cast("double"))
     def subCents(m: Int): DataFrame =
@@ -249,28 +256,75 @@ object Similarity {
         .select(col(idCol).as("cent_id"),
           slice(vecD, m * subLen + 1, subLen).as("cvec"))
         .withColumn("cn", VectorOps.normSq(col("cvec")))
-    // encode: one shuffle-free argmax fold per subspace
-    val base = corpus.select(col(idCol).as("vec_b"), vecD.as("__v"))
-    val encoded = (0 until numSub).foldLeft(base) { (df, m) =>
+    val encoded = (0 until numSub).foldLeft(df) { (d, m) =>
       val sv = slice(col("__v"), m * subLen + 1, subLen)
-      df.crossJoin(broadcast(centArray(subCents(m))))
+      d.crossJoin(broadcast(centArray(subCents(m))))
         .withColumn(s"code_$m", argmaxCell(sv, VectorOps.normSq(sv)))
         .drop("__cents")
     }
     // reconstruct from the codes (broadcast codebook joins — the codes,
     // not __v or the reconstruction, are what a PQ index persists)
-    val withRec = (0 until numSub).foldLeft(encoded) { (df, m) =>
-      df.join(broadcast(subCents(m).select(col("cent_id").as(s"code_$m"),
+    val withRec = (0 until numSub).foldLeft(encoded) { (d, m) =>
+      d.join(broadcast(subCents(m).select(col("cent_id").as(s"code_$m"),
         col("cvec").as(s"__rv_$m"))), Seq(s"code_$m"))
     }
-    val rec = withRec
+    withRec
       .withColumn("__vrec", concat((0 until numSub).map(m => col(s"__rv_$m")): _*))
-      .select(col("vec_b"), col("__vrec"),
-        VectorOps.normSq(col("__vrec")).as("__nrec"))
+      .select(keep.map(col) :+ col("__vrec") :+
+        VectorOps.normSq(col("__vrec")).as("__nrec"): _*)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numSub: Int, centroidEvery: Int,
+      dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val rec = pqReconstruct(
+      corpus.select(col(idCol).as("vec_b"), vecD.as("__v")),
+      corpus, idCol, vecCol, numSub, centroidEvery, dim, Seq("vec_b"))
     val q = queries.select(col(idCol).as("q_id"), vecD.as("va"),
       VectorOps.normSq(vecD).as("na"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
     broadcast(q).crossJoin(rec)
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine",
+        VectorOps.cosine(col("va"), col("__vrec"), col("na"), col("__nrec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
+  /** IVF-PQ — the production ANN composite: IVF's coarse quantizer
+    * prunes CANDIDATES (queries score only their own cell's occupants,
+    * |corpus|/numCells in expectation) while PQ compresses STORAGE
+    * (candidates are scored against code reconstructions, never their
+    * raw vectors). At 100 TB this is the only shape that works: the
+    * full-precision corpus is read once to build cells + codes; search
+    * touches a cell's worth of M-byte codes per query. Both legs reuse
+    * the audited pieces as-is — the shuffle-free cell/code argmax folds
+    * and broadcast codebooks; recall multiplies the two approximations
+    * (cell misses x quantization error), the standard trade.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidEvery: Int, numSub: Int,
+      dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val cents = corpus.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), vecD.as("cvec"),
+        VectorOps.normSq(vecD).as("cn"))
+    def withCell(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(centArray(cents)))
+        .withColumn("cell", argmaxCell(col("__v"), VectorOps.normSq(col("__v"))))
+        .drop("__cents")
+    val c = pqReconstruct(
+      withCell(corpus.select(col(idCol).as("vec_b"), vecD.as("__v"))),
+      corpus, idCol, vecCol, numSub, centroidEvery, dim, Seq("vec_b", "cell"))
+    val q = withCell(queries.select(col(idCol).as("q_id"), vecD.as("__v")))
+      .select(col("q_id"), col("__v").as("va"),
+        VectorOps.normSq(col("__v")).as("na"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    broadcast(q).join(c, Seq("cell"))
       .where(col("q_id") =!= col("vec_b"))
       .withColumn("cosine",
         VectorOps.cosine(col("va"), col("__vrec"), col("na"), col("__nrec")))

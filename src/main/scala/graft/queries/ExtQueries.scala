@@ -425,6 +425,51 @@ object ExtQueries extends QueryGroup {
               CAST(sum(cnt) AS BIGINT) AS n_docs, max(q) AS max_q, min(q) AS min_q
        FROM c GROUP BY 1, 2"""
 
+  /** Per-language Tukey fences on document length — robust outlier
+    * bounds from the n_chars histogram (exact type-7 quartiles as order
+    * statistics over cumulative counts; see Sampling.robustFences for
+    * the no-raw-value-buffering argument). k=1.5, the classic fence.
+    */
+  private val FenceK = 1.5
+
+  private def corpusFences(s: SparkSession, d: String): DataFrame =
+    Sampling.robustFences(Tables.documents(s, d), "lang", col("n_chars"), FenceK)
+
+  private val corpusFencesSql =
+    s"""WITH h AS (SELECT lang, n_chars AS v, count(*) AS cnt
+                 FROM documents GROUP BY 1, 2),
+       c AS (SELECT lang, v, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS n
+             FROM h),
+       a AS (SELECT lang,
+               min(CASE WHEN cum >= floor((n-1)*0.25) + 1 THEN v END) AS l25,
+               min(CASE WHEN cum >= ceil((n-1)*0.25) + 1 THEN v END) AS u25,
+               min(CASE WHEN cum >= floor((n-1)*0.75) + 1 THEN v END) AS l75,
+               min(CASE WHEN cum >= ceil((n-1)*0.75) + 1 THEN v END) AS u75,
+               max((n-1)*0.25 - floor((n-1)*0.25)) AS f25,
+               max((n-1)*0.75 - floor((n-1)*0.75)) AS f75,
+               max(n) AS n_rows
+             FROM c GROUP BY 1),
+       f AS (SELECT lang, n_rows,
+               l25 + f25 * (u25 - l25) AS q1v,
+               l75 + f75 * (u75 - l75) AS q3v
+             FROM a),
+       g AS (SELECT lang, n_rows, q1v, q3v,
+               q1v - $FenceK * (q3v - q1v) AS lov,
+               q3v + $FenceK * (q3v - q1v) AS hiv
+             FROM f),
+       cnts AS (SELECT h.lang,
+                 sum(CASE WHEN h.v < g.lov THEN h.cnt ELSE 0 END) AS n_low,
+                 sum(CASE WHEN h.v > g.hiv THEN h.cnt ELSE 0 END) AS n_high
+                FROM h JOIN g USING (lang) GROUP BY 1)
+       SELECT lang, round(q1v, 6) AS q1, round(q3v, 6) AS q3,
+              round(lov, 6) AS lo_fence, round(hiv, 6) AS hi_fence,
+              CAST(n_low AS BIGINT) AS n_low, CAST(n_high AS BIGINT) AS n_high,
+              CAST(n_rows AS BIGINT) AS n_rows
+       FROM g JOIN cnts USING (lang)"""
+
   // ------------------------------------------------------------------ dedup
 
   /** Benchmark decontamination over the SAME deterministic split the
@@ -826,20 +871,22 @@ object ExtQueries extends QueryGroup {
     Similarity.pqTopK(Tables.embeddings(s, d), annQueries(s, d),
       "vec_id", "embedding", TopK, PqSub, IvfCentroidEvery, EmbDim)
 
-  /** Twin of Similarity.pqTopK: per-subspace slice/codebook/argmax CTEs,
-    * reconstruction by codeword concat, then the standard top-k.
+  private def listNormSq(e: String) =
+    s"list_reduce(list_transform(range(1, len($e) + 1), i -> $e[i] * $e[i]), (a, b) -> a + b)"
+
+  /** Per-subspace PQ CTE chain (slice -> codebook -> argmax code),
+    * shared by ext_ann_pq and ext_ann_ivfpq. Produces s$m / c$m / a$m
+    * CTEs for each subspace m.
     */
-  private lazy val annPqSql = {
+  private lazy val pqSubCtes = {
     val subLen = EmbDim / PqSub
-    def normSqOf(e: String) =
-      s"list_reduce(list_transform(range(1, len($e) + 1), i -> $e[i] * $e[i]), (a, b) -> a + b)"
-    val subCtes = (0 until PqSub).map { m =>
+    (0 until PqSub).map { m =>
       val lo = m * subLen + 1
       val hi = (m + 1) * subLen
       val assignCos =
         s"${dotOf(s"s$m.sv", "c.cvec")} / (sqrt(s$m.sn) * sqrt(c.cn))"
       s"""s$m AS (SELECT vec_id, vec[$lo:$hi] AS sv,
-              ${normSqOf(s"vec[$lo:$hi]")} AS sn FROM v),
+              ${listNormSq(s"vec[$lo:$hi]")} AS sn FROM v),
         c$m AS (SELECT vec_id AS cent_id, sv AS cvec, sn AS cn
                 FROM s$m WHERE vec_id % $IvfCentroidEvery = 0),
         a$m AS (SELECT vec_id, cell AS code$m FROM (
@@ -848,25 +895,71 @@ object ExtQueries extends QueryGroup {
                      ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
             FROM s$m, c$m c) t WHERE rn = 1)"""
     }.mkString(",\n       ")
+  }
+
+  /** Reconstruction CTEs over the pqSubCtes output: rec (codeword
+    * concat) + nr (reconstruction norms). */
+  private lazy val pqRecCtes = {
     // explicit join chain: a0 x c0 (code0) then a1 (same vec) x c1 (code1) ...
     val fromRec = (0 until PqSub).map { m =>
       val sameVec = if (m == 0) "" else s"JOIN a$m ON a$m.vec_id = a0.vec_id "
       s"${sameVec}JOIN c$m ON a$m.code$m = c$m.cent_id"
     }.mkString(" ")
     val vrec = (0 until PqSub).map(m => s"c$m.cvec").mkString(" || ")
-    s"""WITH $vecsSql,
-       $subCtes,
-       rec AS (SELECT a0.vec_id, $vrec AS vrec FROM a0 $fromRec),
-       nr AS (SELECT vec_id, vrec, ${normSqOf("vrec")} AS nrec FROM rec),
-       scored AS (
-         SELECT q.vec_id AS q_id, b.vec_id AS vec_b,
-                ${dotOf("q.vec", "b.vrec")} / (sqrt(q.nsq) * sqrt(b.nrec)) AS cosine
-         FROM n q JOIN nr b ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id)
-       SELECT q_id, rnk, vec_b AS neighbor_id
+    s"""rec AS (SELECT a0.vec_id, $vrec AS vrec FROM a0 $fromRec),
+       nr AS (SELECT vec_id, vrec, ${listNormSq("vrec")} AS nrec FROM rec)"""
+  }
+
+  private val pqTopKSelect =
+    s"""SELECT q_id, rnk, vec_b AS neighbor_id
        FROM (SELECT q_id, vec_b,
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
              FROM scored) r
        WHERE rnk <= $TopK"""
+
+  /** Twin of Similarity.pqTopK: per-subspace slice/codebook/argmax CTEs,
+    * reconstruction by codeword concat, then the standard top-k.
+    */
+  private lazy val annPqSql =
+    s"""WITH $vecsSql,
+       $pqSubCtes,
+       $pqRecCtes,
+       scored AS (
+         SELECT q.vec_id AS q_id, b.vec_id AS vec_b,
+                ${dotOf("q.vec", "b.vrec")} / (sqrt(q.nsq) * sqrt(b.nrec)) AS cosine
+         FROM n q JOIN nr b ON q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id)
+       $pqTopKSelect"""
+
+  private def annIvfPq(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, IvfCentroidEvery, PqSub, EmbDim)
+
+  /** Twin of Similarity.ivfPqTopK: the IVF cell assignment of annIvfSql
+    * prunes candidates, the PQ chains of annPqSql score them.
+    */
+  private lazy val annIvfPqSql = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       assign AS (
+         SELECT vid, cell FROM (
+           SELECT n.vec_id AS vid, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+           FROM n, cents c) t
+         WHERE rn = 1),
+       $pqSubCtes,
+       $pqRecCtes,
+       scored AS (
+         SELECT q.vec_id AS q_id, b.vec_id AS vec_b,
+                ${dotOf("q.vec", "b.vrec")} / (sqrt(q.nsq) * sqrt(b.nrec)) AS cosine
+         FROM n q
+         JOIN assign qa ON qa.vid = q.vec_id
+         JOIN assign ca ON ca.cell = qa.cell
+         JOIN nr b ON b.vec_id = ca.vid
+         WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id)
+       $pqTopKSelect"""
   }
 
   /** Fixed Lloyd-iteration count for the k-means-refined IVF — small and
@@ -1595,6 +1688,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
     GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
     GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
+    GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),
     GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),
@@ -1619,6 +1713,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
+    GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),

@@ -128,6 +128,29 @@ class SamplingSpec extends SparkSpec {
     assert(dec.map(r => r._1 -> r._3).toMap == want)
   }
 
+  test("robustFences: histogram order-stat quartiles ≡ builtin percentile") {
+    // events.value is effectively continuous — the histogram degenerates
+    // to one row per value, the worst case for the order-stat read-off,
+    // so agreement here means the interpolation is exactly type-7
+    val ev = Tables.events(spark, sf0001)
+    val got = Sampling.robustFences(ev, "event_type", col("value"))
+      .select("event_type", "q1", "q3")
+    val want = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.25)"), 6).as("q1"),
+      round(expr("percentile(value, 0.75)"), 6).as("q3"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("robustFences: hand-checked fences and outlier counts") {
+    val df = (Seq.fill(10)(10L) ++ Seq.fill(10)(20L) ++ Seq(1000L))
+      .map(("a", _)).toDF("g", "v")
+    // n=21: h25=5 -> q1=10, h75=15 -> q3=20, IQR=10 -> fences [-5, 35]
+    val got = Sampling.robustFences(df, "g", col("v"))
+      .as[(String, Double, Double, Double, Double, Long, Long, Long)]
+      .collect().head
+    assert(got == (("a", 10.0, 20.0, -5.0, 35.0, 0L, 1L, 21L)))
+  }
+
   test("valueDeciles: windows run over the histogram, not raw rows") {
     val dec = Sampling.valueDeciles(
       docs.select(col("lang"), col("doc_id").as("q")), "lang", col("q"))

@@ -177,6 +177,10 @@ class ScaleSpec extends SparkSpec {
     val pqHash = pq.filter(_.startsWith("hashpartitioning"))
     assert(pqHash.size == 1 && pqHash.head.contains("q_id"),
       s"ext_ann_pq: only the q_id top-k window may hash-shuffle, got $pq")
+    val ivfpq = shuffles(q("ext_ann_ivfpq"))
+    val ivfpqHash = ivfpq.filter(_.startsWith("hashpartitioning"))
+    assert(ivfpqHash.size == 1 && ivfpqHash.head.contains("q_id"),
+      s"ext_ann_ivfpq: only the q_id top-k window may hash-shuffle, got $ivfpq")
     val sample = shuffles(q("ext_corpus_sample"))
     assert(sample.size == 1, s"ext_corpus_sample: one strata window exchange, got $sample")
     // the strata exchange also serves the final per-pack aggregate: a

@@ -85,6 +85,29 @@ class SimilaritySpec extends SparkSpec {
       "with a perfect codebook PQ must equal the exact search")
   }
 
+  test("ivfPqTopK: candidates confined to the query's cell, k rows, recall > 0") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", 5, 25, 2, 64)
+    // exactly k ranked rows per query, no self matches
+    val perQ = got.groupBy("q_id").count().as[(Long, Long)].collect()
+    assert(perQ.forall(_._2 == 5))
+    assert(got.where(col("q_id") === col("neighbor_id")).count() == 0)
+    // IVF leg: every returned neighbor must be a cell-mate — i.e. appear
+    // in the plain IVF ranking when k covers the whole cell
+    val cellMates = pairs(Similarity.ivfTopK(corpus, queries, "vec_id",
+      "embedding", 10000, 25))
+    assert(pairs(got).subsetOf(cellMates),
+      "IVF-PQ returned a neighbor from outside the query's cell")
+    // PQ leg: quantized scoring still finds some true neighbors
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val r = (pairs(got) & exact).size.toDouble / exact.size
+    info(f"recall@5 ivfpq=$r%.3f")
+    assert(r > 0.0)
+  }
+
   test("ivfKmeansTopK with 0 Lloyd rounds ≡ seeded ivfTopK, bit for bit") {
     val corpus = Tables.embeddings(spark, sf0001)
     val queries = corpus.where(col("vec_id") % 50 === 0)
