@@ -402,6 +402,66 @@ object Dedup {
     labels
   }
 
+  /** Rank grid for the integer-exact PageRank: ranks live as BIGINT
+    * multiples of 1e-9 (r_grid = r * 1e9), so every iteration is pure
+    * integer arithmetic — order-free and bit-identical in any engine.
+    */
+  val PageRankGrid = 1000000000L
+
+  /** PageRank over the undirected near-dup pair graph — ranks the
+    * AUTHORITY of each document inside its duplicate neighborhood (the
+    * canonical-copy signal: keep the highest-ranked member of a cluster,
+    * or weight sampling by it). Standard damped form, d = 0.85,
+    * with every node having degree >= 1 by construction (no dangling
+    * mass):
+    *
+    *   r'(v) = 0.15/N + 0.85 * Σ_{u~v} r(u)/deg(u)
+    *
+    * ALL-INTEGER evaluation on [[PageRankGrid]]: r is a grid BIGINT,
+    * 0.85 = 17/20 and 0.15 = 3/20 are exact rationals, and every
+    * division is truncating integer DIV (floor — operands are
+    * non-negative) — so float summation order never exists and the
+    * DuckDB oracle unrolls the fixed iteration count as CTE chains that
+    * match bit for bit. The truncation sheds < 1 grid unit (1e-9) of
+    * mass per division — deterministic, mirrored, and irrelevant at
+    * ranking granularity.
+    *
+    * Scale/iteration mechanics follow [[connectedComponents]]: per-round
+    * lineage cut (lazy inner checkpoints, eager final), persisted edge
+    * list released after materialization, and a broadcastRanks opt-out
+    * for when the dup graph itself outgrows broadcast.
+    *
+    * Output: (doc_id, pr_grid) — rank as the exact grid BIGINT.
+    */
+  def pageRank(pairs: DataFrame, iterations: Int,
+      broadcastRanks: Boolean = true): DataFrame = {
+    val hint = hintIf(broadcastRanks) _
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("doc_id"), expr(s"${PageRankGrid}L DIV __n").as("r"))
+      .localCheckpoint(eager = false)
+    for (it <- 0 until iterations) {
+      val contrib = edges
+        .join(hint(ranks.select(col("doc_id").as("src"), col("r"))), Seq("src"))
+        .join(hint(deg), Seq("src"))
+        .select(col("dst").as("doc_id"), expr("r DIV deg").as("__c"))
+        .groupBy("doc_id").agg(sum(col("__c")).as("__s"))
+      ranks = nodes.crossJoin(broadcast(nRow))
+        .join(hint(contrib), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (expr(s"${3L * PageRankGrid}L DIV (20L * __n)") +
+            expr("(17L * coalesce(__s, 0L)) DIV 20L")).as("r"))
+        .localCheckpoint(eager = it == iterations - 1)
+    }
+    edges.unpersist()
+    ranks.select(col("doc_id"), col("r").as("pr_grid"))
+  }
+
   /** Pairs -> cleaned corpus with transitive semantics: every document
     * that is not its component's minimum id is removed — one survivor per
     * CONVERGED cluster (convergence needs `connectedComponents`

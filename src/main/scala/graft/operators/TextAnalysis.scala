@@ -168,6 +168,49 @@ object TextAnalysis {
       .agg((sum(col("contrib")) % FpMod).as("fingerprint"))
   }
 
+  /** BM25 relevance of every document against a fixed term query — the
+    * classic sparse-retrieval scorer (and the lexical half of hybrid
+    * retrieval next to the ANN operators). Standard Robertson/Sparck
+    * Jones form with the +1 idf floor:
+    *
+    *   score(d) = Σ_t ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+    *              * tf_td (k1+1) / (tf_td + k1 (1 - b + b·dl/avgdl))
+    *
+    * Scale shape: corpus stats (N, Σdl, df per query term) are ONE
+    * map-side-combinable aggregate folded into a single broadcast row;
+    * scoring is then a pure per-row projection (term tf's via array
+    * filters over the token array — no explode, no shuffle). The
+    * caller ranks with orderBy + limit, which plans as
+    * TakeOrderedAndProject: per-partition top-k then a driver merge of
+    * k-sized heaps — the scale-safe global top-k.
+    *
+    * Determinism: both engines evaluate the identical operation tree on
+    * identical inputs (integer tf/df/dl, exact 0.25/0.75 binary
+    * fractions), so the only cross-engine wobble is ln's last ulp —
+    * absorbed by rounding the final score to 6 (the ext_text_tfidf
+    * precedent).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
+    val toks = tokens(col(textCol))
+    val statAggs = sum(size(toks).cast("long")).as("__sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"__df$i")
+      }
+    val stats = docs.agg(count(lit(1)).as("__n"), statAggs: _*)
+    val dl = size(toks).cast("double")
+    val avgdl = col("__sumdl") / col("__n")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      val df = col(s"__df$i")
+      val idf = log((col("__n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col(idCol).as("doc_id"), round(score, 6).as("bm25"))
+  }
+
   /** Intra-document repetition profile — the Gopher/C4-style quality
     * signals that catch degenerate generated/boilerplate text: the
     * fraction of word 3-gram instances that are repeats of an earlier

@@ -256,6 +256,45 @@ object ExtQueries extends QueryGroup {
          round((n_tokens - n_types) / n_tokens, 6) AS dup_token_frac
        FROM d JOIN w USING (doc_id)"""
 
+  /** BM25 retrieval against a fixed three-term query, top-20 — the
+    * lexical retrieval scorer (TextAnalysis.bm25). Rank by the ROUNDED
+    * score (then doc_id) so the ordering is engine-independent; the
+    * limit plans as TakeOrderedAndProject (per-partition heaps, driver
+    * merge of k rows).
+    */
+  private val Bm25Terms = Seq("join", "stream", "hash")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopN = 20
+
+  private def textBm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+        Bm25Terms, Bm25K1, Bm25B)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopN)
+
+  private lazy val textBm25Sql = {
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '${Bm25Terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val termScores = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)"
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0)
+         * ($tf * ${Bm25K1 + 1}) /
+         ($tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl / avgdl))"""
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS sumdl, $dfCols
+              FROM t),
+       sc AS (SELECT doc_id, round($termScores, 6) AS bm25
+              FROM (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl,
+                      n, sumdl / n AS avgdl,
+                      ${Bm25Terms.indices.map(i => s"df$i").mkString(", ")}
+                    FROM t, st) x)
+       SELECT doc_id, bm25 FROM sc
+       ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN"""
+  }
+
   /** Cross-document boilerplate detection: word 3-grams appearing in at
     * least `BoilerplateMinDf` documents (the repeated headers/footers/
     * templates a training pipeline strips before dedup). One explode +
@@ -1307,6 +1346,44 @@ object ExtQueries extends QueryGroup {
         .select("doc_a", "doc_b"),
       CcIterations, broadcastLabels = true)
 
+  /** PageRank authority inside duplicate neighborhoods — the canonical-
+    * copy signal over the same minhash pair graph the CC queries use.
+    * 3 damped rounds on the integer grid, oracle-unrolled per round
+    * (see Dedup.pageRank for the all-integer determinism argument).
+    */
+  private val PrIterations = 3
+
+  private def ccPageRank(s: SparkSession, d: String): DataFrame =
+    Dedup.pageRank(
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+        .select("doc_a", "doc_b"),
+      PrIterations)
+
+  private lazy val ccPageRankSql = {
+    val g = Dedup.PageRankGrid
+    val iters = (0 until PrIterations).map { k =>
+      s"""r${k + 1} AS (
+           SELECT nodes.doc_id,
+                  ${3L * g} // (20 * (SELECT n FROM nn))
+                    + (17 * coalesce(c.s, 0)) // 20 AS r
+           FROM nodes LEFT JOIN (
+             SELECT e.d AS doc_id, sum(rr.r // deg.deg) AS s
+             FROM e JOIN r$k rr ON e.s = rr.doc_id
+             JOIN deg ON deg.s = e.s
+             GROUP BY e.d) c USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH pairs AS ($dedupMinhashSql),
+       e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+       nodes AS (SELECT DISTINCT s AS doc_id FROM e),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       r0 AS (SELECT doc_id, $g // (SELECT n FROM nn) AS r FROM nodes),
+       $iters
+       SELECT doc_id, CAST(r AS BIGINT) AS pr_grid FROM r$PrIterations"""
+  }
+
   private lazy val ccComponentsSql = {
     val iters = (0 until CcIterations).map { k =>
       s"""l${k + 1} AS (
@@ -1682,6 +1759,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
     GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),
     GQuery("ext_text_repetition", textRepetition, Some(textRepetitionSql), "intra-doc repeated-n-gram quality profile (zero-shuffle fold)"),
+    GQuery("ext_text_bm25", textBm25, Some(textBm25Sql), "BM25 top-20 against a fixed term query (broadcast stats, TakeOrdered)"),
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
     GQuery("ext_corpus_sample", corpusSample, Some(corpusSampleSql), "stratified weighted-quota sample (deterministic salted-hash draw)"),
@@ -1717,6 +1795,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
+    GQuery("ext_cc_pagerank", ccPageRank, Some(ccPageRankSql), "integer-exact PageRank authority over the near-dup graph"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),

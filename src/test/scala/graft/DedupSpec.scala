@@ -250,6 +250,31 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("pageRank: symmetry, hub dominance, mass conservation, partition-independence") {
+    // triangle 1-2-3 with pendant 4 hanging off 3
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.pageRank(pairs, 3).as[(Long, Long)].collect().toMap
+    val g = Dedup.PageRankGrid
+    // symmetric nodes rank identically — the integer arithmetic cannot
+    // break a graph symmetry
+    assert(got(1L) == got(2L))
+    // the hub outranks everyone; the pendant leans entirely on the hub
+    assert(got(3L) > got(1L) && got(3L) > got(4L))
+    // total mass stays ~1.0: each truncating DIV sheds < 1 grid unit
+    val lost = g - got.values.sum
+    assert(lost >= 0 && lost < 100L, s"mass drifted by $lost grid units")
+    // bit-identical under re-partitioning (integer sums are order-free)
+    val again = Dedup.pageRank(pairs.repartition(7, col("doc_a")), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("pageRank: zero iterations = uniform prior") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.pageRank(pairs, 0).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(Dedup.PageRankGrid / 4))
+  }
+
   private val sigCorpus = Seq(
     (1L, "alpha beta gamma delta epsilon"),
     (2L, "alpha beta gamma delta epsilon"), // identical -> cos exactly 1.0

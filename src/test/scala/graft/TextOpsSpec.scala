@@ -37,6 +37,33 @@ class TextOpsSpec extends SparkSpec {
     assert(r3.getDouble(6) == 0.75) // (4-1)/4
   }
 
+  test("bm25: tf monotonicity, zero for no-match, idf favors rare terms") {
+    val docs = Seq(
+      (1L, "rare common common filler filler"),
+      (2L, "rare rare common filler filler"),  // more 'rare' than doc 1
+      (3L, "common common common filler filler"),
+      (4L, "filler filler filler filler filler") // no query terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("rare", "common"), 1.2, 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) == 0.0)
+    assert(got(2L) > got(1L), "higher tf of a query term must raise the score")
+    // 'rare' (df 2) must outscore 'common' (df 3) at equal tf and dl:
+    // doc2 (2x rare + 1x common) vs doc3 (3x common, saturating tf)
+    assert(got(2L) > got(3L), "idf must favor the rarer term")
+    assert(got.values.forall(_ >= 0.0))
+  }
+
+  test("bm25 + orderBy/limit plans as TakeOrderedAndProject (no global sort)") {
+    val ranked = TextAnalysis.bm25(Tables.documents(spark, sf0001),
+        "doc_id", "text", Seq("join", "stream", "hash"), 1.2, 0.75)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must merge per-partition heaps, plan was: $plan")
+  }
+
   test("repetitionStats is a zero-exchange per-row projection") {
     val plan = TextAnalysis
       .repetitionStats(Tables.documents(spark, sf0001), "doc_id", "text")
