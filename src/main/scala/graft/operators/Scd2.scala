@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Slowly-Changing-Dimension Type-2 maintenance, the reference's flagship
@@ -61,4 +61,19 @@ object Scd2 {
     val cols = compareCols.map(col).toIndexedSeq
     newSnap.select(cols: _*).exceptAll(oldSnap.select(cols: _*))
   }
+
+  /** Point-in-time lookup over an SCD2 history — the READ side of the
+    * maintenance the reference performs (dm:185-232 writes dwd_hstr;
+    * this reconstructs the dimension AS OF `at`): keep rows whose
+    * validity interval contains `at`, where the open (current) row has
+    * a null `toCol`. With the SCD2 invariant — per-key intervals
+    * disjoint, expiry stamp = successor's from stamp — any `at` matches
+    * at most one row per key (Scd2Spec asserts on a crafted history).
+    * A pure filter: pushes into the scan, no shuffle, and on a
+    * time-partitioned history layout it prunes partitions too.
+    */
+  def asOf(hist: DataFrame, fromCol: String, toCol: String,
+      at: Column): DataFrame =
+    hist.where(col(fromCol) <= at &&
+      (col(toCol).isNull || at < col(toCol)))
 }

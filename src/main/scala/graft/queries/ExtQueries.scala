@@ -1408,6 +1408,49 @@ object ExtQueries extends QueryGroup {
     * `approx_percentile` (t-digest, mergeable sketch) and accept the
     * rows-only check, as ext_stream_approx does for HLL.
     */
+  /** TPC-H Q1-shaped pricing summary — the canonical wide fact-table
+    * aggregate: a handful of sums/averages per tiny group set, 99% of
+    * the work in the map-side partial aggregate, one grouping-key
+    * shuffle moving only |groups| x |metrics| partial rows. Money math
+    * runs cent-quantized (per-row double products are bit-identical in
+    * both engines, the ROUNDED cents then sum as order-free BIGINTs —
+    * the ext_incr_agg discipline), so the gate is exact, not
+    * tolerance-based.
+    */
+  private val PricingCutoff = "1998-09-02 00:00:00"
+
+  private def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= to_timestamp(lit(PricingCutoff)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        round(col("sum_qty_cents") / 100.0 / col("count_order"), 6))
+      .withColumn("avg_price",
+        round(col("sum_base_cents") / 100.0 / col("count_order"), 6))
+  }
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         count(*) AS count_order,
+         round(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_qty,
+         round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_price
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '$PricingCutoff'
+       GROUP BY 1, 2"""
+
   /** Incremental aggregate maintenance: per-user metrics computed as
     * state(first half) ⊕ state(second half) — the merge path a 100 TB
     * metrics table actually runs (aggregate only the new batch, merge
@@ -1601,6 +1644,34 @@ object ExtQueries extends QueryGroup {
   private def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.decodeFeatures(
       Multimodal.withPayload(Tables.documents(s, d), "doc_id", "text")))
+
+  /** Media near-dup via FRAME-FINGERPRINT collisions — the video-dedup
+    * shape: sample frames, perceptually hash each (stub: the
+    * deterministic frame_hash), equi-join on the hash (inverted index —
+    * never an all-pairs compare), and keep media pairs sharing >=
+    * MinSharedFrames frames. With a real pHash/dHash the same join
+    * tolerates re-encodes; the stub collides only identical payloads,
+    * which the exact-dup clusters in the corpus exercise.
+    */
+  private val MinSharedFrames = 2
+
+  private def mmFrameDup(s: SparkSession, d: String): DataFrame = {
+    val frames = mmFrames(s, d)
+    frames.select(col("doc_id").as("doc_a"), col("frame_hash"))
+      .join(frames.select(col("doc_id").as("doc_b"), col("frame_hash")),
+        Seq("frame_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinSharedFrames)
+  }
+
+  private lazy val mmFrameDupSql =
+    s"""WITH fr AS ($mmFramesSql)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       FROM fr a JOIN fr b
+         ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= $MinSharedFrames"""
 
   private val mmFramesSql =
     s"""WITH d AS ($mmDecodeSql)
@@ -1800,6 +1871,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
     GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),
+    GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
     GQuery("ext_events_funnel", eventsFunnel, Some(eventsFunnelSql), "staged conversion funnel via prefix-max windows"),
     GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),
@@ -1807,6 +1879,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_mm_resize", mmResize, Some(mmResizeSql), "aspect-preserving resize stage (stub resample, real plumbing)"),
     GQuery("ext_mm_decode", mmDecode, Some(mmDecodeSql), "binary payload + stub decode plumbing"),
     GQuery("ext_mm_frames", mmFrames, Some(mmFramesSql), "frame sampling with per-frame fingerprints"),
+    GQuery("ext_mm_framedup", mmFrameDup, Some(mmFrameDupSql), "media near-dup by frame-fingerprint collisions (video-dedup shape)"),
     GQuery("ext_corpus_clean", corpusClean, Some(corpusCleanSql), "quality+lang+dedup corpus clean (north-star composite)"),
     GQuery("ext_ts_rolling", tsRolling, Some(tsRollingSql), "window frames: running sum, trailing avg, lag gap per user"),
     GQuery("ext_corpus_gsets", corpusGsets, Some(corpusGsetsSql), "explicit GROUPING SETS slices w/ grouping_id"),

@@ -599,6 +599,30 @@ object RefQueries extends QueryGroup {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""
 
+  /** Point-in-time (time-travel) dimension lookup (Scd2.asOf) — the
+    * READ side of the SCD2 history the reference spends dm:185-232
+    * maintaining. T sits after the last possible update date, so every
+    * OPEN row qualifies and every expired row is rejected by its
+    * interval — nonzero at every SF (per-key max order dates drift with
+    * SF, so a mid-range T is not SF-stable; the crafted-history spec in
+    * Scd2Spec covers the mixed-interval cases instead).
+    */
+  private val ASOF = "2001-09-01 00:00:00"
+
+  private def q22(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scd2.asOf(q17(s, d),
+        "effective_from_date", "effective_to_date", ts(ASOF))
+      .select("cust_id", "cust_name", "mkt_segment", "acct_bal",
+        "effective_from_date", "is_current_record")
+
+  private val q22Sql =
+    s"""WITH h AS ($q17Sql)
+       SELECT cust_id, cust_name, mkt_segment, acct_bal,
+              effective_from_date, is_current_record
+       FROM h
+       WHERE effective_from_date <= TIMESTAMP '$ASOF'
+         AND (effective_to_date IS NULL OR TIMESTAMP '$ASOF' < effective_to_date)"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("q01_denorm_joins", q01, Some(q01Sql), "SQL-1: rename/project/join chain"),
     GQuery("q02_group_count", q02, Some(q02Sql), "SQL-2/3: group-count + attach"),
@@ -620,5 +644,6 @@ object RefQueries extends QueryGroup {
     GQuery("q18_pivot_intended", q18, Some(q18Sql), "SQL-8 intended form: groupBy().pivot()"),
     GQuery("q19_rollup", q19, Some(q19Sql), "grouping sets: rollup subtotals"),
     GQuery("q20_intersect", q20, Some(q20Sql), "multiset intersection"),
-    GQuery("q21_top_limit", q21, Some(q21Sql), "ordered LIMIT top-k"))
+    GQuery("q21_top_limit", q21, Some(q21Sql), "ordered LIMIT top-k"),
+    GQuery("q22_asof_dim", q22, Some(q22Sql), "point-in-time SCD2 lookup (time travel over dwd_hstr)"))
 }

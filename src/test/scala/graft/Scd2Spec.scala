@@ -35,6 +35,27 @@ class Scd2Spec extends SparkSpec {
     assert(got == Set((2L, "B"), (3L, "c")))
   }
 
+  test("asOf: crafted history resolves to exactly one version per key at any T") {
+    import spark.implicits._
+    // key 1: v1 [10, 20), v2 [20, null); key 2: v1 [15, null)
+    val hist = Seq(
+      (1L, "v1", Some(10L), Some(20L)),
+      (1L, "v2", Some(20L), None),
+      (2L, "v1", Some(15L), None)
+    ).toDF("k", "v", "from_ts", "to_ts")
+    def at(t: Long) = graft.operators.Scd2
+      .asOf(hist, "from_ts", "to_ts", lit(t))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(at(5L) == Set.empty)                           // before history
+    assert(at(12L) == Set((1L, "v1")))                    // only key 1 alive
+    assert(at(17L) == Set((1L, "v1"), (2L, "v1")))        // mixed versions
+    assert(at(20L) == Set((1L, "v2"), (2L, "v1")))        // boundary: successor wins
+    assert(at(99L) == Set((1L, "v2"), (2L, "v1")))        // open rows persist
+    // never more than one row per key, at every probe point
+    for (t <- Seq(5L, 12L, 17L, 20L, 99L))
+      assert(at(t).groupBy(_._1).values.forall(_.size == 1))
+  }
+
   test("flagship delta invariants: expired/new pairs per changed key") {
     val delta = RefQueries.q17(spark, sf0001).cache()
     assert(delta.count() > 0)
