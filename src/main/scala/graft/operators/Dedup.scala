@@ -223,9 +223,18 @@ object Dedup {
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double, grid: Long = 10000L,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, maxDf: Option[Int] = None): DataFrame = {
     val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
-    val scored = TextAnalysis.termStats(docs, idCol, textCol)
+    // maxDf: the jaccardPairsCapped knob composed onto the SIGNATURE
+    // table — terms in more than maxDf documents are dropped before the
+    // self-join (a term shared by d signatures fans out d²/2 pair rows).
+    // On adversarial/tiny vocabularies this bounds the hottest term's
+    // work; signatures lose only their most common (lowest-IDF) terms,
+    // the ones contributing least weight. None = exact.
+    val capped = maxDf.fold(TextAnalysis.termStats(docs, idCol, textCol))(
+      cap => TextAnalysis.termStats(docs, idCol, textCol)
+        .where(col("df") <= cap))
+    val scored = capped
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
     val w = Window.partitionBy("doc_id")

@@ -306,6 +306,18 @@ class DedupSpec extends SparkSpec {
     assert(k1 == Set((1L, 2L)))
   }
 
+  test("tfidfCosinePairs: df cap — high cap ≡ exact, cap 1 starves shared signatures") {
+    val exact = Dedup.tfidfCosinePairs(sigCorpus, "doc_id", "text", 5, 0.0)
+    val high = Dedup.tfidfCosinePairs(sigCorpus, "doc_id", "text", 5, 0.0,
+      maxDf = Some(1000))
+    assert(high.exceptAll(exact).isEmpty && exact.exceptAll(high).isEmpty)
+    // every SHARED term has df >= 2 by definition, so cap 1 keeps only
+    // unshared terms in signatures — no pair can form
+    val starved = Dedup.tfidfCosinePairs(sigCorpus, "doc_id", "text", 5, 0.0,
+      maxDf = Some(1))
+    assert(starved.count() == 0)
+  }
+
   test("tfidfCosinePairs: top-k rank filter compiles to WindowGroupLimit") {
     val plan = Dedup.tfidfCosinePairs(Tables.documents(spark, sf0001),
         "doc_id", "text", 5, 0.9, materialize = false)

@@ -167,4 +167,43 @@ object InvariantProps extends Properties("graft.invariants") {
       val want = strs.map(_.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L))
       got == want
     }
+
+  property("mergeStates(state(A), state(B)) ≡ state(A ∪ B) for any split") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 6L),
+        Gen.chooseNum(-500, 500).map(_ / 100.0)))) { rows =>
+      import spark.implicits._
+      val I = graft.operators.Incremental
+      val df = rows.toDF("user_id", "value")
+      val (a, b) = rows.splitAt(rows.size / 3)
+      val merged = I.mergeStates(
+        I.eventState(a.toDF("user_id", "value")),
+        I.eventState(b.toDF("user_id", "value")))
+      val full = I.eventState(df)
+      merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty
+    }
+
+  property("pageRank conserves grid mass and never ranks negative") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 7L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+      .suchThat(_.nonEmpty)) { pairs =>
+      import spark.implicits._
+      val got = graft.operators.Dedup.pageRank(pairs.toDF("doc_a", "doc_b"), 2)
+        .as[(Long, Long)].collect()
+      val total = got.map(_._2).sum
+      val lost = graft.operators.Dedup.PageRankGrid - total
+      got.forall(_._2 >= 0) && lost >= 0 &&
+        lost < 100L * (got.size + 2L * pairs.size)
+    }
+
+  property("robustFences: q1 <= q3, fences bracket the quartiles, counts consistent") =
+    forAll(Gen.listOfN(25, Gen.chooseNum(0L, 40L)).suchThat(_.nonEmpty)) { vs =>
+      import spark.implicits._
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val r = graft.operators.Sampling.robustFences(df, "g", col("v"))
+        .select("q1", "q3", "lo_fence", "hi_fence", "n_low", "n_high", "n_rows")
+        .as[(Double, Double, Double, Double, Long, Long, Long)].collect().head
+      r._1 <= r._2 && r._3 <= r._1 && r._4 >= r._2 &&
+        r._7 == vs.size && r._5 + r._6 <= vs.size
+    }
 }

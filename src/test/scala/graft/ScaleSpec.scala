@@ -181,6 +181,21 @@ class ScaleSpec extends SparkSpec {
     val ivfpqHash = ivfpq.filter(_.startsWith("hashpartitioning"))
     assert(ivfpqHash.size == 1 && ivfpqHash.head.contains("q_id"),
       s"ext_ann_ivfpq: only the q_id top-k window may hash-shuffle, got $ivfpq")
+    // TPC-H Q1 shape: ONE exchange on the grouping keys; everything else
+    // is the map-side partial aggregate
+    val pricing = shuffles(q("ext_pricing_summary"))
+    assert(pricing.size == 1 && pricing.head.contains("l_returnflag"),
+      s"ext_pricing_summary: one grouping-key exchange, got $pricing")
+    // incremental merge: one user_id exchange per half-state; the
+    // full-outer join reuses both partitionings
+    val incr = shuffles(q("ext_incr_agg"))
+    assert(incr.size == 2 && incr.forall(_.contains("user_id")),
+      s"ext_incr_agg: two user_id state exchanges only, got $incr")
+    // BM25: stats fold to ONE broadcast row (SinglePartition), scoring is
+    // map-only, top-k is TakeOrdered — the corpus is NEVER hash-partitioned
+    val bm25 = shuffles(q("ext_text_bm25"))
+    assert(!bm25.exists(_.startsWith("hashpartitioning")),
+      s"ext_text_bm25: no hash exchange expected, got $bm25")
     val sample = shuffles(q("ext_corpus_sample"))
     assert(sample.size == 1, s"ext_corpus_sample: one strata window exchange, got $sample")
     // the strata exchange also serves the final per-pack aggregate: a
