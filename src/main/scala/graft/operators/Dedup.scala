@@ -194,6 +194,72 @@ object Dedup {
     materializePairs(pairs, evalEdges)
   }
 
+  /** BLOOM-FILTER DECONTAMINATION — the 100 TB-scale formulation of the
+    * eval-leak check: fold the ENTIRE eval corpus's shingle set into a
+    * `lanes`×64-bit bitset (a Bloom filter with `numProbes` probes per
+    * shingle), broadcast that constant-size bitset, and probe every
+    * train shingle against it map-side. A train document whose
+    * maybe-in-eval shingle fraction reaches `tau` is flagged for
+    * removal. Unlike [[crossContamination]] there is NO train×eval
+    * shuffle join and no per-pair state — the eval side is compressed to
+    * kilobytes regardless of benchmark count, which is how
+    * decontamination actually ships at scale (the filter is built once
+    * and reused across every training shard).
+    *
+    * Determinism (oracle-exact, false positives included): probe
+    * positions come from double hashing on [[polyHash]] ids —
+    * `pos_i = (sid mod m + i * (1 + sid mod (m-1))) mod m`, all exact
+    * BIGINT arithmetic — and the bitset is a per-lane `bit_or` of
+    * single-bit masks, so the filter contents (and therefore every
+    * false positive) are identical in any engine, incl. the DuckDB
+    * twin. Bloom guarantees no false NEGATIVES, so the flagged set is
+    * always a superset of the exact-coverage answer at the same tau
+    * (spec-asserted); the FP rate is the usual (1-e^{-kn/m})^k, a
+    * sizing knob (`lanes`), not a correctness risk — decontamination
+    * errs toward recall by design.
+    *
+    * Scale shape: two map-only shingle scans + one tiny groupBy(lane)
+    * (≤ `lanes` rows) + one broadcast join on lane + one groupBy(doc).
+    * The probe explode is ×numProbes on the train edge list — bounded,
+    * and it never leaves the map side until the per-doc count. For an
+    * eval set too large even for a few-MB bitset, shard the bloom by
+    * `sid mod shards` and union the flagged outputs.
+    */
+  def bloomContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, lanes: Int, numProbes: Int, tau: Double,
+      broadcastBloom: Boolean = true): DataFrame = {
+    // 63 usable bits per 64-bit lane: the sign bit is never set, so the
+    // DuckDB twin's checked `<<` (which rejects 1<<63 on BIGINT) folds
+    // the identical bitset
+    val m = lanes.toLong * 63L
+    // per-edge probe rows: (…, lane, mask) for i = 0..numProbes-1
+    def probed(edges: DataFrame): DataFrame =
+      edges
+        .withColumn("__sid", polyHash(col("shingle")))
+        .withColumn("__i", explode(sequence(lit(0), lit(numProbes - 1))))
+        .withColumn("__pos",
+          (col("__sid") % m + col("__i") * (col("__sid") % (m - 1) + lit(1L))) % m)
+        .withColumn("lane", expr("__pos div 63"))
+        .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))"))
+    val trainEdges = shingleEdges(train, idCol, textCol).persist()
+    val bloom = probed(shingleEdges(eval, idCol, textCol))
+      .groupBy("lane").agg(expr("bit_or(mask)").as("bits"))
+    // inner join on lane: a probe whose lane holds no eval bits at all
+    // simply drops out (counts as a miss, same as bits&mask != mask)
+    val hits = probed(trainEdges)
+      .join(hintIf(broadcastBloom)(bloom), Seq("lane"))
+      .where(col("bits").bitwiseAND(col("mask")) === col("mask"))
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("__h"))
+      .where(col("__h") === numProbes)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val flagged = shingleSizes(trainEdges)
+      .join(hits, Seq("doc_id"))
+      .withColumn("coverage", col("n_hit") / col("n_sh"))
+      .where(col("coverage") >= tau)
+      .select("doc_id", "n_sh", "n_hit", "coverage")
+    materializePairs(flagged, trainEdges)
+  }
+
   /** Near-dup pairs by cosine over TOP-K TF-IDF SIGNATURES: each
     * document is reduced to its k highest-TF-IDF terms (its topical
     * signature), and pairs sharing signature terms are scored by the

@@ -546,6 +546,62 @@ object ExtQueries extends QueryGroup {
        WHERE i / es.n_sh >= $ContamTau"""
   }
 
+  /** Bloom sizing: 1024 lanes x 63 usable bits = 64512 bits. The sf0.01 eval bucket sets
+    * ~3k distinct shingles x 3 probes → ~13% fill, FP ≈ 0.13³ ≈ 0.2%;
+    * at larger eval sets `lanes` scales linearly (it is the one knob).
+    */
+  private val BloomLanes = 1024
+  private val BloomProbes = 3
+
+  private def dedupBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val docs = Tables.documents(s, d)
+    Dedup.bloomContamination(
+      docs.where(bucket < 80), docs.where(bucket >= 90),
+      "doc_id", "text", BloomLanes, BloomProbes, ContamTau)
+  }
+
+  /** Twin of Dedup.bloomContamination: identical double-hash probe
+    * positions and per-lane bit_or bitset, so every false positive
+    * reproduces bit-for-bit.
+    */
+  private lazy val dedupBloomSql = {
+    val m = BloomLanes.toLong * 63L
+    val k = BloomProbes
+    def posOf(sid: String) = s"(($sid % $m) + r.i * (1 + $sid % ${m - 1})) % $m"
+    s"""WITH b AS (SELECT doc_id, text,
+            ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS bk
+          FROM documents),
+       ${edgesSqlFrom("(SELECT doc_id, text FROM b WHERE bk < 80)", "te")},
+       ${edgesSqlFrom("(SELECT doc_id, text FROM b WHERE bk >= 90)", "ee")},
+       es AS (SELECT ${polyHashSql("shingle")} AS sid
+              FROM (SELECT DISTINCT shingle FROM ee)),
+       ep AS (SELECT ${posOf("sid")} AS pos
+              FROM es CROSS JOIN range(0, $k) r(i)),
+       bloom AS (SELECT pos // 63 AS lane,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+                 FROM ep GROUP BY 1),
+       ts AS (SELECT doc_id, shingle, ${polyHashSql("shingle")} AS sid FROM te),
+       tp AS (SELECT doc_id, shingle, ${posOf("sid")} AS pos
+              FROM ts CROSS JOIN range(0, $k) r(i)),
+       tm AS (SELECT doc_id, shingle, pos // 63 AS lane,
+                CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER) AS mask
+              FROM tp),
+       hit AS (SELECT doc_id, shingle
+               FROM (SELECT t.doc_id, t.shingle, count(*) AS h
+                     FROM tm t JOIN bloom USING (lane)
+                     WHERE (t.mask & bloom.bits) = t.mask
+                     GROUP BY 1, 2) g
+               WHERE h = $k),
+       sz AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY 1),
+       nh AS (SELECT doc_id, count(*) AS n_hit FROM hit GROUP BY 1)
+       SELECT sz.doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+              CAST(n_hit AS BIGINT) AS n_hit, n_hit / n_sh AS coverage
+       FROM sz JOIN nh USING (doc_id)
+       WHERE n_hit / n_sh >= $ContamTau"""
+  }
+
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
@@ -1843,6 +1899,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_contain", dedupContain, Some(dedupContainSql), "overlap-coefficient (containment) pairs — quote-inclusion dups"),
     GQuery("ext_dedup_tfidfcos", dedupTfidfCos, Some(dedupTfidfCosSql), "top-k TF-IDF signature cosine pairs (integer-grid exact sums)"),
     GQuery("ext_dedup_contaminate", dedupContaminate, Some(dedupContaminateSql), "cross-corpus benchmark decontamination (train x test shingle coverage)"),
+    GQuery("ext_dedup_bloom", dedupBloom, Some(dedupBloomSql), "bloom-filter decontamination (broadcast eval bitset, map-side probes, FP-exact oracle)"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),

@@ -216,6 +216,34 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set((10L, 1L, 1.0)))
   }
 
+  test("bloomContamination: superset of exact coverage, tight at generous sizing") {
+    val d = Tables.documents(spark, sf0001)
+    val bucket = Dedup.polyHash(concat(col("text"), lit("|graft-split-42"))) % 100
+    val train = d.where(bucket < 80)
+    val eval = d.where(bucket >= 90)
+    // exact train-side coverage: fraction of a train doc's shingles
+    // present anywhere in the eval shingle set
+    val te = Dedup.shingleEdges(train, "doc_id", "text")
+    val ee = Dedup.shingleEdges(eval, "doc_id", "text")
+      .select("shingle").distinct()
+    val exact = te.join(ee, Seq("shingle")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_in"))
+      .join(te.groupBy("doc_id").agg(count(lit(1)).as("n_sh")), Seq("doc_id"))
+      .where(col("n_in") / col("n_sh") >= 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // generous sizing: FP ~0 -> flagged set should EQUAL exact here,
+    // and must be a superset at ANY sizing (no false negatives)
+    val roomy = Dedup.bloomContamination(train, eval, "doc_id", "text",
+      2048, 3, 0.3).select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(roomy) && roomy == exact,
+      s"generous bloom diverged: exact=$exact got=$roomy")
+    // starved sizing (63*8 bits for ~hundreds of shingles): saturation
+    // inflates coverage but can never LOSE a genuinely covered doc
+    val tiny = Dedup.bloomContamination(train, eval, "doc_id", "text",
+      8, 3, 0.3).select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(tiny), s"bloom lost true positives: $exact vs $tiny")
+  }
+
   test("sharded GEMM cosine pairs ≡ declarative plan, bit for bit, any block count") {
     val emb = Tables.embeddings(spark, sf0001)
     val ref = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.3)
