@@ -154,37 +154,45 @@ object Similarity {
     * beyond the per-cell-dim aggregation, which AQE-combines map-side);
     * rounds are a fixed small count, not data-dependent.
     */
-  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroidEvery: Int, lloydIters: Int,
-      nprobe: Int = 1): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val base = corpus.select(col(idCol).as("vid"),
+  /** Corpus image for the Lloyd machinery: double vec + squared norm +
+    * the [[KmeansGrid]] integer image (exact, order-free sums). */
+  private def kmBase(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
       VectorOps.normSq(col(vecCol)).as("nsq"),
       transform(col(vecCol),
         x => round(x.cast("double") * KmeansGrid).cast("long")).as("si"))
-    // nearest cell(s) by cosine, ties to the smaller centroid label.
-    // cells == 1 (every Lloyd round + the corpus side of the search) is
-    // the shuffle-free per-row fold over the broadcast centroid array
-    // (see argmaxCell); cells > 1 keeps the ranked window (query side
-    // only, a tiny input).
-    def assign(df: DataFrame, cents: DataFrame, cells: Int): DataFrame =
-      if (cells == 1)
-        df.crossJoin(broadcast(centArray(cents)))
-          .withColumn("cell", argmaxCell(col("vec"), col("nsq")))
-          .drop("__cents")
-      else {
-        val w = Window.partitionBy("vid").orderBy(col("__ccos").desc, col("cent_id").asc)
-        df.crossJoin(broadcast(cents))
-          .withColumn("__ccos", VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") <= cells)
-          .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
-      }
+
+  /** Nearest cell(s) by cosine, ties to the smaller centroid label.
+    * cells == 1 (every Lloyd round + the corpus side of the search) is
+    * the shuffle-free per-row fold over the broadcast centroid array
+    * (see argmaxCell); cells > 1 keeps the ranked window (query side
+    * only, a tiny input).
+    */
+  private def kmAssign(df: DataFrame, cents: DataFrame, cells: Int): DataFrame =
+    if (cells == 1)
+      df.crossJoin(broadcast(centArray(cents)))
+        .withColumn("cell", argmaxCell(col("vec"), col("nsq")))
+        .drop("__cents")
+    else {
+      val w = Window.partitionBy("vid").orderBy(col("__ccos").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("__ccos", VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= cells)
+        .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+    }
+
+  /** `lloydIters` assign/update rounds from the seeded every-Nth-id
+    * init; the mean runs on the integer grid image (see ivfKmeansTopK's
+    * determinism notes). Cells keep their seed centroid id as label.
+    */
+  private def kmRefine(base: DataFrame, centroidEvery: Int,
+      lloydIters: Int): DataFrame = {
     val init = base.where(col("vid") % centroidEvery === 0)
       .select(col("vid").as("cent_id"), col("vec").as("cvec"), col("nsq").as("cn"))
-    val refined = (1 to lloydIters).foldLeft(init) { (cents, _) =>
-      val sums = assign(base, cents, 1)
+    (1 to lloydIters).foldLeft(init) { (cents, _) =>
+      val sums = kmAssign(base, cents, 1)
         .select(col("cell"), posexplode(col("si")).as(Seq("d", "v")))
         .groupBy("cell", "d")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -197,12 +205,60 @@ object Similarity {
           transform(col("dm"), e => e.getField("m")).as("cvec"))
         .withColumn("cn", VectorOps.normSq(col("cvec")))
     }
-    val c = assign(base, refined, 1)
+  }
+
+  /** SEMDEDUP-style SEMANTIC near-dup pairs: cluster the embedding
+    * corpus with the k-means-refined coarse quantizer, then score
+    * cosine ONLY between cluster-mates — pairs crossing a cluster
+    * boundary are never materialized. This is the published recipe for
+    * semantic dedup at the 100 TB scale where even the sharded GEMM's
+    * all-pairs candidate set is infeasible: k-means makes candidate
+    * generation O(Σ|cell|²) instead of O(n²), with recall controlled by
+    * the cluster count (coarser cells = fewer missed cross-cell dups).
+    * Complements the lexical family: MinHash/Jaccard see shared
+    * SURFACE strings, this sees shared embedding DIRECTION — paraphrases
+    * and near-translations that share no 3-gram at all.
+    *
+    * Scale shape: the Lloyd rounds never shuffle the corpus (broadcast
+    * centroids + the codegen'd argmax fold, see [[ivfKmeansTopK]]); the
+    * pair step is ONE equi-join on the cell label — the same
+    * inverted-index discipline as every lexical dedup operator
+    * (candidates come from a key join, never a cross join).
+    *
+    * Determinism: identical grid-exact Lloyd rounds as [[ivfKmeansTopK]]
+    * (the oracle unrolls them as CTEs), ascending-dim cosine folds,
+    * HALF_UP rounding of the reported similarity.
+    */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, lloydIters: Int, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = kmBase(corpus, idCol, vecCol)
+    val refined = kmRefine(base, centroidEvery, lloydIters)
+    val assigned = kmAssign(base, refined, 1)
+    val a = assigned.select(col("vid").as("vec_a"), col("vec").as("va"),
+      col("nsq").as("na"), col("cell"))
+    val b = assigned.select(col("vid").as("vec_b"), col("vec").as("vb"),
+      col("nsq").as("nb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .where(col("cosine") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cell"),
+        round(col("cosine"), 6).as("cos_r"))
+  }
+
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidEvery: Int, lloydIters: Int,
+      nprobe: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = kmBase(corpus, idCol, vecCol)
+    val refined = kmRefine(base, centroidEvery, lloydIters)
+    val c = kmAssign(base, refined, 1)
       .select(col("vid").as("vec_b"), col("vec").as("vb"), col("nsq").as("nb"), col("cell"))
     val qbase = queries.select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"),
       VectorOps.normSq(col(vecCol)).as("nsq"))
-    val q = assign(qbase, refined, nprobe)
+    val q = kmAssign(qbase, refined, nprobe)
       .select(col("vid").as("q_id"), col("vec").as("va"), col("nsq").as("na"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
     q.join(c, Seq("cell"))

@@ -1073,11 +1073,15 @@ object ExtQueries extends QueryGroup {
     * fixed iteration count unrolls as a$k/m$k/c$k CTE chains from the
     * seeded c0. Assignment/search cosines are the usual ordered folds.
     */
-  private lazy val annIvfKmeansSql = {
+  /** Shared Lloyd CTE chain (si grid image, seeded c0, a$k/m$k/c$k
+    * rounds, final assignment) — twin of Similarity.kmBase/kmRefine/
+    * kmAssign, reused by the k-means IVF and semantic-dedup oracles.
+    */
+  private def kmCtesSql(iters: Int): String = {
     val grid = Similarity.KmeansGrid
     def assignCos(s: String, c: String) =
       s"${dotOf(s"$s.vec", s"$c.cvec")} / (sqrt($s.nsq) * sqrt($c.cn))"
-    val rounds = (1 to KmIters).map { it =>
+    val rounds = (1 to iters).map { it =>
       s"""a$it AS (
            SELECT vid, cell FROM (
              SELECT s.vec_id AS vid, c.cent_id AS cell,
@@ -1099,7 +1103,7 @@ object ExtQueries extends QueryGroup {
            FROM (SELECT cell AS cent_id, list(m ORDER BY d) AS cvec
                  FROM m$it GROUP BY cell) t)"""
     }.mkString(",\n       ")
-    s"""WITH $vecsSql,
+    s"""$vecsSql,
        si AS (SELECT vec_id, vec, nsq,
                 list_transform(vec, x -> CAST(round(x * $grid) AS BIGINT)) AS si
               FROM n),
@@ -1110,8 +1114,12 @@ object ExtQueries extends QueryGroup {
          SELECT s.vec_id AS vid, s.vec, s.nsq, c.cent_id AS cell,
                 row_number() OVER (PARTITION BY s.vec_id
                   ORDER BY ${assignCos("s", "c")} DESC, c.cent_id ASC) AS rn
-         FROM si s, c$KmIters c),
-       assign AS (SELECT vid, vec, nsq, cell FROM fin WHERE rn = 1),
+         FROM si s, c$iters c),
+       assign AS (SELECT vid, vec, nsq, cell FROM fin WHERE rn = 1)"""
+  }
+
+  private lazy val annIvfKmeansSql =
+    s"""WITH ${kmCtesSql(KmIters)},
        scored AS (
          SELECT q.vid AS q_id, c.vid AS vec_b,
                 ${dotOf("q.vec", "c.vec")} / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosine
@@ -1122,7 +1130,31 @@ object ExtQueries extends QueryGroup {
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
              FROM scored) r
        WHERE rnk <= $TopK"""
-  }
+
+  /** SemDeDup similarity floor: LOW on purpose — the synthetic
+    * embeddings are isotropic, so genuinely near-parallel pairs are
+    * rare; 0.4 matches the brute-force embcos tau, making the two
+    * results directly comparable (semantic = embcos ∩ same-cell).
+    */
+  private val SemTau = EmbCosTau
+
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", IvfCentroidEvery, KmIters, SemTau)
+
+  /** Twin of Similarity.semanticDedupPairs: the kmCtesSql Lloyd chain,
+    * then cluster-mate pairs only (a.cell = b.cell), same ordered-fold
+    * cosine and HALF_UP rounding as the embcos twins.
+    */
+  private lazy val dedupSemanticSql =
+    s"""WITH ${kmCtesSql(KmIters)},
+       scored AS (
+         SELECT a.vid AS vec_a, b.vid AS vec_b, a.cell,
+                ${dotOf("a.vec", "b.vec")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         FROM assign a JOIN assign b
+           ON a.cell = b.cell AND a.vid < b.vid)
+       SELECT vec_a, vec_b, cell, round(cosine, 6) AS cos_r
+       FROM scored WHERE cosine >= $SemTau"""
 
   private def embQuant(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -1918,6 +1950,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
+    GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),

@@ -141,6 +141,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rKmeans == 1.0, f"refined cells should align with the true clusters, recall=$rKmeans%.3f")
   }
 
+  test("semanticDedupPairs: embcos ∩ cluster-mates, exact within a cell") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val sem = Similarity.semanticDedupPairs(corpus, "vec_id", "embedding", 25, 2, 0.4)
+    val brute = Dedup.embeddingCosinePairs(corpus, "vec_id", "embedding", 0.4)
+      .select("vec_a", "vec_b", "cos_r")
+    // every semantic pair is a brute-force pair with the identical
+    // rounded cosine (clustering prunes candidates, never rescores)
+    assert(sem.select("vec_a", "vec_b", "cos_r").exceptAll(brute).isEmpty,
+      "semantic pair absent from (or rescored vs) the brute-force set")
+    // and within any single cell the pruning loses NOTHING: brute pairs
+    // whose two sides landed in the same cell are all present
+    val cells = Similarity.semanticDedupPairs(corpus, "vec_id", "embedding", 25, 2, -1.0)
+      .select("vec_a", "vec_b") // tau=-1: every cluster-mate pair
+    val cellMates = brute.join(cells, Seq("vec_a", "vec_b"), "left_semi")
+    assert(cellMates.exceptAll(sem.select("vec_a", "vec_b", "cos_r")).isEmpty,
+      "a same-cell brute pair above tau is missing from the semantic set")
+    // one coarse cell (only vec_id 0 seeds) degenerates to brute force
+    val one = Similarity.semanticDedupPairs(corpus, "vec_id", "embedding", 100000, 0, 0.4)
+      .select("vec_a", "vec_b", "cos_r")
+    assert(one.exceptAll(brute).isEmpty && brute.exceptAll(one).isEmpty,
+      "single-cell semantic dedup must equal the brute-force pair set")
+  }
+
   test("quantizeInt8: error bounded by scale/2, saturation at the max component") {
     val emb = Tables.embeddings(spark, sf0001)
     val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
