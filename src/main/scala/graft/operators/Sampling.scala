@@ -175,6 +175,41 @@ object Sampling {
         col("n_low"), col("n_high"), col("n_rows"))
   }
 
+  /** TEMPERATURE-SCALED DOMAIN MIXTURE: the data-mixing step of a
+    * training build — per-domain token mass, the raw share p_d, the
+    * temperature-flattened share q_d ∝ p_d^(1/2), and the sampling
+    * boost q_d/p_d each domain needs to hit its mixed share. α = 1/2 is
+    * the published sweet spot family (flatten head domains, lift tail
+    * domains) and, deliberately, the one exponent whose power is a
+    * CORRECTLY-ROUNDED IEEE op (sqrt) — `pow` is not, so a generic α
+    * would not reproduce across engines.
+    *
+    * Determinism: the cross-domain normalizer runs on an integer grid —
+    * s_d = round(sqrt(n_d)·10^6) as BIGINT, Σs exact — so shares are
+    * exact-integer divisions, order-free under any partitioning. The
+    * per-domain aggregate is the only corpus-sized operation (map-side
+    * combinable); the normalizer joins back as a broadcast 1-row build
+    * (|domains| rows is dashboard-sized at any corpus scale).
+    */
+  def mixtureWeights(docs: DataFrame, domainCol: String,
+      text: Column): DataFrame = {
+    val grid = 1000000L
+    val perDom = docs
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(text, " ")).cast("long")).as("n_tokens"))
+      // floor(x + 0.5), not round(x): integer round() on doubles is the
+      // one op the engines disagree on (see Similarity.quantizeInt8)
+      .withColumn("__s", floor(sqrt(col("n_tokens")) * grid + 0.5).cast("long"))
+    val totals = perDom.agg(sum("n_tokens").as("__tot"), sum("__s").as("__stot"))
+    perDom.crossJoin(broadcast(totals))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot"), 6).as("p_raw"),
+        round(col("__s") / col("__stot"), 6).as("p_temp"),
+        round((col("__s") / col("__stot")) / (col("n_tokens") / col("__tot")), 6)
+          .as("boost"))
+  }
+
   def valueDeciles(df: DataFrame, strataCol: String, value: Column,
       nBuckets: Int = 10): DataFrame = {
     val hist = df.groupBy(col(strataCol), value.as("__v"))

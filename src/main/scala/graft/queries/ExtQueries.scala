@@ -464,6 +464,32 @@ object ExtQueries extends QueryGroup {
               CAST(sum(cnt) AS BIGINT) AS n_docs, max(q) AS max_q, min(q) AS min_q
        FROM c GROUP BY 1, 2"""
 
+  /** Temperature mixture over the `source` domain column (the corpus's
+    * provenance axis). α fixed at 1/2 — see Sampling.mixtureWeights for
+    * why that exact exponent (sqrt is correctly rounded; pow is not).
+    */
+  private def corpusMix(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureWeights(Tables.documents(s, d), "source", col("text"))
+
+  /** Twin of Sampling.mixtureWeights: same 10^6 integer grid for the
+    * sqrt-mass normalizer, same floor(+0.5) quantization.
+    */
+  private val corpusMixSql =
+    """WITH dom AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1),
+       g AS (SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+             FROM dom),
+       t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                    CAST(sum(s) AS BIGINT) AS stot FROM g)
+       SELECT source, n_docs, n_tokens,
+              round(n_tokens / tot, 6) AS p_raw,
+              round(s / stot, 6) AS p_temp,
+              round((s / stot) / (n_tokens / tot), 6) AS boost
+       FROM g CROSS JOIN t"""
+
   /** Per-language Tukey fences on document length — robust outlier
     * bounds from the n_chars histogram (exact type-7 quartiles as order
     * statistics over cumulative counts; see Sampling.robustFences for
@@ -1925,6 +1951,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
     GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
     GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
+    GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),

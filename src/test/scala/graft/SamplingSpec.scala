@@ -95,6 +95,29 @@ class SamplingSpec extends SparkSpec {
     assert(again.exceptAll(packed.select("doc_id", "pack_id", "spans_next")).count() == 0)
   }
 
+  test("mixtureWeights: shares sum to 1, sqrt flattens head and lifts tail") {
+    val corpus = Seq.tabulate(120) { i =>
+      // head domain = 100 docs of 9 tokens, tail = 20 docs of 4 tokens
+      if (i < 100) (i.toLong, "head", "a b c d e f g h i")
+      else (i.toLong, "tail", "a b c d")
+    }.toDF("doc_id", "source", "text")
+    val w = Sampling.mixtureWeights(corpus, "source", col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (hTok, hRaw, hTemp, hBoost) = w("head")
+    val (tTok, tRaw, tTemp, tBoost) = w("tail")
+    assert(hTok == 900L && tTok == 80L)
+    assert(math.abs(hRaw + tRaw - 1.0) < 1e-6 && math.abs(hTemp + tTemp - 1.0) < 1e-6)
+    // temperature compresses: head loses share (boost < 1), tail gains
+    assert(hTemp < hRaw && tTemp > tRaw)
+    assert(hBoost < 1.0 && tBoost > 1.0)
+    // ordering by mass is preserved (flattened, not inverted)
+    assert(hTemp > tTemp)
+    // partition-independence of the integer-grid normalizer
+    val w8 = Sampling.mixtureWeights(corpus.repartition(8), "source", col("text"))
+    assert(w8.exceptAll(Sampling.mixtureWeights(corpus, "source", col("text"))).isEmpty)
+  }
+
   test("valueDeciles: counts conserved, buckets ordered and value-disjoint") {
     val scored = docs.select(col("lang"), (col("doc_id") % 97).as("q"))
     val dec = Sampling.valueDeciles(scored, "lang", col("q"))
