@@ -122,4 +122,29 @@ object EventsStream {
       s"user_id = c_user AND c_time BETWEEN p_time - INTERVAL $gapSeconds SECONDS AND p_time"))
       .select(col("purchase_id"), col("user_id"), col("click_id"))
   }
+
+  /** STREAM-STATIC enrichment join: each streamed event picks up its
+    * user's dimension attributes (segment, nation) from the static
+    * customer table. Stateless — no watermark and NO state store: the
+    * static side is planned as an ordinary batch relation per
+    * micro-batch, so the natural physical plan is a broadcast hash join
+    * of dimension onto the stream (exactly the star-schema enrichment a
+    * feature pipeline runs in front of a training sink). Inner join:
+    * events with no dimension row are dropped, identically in the batch
+    * twin — [[enrichEvents]] over the same inputs, the spec's gate.
+    */
+  def enrichedStream(spark: SparkSession, dir: String): DataFrame =
+    enrichEvents(eventsFileStream(spark, dir),
+      spark.read.parquet(s"$dir/customer.parquet"))
+
+  /** The unified-API transform behind [[enrichedStream]]: works on a
+    * streaming or static `events` frame alike.
+    */
+  def enrichEvents(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        customer.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"), col("c_nationkey").as("nation_key")),
+        Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"), col("nation_key"), col("value"))
 }

@@ -54,6 +54,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join ≡ batch join, broadcast dimension") {
+    val q = EventsStream.enrichedStream(spark, sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enriched")
+      val batch = EventsStream.enrichEvents(
+        Tables.events(spark, sf0001)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000"))),
+        spark.read.parquet(s"$sf0001/customer.parquet"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      // stateless: the plan must carry no stateful operator node
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "enrichment join must not allocate a state store")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: replays within the horizon are dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
