@@ -256,4 +256,38 @@ object TextAnalysis {
         round(col("top_cnt") / col("n_grams"), 6).as("top_gram_frac"),
         round((col("__ntok") - col("__ntyp")) / col("__ntok"), 6).as("dup_token_frac"))
   }
+
+  /** HASHED-FEATURE LINEAR CLASSIFIER inference — the fastText-shaped
+    * quality/domain classifier every production curation stack runs over
+    * the whole corpus: token → hash bucket (mod `dim`), per-doc score =
+    * Σ w[bucket(t)] over tokens (a bag-of-words dot product with the
+    * weight vector), label = sign. The weights here are derived from the
+    * bucket id by a fixed integer mix (a stand-in for trained
+    * parameters — swapping in a real model changes ONE line and nothing
+    * about the plan); weights live on an integer CENT grid so the score
+    * is an exact BIGINT sum, order-free and oracle-exact.
+    *
+    * Scale shape: pure per-row fold — the hashing trick means NO
+    * vocabulary table, no join, no shuffle of any kind; the whole
+    * operator is one whole-stage-codegen projection over the corpus
+    * scan. This is the reason hashed features won at scale: inference
+    * over 100 TB is embarrassingly parallel and vocabulary-free.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // deterministic per-bucket weight in [-500, 500] cents: a Knuth
+    // multiplicative mix of the bucket id (NOT trained weights — the
+    // plumbing under a real model is identical)
+    def weight(tok: Column): Column = {
+      val bucket = Dedup.polyHash(tok) % dim
+      (bucket * lit(2654435761L) + lit(12345L)) % 1001L - lit(500L)
+    }
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score"))
+      .withColumn("label", when(col("score") >= 0, 1).otherwise(0))
+      .withColumn("mean_cents", round(col("score") / col("n_tokens"), 6))
+  }
 }

@@ -72,4 +72,26 @@ class TextOpsSpec extends SparkSpec {
       "repetition profile must stay map-only — an Exchange means the " +
         "grams escaped the per-row fold")
   }
+
+  test("hashedLinearScore: exact fold, sign label, zero-exchange, hash-stable") {
+    val docs = Seq((1L, "x"), (2L, "x x x"), (3L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", 1024)
+      .select("doc_id", "n_tokens", "score", "label")
+      .as[(Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // same token k times scores exactly k * w(token)
+    assert(got(2L)._3 == 3 * got(1L)._3)
+    assert(got.values.forall(r => (r._4 == 1) == (r._3 >= 0)))
+    // vocabulary-free: the whole corpus scores as one map-only projection
+    val plan = TextAnalysis
+      .hashedLinearScore(Tables.documents(spark, sf0001), "doc_id", "text", 1024)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "hashed classifier inference must be a zero-shuffle projection")
+    // partition-independent (exact integer fold)
+    val a = TextAnalysis.hashedLinearScore(
+      Tables.documents(spark, sf0001), "doc_id", "text", 1024)
+    val b = TextAnalysis.hashedLinearScore(
+      Tables.documents(spark, sf0001).repartition(7), "doc_id", "text", 1024)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
