@@ -772,13 +772,8 @@ object Dedup {
     // re-grouping shuffle and no string bucket encoding. Same candidate
     // set as joining on a serialized bucket: tuple equality IS band
     // equality.
-    val numBands = numPerm / rowsPerBand
-    val keyCols = (0 until rowsPerBand).map(r => s"k$r")
-    val stackRows = (0 until numBands).map { b =>
-      s"${b}L, " + (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
-    }.mkString(", ")
-    val buckets = wide.selectExpr("doc_id",
-      s"stack($numBands, $stackRows) AS (band, ${keyCols.mkString(", ")})")
+    val keyCols = bandKeyCols(rowsPerBand)
+    val buckets = bandBuckets(wide, numPerm, rowsPerBand)
     val candidates = buckets.toDF("doc_a" +: "band" +: keyCols: _*)
       .join(buckets.toDF("doc_b" +: "band" +: keyCols: _*),
         Seq("band") ++ keyCols)
@@ -786,6 +781,73 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     val out = materializePairs(verifiedJaccard(candidates, edges, tau), edges)
     releaseVocab()
+    out
+  }
+
+  private def bandKeyCols(rowsPerBand: Int): Seq[String] =
+    (0 until rowsPerBand).map(r => s"k$r")
+
+  /** Band rows off the wide signature: (doc_id, band, k0..k{r-1}) — one
+    * stack() per doc, no re-grouping shuffle and no string bucket
+    * encoding; tuple equality IS band equality.
+    */
+  private def bandBuckets(wide: DataFrame, numPerm: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numBands = numPerm / rowsPerBand
+    val stackRows = (0 until numBands).map { b =>
+      s"${b}L, " + (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ")
+    }.mkString(", ")
+    wide.selectExpr("doc_id",
+      s"stack($numBands, $stackRows) AS (band, ${bandKeyCols(rowsPerBand).mkString(", ")})")
+  }
+
+  /** INCREMENTAL dedup — the daily-crawl shape: near-dups of the
+    * `incoming` batch AGAINST the `existing` corpus (bipartite — the
+    * corpus is never self-joined; intra-batch dups are [[minhashLshPairs]]
+    * on the batch alone). The content-derived hash modes (PolyHash /
+    * XxHash) are what make this incremental at all: signatures depend
+    * only on document text, so the existing side's signature/band table
+    * is computed ONCE, stored, and probed by each increment — the
+    * per-batch cost is O(batch) signature work plus a band equi-join
+    * against the stored index, never a corpus re-scan. (DenseId is
+    * rejected: vocabulary ranks shift with every increment, silently
+    * invalidating stored signatures.)
+    *
+    * Scale shape: identical discipline to the self-join variant — band
+    * tuples are the inverted index; candidate fan-out per (band, bucket)
+    * is |existing in bucket| × |incoming in bucket|; exact-Jaccard
+    * verification touches candidate docs only.
+    */
+  def incrementalMinhashDups(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, numPerm: Int, rowsPerBand: Int,
+      tau: Double, mode: HashMode = XxHash): DataFrame = {
+    require(mode != DenseId,
+      "DenseId signatures are vocabulary-relative and cannot be stored across increments")
+    val exEdges = shingleEdges(existing, idCol, textCol).persist()
+    val inEdges = shingleEdges(incoming, idCol, textCol).persist()
+    val (exWide, _) = minhashWideReleasable(exEdges, numPerm, mode)
+    val (inWide, _) = minhashWideReleasable(inEdges, numPerm, mode)
+    val keyCols = bandKeyCols(rowsPerBand)
+    val candidates = bandBuckets(inWide, numPerm, rowsPerBand)
+      .toDF("new_id" +: "band" +: keyCols: _*)
+      .join(bandBuckets(exWide, numPerm, rowsPerBand)
+        .toDF("old_id" +: "band" +: keyCols: _*),
+        Seq("band") ++ keyCols)
+      .select("new_id", "old_id").distinct()
+    val inter = candidates
+      .join(inEdges.select(col("doc_id").as("new_id"), col("shingle")), Seq("new_id"))
+      .join(exEdges.select(col("doc_id").as("old_id"), col("shingle")),
+        Seq("old_id", "shingle"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+      .join(shingleSizes(inEdges).select(col("doc_id").as("new_id"), col("n_sh").as("na")),
+        Seq("new_id"))
+      .join(shingleSizes(exEdges).select(col("doc_id").as("old_id"), col("n_sh").as("nb")),
+        Seq("old_id"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= tau)
+      .select("new_id", "old_id", "jaccard")
+    val out = materializePairs(inter, inEdges)
+    exEdges.unpersist()
     out
   }
 

@@ -256,6 +256,31 @@ object ExtQueries extends QueryGroup {
          round((n_tokens - n_types) / n_tokens, 6) AS dup_token_frac
        FROM d JOIN w USING (doc_id)"""
 
+  private val ClassifyDim = 1024
+
+  private def textClassify(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedLinearScore(Tables.documents(s, d), "doc_id", "text",
+      ClassifyDim)
+
+  /** Twin of TextAnalysis.hashedLinearScore: identical polyhash bucket,
+    * Knuth-mix weight, and exact BIGINT token fold.
+    */
+  private lazy val textClassifySql =
+    s"""WITH s AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> ((${polyHashSql("t")} % $ClassifyDim) * 2654435761
+                        + 12345) % 1001 - 500)),
+             (a, b) -> a + b) AS score
+         FROM documents)
+       SELECT doc_id, n_tokens, score,
+              CASE WHEN score >= 0 THEN 1 ELSE 0 END AS label,
+              round(score / n_tokens, 6) AS mean_cents
+       FROM s"""
+
   /** BM25 retrieval against a fixed three-term query, top-20 — the
     * lexical retrieval scorer (TextAnalysis.bm25). Rank by the ROUNDED
     * score (then doc_id) so the ordering is engine-independent; the
@@ -751,6 +776,53 @@ object ExtQueries extends QueryGroup {
   private val dedupMinhashSql =
     s"""WITH ${minhashCtesSql("documents")},
        ${verifySql(MinhashTau)}"""
+
+  /** One side of the bipartite incremental chain: edges → polyhash ids →
+    * wide signatures → band buckets, all CTEs prefixed `$p`.
+    */
+  private def minhashSideCtes(src: String, p: String) =
+    s"""${edgesSqlFrom(src, s"${p}e")},
+       ${p}ids AS (SELECT doc_id, ${polyHashSql("shingle")} AS sid FROM ${p}e),
+       ${p}sig AS (
+         SELECT doc_id, j, min(((37 * j + 11) * sid + 101 * j + 7) % ${Dedup.MinhashMod}) AS minh
+         FROM ${p}ids, range($MinhashPerms) t(j) GROUP BY doc_id, j),
+       ${p}b AS (
+         SELECT doc_id, j // $MinhashRows AS band,
+                string_agg(minh::VARCHAR, ',' ORDER BY j) AS bucket
+         FROM ${p}sig GROUP BY doc_id, band)"""
+
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalMinhashDups(
+      docs.where(bucket < 80), docs.where(bucket >= 80 && bucket < 90),
+      "doc_id", "text", MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+  }
+
+  /** Twin of Dedup.incrementalMinhashDups over the deterministic split:
+    * existing = train bucket, incoming = the middle (val) bucket.
+    */
+  private lazy val dedupIncrementalSql =
+    s"""WITH bkt AS (SELECT doc_id, text,
+            ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS bk
+          FROM documents),
+       ${minhashSideCtes("(SELECT doc_id, text FROM bkt WHERE bk < 80)", "o")},
+       ${minhashSideCtes("(SELECT doc_id, text FROM bkt WHERE bk >= 80 AND bk < 90)", "n")},
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM nb n JOIN ob o ON n.band = o.band AND n.bucket = o.bucket),
+       inter AS (
+         SELECT c.new_id, c.old_id, count(*) AS i
+         FROM cand c JOIN ne en ON c.new_id = en.doc_id
+         JOIN oe eo ON c.old_id = eo.doc_id AND en.shingle = eo.shingle
+         GROUP BY 1, 2),
+       szn AS (SELECT doc_id, count(*) AS n_sh FROM ne GROUP BY 1),
+       szo AS (SELECT doc_id, count(*) AS n_sh FROM oe GROUP BY 1)
+       SELECT new_id, old_id, i / (szn.n_sh + szo.n_sh - i) AS jaccard
+       FROM inter JOIN szn ON inter.new_id = szn.doc_id
+       JOIN szo ON inter.old_id = szo.doc_id
+       WHERE i / (szn.n_sh + szo.n_sh - i) >= $MinhashTau"""
 
   private val SimhashMaxHamming = 3
 
@@ -1944,6 +2016,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
     GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),
     GQuery("ext_text_repetition", textRepetition, Some(textRepetitionSql), "intra-doc repeated-n-gram quality profile (zero-shuffle fold)"),
+    GQuery("ext_text_classify", textClassify, Some(textClassifySql), "hashed-feature linear classifier inference (vocabulary-free, zero-shuffle)"),
     GQuery("ext_text_bm25", textBm25, Some(textBm25Sql), "BM25 top-20 against a fixed term query (broadcast stats, TakeOrdered)"),
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
@@ -1959,6 +2032,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_tfidfcos", dedupTfidfCos, Some(dedupTfidfCosSql), "top-k TF-IDF signature cosine pairs (integer-grid exact sums)"),
     GQuery("ext_dedup_contaminate", dedupContaminate, Some(dedupContaminateSql), "cross-corpus benchmark decontamination (train x test shingle coverage)"),
     GQuery("ext_dedup_bloom", dedupBloom, Some(dedupBloomSql), "bloom-filter decontamination (broadcast eval bitset, map-side probes, FP-exact oracle)"),
+    GQuery("ext_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql), "incremental MinHash dedup: new batch probed against the stored corpus index"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),

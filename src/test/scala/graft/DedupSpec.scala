@@ -216,6 +216,27 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set((10L, 1L, 1.0)))
   }
 
+  test("incrementalMinhashDups: bipartite only, exact verify, DenseId rejected") {
+    val existing = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a b c d e f g h"),  // exact copy of existing 1
+      (11L, "a b c d e f g h"),  // intra-batch dup of 10 — must NOT pair with 11
+      (12L, "k l m n o k2 l2 m2") // novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashDups(existing, incoming, "doc_id", "text",
+      16, 2, 0.8, Dedup.PolyHash).as[(Long, Long, Double)].collect().toSet
+    // both copies hit the EXISTING doc; the intra-batch (10,11) pair is
+    // out of scope by design (bipartite join only)
+    assert(got == Set((10L, 1L, 1.0), (11L, 1L, 1.0)), s"got $got")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashDups(existing, incoming, "doc_id", "text",
+        16, 2, 0.8, Dedup.DenseId)
+    }
+  }
+
   test("bloomContamination: superset of exact coverage, tight at generous sizing") {
     val d = Tables.documents(spark, sf0001)
     val bucket = Dedup.polyHash(concat(col("text"), lit("|graft-split-42"))) % 100
