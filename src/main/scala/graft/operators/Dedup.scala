@@ -227,7 +227,7 @@ object Dedup {
     */
   def bloomContamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, lanes: Int, numProbes: Int, tau: Double,
-      broadcastBloom: Boolean = true): DataFrame = {
+      broadcastBloom: Boolean = true, materialize: Boolean = true): DataFrame = {
     // 63 usable bits per 64-bit lane: the sign bit is never set, so the
     // DuckDB twin's checked `<<` (which rejects 1<<63 on BIGINT) folds
     // the identical bitset
@@ -257,7 +257,10 @@ object Dedup {
       .withColumn("coverage", col("n_hit") / col("n_sh"))
       .where(col("coverage") >= tau)
       .select("doc_id", "n_sh", "n_hit", "coverage")
-    materializePairs(flagged, trainEdges)
+    // materialize=false keeps the declarative plan inspectable
+    // (ScaleSpec's broadcast audit) at the cost of leaving the edge
+    // cache to the ContextCleaner
+    if (materialize) materializePairs(flagged, trainEdges) else flagged
   }
 
   /** Near-dup pairs by cosine over TOP-K TF-IDF SIGNATURES: each

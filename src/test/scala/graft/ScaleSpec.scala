@@ -203,5 +203,36 @@ class ScaleSpec extends SparkSpec {
     val pack = shuffles(q("ext_corpus_pack"))
     assert(pack.size == 1 && pack.head.contains("lang"),
       s"ext_corpus_pack: the lang window exchange serves the groupBy too, got $pack")
+    // bloom decontamination: the bitset side is lane-grouped (tiny) and
+    // attaches BROADCAST — the train probe stream must never
+    // hash-partition on the lane key (pre-checkpoint plan: the
+    // registered query localCheckpoints the tiny result away)
+    val docs = Tables.documents(spark, sf0001)
+    val bloom = graft.operators.Dedup.bloomContamination(
+      docs, docs.limit(20), "doc_id", "text", 1024, 3, 0.3,
+      materialize = false)
+    assert(!shuffles(bloom).exists(_.contains("lane")),
+      s"ext_dedup_bloom: probe join must be broadcast, got ${shuffles(bloom)}")
+    assert(bloom.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "ext_dedup_bloom: bloom bitset must attach as a broadcast hash join")
+    // semantic dedup inherits the k-means discipline: Lloyd rounds never
+    // hash-partition the corpus by vector id; the ONLY corpus-sized
+    // exchange is the cell equi-join of the pair step
+    val sem = shuffles(q("ext_dedup_semantic"))
+    assert(!sem.exists(_.contains("vid")),
+      s"ext_dedup_semantic: corpus must never hash-partition on vid, got $sem")
+    assert(sem.filter(_.startsWith("hashpartitioning")).forall(_.contains("cell")),
+      s"ext_dedup_semantic: every hash exchange must be cell-keyed (Lloyd " +
+        s"partial sums + the pair join), got $sem")
+    // hashed classifier: zero exchanges anywhere (asserted map-only in
+    // TextOpsSpec; repeated here so the registry-level audit covers it)
+    assert(shuffles(q("ext_text_classify")).isEmpty,
+      "ext_text_classify: vocabulary-free inference must not shuffle")
+    // mixture weights: per-domain aggregate exchange + the 1-row
+    // normalizer build; the normalizer re-attaches broadcast
+    val mix = q("ext_corpus_mix")
+    assert(mix.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+        || mix.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "ext_corpus_mix: the 1-row normalizer must attach broadcast")
   }
 }
