@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-LAYOUT operators: multi-dimensional clustering keys for scan
+  * pruning. A 100 TB table is read far more often than written; sorting
+  * its files by a Z-VALUE (Morton interleave) of the two hottest filter
+  * columns gives BOTH columns bounded min/max ranges per file, so
+  * footer-stats pruning works for either predicate — where a plain sort
+  * serves only its leading column. (The same recipe behind Delta/Iceberg
+  * Z-ORDER table maintenance, expressed as an ordinary deterministic
+  * column + repartitionByRange write.)
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `a` lands at position 2i, bit i of `b`
+    * at 2i+1. Pure integer expression — codegen'd, shuffle-free,
+    * engine-reproducible (the oracle repeats the fold with DuckDB's
+    * bit operators).
+    *
+    * The defining locality property (spec-pinned): fixing the z-value's
+    * bits above 2k confines EACH dimension to one aligned 2^k-value
+    * window — z-range blocks are axis-aligned rectangles, never stripes.
+    */
+  def zValue(aCol: String, bCol: String, bits: Int = 16): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+       (acc, i) -> acc + shiftleft(shiftright($aCol, i) & 1, 2 * i)
+                       + shiftleft(shiftright($bCol, i) & 1, 2 * i + 1))""")
+
+  /** Per-z-bucket layout audit: bucket = z div 2^`bucketBits`, with both
+    * dimensions' spans per bucket — the numbers a table-maintenance job
+    * reports to show the clustering is working (each file/bucket covers
+    * a small rectangle of the key space, so scans with a predicate on
+    * EITHER key prune most buckets).
+    */
+  def zOrderAudit(df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 16, bucketBits: Int = 10): DataFrame =
+    df.withColumn("__z", zValue(aCol, bCol, bits))
+      .withColumn("zbucket", expr(s"__z div ${1L << bucketBits}"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(aCol).as("a_min"), max(aCol).as("a_max"),
+        min(bCol).as("b_min"), max(bCol).as("b_max"))
+}

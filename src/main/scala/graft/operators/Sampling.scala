@@ -175,6 +175,39 @@ object Sampling {
         col("n_low"), col("n_high"), col("n_rows"))
   }
 
+  /** SLIDING-WINDOW CHUNKING — the context-budget splitter that runs
+    * UPSTREAM of packing: long documents become overlapping
+    * `chunkTokens`-token windows advancing by `chunkTokens - overlap`
+    * (the overlap preserves cross-boundary context, the standard
+    * pretraining/RAG prep). A trailing window is emitted only when it
+    * contributes tokens beyond the previous window's overlap (the
+    * `i = 0 OR i*stride + overlap < n` rule), so no chunk is a suffix
+    * copy of its predecessor.
+    *
+    * Scale shape: pure per-row projection + explode — no shuffle, no
+    * vocabulary, nothing cross-document; fan-out is ~n/stride rows per
+    * doc, bounded by the input's own token mass. Deterministic by
+    * construction (integer window arithmetic only).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
+      .withColumn("chunk_id", explode(expr(
+        s"filter(sequence(0, size(__w) div $stride + 1), " +
+          s"i -> i = 0 OR i * $stride + $overlap < size(__w))")))
+      .withColumn("__ck",
+        slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+      .select(col("doc_id"),
+        // sequence(0, x div y) is LONG-typed; the window index fits int
+        col("chunk_id").cast("int").as("chunk_id"),
+        size(col("__ck")).as("n_tokens"),
+        concat_ws(" ", col("__ck")).as("chunk_text"))
+  }
+
   /** TEMPERATURE-SCALED DOMAIN MIXTURE: the data-mixing step of a
     * training build — per-domain token mass, the raw share p_d, the
     * temperature-flattened share q_d ∝ p_d^(1/2), and the sampling

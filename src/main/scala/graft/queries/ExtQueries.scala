@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryGroup, Tables}
-import graft.operators.{Dedup, Incremental, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Incremental, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -514,6 +514,59 @@ object ExtQueries extends QueryGroup {
               round(s / stot, 6) AS p_temp,
               round((s / stot) / (n_tokens / tot), 6) AS boost
        FROM g CROSS JOIN t"""
+
+  /** Z-order layout audit over events: user_id x day-number, 16-bit
+    * interleave, 2^10 buckets — each bucket must confine BOTH dims to an
+    * aligned 32-value window (the Morton rectangle property, also
+    * spec-pinned in RelationalSpec).
+    */
+  private val ZDayNs = 86400000000000L
+
+  private def layoutZorder(s: SparkSession, d: String): DataFrame =
+    Layout.zOrderAudit(
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $ZDayNs").as("day")),
+      "user_id", "day")
+
+  /** Twin of Layout.zOrderAudit: DuckDB's bit operators repeat the
+    * interleave fold; ts arrives as TIMESTAMP_NS, so epoch_ns // day.
+    */
+  private val layoutZorderSql = {
+    val z = (0 until 16).map(i =>
+      s"(((user_id >> $i) & 1) << ${2 * i}) + (((day >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $ZDayNs AS day FROM events),
+       zv AS (SELECT user_id, day, CAST($z AS BIGINT) AS z FROM e)
+       SELECT z // 1024 AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+              min(user_id) AS a_min, max(user_id) AS a_max,
+              min(day) AS b_min, max(day) AS b_max
+       FROM zv GROUP BY 1"""
+  }
+
+  private val ChunkTokens = 32
+  private val ChunkOverlap = 8
+
+  private def corpusChunk(s: SparkSession, d: String): DataFrame =
+    Sampling.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+      ChunkTokens, ChunkOverlap)
+
+  /** Twin of Sampling.chunkDocuments: same stride windows and the same
+    * new-content rule for the trailing chunk.
+    */
+  private val corpusChunkSql = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       x AS (SELECT doc_id, ws,
+               unnest(list_filter(range(0, len(ws) // $stride + 2),
+                      i -> i = 0 OR i * $stride + $ChunkOverlap < len(ws))) AS chunk_id
+             FROM t)
+       SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+              CAST(len(list_slice(ws, chunk_id * $stride + 1,
+                                  chunk_id * $stride + $ChunkTokens)) AS INTEGER) AS n_tokens,
+              array_to_string(list_slice(ws, chunk_id * $stride + 1,
+                                  chunk_id * $stride + $ChunkTokens), ' ') AS chunk_text
+       FROM x"""
+  }
 
   /** Per-language Tukey fences on document length — robust outlier
     * bounds from the n_chars histogram (exact type-7 quartiles as order
@@ -2025,6 +2078,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
     GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
+    GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
+    GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
     GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),

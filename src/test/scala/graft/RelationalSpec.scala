@@ -53,4 +53,29 @@ class RelationalSpec extends SparkSpec {
       .as[Int].collect().toSeq
     assert(got == Seq(1, 0, 0))
   }
+
+  test("zValue: hand-checked interleave; buckets are axis-aligned rectangles") {
+    import graft.operators.Layout
+    // a=3 (011), b=5 (101): bits -> 1 + 2 + 4 + 32 = 39
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("a", "b")
+      .select(Layout.zValue("a", "b").as("z")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L, 39L))
+    // the defining property on real data: fixing z's bits above 2k (the
+    // 2^10 bucket) confines EACH dim to one aligned 2^5-value window
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val audit = Layout.zOrderAudit(ev, "user_id", "day").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val (aMin, aMax) = (r.getLong(2), r.getLong(3))
+      val (bMin, bMax) = (r.getLong(4), r.getLong(5))
+      assert(aMin / 32 == aMax / 32 && bMin / 32 == bMax / 32,
+        s"bucket ${r.getLong(0)} is not an aligned 32x32 rectangle: " +
+          s"a [$aMin,$aMax] b [$bMin,$bMax]")
+    }
+    // zValue itself is a zero-exchange projection
+    val plan = ev.select(Layout.zValue("user_id", "day"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

@@ -95,6 +95,42 @@ class SamplingSpec extends SparkSpec {
     assert(again.exceptAll(packed.select("doc_id", "pack_id", "spans_next")).count() == 0)
   }
 
+  test("chunkDocuments: window arithmetic, overlap, trailing-chunk rule, no shuffle") {
+    // 10 tokens, chunk 4, overlap 1 (stride 3): windows at 0,3,6 cover
+    // 1-4, 4-7, 7-10; a window at 9 would add nothing past the overlap
+    val doc = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val got = Sampling.chunkDocuments(doc, "doc_id", "text", 4, 1)
+      .orderBy("chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(got.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(got.map(_._3).toSeq == Seq(4, 4, 4))
+    // consecutive chunks share exactly `overlap` tokens
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(' ').last == b._4.split(' ').head)
+    }
+    // trailing rule: 11 tokens DOES need a 4th window (9+1 < 11)
+    val doc11 = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11")).toDF("doc_id", "text")
+    val got11 = Sampling.chunkDocuments(doc11, "doc_id", "text", 4, 1)
+    assert(got11.count() == 4)
+    // a short doc yields exactly one (partial) chunk
+    val short = Sampling.chunkDocuments(
+      Seq((2L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .as[(Long, Int, Int, String)].collect()
+    assert(short.toSeq == Seq((2L, 0, 2, "a b")))
+    // corpus-scale: coverage conserves every token position, plan is
+    // a pure projection+explode (no Exchange)
+    val corpus = Sampling.chunkDocuments(
+      Tables.documents(spark, sf0001), "doc_id", "text", 32, 8)
+    val n = Tables.documents(spark, sf0001)
+      .select(sum(size(split(col("text"), " ")))).as[Long].head()
+    val covered = corpus.select(
+      sum(col("n_tokens")) - sum(when(col("chunk_id") > 0, 8).otherwise(0)))
+      .as[Long].head()
+    assert(covered == n, s"token coverage $covered != corpus mass $n")
+    assert(!corpus.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("mixtureWeights: shares sum to 1, sqrt flattens head and lifts tail") {
     val corpus = Seq.tabulate(120) { i =>
       // head domain = 100 docs of 9 tokens, tail = 20 docs of 4 tokens

@@ -59,10 +59,16 @@ def main(sf_dir, out_dir):
         elif not got.equals(want):
             neq = (got != want) & ~(got.isna() & want.isna())
             bad = neq.any(axis=1)
-            print(f"FAIL {name}: {bad.sum()} differing rows; first diff:")
-            idx = bad[bad].index[0]
-            print("  spark:", got.loc[idx].to_dict())
-            print("  duck :", want.loc[idx].to_dict())
+            if bad.any():
+                print(f"FAIL {name}: {bad.sum()} differing rows; first diff:")
+                idx = bad[bad].index[0]
+                print("  spark:", got.loc[idx].to_dict())
+                print("  duck :", want.loc[idx].to_dict())
+            else:
+                # equal values but unequal dtypes (e.g. int64 vs int32) —
+                # the driver's hash compare treats width as significant
+                print(f"FAIL {name}: dtype mismatch:"
+                      f" spark {got.dtypes.to_dict()} vs duck {want.dtypes.to_dict()}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
