@@ -332,6 +332,61 @@ object Dedup {
     if (materialize) materializePairs(pairs, sig) else pairs
   }
 
+  /** VERBATIM-SPAN detection — exact substring overlap between document
+    * pairs, the "exact substring dedup" of Lee et al.'s training-data
+    * dedup recipe (suffix arrays there; equivalent n-gram diagonals
+    * here, which is the formulation that distributes). Set-overlap
+    * scores (Jaccard/MinHash) can miss a long quoted passage inside two
+    * otherwise-different documents; this operator finds it exactly:
+    * positional `gramN`-grams are equi-joined, and shared grams lying on
+    * one DIAGONAL (pos_a - pos_b constant) at consecutive positions form
+    * a verbatim token run of length `run + gramN - 1`. Reported per
+    * pair: the longest such span and the total shared-gram count, for
+    * spans >= minSpanTokens.
+    *
+    * Scale shape: the join key is the gram (inverted index — never
+    * all-pairs); per-gram fan-out is bounded by `maxDf` exactly as in
+    * [[jaccardPairsCapped]] (verbatim spans are made of CONSECUTIVE
+    * grams, so dropping corpus-hot grams breaks a true span only when
+    * every window of it is hot — boilerplate, which is what
+    * TextAnalysis.boilerplate removes upstream). The run-length step
+    * shuffles pair-diagonal rows, already candidate-sized; the
+    * pa - row_number() run-grouping trick keeps it one window, no
+    * iteration.
+    */
+  def verbatimSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int, minSpanTokens: Int, maxDf: Int = 1000): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
+      .where(size(col("__w")) >= gramN)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(__w) - $gramN),
+            i -> concat_ws(' ', slice(__w, i + 1, $gramN)))""")).as(Seq("pos", "gram")))
+      .persist()
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("gram")
+    val rg = grams.join(rare, Seq("gram"))
+    val shared = rg.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gram"))
+      .join(rg.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("gram")),
+        Seq("gram"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    // consecutive pa on one (pair, diag) ⇒ one verbatim run: group by
+    // pa - row_number(), a constant within each run
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val spans = shared
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "__grp")
+      .agg(count(lit(1)).as("__run"))
+      .withColumn("span_tokens", col("__run") + lit(gramN - 1))
+    val pairs = spans
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("span_tokens")).as("max_span"),
+        sum(col("__run")).as("n_shared_grams"))
+      .where(col("max_span") >= minSpanTokens)
+    materializePairs(pairs, grams)
+  }
+
   /** Near-dup pairs by Jaccard with DOCUMENT-FREQUENCY CAPPING: shingles
     * appearing in more than `maxDf` documents are excluded from CANDIDATE
     * GENERATION (verification still uses full shingle sets, so reported

@@ -802,6 +802,41 @@ object ExtQueries extends QueryGroup {
          FROM re a JOIN re b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        ${verifySql(JaccardTau)}"""
 
+  /** Verbatim spans: 4-gram diagonals, spans >= 8 tokens, df cap 100
+    * (the jaccardPairsCapped knob on the positional index).
+    */
+  private val SpanGramN = 4
+  private val SpanMin = 8
+  private val SpanMaxDf = 100
+
+  private def dedupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.verbatimSpans(Tables.documents(s, d), "doc_id", "text",
+      SpanGramN, SpanMin, SpanMaxDf)
+
+  /** Twin of Dedup.verbatimSpans: parallel-unnest positional grams, the
+    * same df cap, and the identical pa - row_number() diagonal-run
+    * grouping.
+    */
+  private val dedupSpansSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (SELECT doc_id,
+               unnest(range(0, len(ws) - $SpanGramN + 1)) AS pos,
+               unnest(list_transform(range(0, len(ws) - $SpanGramN + 1),
+                  i -> array_to_string(list_slice(ws, i + 1, i + $SpanGramN), ' '))) AS gram
+             FROM t WHERE len(ws) >= $SpanGramN),
+       rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= $SpanMaxDf),
+       rg AS (SELECT doc_id, pos, g.gram FROM g JOIN rare USING (gram)),
+       sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+                     a.pos - b.pos AS diag
+              FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       r AS (SELECT doc_a, doc_b, diag, pa,
+               pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             FROM sh),
+       runs AS (SELECT doc_a, doc_b, diag, grp, count(*) AS run FROM r GROUP BY 1, 2, 3, 4)
+       SELECT doc_a, doc_b, CAST(max(run + $SpanGramN - 1) AS BIGINT) AS max_span,
+              CAST(sum(run) AS BIGINT) AS n_shared_grams
+       FROM runs GROUP BY 1, 2 HAVING max(run + $SpanGramN - 1) >= $SpanMin"""
+
   private val MinhashPerms = 16
   private val MinhashRows = 2
   private val MinhashTau = 0.8
@@ -2088,6 +2123,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_contaminate", dedupContaminate, Some(dedupContaminateSql), "cross-corpus benchmark decontamination (train x test shingle coverage)"),
     GQuery("ext_dedup_bloom", dedupBloom, Some(dedupBloomSql), "bloom-filter decontamination (broadcast eval bitset, map-side probes, FP-exact oracle)"),
     GQuery("ext_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql), "incremental MinHash dedup: new batch probed against the stored corpus index"),
+    GQuery("ext_dedup_spans", dedupSpans, Some(dedupSpansSql), "verbatim-span detection: exact substring overlaps via positional-gram diagonals"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),

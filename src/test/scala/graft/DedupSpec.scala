@@ -216,6 +216,33 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set((10L, 1L, 1.0)))
   }
 
+  test("verbatimSpans: exact span arithmetic; catches quotes Jaccard misses") {
+    val corpus = Seq(
+      (1L, "x1 x2 x3 s1 s2 s3 s4 s5 s6 s7 s8 y1 y2 y3 y4 y5 y6 y7"),
+      (2L, "z1 z2 s1 s2 s3 s4 s5 s6 s7 s8 w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.verbatimSpans(corpus, "doc_id", "text", 4, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the 8-token shared passage = 5 consecutive 4-grams on one diagonal
+    assert(got == Set((1L, 2L, 8L, 5L)), s"got $got")
+    // set-overlap at the same strength misses it: jaccard ≈ 6/26
+    assert(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5).count() == 0)
+    // minSpan excludes it when raised past the span length
+    assert(Dedup.verbatimSpans(corpus, "doc_id", "text", 4, 9).count() == 0)
+    // df cap 1 kills the candidate grams (each shared gram has df 2)
+    assert(Dedup.verbatimSpans(corpus, "doc_id", "text", 4, 8, maxDf = 1).count() == 0)
+    // a split passage yields TWO runs: max_span stays the longer one
+    val split = Seq(
+      (1L, "s1 s2 s3 s4 s5 GAP s6 s7 s8 s9 t1 t2"),
+      (2L, "s1 s2 s3 s4 s5 XX s6 s7 s8 s9 q1 q2")
+    ).toDF("doc_id", "text")
+    val sp = Dedup.verbatimSpans(split, "doc_id", "text", 4, 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // runs: "s1..s5" (2 grams -> span 5) and "s6..s9" (1 gram -> span 4)
+    assert(sp == Set((1L, 2L, 5L, 3L)), s"got $sp")
+  }
+
   test("incrementalMinhashDups: bipartite only, exact verify, DenseId rejected") {
     val existing = Seq(
       (1L, "a b c d e f g h"),
