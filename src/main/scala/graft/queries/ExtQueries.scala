@@ -1776,6 +1776,76 @@ object ExtQueries extends QueryGroup {
     */
   private val WeekNs = 7L * 86400L * 1000000000L
 
+  /** DATA-DRIFT / NOVELTY monitor: per day, how much of the traffic is
+    * keys never seen before — the dedup-rate telemetry a crawl pipeline
+    * watches to detect source drift (novelty collapsing toward 0 means
+    * the crawler is re-fetching; spiking means a new source came
+    * online). Two aggregates over (key, day) distinct pairs: first-seen
+    * day per key, then per-day active/new counts. Exact integer counts;
+    * the one division is exact-int / exact-int.
+    */
+  private def eventsNovelty(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $ZDayNs").as("day"))
+    val keyDay = ev.select("user_id", "event_type", "day").distinct()
+    val firsts = keyDay.groupBy("user_id", "event_type")
+      .agg(min("day").as("first_day"))
+    val active = keyDay.groupBy("day").agg(count(lit(1)).as("n_active_keys"))
+    val fresh = firsts.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new_keys"))
+    active.join(fresh, Seq("day"), "left")
+      .select(col("day"), col("n_active_keys"),
+        coalesce(col("n_new_keys"), lit(0L)).as("n_new_keys"),
+        round(coalesce(col("n_new_keys"), lit(0L)) / col("n_active_keys"), 6)
+          .as("novelty_rate"))
+  }
+
+  private val eventsNoveltySql =
+    s"""WITH kd AS (
+         SELECT DISTINCT user_id, event_type, epoch_ns(ts) // $ZDayNs AS day
+         FROM events),
+       firsts AS (SELECT user_id, event_type, min(day) AS first_day
+                  FROM kd GROUP BY 1, 2),
+       active AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active_keys
+                  FROM kd GROUP BY 1),
+       fresh AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new_keys
+                 FROM firsts GROUP BY 1)
+       SELECT active.day, n_active_keys,
+              COALESCE(n_new_keys, 0) AS n_new_keys,
+              round(COALESCE(n_new_keys, 0) / n_active_keys, 6) AS novelty_rate
+       FROM active LEFT JOIN fresh ON active.day = fresh.day"""
+
+  /** Cross-source DUPLICATION MATRIX: near-dup pairs rolled up by the
+    * (unordered) source pair — which crawls/feeds duplicate each other,
+    * the provenance view a curation team prunes sources with. Pair count
+    * + max score only (a float MEAN over pairs would be fold-order-
+    * dependent; max is order-free).
+    */
+  private def dedupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", JaccardTau)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"), col("jaccard"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"), round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
+  private lazy val dedupSourceMatrixSql =
+    s"""SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+              round(max(jaccard), 6) AS max_jaccard
+       FROM (
+         SELECT least(da.source, db.source) AS source_lo,
+                greatest(da.source, db.source) AS source_hi, s.jaccard
+         FROM ($dedupJaccardSql) s
+         JOIN documents da ON s.doc_a = da.doc_id
+         JOIN documents db ON s.doc_b = db.doc_id) m
+       GROUP BY 1, 2"""
+
   private def eventsRetention(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("user_id"), expr(s"ts div $WeekNs").as("week"))
@@ -2155,6 +2225,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),
     GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
+    GQuery("ext_events_novelty", eventsNovelty, Some(eventsNoveltySql), "per-day novelty-rate drift monitor (first-seen key fraction)"),
+    GQuery("ext_dedup_srcmatrix", dedupSourceMatrix, Some(dedupSourceMatrixSql), "cross-source duplication matrix (near-dup pairs by unordered source pair)"),
     GQuery("ext_events_funnel", eventsFunnel, Some(eventsFunnelSql), "staged conversion funnel via prefix-max windows"),
     GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),
     GQuery("ext_mm_props", mmProps, Some(mmPropsSql), "JSON props metadata extraction"),

@@ -216,6 +216,16 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set((10L, 1L, 1.0)))
   }
 
+  test("source matrix conserves the pair mass and normalizes pair order") {
+    val got = SparkEntry.queries("ext_dedup_srcmatrix")(spark, sf0001).collect()
+    val totalPairs = Dedup.jaccardPairs(
+      Tables.documents(spark, sf0001), "doc_id", "text", 0.5).count()
+    assert(got.map(_.getLong(2)).sum == totalPairs,
+      "matrix cells must partition the pair set exactly")
+    got.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "source pair must be order-normalized"))
+  }
+
   test("verbatimSpans: exact span arithmetic; catches quotes Jaccard misses") {
     val corpus = Seq(
       (1L, "x1 x2 x3 s1 s2 s3 s4 s5 s6 s7 s8 y1 y2 y3 y4 y5 y6 y7"),

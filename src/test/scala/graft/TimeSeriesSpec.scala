@@ -27,4 +27,21 @@ class TimeSeriesSpec extends SparkSpec {
     // gap of exactly 100 does NOT split (strict >); 101 does
     assert(got == Set((1L, 0L, 1L), (1L, 100L, 1L), (1L, 201L, 2L), (2L, 0L, 1L)))
   }
+
+  test("novelty monitor: day-1 rate is 1.0, rates bounded, new-key mass conserved") {
+    val got = SparkEntry.queries("ext_events_novelty")(spark, sf0001)
+      .orderBy("day").collect()
+    assert(got.nonEmpty)
+    // the first observed day: every active key is first-seen
+    assert(got.head.getDouble(3) == 1.0)
+    got.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1), "new keys cannot exceed active keys")
+    }
+    // sum of per-day new keys == total distinct keys in the corpus
+    val totalNew = got.map(_.getLong(2)).sum
+    val distinctKeys = Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(totalNew == distinctKeys)
+  }
 }
