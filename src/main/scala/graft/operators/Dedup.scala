@@ -488,6 +488,49 @@ object Dedup {
     * id in the component — the canonical representative for FULL
     * transitive dedup (vs `sweep`'s greedy pairwise rule).
     */
+  /** TRIANGLE participation counts over the dup-pair graph — the
+    * density signal that separates template FAMILIES (every copy pairs
+    * with every other ⇒ triangle-rich) from drift CHAINS (v1~v2~v3 but
+    * v1!~v3 ⇒ triangle-free). Curation reads it directly: collapse a
+    * dense cluster to one canonical doc; keep chain endpoints apart.
+    *
+    * Scale shape: the standard degree-ordered orientation — each
+    * undirected edge points from its lexicographically smaller
+    * (degree, id) endpoint, so every vertex's OUT-degree is O(√m) on
+    * any graph and the wedge self-join (the only quadratic step) is
+    * bounded per vertex, immune to the hub skew that kills the naive
+    * id-ordered triple join. Joins are all equi-joins on vertex keys.
+    * Counts are exact integers — orientation changes the join order,
+    * never the triangle set (spec: ≡ the id-ordered reference join).
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).distinct()
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val uv = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge src -> dst with (d_src, src) < (d_dst, dst); keep the
+    // dst's degree so wedge pairs can be ordered the same way
+    val oriented = uv.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint() // tiny (pair-graph-sized); feeds 3 joins
+    val e1 = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   def connectedComponents(pairs: DataFrame, iterations: Int,
       broadcastLabels: Boolean = false): DataFrame = {
     // ITERATIVE ALGORITHM: without lineage truncation each round's plan

@@ -1620,6 +1620,26 @@ object ExtQueries extends QueryGroup {
         .select("doc_a", "doc_b"),
       CcIterations, broadcastLabels = true)
 
+  /** Triangle participation over the same minhash pair graph — cluster
+    * density (template families vs drift chains); degree-ordered wedge
+    * join in the operator, id-ordered triple join in the oracle (same
+    * triangle set either way).
+    */
+  private def ccTriangles(s: SparkSession, d: String): DataFrame =
+    Dedup.triangleCounts(
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+        .select("doc_a", "doc_b"))
+
+  private lazy val ccTrianglesSql =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql) m),
+       tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+               FROM p e1 JOIN p e2 ON e1.doc_b = e2.doc_a
+               JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM n GROUP BY 1"""
+
   /** PageRank authority inside duplicate neighborhoods — the canonical-
     * copy signal over the same minhash pair graph the CC queries use.
     * 3 damped rounds on the integer grid, oracle-unrolled per round
@@ -2194,6 +2214,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_bloom", dedupBloom, Some(dedupBloomSql), "bloom-filter decontamination (broadcast eval bitset, map-side probes, FP-exact oracle)"),
     GQuery("ext_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql), "incremental MinHash dedup: new batch probed against the stored corpus index"),
     GQuery("ext_dedup_spans", dedupSpans, Some(dedupSpansSql), "verbatim-span detection: exact substring overlaps via positional-gram diagonals"),
+    GQuery("ext_cc_triangles", ccTriangles, Some(ccTrianglesSql), "triangle participation on the dup graph (degree-ordered wedge join)"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),

@@ -123,6 +123,31 @@ object EventsStream {
       .select(col("purchase_id"), col("user_id"), col("click_id"))
   }
 
+  /** LEFT-OUTER flavor of [[purchaseClickJoin]]: purchases with NO click
+    * in the gap window still emit, with null click columns — the
+    * attribution-report semantic (every purchase accounted for). The
+    * outer side emits only once its watermark passes the join window
+    * (the row is provably unmatched), so results are append-mode
+    * eventually-complete; state is bounded exactly as in the inner join.
+    */
+  def purchaseClickJoinOuter(spark: SparkSession, dir: String,
+      gapSeconds: Long): DataFrame = {
+    val p = eventsFileStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val c = eventsFileStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "10 minutes")
+    p.join(c, expr(
+      s"user_id = c_user AND c_time BETWEEN p_time - INTERVAL $gapSeconds SECONDS AND p_time"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
   /** STREAM-STATIC enrichment join: each streamed event picks up its
     * user's dimension attributes (segment, nation) from the static
     * customer table. Stateless — no watermark and NO state store: the

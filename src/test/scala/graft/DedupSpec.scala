@@ -216,6 +216,39 @@ class DedupSpec extends SparkSpec {
     assert(strict == Set((10L, 1L, 1.0)))
   }
 
+  test("triangleCounts: K4 vs chain, ≡ id-ordered reference join on random graphs") {
+    import org.apache.spark.sql.DataFrame
+    // K4 on {1..4}: every vertex sits in C(3,2) = 3 triangles; the chain
+    // 10-11-12-13 has none and must not appear at all
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val pairs = (k4 ++ chain).toDF("doc_a", "doc_b")
+    val got = Dedup.triangleCounts(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // reference: the naive id-ordered triple join (a<b<c)
+    def reference(p: DataFrame): DataFrame = {
+      val e = p.select("doc_a", "doc_b").distinct()
+      e.toDF("a", "b")
+        .join(e.toDF("b", "c"), Seq("b"))
+        .join(e.toDF("a", "c"), Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    }
+    // seeded random graphs: orientation must never change the counts
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val es = (1 to 60).map { _ =>
+        val a = rnd.nextInt(18).toLong; val b = rnd.nextInt(18).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val df = es.toDF("doc_a", "doc_b")
+      val fast = Dedup.triangleCounts(df)
+      val ref = reference(df)
+      assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty,
+        s"trial $trial: degree-ordered counts diverged from reference")
+    }
+  }
+
   test("source matrix conserves the pair mass and normalizes pair order") {
     val got = SparkEntry.queries("ext_dedup_srcmatrix")(spark, sf0001).collect()
     val totalPairs = Dedup.jaccardPairs(

@@ -54,6 +54,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matches ≡ inner, unmatched emit nulls") {
+    val q = EventsStream.purchaseClickJoinOuter(spark, sf0001, gapSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pc_outer").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pc_outer")
+      val ev = Tables.events(spark, sf0001)
+        .withColumn("t_us", expr("ts div 1000"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("t_us").as("p_us"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("t_us").as("c_us"))
+      val batch = p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_us") >= col("p_us") - 3600L * 1000000L && col("c_us") <= col("p_us"),
+          "left_outer")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+      // matched rows identical to the batch outer join; unmatched
+      // purchases present with null click — caveat: rows whose watermark
+      // never closed (the stream's final watermark) may be withheld, so
+      // assert containment + the matched-part equality instead of
+      // bit-equality on the null rows
+      val streamedMatched = streamed.where(col("click_id").isNotNull)
+      val batchMatched = batch.where(col("click_id").isNotNull)
+      assert(streamedMatched.exceptAll(batchMatched).count() == 0 &&
+        batchMatched.exceptAll(streamedMatched).count() == 0)
+      assert(streamed.exceptAll(batch).count() == 0,
+        "stream emitted a row the batch outer join does not contain")
+      assert(streamed.where(col("click_id").isNull).count() > 0,
+        "expected at least one provably-unmatched purchase to emit nulls")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join ≡ batch join, broadcast dimension") {
     val q = EventsStream.enrichedStream(spark, sf0001)
       .writeStream.outputMode("append").format("memory")
