@@ -128,8 +128,19 @@ object Dedup {
       textCol: String, scoreName: String,
       score: (Column, Column, Column) => Column, tau: Double,
       broadcastSizes: Boolean = true): DataFrame = {
-    val hint = hintIf(broadcastSizes) _
     val edges = shingleEdges(docs, idCol, textCol).persist()
+    materializePairs(
+      scoredIntersectionPairsOnEdges(edges, scoreName, score, tau, broadcastSizes),
+      edges)
+  }
+
+  /** Edge-level core of [[scoredIntersectionPairs]] — callers own the
+    * edge cache lifecycle (lets [[ensemblePairs]] share ONE edge build
+    * across detectors). */
+  private def scoredIntersectionPairsOnEdges(edges: DataFrame,
+      scoreName: String, score: (Column, Column, Column) => Column,
+      tau: Double, broadcastSizes: Boolean): DataFrame = {
+    val hint = hintIf(broadcastSizes) _
     val sizes = shingleSizes(edges)
     val pairs = edges.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
@@ -140,7 +151,7 @@ object Dedup {
       .withColumn(scoreName, score(col("inter"), col("na"), col("nb")))
       .where(col(scoreName) >= tau)
       .select("doc_a", "doc_b", scoreName)
-    materializePairs(pairs, edges)
+    pairs
   }
 
   /** Near-dup pairs by n-gram Jaccard >= tau: |A∩B| / |A∪B|. */
@@ -867,6 +878,19 @@ object Dedup {
     // docs of shingle strings; MEMORY_AND_DISK by default) instead of
     // re-running the explode+distinct per consumer
     val edges = shingleEdges(docs, idCol, textCol).persist()
+    val (pairs, releaseVocab) = minhashLshPairsOnEdges(edges, numPerm, rowsPerBand, tau, mode)
+    val out = materializePairs(pairs, edges)
+    releaseVocab()
+    out
+  }
+
+  /** Edge-level core of [[minhashLshPairs]] — callers own the edge cache
+    * lifecycle (lets [[ensemblePairs]] share ONE edge build across
+    * detectors). Returns the unmaterialized pair frame plus the vocab
+    * release handle; call it only after materializing downstream results.
+    */
+  private def minhashLshPairsOnEdges(edges: DataFrame, numPerm: Int,
+      rowsPerBand: Int, tau: Double, mode: HashMode): (DataFrame, () => Unit) = {
     val (wide, releaseVocab) = minhashWideReleasable(edges, numPerm, mode)
     // band b's bucket key is the tuple (m[b*r] .. m[b*r + r-1]) read
     // straight off the wide signature row — one stack() per doc, no
@@ -880,9 +904,7 @@ object Dedup {
         Seq("band") ++ keyCols)
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val out = materializePairs(verifiedJaccard(candidates, edges, tau), edges)
-    releaseVocab()
-    out
+    (verifiedJaccard(candidates, edges, tau), releaseVocab)
   }
 
   private def bandKeyCols(rowsPerBand: Int): Seq[String] =
@@ -987,6 +1009,17 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, mode: HashMode = XxHash): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol).persist()
+    val (pairs, releaseVocab) = simhashPairsOnEdges(edges, maxHamming, mode)
+    val out = materializePairs(pairs, edges)
+    releaseVocab()
+    out
+  }
+
+  /** Edge-level core of [[simhashPairs]] — callers own the edge cache
+    * lifecycle (lets [[ensemblePairs]] share ONE edge build across
+    * detectors). */
+  private def simhashPairsOnEdges(edges: DataFrame, maxHamming: Int,
+      mode: HashMode): (DataFrame, () => Unit) = {
     val (fps, releaseVocab) = simhashFingerprintsReleasable(edges, mode)
     val banded = fps.withColumn("bb", explode(sequence(lit(0), lit(3))))
       .withColumn("bkey", expr("shiftright(simhash, bb * 8) & 255"))
@@ -1000,8 +1033,38 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-    val out = materializePairs(pairs, edges)
-    releaseVocab()
+    (pairs, releaseVocab)
+  }
+
+  /** Detector-consensus near-dup ensemble over ONE shared shingle-edge
+    * build: exact n-gram Jaccard, MinHash-LSH, and SimHash each generate
+    * their pair set from the SAME cached edge list (the explode+distinct
+    * shingling — the dominant cost of every set-similarity detector —
+    * runs once instead of once per detector), then pairs are unioned and
+    * a pair survives when at least `minVotes` detectors agree.
+    *
+    * Scale shape: identical to running the detectors separately — each
+    * remains inverted-index shaped (shingle / band-tuple / byte-band
+    * equi-joins, never all-pairs) — but the corpus is scanned and
+    * shingled once, and the vote aggregate runs over pair lists (tiny
+    * relative to the corpus).
+    */
+  def ensemblePairs(docs: DataFrame, idCol: String, textCol: String,
+      jaccardTau: Double, numPerm: Int, rowsPerBand: Int, minhashTau: Double,
+      maxHamming: Int, minVotes: Int, mode: HashMode = XxHash,
+      broadcastSizes: Boolean = true): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val jac = scoredIntersectionPairsOnEdges(edges, "jaccard",
+      (inter, na, nb) => inter / (na + nb - inter), jaccardTau, broadcastSizes)
+    val (mh, releaseMh) = minhashLshPairsOnEdges(edges, numPerm, rowsPerBand, minhashTau, mode)
+    val (sh, releaseSh) = simhashPairsOnEdges(edges, maxHamming, mode)
+    val votes = Seq(jac, mh, sh).map(_.select("doc_a", "doc_b"))
+      .reduce(_ unionByName _)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("int").as("n_methods"))
+      .where(col("n_methods") >= minVotes)
+    val out = materializePairs(votes, edges)
+    releaseMh(); releaseSh()
     out
   }
 

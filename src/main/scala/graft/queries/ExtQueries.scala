@@ -973,12 +973,9 @@ object ExtQueries extends QueryGroup {
   private val EnsembleMinVotes = 2
 
   private def dedupEnsemble(s: SparkSession, d: String): DataFrame =
-    Seq(dedupJaccard(s, d), dedupMinhash(s, d), dedupSimhash(s, d))
-      .map(_.select("doc_a", "doc_b"))
-      .reduce(_ unionByName _)
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).cast("int").as("n_methods"))
-      .where(col("n_methods") >= EnsembleMinVotes)
+    Dedup.ensemblePairs(Tables.documents(s, d), "doc_id", "text",
+      JaccardTau, MinhashPerms, MinhashRows, MinhashTau,
+      SimhashMaxHamming, EnsembleMinVotes, Dedup.PolyHash)
 
   private lazy val dedupEnsembleSql =
     s"""WITH votes AS (

@@ -108,6 +108,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ensemblePairs ≡ unioned detectors with vote threshold (shared edge build)") {
+    val corpus = Tables.documents(spark, sf0001)
+    val got = Dedup.ensemblePairs(corpus, "doc_id", "text",
+      0.5, 16, 2, 0.8, 3, 2, Dedup.PolyHash)
+    val expected = Seq(
+        Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5),
+        Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 2, 0.8, Dedup.PolyHash),
+        Dedup.simhashPairs(corpus, "doc_id", "text", 3, Dedup.PolyHash))
+      .map(_.select("doc_a", "doc_b"))
+      .reduce(_ unionByName _)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("int").as("n_methods"))
+      .where(col("n_methods") >= 2)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() > 0) // fixture actually exercises the consensus path
+  }
+
   test("polyHash: integer char fold, stable and order-sensitive") {
     graft.functions.GraftFunctions.register(spark)
     val got = Seq("ab", "ba", "ab", "").toDF("s")
