@@ -426,6 +426,39 @@ object Similarity {
         size(filter(col("qvec"), q => abs(q) === 127)).as("n_saturated"))
   }
 
+  /** Recall@k evaluation harness: for each (method, result) the fraction
+    * of the exact top-k ground truth the approximate method recovered —
+    * the quality dial every ANN deployment tunes (nprobe, bands, codebook
+    * size) against. One output row per method:
+    * (method, n_queries, n_hits, recall_k).
+    *
+    * Fully relational — hits are a semi-join of truth against the method's
+    * result on (q_id, neighbor_id), never a collect; top-k lists are
+    * n_queries x k rows, tiny relative to the corpus at any scale. The
+    * ground truth feeds one semi-join per method plus the query count, so
+    * it is persisted for the evaluation and released after the (few-row)
+    * result materializes — brute-force truth is the expensive input here
+    * and must not be recomputed per method branch.
+    */
+  def recallAtK(exact: DataFrame, approx: Seq[(String, DataFrame)],
+      k: Int): DataFrame = {
+    val truth = exact.select("q_id", "neighbor_id").persist()
+    val nq = truth.agg(countDistinct(col("q_id")).as("n_queries"))
+    val rows = approx.map { case (method, res) =>
+      truth.join(res.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(nq) // both sides are 1-row aggregates
+        .select(lit(method).as("method"),
+          col("n_queries").cast("int").as("n_queries"),
+          col("n_hits").cast("int").as("n_hits"),
+          round(col("n_hits") / (col("n_queries") * k), 6).as("recall_k"))
+    }.reduce(_ unionByName _)
+    val out = rows.localCheckpoint()
+    truth.unpersist()
+    out
+  }
+
   /** Sign-pattern bucket for band `bb` over `planesPerBand` hyperplanes
     * (planes bb*planesPerBand .. +planesPerBand-1).
     */

@@ -1314,6 +1314,44 @@ object ExtQueries extends QueryGroup {
              FROM scored) r
        WHERE rnk <= $TopK"""
 
+  /** ANN quality evaluation: recall@k of each approximate method against
+    * the brute-force ground truth — the dial (nprobe, band count,
+    * codebook size) every ANN deployment tunes. The truth is computed
+    * once and semi-joined per method (see Similarity.recallAtK).
+    */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+    val q = annQueries(s, d)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", TopK),
+      Seq(
+        "ivf" -> Similarity.ivfTopK(corpus, q, "vec_id", "embedding", TopK, IvfCentroidEvery),
+        "ivf2" -> Similarity.ivfTopK(corpus, q, "vec_id", "embedding", TopK,
+          IvfCentroidEvery, nprobe = 2),
+        "lsh" -> Similarity.lshTopK(corpus, q, "vec_id", "embedding", TopK,
+          LshBands, LshPlanesPerBand, EmbDim)),
+      TopK)
+  }
+
+  /** One method's recall row: exact truth LEFT JOIN the method's result
+    * on (q_id, neighbor_id) — approximate top-k rows are unique per
+    * (query, neighbor), so the join multiplicity is at most 1 and
+    * count(matched) ≡ the Spark side's semi-join count.
+    */
+  private def recallRowSql(method: String, methodSql: String): String =
+    s"""SELECT '$method' AS method,
+              CAST(count(DISTINCT e.q_id) AS INTEGER) AS n_queries,
+              CAST(count(a.neighbor_id) AS INTEGER) AS n_hits,
+              round(count(a.neighbor_id) * 1.0 /
+                    (count(DISTINCT e.q_id) * $TopK), 6) AS recall_k
+       FROM ($annTopKSql) e LEFT JOIN ($methodSql) a
+         ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id"""
+
+  private lazy val annRecallSql =
+    Seq("ivf" -> annIvfSql, "ivf2" -> annIvf2Sql, "lsh" -> annLshSql)
+      .map { case (m, sql) => recallRowSql(m, sql) }
+      .mkString("\nUNION ALL\n")
+
   /** SemDeDup similarity floor: LOW on purpose — the synthetic
     * embeddings are isotropic, so genuinely near-parallel pairs are
     * rare; 0.4 matches the brute-force embcos tau, making the two
@@ -2230,6 +2268,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
+    GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
     GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),

@@ -57,6 +57,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rk >= 0.8, f"k-means IVF recall collapsed: $rk%.3f")
   }
 
+  test("recallAtK: truth vs itself is 1.0; method rows match set-recall") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, 25)
+    val got = Similarity.recallAtK(exact, Seq("self" -> exact, "ivf" -> ivf), 5)
+      .as[(String, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("self")._4 == 1.0)
+    // cross-check the relational recall against the collect-based one
+    val exactSet = exact.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfSet = ivf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got("ivf")._3 == (ivfSet & exactSet).size)
+    assert(got("ivf")._2 == exactSet.map(_._1).size)
+  }
+
   test("pqTopK: identical codes reconstruct identically; recall floor holds") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)
