@@ -891,6 +891,17 @@ object Dedup {
     */
   private def minhashLshPairsOnEdges(edges: DataFrame, numPerm: Int,
       rowsPerBand: Int, tau: Double, mode: HashMode): (DataFrame, () => Unit) = {
+    val (candidates, releaseVocab) = minhashBandCandidates(edges, numPerm, rowsPerBand, mode)
+    (verifiedJaccard(candidates, edges, tau), releaseVocab)
+  }
+
+  /** LSH band-sharing candidate pairs (doc_a < doc_b, distinct) —
+    * signature build + band equi-join WITHOUT the exact-Jaccard verify,
+    * so [[ensemblePairs]] can verify against an already-computed scored
+    * pair stream instead of re-joining the edge list.
+    */
+  private def minhashBandCandidates(edges: DataFrame, numPerm: Int,
+      rowsPerBand: Int, mode: HashMode): (DataFrame, () => Unit) = {
     val (wide, releaseVocab) = minhashWideReleasable(edges, numPerm, mode)
     // band b's bucket key is the tuple (m[b*r] .. m[b*r + r-1]) read
     // straight off the wide signature row — one stack() per doc, no
@@ -904,7 +915,7 @@ object Dedup {
         Seq("band") ++ keyCols)
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    (verifiedJaccard(candidates, edges, tau), releaseVocab)
+    (candidates, releaseVocab)
   }
 
   private def bandKeyCols(rowsPerBand: Int): Seq[String] =
@@ -1043,20 +1054,34 @@ object Dedup {
     * runs once instead of once per detector), then pairs are unioned and
     * a pair survives when at least `minVotes` detectors agree.
     *
+    * The exact-Jaccard scoring is ALSO shared: the inverted-index pass
+    * scores every pair sharing a shingle at min(jaccardTau, minhashTau),
+    * the Jaccard detector filters it at jaccardTau, and the MinHash
+    * detector verifies its band candidates against the SAME stream at
+    * minhashTau (a band-colliding pair with no shared shingle has exact
+    * Jaccard 0 and is rejected by both paths, so semi-joining candidates
+    * against the scored stream ≡ re-verifying against the edge list —
+    * asserted in DedupSpec). That removes the two verification re-joins
+    * of the edge list that a standalone MinHash run pays.
+    *
     * Scale shape: identical to running the detectors separately — each
     * remains inverted-index shaped (shingle / band-tuple / byte-band
     * equi-joins, never all-pairs) — but the corpus is scanned and
-    * shingled once, and the vote aggregate runs over pair lists (tiny
-    * relative to the corpus).
+    * shingled once, the pair stream is scored once, and the vote
+    * aggregate runs over pair lists (tiny relative to the corpus).
     */
   def ensemblePairs(docs: DataFrame, idCol: String, textCol: String,
       jaccardTau: Double, numPerm: Int, rowsPerBand: Int, minhashTau: Double,
       maxHamming: Int, minVotes: Int, mode: HashMode = XxHash,
       broadcastSizes: Boolean = true): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol).persist()
-    val jac = scoredIntersectionPairsOnEdges(edges, "jaccard",
-      (inter, na, nb) => inter / (na + nb - inter), jaccardTau, broadcastSizes)
-    val (mh, releaseMh) = minhashLshPairsOnEdges(edges, numPerm, rowsPerBand, minhashTau, mode)
+    val scored = scoredIntersectionPairsOnEdges(edges, "jaccard",
+      (inter, na, nb) => inter / (na + nb - inter),
+      math.min(jaccardTau, minhashTau), broadcastSizes).persist()
+    val jac = scored.where(col("jaccard") >= jaccardTau)
+    val (cand, releaseMh) = minhashBandCandidates(edges, numPerm, rowsPerBand, mode)
+    val mh = scored.where(col("jaccard") >= minhashTau)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
     val (sh, releaseSh) = simhashPairsOnEdges(edges, maxHamming, mode)
     val votes = Seq(jac, mh, sh).map(_.select("doc_a", "doc_b"))
       .reduce(_ unionByName _)
@@ -1064,6 +1089,7 @@ object Dedup {
       .agg(count(lit(1)).cast("int").as("n_methods"))
       .where(col("n_methods") >= minVotes)
     val out = materializePairs(votes, edges)
+    scored.unpersist()
     releaseMh(); releaseSh()
     out
   }
