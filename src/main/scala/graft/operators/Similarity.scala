@@ -459,6 +459,34 @@ object Similarity {
     out
   }
 
+  /** kNN label prediction per query: majority vote over the exact top-k
+    * neighbors' labels, ties broken by the smallest label — the standard
+    * embedding-quality probe (a representation whose neighborhoods
+    * don't predict labels is a bad retrieval/clustering space).
+    * Output: (q_id, true_label, pred_label) per query.
+    *
+    * Scale shape: the corpus-sized label table is joined ONCE by
+    * neighbor id with the tiny top-k pair list broadcast onto it (the
+    * list is n_queries x k rows; the label table never shuffles), then
+    * vote counting and the argmax window run on query-bounded data.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("__nid"), col(labelCol).as("__lbl"))
+    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val votes = labels
+      .join(broadcast(topk.select(col("q_id"), col("neighbor_id").as("__nid"))), Seq("__nid"))
+      .groupBy("q_id", "__lbl").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("q_id").orderBy(col("__c").desc, col("__lbl").asc)
+    val pred = votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("q_id"), col("__lbl").as("pred_label"))
+    pred.join(
+        queries.select(col(idCol).as("q_id"), col(labelCol).as("true_label")),
+        Seq("q_id"))
+      .select("q_id", "true_label", "pred_label")
+  }
+
   /** Sign-pattern bucket for band `bb` over `planesPerBand` hyperplanes
     * (planes bb*planesPerBand .. +planesPerBand-1).
     */

@@ -1352,6 +1352,39 @@ object ExtQueries extends QueryGroup {
       .map { case (m, sql) => recallRowSql(m, sql) }
       .mkString("\nUNION ALL\n")
 
+  /** Embedding-quality probe: kNN label prediction accuracy per true
+    * label — majority vote over exact top-k neighbor labels, ties to the
+    * smallest label (see Similarity.knnClassify for the scale shape).
+    */
+  private def annKnnClass(s: SparkSession, d: String): DataFrame =
+    Similarity.knnClassify(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", "label", TopK)
+      .groupBy("true_label")
+      .agg(count(lit(1)).cast("int").as("n_queries"),
+        sum(when(col("pred_label") === col("true_label"), 1).otherwise(0))
+          .cast("int").as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct") / col("n_queries"), 6))
+
+  private val annKnnClassSql =
+    s"""WITH tk AS ($annTopKSql),
+       nb AS (SELECT tk.q_id, e.label FROM tk
+              JOIN embeddings e ON tk.neighbor_id = e.vec_id),
+       votes AS (SELECT q_id, label, count(*) AS c FROM nb GROUP BY 1, 2),
+       pred AS (SELECT q_id, label AS pred_label FROM (
+                  SELECT q_id, label,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY c DESC, label ASC) AS rn
+                  FROM votes) t WHERE rn = 1),
+       j AS (SELECT e.label AS true_label,
+                    CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS ok
+             FROM pred p JOIN embeddings e ON p.q_id = e.vec_id)
+       SELECT true_label,
+              CAST(count(*) AS INTEGER) AS n_queries,
+              CAST(sum(ok) AS INTEGER) AS n_correct,
+              round(sum(ok) * 1.0 / count(*), 6) AS accuracy
+       FROM j GROUP BY 1"""
+
   /** SemDeDup similarity floor: LOW on purpose — the synthetic
     * embeddings are isotropic, so genuinely near-parallel pairs are
     * rare; 0.4 matches the brute-force embcos tau, making the two
@@ -2269,6 +2302,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
+    GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
     GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),

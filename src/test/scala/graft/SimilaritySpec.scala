@@ -132,6 +132,29 @@ class SimilaritySpec extends SparkSpec {
     assert(seeded.count() > 0)
   }
 
+  test("knnClassify: perfect on separated clusters, tie to smallest label") {
+    // two tight orthogonal clusters labeled 0/1: every vector's nearest
+    // neighbors are its cluster-mates, so majority vote must recover the
+    // label for every query
+    val eps = 0.01f
+    val rows = (0 until 6).map(i => (2L * i, Seq(1f, eps * i, 0f, 0f), 0)) ++
+      (0 until 6).map(i => ((2L * i) + 1, Seq(eps * i, 1f, 0f, 0f), 1))
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(corpus, corpus, "vec_id", "embedding", "label", 3)
+      .as[(Long, Int, Int)].collect()
+    assert(got.length == 12 && got.forall(r => r._2 == r._3))
+    // tie case: k=2 neighbors with distinct labels -> smallest label wins.
+    // query 100 sits exactly between one 0-labeled and one 1-labeled
+    // vector, with labels 7 and 3 -> prediction must be 3
+    val tie = Seq(
+      (1L, Seq(1f, 0f), 7), (2L, Seq(0f, 1f), 3),
+      (100L, Seq(0.7071f, 0.7071f), 9)).toDF("vec_id", "embedding", "label")
+    val pred = Similarity.knnClassify(tie, tie.where(col("vec_id") === 100),
+      "vec_id", "embedding", "label", 2)
+      .as[(Long, Int, Int)].collect().head
+    assert(pred._3 == 3)
+  }
+
   test("Lloyd refinement fixes a bad seeded init on CLUSTERED data") {
     // two tight orthogonal clusters; ids arranged so the seeded pick
     // (every 6th id -> 0 and 6) lands BOTH centroids in cluster A. The
