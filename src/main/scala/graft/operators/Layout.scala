@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-LAYOUT operators: multi-dimensional clustering keys for scan
@@ -43,4 +44,34 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(aCol).as("a_min"), max(aCol).as("a_max"),
         min(bCol).as("b_min"), max(bCol).as("b_max"))
+
+  /** Export shard-balance audit: content-hashed shard assignment
+    * (shard = polyhash(content) mod numShards — content-addressed, so an
+    * exact duplicate always lands in the same output file regardless of
+    * where it was crawled) with per-shard document count, character
+    * mass, and the balance ratio against a perfectly even split. The
+    * numbers a sharded-export job reports before committing a manifest:
+    * a ratio far from 1.0 means hot output files (stragglers on write,
+    * skewed downstream readers).
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the corpus —
+    * the grand totals come from an unpartitioned window over the
+    * numShards result rows (16 rows through a SinglePartition exchange),
+    * NOT from a second aggregate branch, which would re-scan the corpus
+    * (caught by the ScaleSpec plan audit: a 1-row agg over an unpersisted
+    * frame recomputes its whole subtree). The polyhash is the codegen'd
+    * character fold — no vocabulary, no shuffle before the aggregate.
+    */
+  def shardAudit(docs: DataFrame, contentCol: String, massCol: String,
+      numShards: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy()
+    docs
+      .withColumn("shard", Dedup.polyHash(col(contentCol)) % numShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col(massCol)).as("mass"))
+      .select(col("shard"), col("n_docs"), col("mass"),
+        round(col("n_docs") * numShards / sum("n_docs").over(w), 6).as("doc_balance"),
+        round(col("mass") * numShards / sum("mass").over(w), 6).as("mass_balance"))
+  }
 }

@@ -543,6 +543,24 @@ object ExtQueries extends QueryGroup {
        FROM zv GROUP BY 1"""
   }
 
+  private val NumShards = 16
+
+  /** Export shard-balance audit: content-hashed shards (see
+    * Layout.shardAudit) sized in documents and character mass.
+    */
+  private def layoutShards(s: SparkSession, d: String): DataFrame =
+    Layout.shardAudit(Tables.documents(s, d), "text", "n_chars", NumShards)
+
+  private val layoutShardsSql =
+    s"""WITH ps AS (
+         SELECT ${polyHashSql("text")} % $NumShards AS shard,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass
+         FROM documents GROUP BY 1)
+       SELECT shard, n_docs, mass,
+              round(n_docs * $NumShards * 1.0 / sum(n_docs) OVER (), 6) AS doc_balance,
+              round(mass * $NumShards * 1.0 / sum(mass) OVER (), 6) AS mass_balance
+       FROM ps"""
+
   private val ChunkTokens = 32
   private val ChunkOverlap = 8
 
@@ -2273,6 +2291,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
+    GQuery("ext_layout_shards", layoutShards, Some(layoutShardsSql), "export shard-balance audit: content-hashed shards, doc/mass balance ratios"),
     GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),

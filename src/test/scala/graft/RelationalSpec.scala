@@ -78,4 +78,26 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("shardAudit: total mass conserved, ratios average to 1, content-addressed") {
+    import graft.operators.Layout
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val mass = docs.agg(sum("n_chars")).as[Long].head()
+    val audit = Layout.shardAudit(docs, "text", "n_chars", 16)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // every document lands in exactly one shard; nothing dropped
+    assert(audit.map(_._2).sum == n && audit.map(_._3).sum == mass)
+    assert(audit.forall(r => r._1 >= 0 && r._1 < 16))
+    // balance ratios are normalized: they average to 1 over the shards
+    // (weighted by the shard count actually present)
+    val avgDoc = audit.map(_._4).sum / audit.length
+    assert(math.abs(avgDoc - 1.0) < 0.01, s"doc_balance avg $avgDoc")
+    // content-addressed: an exact duplicate text maps to the same shard
+    // as its original, no matter its id
+    val dup = docs.limit(1).withColumn("doc_id", col("doc_id") + 1000000L)
+    val two = Layout.shardAudit(docs.limit(1).union(dup), "text", "n_chars", 16)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(two.length == 1 && two.head._2 == 2L)
+  }
 }

@@ -234,5 +234,22 @@ class ScaleSpec extends SparkSpec {
     assert(mix.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
         || mix.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
       "ext_corpus_mix: the 1-row normalizer must attach broadcast")
+    // shard audit: ONE corpus-sized aggregate exchange on shard; the
+    // grand totals are a window over the numShards result rows (a
+    // SinglePartition exchange of 16 rows), never a second corpus scan
+    val shards = shuffles(q("ext_layout_shards"))
+    assert(shards.count(_.startsWith("hashpartitioning")) == 1
+        && shards.filter(_.startsWith("hashpartitioning")).head.contains("shard")
+        && shards.count(_ == "SinglePartition") == 1,
+      s"ext_layout_shards: one shard-keyed aggregate exchange + the 16-row " +
+        s"totals window, got $shards")
+    // kNN classify: the corpus label table must never hash-shuffle — the
+    // tiny top-k list broadcasts onto it; remaining exchanges are
+    // query-bounded (vote counts + the argmax window on q_id)
+    val knn = q("ext_ann_knnclass")
+    assert(knn.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "ext_ann_knnclass: top-k list must attach to labels as a broadcast hash join")
+    assert(!shuffles(knn).exists(_.contains("__nid")),
+      s"ext_ann_knnclass: label table must never hash-partition, got ${shuffles(knn)}")
   }
 }
