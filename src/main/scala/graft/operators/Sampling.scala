@@ -221,21 +221,25 @@ object Sampling {
     * s_d = round(sqrt(n_d)·10^6) as BIGINT, Σs exact — so shares are
     * exact-integer divisions, order-free under any partitioning. The
     * per-domain aggregate is the only corpus-sized operation (map-side
-    * combinable); the normalizer joins back as a broadcast 1-row build
-    * (|domains| rows is dashboard-sized at any corpus scale).
+    * combinable); the normalizer is an unpartitioned window over the
+    * |domains| result rows (dashboard-sized at any corpus scale) — NOT a
+    * second aggregate branch, which Spark does not exchange-reuse here
+    * and would re-scan the corpus (same defect the ScaleSpec plan audit
+    * caught on shardAudit).
     */
   def mixtureWeights(docs: DataFrame, domainCol: String,
       text: Column): DataFrame = {
     val grid = 1000000L
-    val perDom = docs
+    val w = Window.partitionBy()
+    docs
       .groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(text, " ")).cast("long")).as("n_tokens"))
       // floor(x + 0.5), not round(x): integer round() on doubles is the
       // one op the engines disagree on (see Similarity.quantizeInt8)
       .withColumn("__s", floor(sqrt(col("n_tokens")) * grid + 0.5).cast("long"))
-    val totals = perDom.agg(sum("n_tokens").as("__tot"), sum("__s").as("__stot"))
-    perDom.crossJoin(broadcast(totals))
+      .withColumn("__tot", sum("n_tokens").over(w))
+      .withColumn("__stot", sum("__s").over(w))
       .select(col(domainCol), col("n_docs"), col("n_tokens"),
         round(col("n_tokens") / col("__tot"), 6).as("p_raw"),
         round(col("__s") / col("__stot"), 6).as("p_temp"),

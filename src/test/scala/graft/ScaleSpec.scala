@@ -228,12 +228,14 @@ class ScaleSpec extends SparkSpec {
     // TextOpsSpec; repeated here so the registry-level audit covers it)
     assert(shuffles(q("ext_text_classify")).isEmpty,
       "ext_text_classify: vocabulary-free inference must not shuffle")
-    // mixture weights: per-domain aggregate exchange + the 1-row
-    // normalizer build; the normalizer re-attaches broadcast
-    val mix = q("ext_corpus_mix")
-    assert(mix.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
-        || mix.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
-      "ext_corpus_mix: the 1-row normalizer must attach broadcast")
+    // mixture weights: ONE corpus-sized aggregate exchange on the domain
+    // key; the normalizer is a window over the |domains| result rows
+    // (SinglePartition), never a second corpus scan
+    val mix = shuffles(q("ext_corpus_mix"))
+    assert(mix.count(_.startsWith("hashpartitioning")) == 1
+        && mix.count(_ == "SinglePartition") == 1,
+      s"ext_corpus_mix: one domain aggregate exchange + the normalizer " +
+        s"window, got $mix")
     // shard audit: ONE corpus-sized aggregate exchange on shard; the
     // grand totals are a window over the numShards result rows (a
     // SinglePartition exchange of 16 rows), never a second corpus scan
