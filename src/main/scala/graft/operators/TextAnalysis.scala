@@ -75,16 +75,19 @@ object TextAnalysis {
   }
 
   /** Term frequencies per document plus document frequency per term —
-    * the building blocks of TF-IDF. One explode + two aggregates; the
-    * document-frequency side is tiny (vocabulary-sized) and broadcasts
-    * back onto the term table.
+    * the building blocks of TF-IDF. ONE explode + one aggregate; the
+    * document frequency is a count window over the per-(doc, term) rows
+    * partitioned by term — the same term-keyed shuffle the old
+    * two-branch join formulation paid, WITHOUT the second corpus
+    * scan+explode that branch recomputed (Spark does not exchange-reuse
+    * the duplicated aggregate subtree; same defect family as
+    * Sampling.mixtureWeights' normalizer).
     */
   def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
-    terms.join(df, Seq("term"))
+    terms.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
   }
 
   /** Top-k TF-IDF terms per document. tfidf = tf * ln(N / df), rounded
@@ -113,12 +116,14 @@ object TextAnalysis {
     * of its bigram instances under corpus-wide counts. Low scorers are
     * the disfluent/outlier documents a quality gate drops.
     *
-    * Shape: one explode to bigram instances, two count aggregates (the
-    * model), two joins back (model sides are vocabulary-sized →
-    * broadcast), one final group-avg. No smoothing: every scored bigram
-    * exists in the model by construction (the corpus scores itself); for
-    * scoring NEW text against a frozen model, add-one smooth the join's
-    * null side.
+    * Shape: ONE explode to bigram instances, then the model counts as
+    * two count windows over the instance stream (partitioned by
+    * (w1, w2) and by w1) — the same two key-shuffles the old
+    * two-aggregate-branch + two-join formulation paid, without the two
+    * extra corpus scans+explodes those branches recomputed. No
+    * smoothing: every scored bigram exists in the model by construction
+    * (the corpus scores itself); for scoring NEW text against a frozen
+    * model, add-one smooth a null-padded model join instead.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bi = docs
@@ -129,9 +134,8 @@ object TextAnalysis {
                   i -> struct(__w[i] AS w1, __w[i+1] AS w2))
              ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END) AS bg""")
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val prefixCounts = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
-    bi.join(biCounts, Seq("w1", "w2")).join(prefixCounts, Seq("w1"))
+    bi.withColumn("cb", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .withColumn("cu", count(lit(1)).over(Window.partitionBy("w1")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("cb") / col("cu"))), 4).as("avg_logprob"))
