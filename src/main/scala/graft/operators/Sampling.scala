@@ -147,32 +147,31 @@ object Sampling {
       .withColumn("__cum", sum("__cnt").over(ordered))
       .withColumn("__n", sum("__cnt").over(whole))
     def hAt(p: Double) = (col("__n") - 1) * p
+    // order statistics AS WINDOWS over the same histogram rows — the old
+    // separate-aggregate-then-join-back-to-hist formulation recomputed
+    // the histogram branch (and its corpus scan) on both sides of the
+    // join; per-stratum windows keep the whole chain ONE pass: hist
+    // exchange on (stratum, v), one stratum exchange for the windows,
+    // and the final per-stratum aggregate reuses that partitioning
     def stat(target: Column) =
-      min(when(col("__cum") >= target + 1, col("__v")))
-    val agg = h.groupBy(col(strataCol)).agg(
-      stat(floor(hAt(0.25))).as("__l25"),
-      stat(ceil(hAt(0.25))).as("__u25"),
-      stat(floor(hAt(0.75))).as("__l75"),
-      stat(ceil(hAt(0.75))).as("__u75"),
-      max(hAt(0.25) - floor(hAt(0.25))).as("__f25"),
-      max(hAt(0.75) - floor(hAt(0.75))).as("__f75"),
-      max(col("__n")).as("n_rows"))
-      .withColumn("__q1", col("__l25") + col("__f25") * (col("__u25") - col("__l25")))
-      .withColumn("__q3", col("__l75") + col("__f75") * (col("__u75") - col("__l75")))
+      min(when(col("__cum") >= target + 1, col("__v"))).over(whole)
+    val fenced = h
+      .withColumn("__q1", stat(floor(hAt(0.25))) +
+        (hAt(0.25) - floor(hAt(0.25))) *
+          (stat(ceil(hAt(0.25))) - stat(floor(hAt(0.25)))))
+      .withColumn("__q3", stat(floor(hAt(0.75))) +
+        (hAt(0.75) - floor(hAt(0.75))) *
+          (stat(ceil(hAt(0.75))) - stat(floor(hAt(0.75)))))
       .withColumn("__lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
       .withColumn("__hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
-    // outlier counts from the SAME histogram (strata-sized join, no
-    // second pass over df)
-    val counts = hist.join(agg.select(col(strataCol), col("__lo"), col("__hi")),
-        Seq(strataCol))
-      .groupBy(col(strataCol)).agg(
+    fenced.groupBy(col(strataCol)).agg(
+        round(max(col("__q1")), 6).as("q1"), round(max(col("__q3")), 6).as("q3"),
+        round(max(col("__lo")), 6).as("lo_fence"), round(max(col("__hi")), 6).as("hi_fence"),
         sum(when(col("__v") < col("__lo"), col("__cnt")).otherwise(0L)).as("n_low"),
-        sum(when(col("__v") > col("__hi"), col("__cnt")).otherwise(0L)).as("n_high"))
-    agg.join(counts, Seq(strataCol))
-      .select(col(strataCol),
-        round(col("__q1"), 6).as("q1"), round(col("__q3"), 6).as("q3"),
-        round(col("__lo"), 6).as("lo_fence"), round(col("__hi"), 6).as("hi_fence"),
-        col("n_low"), col("n_high"), col("n_rows"))
+        sum(when(col("__v") > col("__hi"), col("__cnt")).otherwise(0L)).as("n_high"),
+        max(col("__n")).as("n_rows"))
+      .select(col(strataCol), col("q1"), col("q3"), col("lo_fence"),
+        col("hi_fence"), col("n_low"), col("n_high"), col("n_rows"))
   }
 
   /** SLIDING-WINDOW CHUNKING — the context-budget splitter that runs
