@@ -4,6 +4,7 @@ import graft.{GQuery, QueryGroup, Tables}
 import graft.operators.{Dedup, Incremental, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star) over
@@ -1894,17 +1895,19 @@ object ExtQueries extends QueryGroup {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
         expr(s"ts div $ZDayNs").as("day"))
-    val keyDay = ev.select("user_id", "event_type", "day").distinct()
-    val firsts = keyDay.groupBy("user_id", "event_type")
-      .agg(min("day").as("first_day"))
-    val active = keyDay.groupBy("day").agg(count(lit(1)).as("n_active_keys"))
-    val fresh = firsts.groupBy(col("first_day").as("day"))
-      .agg(count(lit(1)).as("n_new_keys"))
-    active.join(fresh, Seq("day"), "left")
-      .select(col("day"), col("n_active_keys"),
-        coalesce(col("n_new_keys"), lit(0L)).as("n_new_keys"),
-        round(coalesce(col("n_new_keys"), lit(0L)) / col("n_active_keys"), 6)
-          .as("novelty_rate"))
+    // a key is "new" on a day iff that day is its first active day —
+    // computed as a min window over the distinct (key, day) stream, so
+    // the distinct runs ONCE (the old two-aggregate-branch + day-join
+    // formulation recomputed the distinct, and its corpus scan, per
+    // branch — the exchange-reuse defect family)
+    val w = Window.partitionBy("user_id", "event_type")
+    ev.select("user_id", "event_type", "day").distinct()
+      .withColumn("__first", min("day").over(w))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active_keys"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L)).as("n_new_keys"))
+      .select(col("day"), col("n_active_keys"), col("n_new_keys"),
+        round(col("n_new_keys") / col("n_active_keys"), 6).as("novelty_rate"))
   }
 
   private val eventsNoveltySql =
