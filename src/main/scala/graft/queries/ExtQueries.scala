@@ -2109,14 +2109,22 @@ object ExtQueries extends QueryGroup {
   private val MinSharedFrames = 2
 
   private def mmFrameDup(s: SparkSession, d: String): DataFrame = {
-    val frames = mmFrames(s, d)
-    frames.select(col("doc_id").as("doc_a"), col("frame_hash"))
+    // persist the decoded frame stream across the self-join's two sides
+    // — the decode (the expensive step on real media) must run once, not
+    // once per side; the tiny pair result is checkpointed eagerly so the
+    // cache can be released deterministically (the Dedup edge-list
+    // pattern)
+    val frames = mmFrames(s, d).select("doc_id", "frame_hash").persist()
+    val pairs = frames.select(col("doc_id").as("doc_a"), col("frame_hash"))
       .join(frames.select(col("doc_id").as("doc_b"), col("frame_hash")),
         Seq("frame_hash"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= MinSharedFrames)
+      .localCheckpoint()
+    frames.unpersist()
+    pairs
   }
 
   private lazy val mmFrameDupSql =
