@@ -246,6 +246,52 @@ object Sampling {
           .as("boost"))
   }
 
+  /** Per-domain DISTRIBUTION DRIFT: total-variation distance between
+    * each domain's unigram distribution p_d and the corpus-wide
+    * distribution q — the "does this source look like the rest of the
+    * mix" diagnostic that complements [[mixtureWeights]]' size-based
+    * shares (a source can be correctly weighted yet lexically alien;
+    * TV quantifies that in [0,1]).
+    *
+    * TV chosen over KL deliberately: with integer counts it is EXACTLY
+    * computable — on the common denominator n_d·n,
+    *   TV(p_d, q) = [ Σ_{w∈d} |c_dw·n − c_w·n_d|  +  n_d·(n − Σ_{w∈d} c_w) ]
+    *                / (2·n_d·n)
+    * (the second term covers words absent from d, where the integrand is
+    * c_w·n_d). Numerator terms are exact DECIMAL(38,0) products summed
+    * order-free; the one float op is the final division. KL would need a
+    * float log per term and an order-dependent float sum.
+    *
+    * Scale shape: one (domain, word) count aggregate; c_w and n_d attach
+    * as partitioned windows over that same stream (one word-keyed and
+    * one domain-keyed exchange — no recomputed branches); the global
+    * token count n is a 1-row broadcast crossJoin built from a second
+    * column-pruned corpus scan (the right trade for attaching a scalar
+    * to a vocabulary-sized frame — see the PLANS.md sweep rule).
+    */
+  def domainDivergence(docs: DataFrame, domainCol: String,
+      text: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wc = docs
+      .select(col(domainCol), explode(split(text, " ")).as("__word"))
+      .groupBy(col(domainCol), col("__word"))
+      .agg(count(lit(1)).as("__cs"))
+      .withColumn("__c", sum("__cs").over(Window.partitionBy("__word")))
+      .withColumn("__ns", sum("__cs").over(Window.partitionBy(domainCol)))
+    val nRow = docs.agg(sum(size(split(text, " "))).cast("long").as("__n"))
+    wc.crossJoin(broadcast(nRow))
+      .groupBy(col(domainCol))
+      .agg(max(col("__ns")).as("n_tokens"), max(col("__n")).as("__nn"),
+        sum(abs(col("__cs").cast(dec) * col("__n") -
+          col("__c").cast(dec) * col("__ns"))).as("__num1"),
+        sum(col("__c").cast(dec)).as("__cg"))
+      .select(col(domainCol), col("n_tokens"),
+        round(
+          (col("__num1") + col("n_tokens").cast(dec) *
+            (col("__nn").cast(dec) - col("__cg"))).cast("double") /
+          (lit(2.0d) * col("n_tokens") * col("__nn")), 6).as("tv_dist"))
+  }
+
   def valueDeciles(df: DataFrame, strataCol: String, value: Column,
       nBuckets: Int = 10): DataFrame = {
     val hist = df.groupBy(col(strataCol), value.as("__v"))

@@ -516,6 +516,35 @@ object ExtQueries extends QueryGroup {
               round((s / stot) / (n_tokens / tot), 6) AS boost
        FROM g CROSS JOIN t"""
 
+  /** Per-source unigram total-variation drift (see
+    * Sampling.domainDivergence for the exact-integer formulation).
+    */
+  private def corpusDrift(s: SparkSession, d: String): DataFrame =
+    Sampling.domainDivergence(Tables.documents(s, d), "source", col("text"))
+
+  /** Twin of Sampling.domainDivergence: HUGEINT is DuckDB's exact
+    * wide-integer counterpart to Spark's DECIMAL(38,0) sums.
+    */
+  private val corpusDriftSql =
+    """WITH wc AS (
+         SELECT source, unnest(string_split(text, ' ')) AS word
+         FROM documents),
+       cnt AS (SELECT source, word, count(*) AS cs FROM wc GROUP BY 1, 2),
+       wcc AS (SELECT source, word, cs,
+                 sum(cs) OVER (PARTITION BY word) AS c,
+                 sum(cs) OVER (PARTITION BY source) AS ns
+               FROM cnt),
+       nt AS (SELECT count(*) AS n FROM wc),
+       agg AS (
+         SELECT source, max(ns) AS n_tokens, max(n) AS nn,
+                sum(abs(CAST(cs AS HUGEINT) * n - CAST(c AS HUGEINT) * ns)) AS num1,
+                sum(CAST(c AS HUGEINT)) AS cg
+         FROM wcc CROSS JOIN nt GROUP BY 1)
+       SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+              round(CAST(num1 + CAST(n_tokens AS HUGEINT) * (nn - cg) AS DOUBLE)
+                    / (2.0 * n_tokens * nn), 6) AS tv_dist
+       FROM agg"""
+
   /** Z-order layout audit over events: user_id x day-number, 16-bit
     * interleave, 2^10 buckets — each bucket must confine BOTH dims to an
     * aligned 32-value window (the Morton rectangle property, also
@@ -2303,6 +2332,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
     GQuery("ext_layout_shards", layoutShards, Some(layoutShardsSql), "export shard-balance audit: content-hashed shards, doc/mass balance ratios"),
+    GQuery("ext_corpus_drift", corpusDrift, Some(corpusDriftSql), "per-source unigram TV distance from the corpus mix (exact-integer drift)"),
     GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
     GQuery("ext_dedup_jaccard", dedupJaccard, Some(dedupJaccardSql), "3-gram Jaccard near-dup pairs"),

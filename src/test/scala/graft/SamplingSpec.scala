@@ -131,6 +131,25 @@ class SamplingSpec extends SparkSpec {
     assert(!corpus.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("domainDivergence: 0 for a lone domain, 1 - n_d/n for disjoint vocab") {
+    // single domain: its distribution IS the corpus distribution -> TV 0
+    val lone = Seq((1L, "only", "a b a c")).toDF("doc_id", "source", "text")
+    val tv0 = Sampling.domainDivergence(lone, "source", col("text"))
+      .as[(String, Long, Double)].collect().head
+    assert(tv0._2 == 4L && tv0._3 == 0.0)
+    // disjoint vocabularies: TV(d) = 1 - n_d/n exactly
+    // A = "a a a" (3 tokens), B = "b" (1 token) -> TV(A)=0.25, TV(B)=0.75
+    val two = Seq((1L, "A", "a a a"), (2L, "B", "b")).toDF("doc_id", "source", "text")
+    val got = Sampling.domainDivergence(two, "source", col("text"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got("A") == 0.25 && got("B") == 0.75, s"got $got")
+    // real data: TV strictly within (0, 1) for every source
+    val real = Sampling.domainDivergence(
+      Tables.documents(spark, sf0001), "source", col("text"))
+      .as[(String, Long, Double)].collect()
+    assert(real.nonEmpty && real.forall(r => r._3 > 0.0 && r._3 < 1.0))
+  }
+
   test("mixtureWeights: shares sum to 1, sqrt flattens head and lifts tail") {
     val corpus = Seq.tabulate(120) { i =>
       // head domain = 100 docs of 9 tokens, tail = 20 docs of 4 tokens
