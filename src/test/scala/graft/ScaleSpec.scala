@@ -254,4 +254,27 @@ class ScaleSpec extends SparkSpec {
     assert(!shuffles(knn).exists(_.contains("__nid")),
       s"ext_ann_knnclass: label table must never hash-partition, got ${shuffles(knn)}")
   }
+
+  test("plan audit: no recomputed corpus-scan branches (round-4 sweep holds)") {
+    // Spark does not reliably exchange-reuse identical aggregate
+    // branches, so a model aggregate joined back to its own source
+    // silently re-scans the corpus. The round-4 sweep rewrote these as
+    // partitioned windows / persisted streams; this pins the scan counts
+    // so a refactor that reintroduces a branch fails loudly.
+    def scans(name: String): Int =
+      "Scan parquet".r.findAllIn(
+        SparkEntry.queries(name)(spark, sf0001)
+          .queryExecution.executedPlan.toString).size
+    val expect = Map(
+      "ext_corpus_mix" -> 1, "ext_corpus_fences" -> 1,
+      "ext_events_novelty" -> 1, "ext_text_bigram_lm" -> 1,
+      "ext_corpus_drift" -> 2, // word counts + the 1-row token total
+      "ext_text_tfidf" -> 2, // term stats + the 1-row corpus count
+      "ext_layout_shards" -> 1)
+    expect.foreach { case (name, n) =>
+      assert(scans(name) == n,
+        s"$name: expected $n parquet scans, got ${scans(name)} — a " +
+          "recomputed aggregate branch crept back in")
+    }
+  }
 }
