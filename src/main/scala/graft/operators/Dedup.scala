@@ -1002,15 +1002,24 @@ object Dedup {
     val (rawIds, release) = shingleIds(edges, mode)
     val ids = rawIds
       .withColumn("h", (lit(SimhashA) * col("sid") + SimhashB) % MinhashMod)
-    val bitSums = (0 until SimhashBits).map { b =>
+    (fingerprintFromBitSums(
+      ids.groupBy("doc_id").agg(simhashBitSums.head, simhashBitSums.tail: _*)),
+      release)
+  }
+
+  /** The 32 per-bit ±1 sum aggregate expressions of the SimHash fold. */
+  private def simhashBitSums: Seq[Column] =
+    (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"s$b")
     }
+
+  /** (doc_id, simhash) off a frame carrying the s0..s31 bit sums. */
+  private def fingerprintFromBitSums(sums: DataFrame): DataFrame = {
     val fp = (0 until SimhashBits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    (ids.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash")), release)
+    sums.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs: banding on fingerprint bytes (4 bands of 8
@@ -1032,6 +1041,15 @@ object Dedup {
   private def simhashPairsOnEdges(edges: DataFrame, maxHamming: Int,
       mode: HashMode): (DataFrame, () => Unit) = {
     val (fps, releaseVocab) = simhashFingerprintsReleasable(edges, mode)
+    (simhashPairsOnFingerprints(fps, maxHamming), releaseVocab)
+  }
+
+  /** Byte-banding + exact-hamming verification over a (doc_id, simhash)
+    * frame — the candidate-generation half of [[simhashPairs]], split out
+    * so [[ensemblePairs]] can feed it fingerprints derived from the
+    * FUSED signature aggregate. */
+  private def simhashPairsOnFingerprints(fps: DataFrame,
+      maxHamming: Int): DataFrame = {
     val banded = fps.withColumn("bb", explode(sequence(lit(0), lit(3))))
       .withColumn("bkey", expr("shiftright(simhash, bb * 8) & 255"))
     val candidates = banded
@@ -1040,11 +1058,10 @@ object Dedup {
         col("bb"), col("bkey")), Seq("bb", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "fa", "fb").distinct()
-    val pairs = candidates
+    candidates
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-    (pairs, releaseVocab)
   }
 
   /** Detector-consensus near-dup ensemble over ONE shared shingle-edge
@@ -1079,18 +1096,36 @@ object Dedup {
       (inter, na, nb) => inter / (na + nb - inter),
       math.min(jaccardTau, minhashTau), broadcastSizes).persist()
     val jac = scored.where(col("jaccard") >= jaccardTau)
-    val (cand, releaseMh) = minhashBandCandidates(edges, numPerm, rowsPerBand, mode)
+    // FUSED signature aggregate: the numPerm MinHash minima and the 32
+    // SimHash bit sums fold in ONE groupBy(doc_id) over the same
+    // shingle-id stream — one corpus-wide signature shuffle instead of
+    // the two a separate-detector run pays
+    val (rawIds, releaseVocab) = shingleIds(edges, mode)
+    val ids = rawIds
+      .withColumn("h", (lit(SimhashA) * col("sid") + SimhashB) % MinhashMod)
+    val mins = (0 until numPerm).map { j =>
+      min(permute(lit(j.toLong), col("sid"))).as(s"m$j")
+    }
+    val sig = ids.groupBy("doc_id").agg((mins ++ simhashBitSums).head,
+      (mins ++ simhashBitSums).tail: _*).persist()
+    val keyCols = bandKeyCols(rowsPerBand)
+    val buckets = bandBuckets(sig, numPerm, rowsPerBand)
+    val cand = buckets.toDF("doc_a" +: "band" +: keyCols: _*)
+      .join(buckets.toDF("doc_b" +: "band" +: keyCols: _*),
+        Seq("band") ++ keyCols)
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val mh = scored.where(col("jaccard") >= minhashTau)
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    val (sh, releaseSh) = simhashPairsOnEdges(edges, maxHamming, mode)
+    val sh = simhashPairsOnFingerprints(fingerprintFromBitSums(sig), maxHamming)
     val votes = Seq(jac, mh, sh).map(_.select("doc_a", "doc_b"))
       .reduce(_ unionByName _)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("int").as("n_methods"))
       .where(col("n_methods") >= minVotes)
     val out = materializePairs(votes, edges)
-    scored.unpersist()
-    releaseMh(); releaseSh()
+    scored.unpersist(); sig.unpersist()
+    releaseVocab()
     out
   }
 
