@@ -487,6 +487,32 @@ object Similarity {
       .select("q_id", "true_label", "pred_label")
   }
 
+  /** Rank of the FIRST same-label neighbor in each query's exact top-k
+    * (0 when none lands in the top-k) — the exact-integer cousin of MRR:
+    * the mean-reciprocal-rank float sum is partition-order-dependent,
+    * while the first-relevant-rank HISTOGRAM carries the same retrieval-
+    * quality signal (mass at rank 1 = good, mass at 0 = misses) with
+    * nothing but integer counts, so it gates bit-exactly cross-engine.
+    *
+    * Scale shape follows [[knnClassify]]: the corpus label table is
+    * joined once with the query-bounded top-k list broadcast onto it;
+    * everything after is n_queries-sized.
+    */
+  def firstRelevantRank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("__nid"), col(labelCol).as("__lbl"))
+    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val qlbl = queries.select(col(idCol).as("q_id"), col(labelCol).as("__qlbl"))
+    val rel = labels
+      .join(broadcast(topk.select(col("q_id"), col("rnk"),
+        col("neighbor_id").as("__nid"))), Seq("__nid"))
+      .join(broadcast(qlbl), Seq("q_id"))
+      .where(col("__lbl") === col("__qlbl"))
+      .groupBy("q_id").agg(min("rnk").as("first_rank"))
+    qlbl.select("q_id").join(rel, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("first_rank"), lit(0)).as("first_rank"))
+  }
+
   /** Sign-pattern bucket for band `bb` over `planesPerBand` hyperplanes
     * (planes bb*planesPerBand .. +planesPerBand-1).
     */

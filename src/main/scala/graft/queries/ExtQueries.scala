@@ -1433,6 +1433,27 @@ object ExtQueries extends QueryGroup {
               round(sum(ok) * 1.0 / count(*), 6) AS accuracy
        FROM j GROUP BY 1"""
 
+  /** First-relevant-rank histogram (see Similarity.firstRelevantRank —
+    * the exact-integer MRR stand-in).
+    */
+  private def annFirstRel(s: SparkSession, d: String): DataFrame =
+    Similarity.firstRelevantRank(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", "label", TopK)
+      .groupBy("first_rank")
+      .agg(count(lit(1)).cast("int").as("n_queries"))
+
+  private val annFirstRelSql =
+    s"""WITH tk AS ($annTopKSql),
+       q AS (SELECT vec_id AS q_id, label AS qlbl FROM embeddings
+             WHERE vec_id % $QueryMod = 0),
+       rel AS (SELECT tk.q_id, min(tk.rnk) AS first_rank
+               FROM tk JOIN embeddings e ON tk.neighbor_id = e.vec_id
+                       JOIN q ON q.q_id = tk.q_id AND e.label = q.qlbl
+               GROUP BY 1)
+       SELECT coalesce(first_rank, 0) AS first_rank,
+              CAST(count(*) AS INTEGER) AS n_queries
+       FROM q LEFT JOIN rel ON q.q_id = rel.q_id GROUP BY 1"""
+
   /** SemDeDup similarity floor: LOW on purpose — the synthetic
     * embeddings are isotropic, so genuinely near-parallel pairs are
     * rare; 0.4 matches the brute-force embcos tau, making the two
@@ -2363,6 +2384,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
+    GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),
     GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),

@@ -155,6 +155,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pred._3 == 3)
   }
 
+  test("firstRelevantRank: 1 on separated clusters, 0 for a unique label") {
+    val eps = 0.01f
+    val rows = (0 until 6).map(i => (2L * i, Seq(1f, eps * i, 0f, 0f), 0)) ++
+      (0 until 6).map(i => ((2L * i) + 1, Seq(eps * i, 1f, 0f, 0f), 1)) :+
+      (100L, Seq(-1f, 0f, 0f, 0f), 9) // label 9 appears exactly once
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.firstRelevantRank(corpus, corpus,
+      "vec_id", "embedding", "label", 3)
+      .as[(Long, Int)].collect().toMap
+    // every clustered vector's nearest neighbor is a cluster-mate
+    assert((0 until 12).forall(i => got(i.toLong) == 1))
+    // the lone label-9 query has no same-label neighbor anywhere
+    assert(got(100L) == 0)
+  }
+
   test("Lloyd refinement fixes a bad seeded init on CLUSTERED data") {
     // two tight orthogonal clusters; ids arranged so the seeded pick
     // (every 6th id -> 0 and 6) lands BOTH centroids in cluster A. The
