@@ -276,6 +276,42 @@ class StreamingSpec extends SparkSpec {
     assert(dups.count() == 0)
   }
 
+  test("streaming novelty flags: day-ordered batches ≡ the batch monitor") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.NoveltyStream
+    import graft.streaming.NoveltyStream.KeyDay
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dayNs = 86400000000000L
+    val keyDays = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $dayNs").as("day"))
+      .as[KeyDay].collect()
+    // three day-ordered batches WITH cross-batch repeats: batch 2 replays
+    // some of batch 1's (key, day) rows — the state must not re-emit them
+    val days = keyDays.map(_.day).distinct.sorted
+    val (d1, d2) = (days(days.length / 3), days(2 * days.length / 3))
+    val batches = Seq(
+      keyDays.filter(_.day <= d1).toSeq,
+      (keyDays.filter(k => k.day > d1 && k.day <= d2) ++
+        keyDays.filter(_.day <= d1).take(50)).toSeq,
+      keyDays.filter(_.day > d2).toSeq)
+    val input = MemoryStream[KeyDay]
+    val q = NoveltyStream.noveltyFlags(input.toDS()).writeStream
+      .format("memory").queryName("novelty_flags").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = NoveltyStream.noveltyCounts(spark.table("novelty_flags"))
+      val batch = SparkEntry.queries("ext_events_novelty")(spark, sf0001)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed novelty counts diverged from the batch monitor")
+      // flags are append-only distinct (key, day) rows
+      val flags = spark.table("novelty_flags")
+      assert(flags.groupBy("user_id", "event_type", "day").count()
+        .where(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming metrics: foreachBatch-folded state ≡ one-shot batch aggregate") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
