@@ -513,6 +513,50 @@ object Similarity {
       .select(col("q_id"), coalesce(col("first_rank"), lit(0)).as("first_rank"))
   }
 
+  /** Integer grid for exact centroid sums: components quantize to
+    * multiples of 2^-20 BEFORE summing, so the per-group component sums
+    * are exact BIGINTs (order-free under any partitioning) instead of
+    * order-dependent float folds. x * 2^20 is an exact double op
+    * (power-of-two scaling), so the quantization itself is
+    * engine-reproducible.
+    */
+  val CentroidGrid: Long = 1L << 20
+
+  /** Per-label embedding CENTROID DRIFT: cosine of each label's centroid
+    * against the global centroid — the semantic counterpart of the
+    * lexical TV-drift diagnostic (a well-separated class points away
+    * from the global mean; cos ≈ 1 means the class is not separated).
+    * The 1/n centroid scaling cancels inside cosine, so the similarity
+    * is computed directly on the exact grid SUMS — no float mean ever
+    * exists; the only float ops are the final sqrt/divide on exact
+    * DECIMAL(38,0) dot products.
+    *
+    * Scale shape: one posexplode + one (label, dim) aggregate is the
+    * corpus-sized work; the global sums attach as a dim-partitioned
+    * window over the |labels| × dim result rows, and everything after is
+    * label-bounded.
+    */
+  def centroidCosines(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("q",
+        floor(col("x").cast("double") * CentroidGrid + 0.5d).cast("long"))
+    q.groupBy("label", "pos")
+      .agg(sum("q").as("cs"), count(lit(1)).as("cnt"))
+      .withColumn("cg", sum("cs").over(Window.partitionBy("pos")))
+      .groupBy("label")
+      .agg(max("cnt").as("n_vecs"),
+        sum(col("cs").cast(dec) * col("cg")).as("__dot"),
+        sum(col("cs").cast(dec) * col("cs")).as("__na"),
+        sum(col("cg").cast(dec) * col("cg")).as("__nb"))
+      .select(col("label"), col("n_vecs"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6)
+          .as("cos_to_global"))
+  }
+
   /** Sign-pattern bucket for band `bb` over `planesPerBand` hyperplanes
     * (planes bb*planesPerBand .. +planesPerBand-1).
     */

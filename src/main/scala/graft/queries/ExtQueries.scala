@@ -1433,6 +1433,32 @@ object ExtQueries extends QueryGroup {
               round(sum(ok) * 1.0 / count(*), 6) AS accuracy
        FROM j GROUP BY 1"""
 
+  /** Per-label centroid drift (see Similarity.centroidCosines — exact
+    * grid sums; the 1/n centroid scaling cancels in cosine).
+    */
+  private def embCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.centroidCosines(Tables.embeddings(s, d), "embedding", "label")
+
+  private val embCentroidsSql = {
+    val g = Similarity.CentroidGrid
+    s"""WITH q AS (
+         SELECT label, i AS pos,
+                CAST(floor(CAST(embedding[i] AS DOUBLE) * $g + 0.5) AS BIGINT) AS q
+         FROM embeddings, range(1, ${EmbDim + 1}) t(i)),
+       sums AS (
+         SELECT label, pos, CAST(sum(q) AS BIGINT) AS cs, count(*) AS cnt
+         FROM q GROUP BY 1, 2),
+       wg AS (SELECT label, pos, cs, cnt,
+                CAST(sum(cs) OVER (PARTITION BY pos) AS BIGINT) AS cg
+              FROM sums)
+       SELECT label, CAST(max(cnt) AS BIGINT) AS n_vecs,
+              round(CAST(sum(CAST(cs AS HUGEINT) * cg) AS DOUBLE) /
+                    (sqrt(CAST(sum(CAST(cs AS HUGEINT) * cs) AS DOUBLE)) *
+                     sqrt(CAST(sum(CAST(cg AS HUGEINT) * cg) AS DOUBLE))), 6)
+                AS cos_to_global
+       FROM wg GROUP BY 1"""
+  }
+
   /** First-relevant-rank histogram (see Similarity.firstRelevantRank —
     * the exact-integer MRR stand-in).
     */
@@ -2385,6 +2411,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
     GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),
+    GQuery("ext_emb_centroids", embCentroids, Some(embCentroidsSql), "per-label centroid cosine vs the global centroid (semantic drift, exact grid sums)"),
     GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),

@@ -155,6 +155,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pred._3 == 3)
   }
 
+  test("centroidCosines: orthogonal equal clusters land at 1/sqrt(2)") {
+    // two labels, each a pure axis vector repeated 3x: global sum =
+    // (3G, 3G), each label sum = (3G, 0) -> cos = 1/sqrt(2) exactly
+    val emb = (Seq.fill(3)((Seq(1f, 0f), 0)) ++ Seq.fill(3)((Seq(0f, 1f), 1)))
+      .toDF("embedding", "label")
+    val got = Similarity.centroidCosines(emb, "embedding", "label")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0)._2 == 3L && got(1)._2 == 3L)
+    val expected = math.floor(1.0 / math.sqrt(2.0) * 1e6 + 0.5) / 1e6
+    assert(got(0)._3 == expected && got(1)._3 == expected, s"got $got")
+    // degenerate single label: its centroid IS the global centroid
+    val lone = Seq((Seq(0.3f, -0.2f), 5), (Seq(0.1f, 0.9f), 5))
+      .toDF("embedding", "label")
+    val one = Similarity.centroidCosines(lone, "embedding", "label")
+      .as[(Int, Long, Double)].collect().head
+    assert(one._3 == 1.0)
+  }
+
   test("firstRelevantRank: 1 on separated clusters, 0 for a unique label") {
     val eps = 0.01f
     val rows = (0 until 6).map(i => (2L * i, Seq(1f, eps * i, 0f, 0f), 0)) ++
