@@ -513,6 +513,40 @@ object Similarity {
       .select(col("q_id"), coalesce(col("first_rank"), lit(0)).as("first_rank"))
   }
 
+  /** CONTRASTIVE TRIPLET MINING — the data-prep operator for embedding
+    * training: for each anchor query, the nearest same-label neighbor
+    * (the positive) and the nearest DIFFERENT-label neighbor (the hard
+    * negative — high-cosine wrong-label examples are what contrastive
+    * losses learn the most from). Queries lacking either half inside the
+    * top-k are dropped: every output row is a complete training triplet.
+    *
+    * Determinism: both picks are min-over-struct((rnk, id)) — rnk is
+    * unique per query, so the argmin is total. Scale shape follows
+    * [[knnClassify]]: one broadcast of the query-bounded top-k list onto
+    * the label table; everything after is n_queries-sized.
+    *
+    * Output: (q_id, pos_id, pos_rank, neg_id, neg_rank).
+    */
+  def contrastiveTriplets(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("__nid"), col(labelCol).as("__lbl"))
+    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val qlbl = queries.select(col(idCol).as("q_id"), col(labelCol).as("__qlbl"))
+    val tagged = labels
+      .join(broadcast(topk.select(col("q_id"), col("rnk"),
+        col("neighbor_id").as("__nid"))), Seq("__nid"))
+      .join(broadcast(qlbl), Seq("q_id"))
+      .withColumn("__same", col("__lbl") === col("__qlbl"))
+    tagged.groupBy("q_id")
+      .agg(
+        min(when(col("__same"), struct(col("rnk"), col("__nid")))).as("__p"),
+        min(when(!col("__same"), struct(col("rnk"), col("__nid")))).as("__n"))
+      .where(col("__p").isNotNull && col("__n").isNotNull)
+      .select(col("q_id"),
+        col("__p.__nid").as("pos_id"), col("__p.rnk").as("pos_rank"),
+        col("__n.__nid").as("neg_id"), col("__n.rnk").as("neg_rank"))
+  }
+
   /** Integer grid for exact centroid sums: components quantize to
     * multiples of 2^-20 BEFORE summing, so the per-group component sums
     * are exact BIGINTs (order-free under any partitioning) instead of

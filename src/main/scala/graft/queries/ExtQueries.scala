@@ -1433,6 +1433,31 @@ object ExtQueries extends QueryGroup {
               round(sum(ok) * 1.0 / count(*), 6) AS accuracy
        FROM j GROUP BY 1"""
 
+  /** Contrastive triplets (see Similarity.contrastiveTriplets): anchor +
+    * nearest same-label positive + nearest different-label hard negative.
+    */
+  private def annTriplets(s: SparkSession, d: String): DataFrame =
+    Similarity.contrastiveTriplets(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", "label", TopK)
+
+  private val annTripletsSql =
+    s"""WITH tk AS ($annTopKSql),
+       q AS (SELECT vec_id AS q_id, label AS qlbl FROM embeddings
+             WHERE vec_id % $QueryMod = 0),
+       tagged AS (
+         SELECT tk.q_id, tk.rnk, tk.neighbor_id, (e.label = q.qlbl) AS same
+         FROM tk JOIN embeddings e ON tk.neighbor_id = e.vec_id
+                 JOIN q ON q.q_id = tk.q_id),
+       firsts AS (
+         SELECT q_id,
+                arg_min(neighbor_id, rnk) FILTER (WHERE same) AS pos_id,
+                min(rnk) FILTER (WHERE same) AS pos_rank,
+                arg_min(neighbor_id, rnk) FILTER (WHERE NOT same) AS neg_id,
+                min(rnk) FILTER (WHERE NOT same) AS neg_rank
+         FROM tagged GROUP BY 1)
+       SELECT q_id, pos_id, pos_rank, neg_id, neg_rank
+       FROM firsts WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL"""
+
   /** Per-label centroid drift (see Similarity.centroidCosines — exact
     * grid sums; the 1/n centroid scaling cancels in cosine).
     */
@@ -2412,6 +2437,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
     GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),
     GQuery("ext_emb_centroids", embCentroids, Some(embCentroidsSql), "per-label centroid cosine vs the global centroid (semantic drift, exact grid sums)"),
+    GQuery("ext_ann_triplets", annTriplets, Some(annTripletsSql), "contrastive triplet mining: anchor + nearest positive + hard negative"),
     GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),

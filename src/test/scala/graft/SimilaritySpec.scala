@@ -155,6 +155,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pred._3 == 3)
   }
 
+  test("contrastiveTriplets: positive is the rank-1 cluster-mate, incomplete anchors drop") {
+    val eps = 0.01f
+    val rows = (0 until 6).map(i => (2L * i, Seq(1f, eps * i, 0f, 0f), 0)) ++
+      (0 until 6).map(i => ((2L * i) + 1, Seq(eps * i, 1f, 0f, 0f), 1)) :+
+      (100L, Seq(-1f, 0f, 0f, 0f), 9) // unique label: no positive exists
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastiveTriplets(corpus, corpus,
+      "vec_id", "embedding", "label", 13)
+      .as[(Long, Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    val lbl = rows.map(r => r._1 -> r._3).toMap
+    // every clustered anchor forms a triplet whose positive is its
+    // nearest neighbor (rank 1, same cluster) and whose negative carries
+    // a different label at a worse-or-equal... strictly later rank
+    (0 until 12).foreach { i =>
+      val t = got(i.toLong)
+      assert(t._3 == 1 && lbl(t._2) == lbl(i.toLong), s"anchor $i positive $t")
+      assert(lbl(t._4) != lbl(i.toLong) && t._5 > t._3, s"anchor $i negative $t")
+    }
+    // the unique-label anchor has no same-label neighbor -> dropped
+    assert(!got.contains(100L))
+  }
+
   test("centroidCosines: orthogonal equal clusters land at 1/sqrt(2)") {
     // two labels, each a pure axis vector repeated 3x: global sum =
     // (3G, 3G), each label sum = (3G, 0) -> cos = 1/sqrt(2) exactly
