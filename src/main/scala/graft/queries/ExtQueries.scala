@@ -1433,6 +1433,41 @@ object ExtQueries extends QueryGroup {
               round(sum(ok) * 1.0 / count(*), 6) AS accuracy
        FROM j GROUP BY 1"""
 
+  /** Cross-source QUALITY NORMALIZATION: each document's quality as a
+    * percentile rank WITHIN ITS SOURCE — the calibration step before a
+    * single global threshold: raw quality scores are not comparable
+    * across sources (a clean-wiki source's median outscores a forum
+    * dump's p90), so curation thresholds are applied to the per-source
+    * percentile, not the raw score. percent_rank = (rank-1)/(n-1) with
+    * RANK ties — an exact small-integer ratio, identical in any engine;
+    * the one per-source window is the only shuffle.
+    */
+  private def corpusQnorm(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val q = TextAnalysis.qualityScore(t)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), q.as("quality"))
+      .withColumn("q_pct",
+        round(percent_rank().over(
+          Window.partitionBy("source").orderBy(col("quality"))), 6))
+  }
+
+  private val corpusQnormSql =
+    s"""WITH b AS (
+         SELECT doc_id, source,
+                len(list_distinct(string_split(text, ' '))) AS n_types,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ($stopListSql))) AS n_stop
+         FROM documents),
+       sc AS (SELECT doc_id, source,
+                ${qualitySqlOver("n_types", "n_tokens", "n_stop")} AS quality
+              FROM b)
+       SELECT doc_id, source, quality,
+              round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6)
+                AS q_pct
+       FROM sc"""
+
   /** Contrastive triplets (see Similarity.contrastiveTriplets): anchor +
     * nearest same-label positive + nearest different-label hard negative.
     */
@@ -2438,6 +2473,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),
     GQuery("ext_emb_centroids", embCentroids, Some(embCentroidsSql), "per-label centroid cosine vs the global centroid (semantic drift, exact grid sums)"),
     GQuery("ext_ann_triplets", annTriplets, Some(annTripletsSql), "contrastive triplet mining: anchor + nearest positive + hard negative"),
+    GQuery("ext_corpus_qnorm", corpusQnorm, Some(corpusQnormSql), "per-source percentile-rank quality normalization (cross-source calibration)"),
     GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
