@@ -66,12 +66,17 @@ object Layout {
       numShards: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = Window.partitionBy()
+    // a zero TOTAL mass (every document empty) leaves the mass ratio
+    // undefined — report 0.0 instead of tripping ANSI divide-by-zero
+    // (found by the property suite on an all-empty corpus)
+    val totalMass = sum(col("mass")).over(w)
     docs
       .withColumn("shard", Dedup.polyHash(col(contentCol)) % numShards)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col(massCol)).as("mass"))
       .select(col("shard"), col("n_docs"), col("mass"),
         round(col("n_docs") * numShards / sum("n_docs").over(w), 6).as("doc_balance"),
-        round(col("mass") * numShards / sum("mass").over(w), 6).as("mass_balance"))
+        round(when(totalMass === 0L, lit(0.0d))
+          .otherwise(col("mass") * numShards / totalMass), 6).as("mass_balance"))
   }
 }

@@ -588,7 +588,9 @@ object ExtQueries extends QueryGroup {
          FROM documents GROUP BY 1)
        SELECT shard, n_docs, mass,
               round(n_docs * $NumShards * 1.0 / sum(n_docs) OVER (), 6) AS doc_balance,
-              round(mass * $NumShards * 1.0 / sum(mass) OVER (), 6) AS mass_balance
+              round(CASE WHEN sum(mass) OVER () = 0 THEN 0.0
+                    ELSE mass * $NumShards * 1.0 / sum(mass) OVER () END, 6)
+                AS mass_balance
        FROM ps"""
 
   private val ChunkTokens = 32

@@ -206,4 +206,37 @@ object InvariantProps extends Properties("graft.invariants") {
       r._1 <= r._2 && r._3 <= r._1 && r._4 >= r._2 &&
         r._7 == vs.size && r._5 + r._6 <= vs.size
     }
+
+  property("shardAudit conserves docs and mass; shards stay in range") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr), Gen.chooseNum(2, 16)) {
+      (texts, shards0) =>
+        import spark.implicits._
+        // the shrinker explores below the generator's floor; clamp so a
+        // shrunk case can't turn into a modulo-by-zero
+        val shards = math.max(2, shards0)
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t, t.length.toLong) }
+          .toDF("doc_id", "text", "n_chars")
+        val audit = graft.operators.Layout.shardAudit(docs, "text", "n_chars", shards)
+          .as[(Long, Long, Long, Double, Double)].collect()
+        audit.map(_._2).sum == texts.size.toLong &&
+          audit.map(_._3).sum == texts.map(_.length.toLong).sum &&
+          audit.forall(r => r._1 >= 0 && r._1 < shards)
+    }
+
+  property("domainDivergence: TV within [0,1]; a lone domain scores exactly 0") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))) {
+      rows =>
+        import spark.implicits._
+        val docs = rows.zipWithIndex
+          .map { case ((s, t), i) => (i.toLong, s, t) }
+          .toDF("doc_id", "source", "text")
+        val tv = graft.operators.Sampling.domainDivergence(docs, "source", col("text"))
+          .as[(String, Long, Double)].collect()
+        val lone = graft.operators.Sampling
+          .domainDivergence(docs.withColumn("source", lit("only")), "source", col("text"))
+          .as[(String, Long, Double)].collect()
+        tv.forall(r => r._3 >= 0.0 && r._3 <= 1.0) && lone.forall(_._3 == 0.0)
+    }
 }
