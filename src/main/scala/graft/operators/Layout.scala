@@ -62,6 +62,52 @@ object Layout {
     * frame recomputes its whole subtree). The polyhash is the codegen'd
     * character fold — no vocabulary, no shuffle before the aggregate.
     */
+  /** Compaction (OPTIMIZE) planner: pack partition cells into
+    * target-sized output files, PRESERVING cell order. A 100 TB table
+    * accretes small files per ingest batch; the maintenance job that
+    * fixes it must merge ADJACENT cells — a hash re-shard (see
+    * [[shardAudit]]) would balance sizes but destroy the clustering that
+    * makes footer-stats pruning work. Next-fit over the cell sequence
+    * does both: bin = (running mass BEFORE the cell) div target, so a
+    * cell opens a new bin exactly when the mass so far has crossed a
+    * bin boundary, and every bin covers a contiguous cell range.
+    *
+    * Scale shape: the corpus is touched ONCE by a map-side-combinable
+    * (cellCols) aggregate; everything after runs on the CELL list
+    * (thousands of rows for a 100 TB table, not billions), so the
+    * single-partition ordered cumsum window is a deliberate non-cost —
+    * the same shape every table-maintenance planner (Delta OPTIMIZE,
+    * Iceberg rewrite_data_files) uses: plan small, execute big.
+    *
+    * Output per bin: the contiguous cell span [cells_from, cells_to] in
+    * cell order, cell/doc counts, packed mass, and fill = mass/target
+    * (last bin underfills; a cell larger than target overfills its own
+    * bin — next-fit never splits a cell, matching file-granularity
+    * rewrites).
+    */
+  def compactionPlan(docs: DataFrame, cellCols: Seq[String],
+      massCol: Column, targetMass: Long): DataFrame = {
+    require(targetMass > 0, s"targetMass must be positive, got $targetMass")
+    val cellOrder = cellCols.map(col)
+    val seqW = Window.orderBy(cellOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bin id via integer DIV, not double division — cumulative mass on a
+    // 100 TB table passes 2^53 where doubles drop low bits
+    val cells = docs
+      .groupBy(cellCols.map(col): _*)
+      .agg(count(lit(1)).as("__docs"), sum(massCol).as("__mass"))
+      .withColumn("__cum", sum(col("__mass")).over(seqW))
+      .withColumn("__seq", row_number().over(Window.orderBy(cellOrder: _*)))
+      .withColumn("bin", expr(s"(__cum - __mass) div ${targetMass}L"))
+      .withColumn("__cell", concat_ws("/", cellOrder: _*))
+    cells.groupBy("bin")
+      .agg(min_by(col("__cell"), col("__seq")).as("cells_from"),
+        max_by(col("__cell"), col("__seq")).as("cells_to"),
+        count(lit(1)).as("n_cells"), sum(col("__docs")).as("n_docs"),
+        sum(col("__mass")).as("mass"),
+        round(sum(col("__mass")) / targetMass, 6).as("fill"))
+  }
+
   def shardAudit(docs: DataFrame, contentCol: String, massCol: String,
       numShards: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

@@ -246,6 +246,51 @@ object Sampling {
           .as("boost"))
   }
 
+  /** Epoch / repetition schedule: turn [[mixtureWeights]]' temperature
+    * shares into the numbers a training run actually consumes — how many
+    * tokens to DRAW from each domain for a total budget of
+    * `budgetFactor` x the corpus, and how many passes (epochs) over the
+    * domain that implies. Up-weighted small domains repeat
+    * (epochs > 1, the multi-epoch regime); down-weighted large
+    * ones subsample (repetition < 1). This is the planning step between
+    * "we chose a mixture" and "the sampler runs": budgets must be exact
+    * integers that sum to <= the global budget, and the whole schedule
+    * must be reproducible run-to-run.
+    *
+    * EXACT-INTEGER evaluation: target_d = B·s_d div Σs with the product
+    * in DECIMAL(38,0) (B ~ 10^12 tokens times s_d ~ 10^12 overflows
+    * BIGINT; HUGEINT on the oracle side), epochs_d = ceil-div of two
+    * BIGINTs — so the schedule is bit-stable under any partitioning, and
+    * only the reported `repetition` ratio is a (rounded) float.
+    *
+    * Scale shape: identical to [[mixtureWeights]] — one map-side
+    * combinable corpus aggregate, then unpartitioned windows over the
+    * |domains| rows.
+    */
+  def epochSchedule(docs: DataFrame, domainCol: String, text: Column,
+      budgetFactor: Int = 2): DataFrame = {
+    val grid = 1000000L
+    val w = Window.partitionBy()
+    docs
+      .groupBy(col(domainCol))
+      .agg(sum(size(split(text, " ")).cast("long")).as("n_tokens"))
+      .withColumn("__s", floor(sqrt(col("n_tokens")) * grid + 0.5).cast("long"))
+      .withColumn("__tot", sum("n_tokens").over(w))
+      .withColumn("__stot", sum("__s").over(w))
+      .withColumn("target_tokens",
+        expr(s"CAST((CAST($budgetFactor AS DECIMAL(38,0)) * __tot * __s)" +
+          " div __stot AS BIGINT)"))
+      // ceil-div; an empty domain (unsplittable null text) draws nothing
+      .withColumn("epochs",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("(target_tokens + n_tokens - 1) div n_tokens")))
+      .select(col(domainCol), col("n_tokens"), col("target_tokens"),
+        col("epochs"),
+        when(col("n_tokens") === 0L, lit(0.0d))
+          .otherwise(round(col("target_tokens") / col("n_tokens"), 6))
+          .as("repetition"))
+  }
+
   /** Per-domain DISTRIBUTION DRIFT: total-variation distance between
     * each domain's unigram distribution p_d and the corpus-wide
     * distribution q — the "does this source look like the rest of the

@@ -593,6 +593,72 @@ object ExtQueries extends QueryGroup {
                 AS mass_balance
        FROM ps"""
 
+  private val CompactTarget = 20000L
+
+  /** Compaction planner over (source, lang) partition cells (see
+    * Layout.compactionPlan) — contiguous next-fit bins of ~20k chars.
+    */
+  private def layoutCompact(s: SparkSession, d: String): DataFrame =
+    Layout.compactionPlan(Tables.documents(s, d), Seq("source", "lang"),
+      col("n_chars"), CompactTarget)
+
+  /** Twin of Layout.compactionPlan: same ordered cumsum, same next-fit
+    * bin rule, arg_min/arg_max on the cell sequence number.
+    */
+  private val layoutCompactSql =
+    s"""WITH cells AS (
+         SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
+                CAST(sum(n_chars) AS BIGINT) AS cmass
+         FROM documents GROUP BY 1, 2),
+       seqd AS (SELECT *,
+           CAST(sum(cmass) OVER (ORDER BY source, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           row_number() OVER (ORDER BY source, lang) AS seq,
+           source || '/' || lang AS cell
+         FROM cells)
+       SELECT CAST((cum - cmass) // $CompactTarget AS BIGINT) AS bin,
+              arg_min(cell, seq) AS cells_from, arg_max(cell, seq) AS cells_to,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(docs) AS BIGINT) AS n_docs,
+              CAST(sum(cmass) AS BIGINT) AS mass,
+              round(sum(cmass) * 1.0 / $CompactTarget, 6) AS fill
+       FROM seqd GROUP BY 1"""
+
+  private val EpochBudgetFactor = 2
+
+  /** Epoch/repetition schedule from the temperature mixture (see
+    * Sampling.epochSchedule) — budget = 2x the corpus.
+    */
+  private def corpusEpochs(s: SparkSession, d: String): DataFrame =
+    Sampling.epochSchedule(Tables.documents(s, d), "source", col("text"),
+      EpochBudgetFactor)
+
+  /** Twin of Sampling.epochSchedule: HUGEINT product for the budget
+    * split, BIGINT ceil-div for epochs.
+    */
+  private val corpusEpochsSql =
+    s"""WITH dom AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1),
+       g AS (SELECT source, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+             FROM dom),
+       t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                    CAST(sum(s) AS BIGINT) AS stot FROM g),
+       tgt AS (SELECT source, n_tokens,
+                 CAST((CAST($EpochBudgetFactor AS HUGEINT) * tot * s) // stot
+                   AS BIGINT) AS target_tokens
+               FROM g CROSS JOIN t)
+       SELECT source, n_tokens, target_tokens,
+              CASE WHEN n_tokens = 0 THEN 0
+                   ELSE (target_tokens + n_tokens - 1) // n_tokens
+              END AS epochs,
+              CASE WHEN n_tokens = 0 THEN 0.0
+                   ELSE round(target_tokens * 1.0 / n_tokens, 6)
+              END AS repetition
+       FROM tgt"""
+
   private val ChunkTokens = 32
   private val ChunkOverlap = 8
 
@@ -2063,6 +2129,69 @@ object ExtQueries extends QueryGroup {
               round(COALESCE(n_new_keys, 0) / n_active_keys, 6) AS novelty_rate
        FROM active LEFT JOIN fresh ON active.day = fresh.day"""
 
+  /** VOLUME-ANOMALY monitor: per event type, flag days whose traffic
+    * sits outside median ± 3·MAD — the robust control chart a pipeline
+    * watches for ingest outages (count collapses) and crawl storms
+    * (count spikes); mean/stddev would let one bad day drag its own
+    * threshold, the classic masking failure.
+    *
+    * EXACT-INTEGER evaluation: med and MAD are LOWER MEDIANS — order
+    * statistics at position (n-1) div 2 + 1 of the day sequence sorted
+    * by (value, day) — so both are actual daily counts (BIGINTs), never
+    * an averaged midpoint, and the flag compares integers. Ties break by
+    * day, making every row engine-reproducible.
+    *
+    * Scale shape: one map-side-combinable (type, day) count over the
+    * event stream; the medians run as row_number + conditional-max
+    * windows over the per-type DAY list (hundreds of rows per type at
+    * any scale — the monitoring frame, not the event frame).
+    */
+  private def eventsMad(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy("event_type")
+    val byN = wt.orderBy(col("n"), col("day"))
+    val step1 = daily
+      .withColumn("__cnt", count(lit(1)).over(wt))
+      .withColumn("__rn", row_number().over(byN))
+      .withColumn("med",
+        max(when(col("__rn") === expr("(__cnt - 1) div 2 + 1"), col("n"))).over(wt))
+      .withColumn("__dev", abs(col("n") - col("med")))
+    val byDev = wt.orderBy(col("__dev"), col("day"))
+    step1
+      .withColumn("__rn2", row_number().over(byDev))
+      .withColumn("mad",
+        max(when(col("__rn2") === expr("(__cnt - 1) div 2 + 1"), col("__dev"))).over(wt))
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        (col("__dev") > lit(3L) * col("mad")).cast("int").as("is_anomaly"))
+  }
+
+  private val eventsMadSql =
+    s"""WITH dc AS (
+         SELECT event_type, epoch_ns(ts) // $ZDayNs AS day,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       r AS (SELECT *,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn
+             FROM dc),
+       m AS (SELECT *,
+               max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN n END)
+                 OVER (PARTITION BY event_type) AS med
+             FROM r),
+       v AS (SELECT *, abs(n - med) AS dev,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(n - med), day) AS rn2
+             FROM m),
+       w AS (SELECT *,
+               max(CASE WHEN rn2 = (cnt - 1) // 2 + 1 THEN dev END)
+                 OVER (PARTITION BY event_type) AS mad
+             FROM v)
+       SELECT event_type, day, n, med, mad,
+              CAST(dev > 3 * mad AS INTEGER) AS is_anomaly
+       FROM w"""
+
   /** Cross-source DUPLICATION MATRIX: near-dup pairs rolled up by the
     * (unordered) source pair — which crawls/feeds duplicate each other,
     * the provenance view a curation team prunes sources with. Pair count
@@ -2441,6 +2570,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
     GQuery("ext_layout_shards", layoutShards, Some(layoutShardsSql), "export shard-balance audit: content-hashed shards, doc/mass balance ratios"),
+    GQuery("ext_layout_compact", layoutCompact, Some(layoutCompactSql), "compaction planner: next-fit packing of partition cells into target-size files"),
+    GQuery("ext_corpus_epochs", corpusEpochs, Some(corpusEpochsSql), "epoch/repetition schedule from the temperature mixture (exact-integer budgets)"),
     GQuery("ext_corpus_drift", corpusDrift, Some(corpusDriftSql), "per-source unigram TV distance from the corpus mix (exact-integer drift)"),
     GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),
     GQuery("ext_dedup_exact", dedupExact, Some(dedupExactSql), "exact dedup w/ multiplicity"),
@@ -2490,6 +2621,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
     GQuery("ext_events_novelty", eventsNovelty, Some(eventsNoveltySql), "per-day novelty-rate drift monitor (first-seen key fraction)"),
+    GQuery("ext_events_mad", eventsMad, Some(eventsMadSql), "volume-anomaly days via median ± 3·MAD (exact lower-median order stats)"),
     GQuery("ext_dedup_srcmatrix", dedupSourceMatrix, Some(dedupSourceMatrixSql), "cross-source duplication matrix (near-dup pairs by unordered source pair)"),
     GQuery("ext_events_funnel", eventsFunnel, Some(eventsFunnelSql), "staged conversion funnel via prefix-max windows"),
     GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),

@@ -100,4 +100,36 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double)].collect()
     assert(two.length == 1 && two.head._2 == 2L)
   }
+
+  test("compactionPlan: hand-checked next-fit bins; spans contiguous; mass conserved") {
+    import graft.operators.Layout
+    val docs = Seq(
+      ("a", "x", 5L), ("a", "x", 5L), // cell a/x mass 10 -> fills bin 0 exactly
+      ("a", "y", 12L),                // oversize cell: overflows its own bin 1
+      ("b", "x", 3L), ("b", "y", 4L), ("c", "x", 2L)) // tail -> bin 2, underfull
+      .toDF("source", "lang", "n_chars")
+    val plan = Layout.compactionPlan(docs, Seq("source", "lang"),
+        col("n_chars"), 10L)
+      .orderBy("bin")
+      .as[(Long, String, String, Long, Long, Long, Double)].collect()
+    assert(plan.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(plan(0) == ((0L, "a/x", "a/x", 1L, 2L, 10L, 1.0)))
+    assert(plan(1) == ((1L, "a/y", "a/y", 1L, 1L, 12L, 1.2)))
+    assert(plan(2) == ((2L, "b/x", "c/x", 3L, 3L, 9L, 0.9)))
+    // conservation + contiguity on real data
+    val real = Tables.documents(spark, sf0001)
+    val rp = Layout.compactionPlan(real, Seq("source", "lang"),
+        col("n_chars"), 5000L)
+      .orderBy("bin")
+      .as[(Long, String, String, Long, Long, Long, Double)].collect()
+    assert(rp.map(_._5).sum == real.count())
+    assert(rp.map(_._6).sum == real.agg(sum("n_chars")).as[Long].head())
+    // bins are consecutive integers from 0 and spans chain: each bin's
+    // first cell follows the previous bin's last in (source,lang) order
+    assert(rp.map(_._1).toSeq == rp.indices.map(_.toLong))
+    rp.sliding(2).foreach {
+      case Array(p, q) => assert(p._3 <= q._2)
+      case _ =>
+    }
+  }
 }

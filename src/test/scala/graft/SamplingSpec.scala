@@ -245,4 +245,28 @@ class SamplingSpec extends SparkSpec {
     assert(plan.lastIndexOf("HashAggregate") > firstWindow,
       "histogram aggregate must feed the cumulative window")
   }
+
+  test("epochSchedule: hand-checked budget split; repeats small, subsamples big") {
+    // tokens: big = 9, small = 1; sqrt shares s = 3e6 / 1e6
+    val two = Seq(("big", "w w w w w w w w w"), ("small", "w"))
+      .toDF("source", "text")
+    val got = Sampling.epochSchedule(two, "source", col("text"), 1)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // budget 10: big gets 10*3/4 = 7 (floor), small 10*1/4 = 2
+    assert(got("big") == (("big", 9L, 7L, 1L, 0.777778)))
+    assert(got("small") == (("small", 1L, 2L, 2L, 2.0)))
+    // real corpus: targets never exceed the budget; every nonempty
+    // domain is drawn at least once
+    val real = Tables.documents(spark, sf0001)
+    val sched = Sampling.epochSchedule(real, "source", col("text"), 2)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val totalTokens = sched.map(_._2).sum
+    assert(sched.map(_._3).sum <= 2L * totalTokens)
+    sched.foreach { r =>
+      assert(r._4 >= 1L, s"domain ${r._1} never drawn")
+      // epochs is the ceiling of the repetition ratio
+      assert(r._4 == math.ceil(r._3.toDouble / r._2).toLong)
+    }
+  }
 }

@@ -44,4 +44,23 @@ class TimeSeriesSpec extends SparkSpec {
       .select("user_id", "event_type").distinct().count()
     assert(totalNew == distinctKeys)
   }
+
+  test("MAD monitor: med/mad are real counts, flag is |n-med| > 3*mad") {
+    val got = SparkEntry.queries("ext_events_mad")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val ns = rows.map(_._3).toSet
+      val med = rows.head._4
+      val mad = rows.head._5
+      // lower medians are order statistics — actual members, never midpoints
+      assert(rows.forall(_._4 == med) && ns.contains(med))
+      assert(rows.map(r => math.abs(r._3 - r._4)).toSet.contains(mad))
+      rows.foreach { r =>
+        assert((r._6 == 1) == (math.abs(r._3 - med) > 3 * mad))
+      }
+      // a lower median leaves at least half the days at-or-below it
+      assert(rows.count(_._3 <= med) * 2 >= rows.size)
+    }
+  }
 }
