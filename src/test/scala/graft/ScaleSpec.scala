@@ -245,6 +245,29 @@ class ScaleSpec extends SparkSpec {
         && shards.count(_ == "SinglePartition") == 1,
       s"ext_layout_shards: one shard-keyed aggregate exchange + the 16-row " +
         s"totals window, got $shards")
+    // compaction planner: ONE corpus-sized aggregate exchange on the
+    // cell keys; cumsum/seq windows and the bin aggregate run on the
+    // |cells| rows behind a SinglePartition exchange
+    val compact = shuffles(q("ext_layout_compact"))
+    assert(compact.count(_.startsWith("hashpartitioning")) <= 2
+        && compact.filter(_.startsWith("hashpartitioning")).head.contains("source")
+        && compact.count(_ == "SinglePartition") == 1,
+      s"ext_layout_compact: cell aggregate exchange + one cell-list " +
+        s"window, got $compact")
+    // epoch schedule inherits the mixture-weights discipline: one domain
+    // aggregate exchange, normalizer windows over the |domains| rows
+    val epochs = shuffles(q("ext_corpus_epochs"))
+    assert(epochs.count(_.startsWith("hashpartitioning")) == 1
+        && epochs.count(_ == "SinglePartition") == 1,
+      s"ext_corpus_epochs: one domain aggregate exchange + the " +
+        s"normalizer window, got $epochs")
+    // MAD monitor: one (type, day) aggregate exchange; both median
+    // windows re-use ONE event_type exchange over the day-list frame
+    val mad = shuffles(q("ext_events_mad"))
+    assert(mad.count(_.startsWith("hashpartitioning")) == 2
+        && mad.exists(_.contains("event_type")),
+      s"ext_events_mad: day-count aggregate + one event_type window " +
+        s"exchange, got $mad")
     // kNN classify: the corpus label table must never hash-shuffle — the
     // tiny top-k list broadcasts onto it; remaining exchanges are
     // query-bounded (vote counts + the argmax window on q_id)
@@ -270,7 +293,9 @@ class ScaleSpec extends SparkSpec {
       "ext_events_novelty" -> 1, "ext_text_bigram_lm" -> 1,
       "ext_corpus_drift" -> 2, // word counts + the 1-row token total
       "ext_text_tfidf" -> 2, // term stats + the 1-row corpus count
-      "ext_layout_shards" -> 1)
+      "ext_layout_shards" -> 1,
+      "ext_layout_compact" -> 1, "ext_corpus_epochs" -> 1,
+      "ext_events_mad" -> 1)
     expect.foreach { case (name, n) =>
       assert(scans(name) == n,
         s"$name: expected $n parquet scans, got ${scans(name)} — a " +
