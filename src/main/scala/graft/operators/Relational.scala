@@ -168,6 +168,24 @@ object Relational {
       .drop("__bin")
   }
 
+  /** Arrival sequence number per key: seq = 1, 2, ... in `orderCols`
+    * order within each key — the primitive under ingest QUOTA
+    * enforcement (keep the first N events per user per day, drop or
+    * deprioritize the rest) and its telemetry (how much traffic the cap
+    * sheds). A total order requires `orderCols` to be a key-unique
+    * tiebreak chain (e.g. ts then event_id); then every engine ranks
+    * identically and replays are stable.
+    *
+    * Scale shape: ONE exchange on the key columns; the per-key sort is
+    * the window sort. The live twin is
+    * [[graft.streaming.QuotaStream]] — same numbering carried across
+    * batches by keyed state.
+    */
+  def arrivalSeq(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame =
+    df.withColumn("seq", row_number().over(
+      Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
+
   /** Skew-mitigating salted equi-join, semantically identical to
     * `left.join(right, Seq(key), "inner")`.
     *

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryGroup, Tables}
-import graft.operators.{Dedup, Incremental, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Incremental, Layout, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2192,6 +2192,41 @@ object ExtQueries extends QueryGroup {
               CAST(dev > 3 * mad AS INTEGER) AS is_anomaly
        FROM w"""
 
+  private val CapPerDay = 3
+
+  /** Ingest QUOTA telemetry: per day, how much traffic a
+    * first-`CapPerDay`-events-per-(user, day) cap would keep — the
+    * shed-rate report a rate-limited ingest publishes. seq comes from
+    * Relational.arrivalSeq under the (ts, event_id) total order; one
+    * (user, day) window exchange, then the day rollup.
+    */
+  private def eventsCap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $ZDayNs").as("day"),
+        col("ts"), col("event_id"))
+    Relational.arrivalSeq(ev, Seq("user_id", "day"),
+        Seq(col("ts"), col("event_id")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("seq") <= CapPerDay, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("day"), col("n_events"), col("n_kept"),
+        round(col("n_kept") / col("n_events"), 6).as("keep_rate"))
+  }
+
+  private val eventsCapSql =
+    s"""WITH e AS (
+         SELECT user_id, epoch_ns(ts) // $ZDayNs AS day,
+                epoch_ns(ts) AS tsn, event_id
+         FROM events),
+       r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+               ORDER BY tsn, event_id) AS seq FROM e)
+       SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN seq <= $CapPerDay THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              round(sum(CASE WHEN seq <= $CapPerDay THEN 1 ELSE 0 END) * 1.0
+                / count(*), 6) AS keep_rate
+       FROM r GROUP BY 1"""
+
   /** Cross-source DUPLICATION MATRIX: near-dup pairs rolled up by the
     * (unordered) source pair — which crawls/feeds duplicate each other,
     * the provenance view a curation team prunes sources with. Pair count
@@ -2622,6 +2657,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
     GQuery("ext_events_novelty", eventsNovelty, Some(eventsNoveltySql), "per-day novelty-rate drift monitor (first-seen key fraction)"),
     GQuery("ext_events_mad", eventsMad, Some(eventsMadSql), "volume-anomaly days via median ± 3·MAD (exact lower-median order stats)"),
+    GQuery("ext_events_cap", eventsCap, Some(eventsCapSql), "ingest quota telemetry: shed rate of a first-N-per-(user,day) cap"),
     GQuery("ext_dedup_srcmatrix", dedupSourceMatrix, Some(dedupSourceMatrixSql), "cross-source duplication matrix (near-dup pairs by unordered source pair)"),
     GQuery("ext_events_funnel", eventsFunnel, Some(eventsFunnelSql), "staged conversion funnel via prefix-max windows"),
     GQuery("ext_reconcile_full", reconcileFull, Some(reconcileFullSql), "snapshot reconciliation (full outer join, zero-filled)"),

@@ -338,4 +338,41 @@ class StreamingSpec extends SparkSpec {
         "micro-batch boundaries leaked into the folded metrics state")
     } finally q.stop()
   }
+
+  test("streaming quota seqs: ts-ordered batches ≡ the batch window, any intra-batch order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.QuotaStream
+    import graft.streaming.QuotaStream.Ev
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dayNs = 86400000000000L
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"),
+        col("ts"), col("event_id"))
+      .as[Ev].collect()
+    // slice the (ts, event_id)-sorted stream by INDEX so each key's
+    // events arrive in order across batches even through ts ties;
+    // shuffle each batch internally (reversed) — numbering must not care
+    val sorted = evs.sortBy(e => (e.ts, e.event_id))
+    val cut = sorted.length / 3
+    val batches = Seq(
+      sorted.slice(0, cut).reverse.toSeq,
+      sorted.slice(cut, 2 * cut).reverse.toSeq,
+      sorted.drop(2 * cut).reverse.toSeq)
+    val input = MemoryStream[Ev]
+    val q = QuotaStream.numberEvents(input.toDS()).writeStream
+      .format("memory").queryName("quota_seqs").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("quota_seqs")
+      val batch = graft.operators.Relational.arrivalSeq(
+        evs.toSeq.toDF("user_id", "day", "ts", "event_id"),
+        Seq("user_id", "day"), Seq(col("ts"), col("event_id")))
+        .select("user_id", "day", "ts", "event_id", "seq")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed arrival seqs diverged from the batch window")
+      // every event numbered exactly once
+      assert(streamed.count() == evs.length)
+    } finally q.stop()
+  }
 }
