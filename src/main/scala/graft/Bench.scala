@@ -6,8 +6,9 @@ object Bench {
   type Result = (String, Double, Double, Boolean)
 
   private def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-  private def toJson(vs: Seq[(String, Double)]) =
-    vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+  private def fmt2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+  private def toJson(vs: Seq[(String, Double)], f: Double => String = fmt) =
+    vs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 
   /** Deterministic short keys for the per-query map: first segment's
     * first 3 chars + 2-char initials of the remaining segments, then
@@ -48,7 +49,11 @@ object Bench {
     val short = abbrev(results.map(_._1))
     Seq(
       line(toJson(results.map(r => r._1 -> r._3)), errs),
-      line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3)), errs),
+      // abbreviated tier also drops to 2-decimal values (10 ms grain —
+      // ample for per-query comparisons; the bench_detail line keeps
+      // full names at 3 decimals): ~1 char/query more headroom, fits
+      // ~130 queries
+      line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3), fmt2), errs),
       line("{}", errs),
       line("{}", s"""["${results.count(!_._4)}_queries_failed"]"""))
       .find(_.length <= 1900).get

@@ -1987,6 +1987,136 @@ object ExtQueries extends QueryGroup {
        SELECT doc_id, component FROM l$CcIterations"""
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the assignment unit is the
+    * near-dup CLUSTER, not the document — the split bucket hashes the
+    * component label, so an entire family of near-duplicates lands in
+    * one split and eval can never score a paraphrase of a training doc
+    * (the decontamination failure `ext_dedup_contaminate` detects after
+    * the fact, prevented by construction here). Singleton docs are their
+    * own component (coalesce to doc_id), so the whole corpus is
+    * assigned. The emitted audit counts cross-split near-dup pairs per
+    * split — structurally zero, and the oracle recomputes the same zero
+    * from its own unrolled components rather than trusting ours.
+    *
+    * Scale shape: the pair graph is built ONCE (localCheckpoint) and
+    * shared by label propagation and the leak audit — the
+    * duplicate-subtree discipline ScaleSpec pins; the audit joins and
+    * the docs<-component attach are plain equi-joins that co-partition
+    * on doc_id at any scale (no broadcast assumption on the label
+    * table, which grows with the dup graph).
+    */
+  private val LeakSalt = "|graft-leakfree-42"
+
+  private def splitLeakfree(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+        "text", MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val comp = Dedup.connectedComponents(pairs, CcIterations,
+      broadcastLabels = true)
+    val bucket = Dedup.polyHash(
+      concat(col("component").cast("string"), lit(LeakSalt))) % 100
+    val assigned = Tables.documents(s, d).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .localCheckpoint() // reused thrice: the rollup + both audit sides
+    val leaks = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+    val leakBySplit = leaks.select(col("split_a").as("split"))
+      .union(leaks.select(col("split_b").as("split")))
+      .groupBy("split").agg(count(lit(1)).as("n_leak"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"))
+      .join(leakBySplit, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_components"),
+        coalesce(col("n_leak"), lit(0L)).as("n_leak_pairs"))
+  }
+
+  private lazy val splitLeakfreeSql =
+    s"""WITH cc AS ($ccComponentsSql),
+       p AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql) mm),
+       a AS (SELECT doc_id, component,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id, component,
+                     ${polyHashSql(s"CAST(component AS VARCHAR) || '$LeakSalt'")} % 100 AS b
+                   FROM (SELECT d.doc_id,
+                           coalesce(cc.component, d.doc_id) AS component
+                         FROM documents d
+                         LEFT JOIN cc ON d.doc_id = cc.doc_id) lab) t),
+       leaks AS (SELECT sa.split AS split_a, sb.split AS split_b
+                 FROM p JOIN a sa ON p.doc_a = sa.doc_id
+                        JOIN a sb ON p.doc_b = sb.doc_id
+                 WHERE sa.split <> sb.split),
+       lk AS (SELECT split, count(*) AS n_leak
+              FROM (SELECT split_a AS split FROM leaks
+                    UNION ALL SELECT split_b FROM leaks) u GROUP BY 1)
+       SELECT g.split, g.n_docs, g.n_components,
+              CAST(coalesce(lk.n_leak, 0) AS BIGINT) AS n_leak_pairs
+       FROM (SELECT split, count(*) AS n_docs,
+               count(DISTINCT component) AS n_components
+             FROM a GROUP BY 1) g
+       LEFT JOIN lk USING (split)"""
+
+  /** Quality-aware CANONICAL selection: inside each near-dup cluster,
+    * the survivor is the argmax-quality member (ties to the smaller
+    * doc_id) — the "which copy do we keep" decision of a curation
+    * pipeline, upgrading `ext_dedup_sweep`'s keep-min-id policy to
+    * keep-best. Emits the per-document verdict, not a rollup, so the
+    * gate pins every individual keep/drop decision. quality is the
+    * repo-wide formula ([[TextAnalysis.qualityScore]], round 6) — the
+    * same column ext_text_stats already hash-matches, so the argmax
+    * ordering is engine-exact; singletons are their own component and
+    * trivially canonical.
+    *
+    * Scale shape: one checkpointed pair build feeds label propagation
+    * (the splitLeakfree discipline); the verdict itself is one window
+    * over component — a single exchange on the cluster key, no joins
+    * back to the corpus beyond the label attach.
+    */
+  private def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+        "text", MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val comp = Dedup.connectedComponents(pairs, CcIterations,
+      broadcastLabels = true)
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("is_canonical",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .select("doc_id", "component", "quality", "is_canonical")
+  }
+
+  private lazy val dedupCanonicalSql =
+    s"""WITH cc AS ($ccComponentsSql),
+       b AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql))) AS INTEGER) AS n_stop
+             FROM documents),
+       lab AS (SELECT b.doc_id,
+                 coalesce(cc.component, b.doc_id) AS component,
+                 ${qualitySqlOver("n_types", "n_tokens", "n_stop")} AS quality
+               FROM b LEFT JOIN cc ON b.doc_id = cc.doc_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY component
+               ORDER BY quality DESC, doc_id) AS rnk FROM lab)
+       SELECT doc_id, component, quality,
+              CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+       FROM r"""
+
   /** Exact per-group percentiles (linear interpolation — Spark
     * `percentile` and DuckDB `quantile_cont` share the (n-1)p rank
     * definition). Exact quantiles sort each group; at 100 TB swap in
@@ -2647,6 +2777,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
+    GQuery("ext_split_leakfree", splitLeakfree, Some(splitLeakfreeSql), "leakage-safe split: whole near-dup clusters per split, cross-split pairs audited"),
+    GQuery("ext_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql), "quality-aware canonical selection: argmax-quality survivor per near-dup cluster"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_cc_pagerank", ccPageRank, Some(ccPageRankSql), "integer-exact PageRank authority over the near-dup graph"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),

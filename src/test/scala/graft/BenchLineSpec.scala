@@ -46,7 +46,9 @@ class BenchLineSpec extends AnyFunSuite {
     // stay parseable under 1900 chars while KEEPING one value per query
     // — on whichever tier (full names or abbrev keys) fits
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => (n, 2.0, 1.0, true))
+    // realistic-width values (6-char warm, e.g. "12.340") so the fit
+    // proof holds for real benches, not just 5-char dummies
+    val results = names.map(n => (n, 102.34, 12.34, true))
     val line = Bench.canonicalLine(results, "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"line is ${line.length} chars at ${names.size} queries")
     val qs = mapper.readTree(line).get("queries")

@@ -454,6 +454,47 @@ class DedupSpec extends SparkSpec {
     assert(starved.count() == 0)
   }
 
+  test("leakage-safe split: zero cross-split pairs, full partition, cluster-atomic") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ext_split_leakfree")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the whole point: no near-dup pair straddles splits
+    assert(out.forall(_._4 == 0L),
+      s"cross-split near-dup pairs leaked: ${out.mkString(", ")}")
+    // splits partition the corpus exactly
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(out.map(_._2).sum == nDocs)
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    // every component lives in exactly one split: per-split component
+    // counts sum to the global distinct-component count
+    val comp = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.minhashLshPairs(
+        Tables.documents(spark, sf0001), "doc_id", "text", 16, 2, 0.8,
+        graft.operators.Dedup.PolyHash).select("doc_a", "doc_b"),
+      4, broadcastLabels = true)
+    val nComponents = Tables.documents(spark, sf0001).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id"))).distinct().count()
+    assert(out.map(_._3).sum == nComponents,
+      "a component was counted in two splits — cluster atomicity broken")
+  }
+
+  test("canonical selection: one survivor per component, at the component's max quality") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ext_dedup_canonical")(spark, sf0001)
+      .localCheckpoint()
+    val perComp = out.groupBy("component").agg(
+      sum("is_canonical").as("n_canon"), max("quality").as("qmax"))
+    assert(perComp.where(col("n_canon") =!= 1).count() == 0,
+      "a component has zero or multiple canonicals")
+    assert(out.where(col("is_canonical") === 1)
+      .join(perComp, Seq("component"))
+      .where(col("quality") =!= col("qmax")).count() == 0,
+      "a canonical is not at its component's max quality")
+    // every document receives a verdict
+    assert(out.count() == Tables.documents(spark, sf0001).count())
+  }
+
   test("tfidfCosinePairs: top-k rank filter compiles to WindowGroupLimit") {
     val plan = Dedup.tfidfCosinePairs(Tables.documents(spark, sf0001),
         "doc_id", "text", 5, 0.9, materialize = false)
