@@ -1501,6 +1501,99 @@ object ExtQueries extends QueryGroup {
               round(sum(ok) * 1.0 / count(*), 6) AS accuracy
        FROM j GROUP BY 1"""
 
+  /** Ranking-quality evaluation: micro-averaged nDCG@k per ANN method,
+    * with binary relevance = neighbor shares the query's label. The
+    * float-log hazard (ln/log2 differ in the last ulp across engines)
+    * is removed at the source: the rank discounts 2^20/log2(i+1) are
+    * computed ONCE in Scala and injected as identical BIGINT literals
+    * into both the Column chain and the oracle SQL, so per-query DCG
+    * and the ideal IDCG (prefix sums of the same table, truncated at
+    * min(k, n_same_label - 1)) are exact integer sums; the single float
+    * op is the final round-6 division of two BIGINTs. Micro-averaging
+    * (sum DCG / sum IDCG) keeps the aggregate order-free where a mean
+    * of per-query ratios would not be.
+    *
+    * Scale shape: per method, the query-bounded top-k list BROADCASTS
+    * onto the label table (which never shuffles — the knnclass
+    * discipline); the query-label and label-count attaches are
+    * broadcast joins of query-set / |labels|-sized frames. Everything
+    * past the method's own search is n_queries x k rows.
+    */
+  private val NdcgGrid = 1L << 20
+  private lazy val NdcgDisc: Seq[Long] = (1 to TopK)
+    .map(i => Math.round(NdcgGrid / (Math.log(i + 1.0) / Math.log(2.0))))
+  private lazy val NdcgPrefix: Seq[Long] = NdcgDisc.scanLeft(0L)(_ + _).tail
+
+  private def annNdcg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val labelCounts = emb.groupBy("label")
+      .agg(count(lit(1)).as("n_label"))
+      .withColumnRenamed("label", "q_label")
+    val qlab = emb.where(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val corpus = Tables.embeddings(s, d)
+    val q = annQueries(s, d)
+    val disc = NdcgDisc.zipWithIndex.foldLeft(lit(0L)) {
+      case (els, (dv, i)) => when(col("rnk") === (i + 1), dv).otherwise(els)
+    }
+    val ideal = least(col("n_label") - 1, lit(TopK))
+    val idcg = NdcgPrefix.zipWithIndex.foldLeft(lit(0L)) {
+      case (els, (pv, j)) => when(ideal === (j + 1), pv).otherwise(els)
+    }
+    val methods = Seq(
+      "brute" -> Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", TopK),
+      "ivf" -> Similarity.ivfTopK(corpus, q, "vec_id", "embedding", TopK,
+        IvfCentroidEvery),
+      "lsh" -> Similarity.lshTopK(corpus, q, "vec_id", "embedding", TopK,
+        LshBands, LshPlanesPerBand, EmbDim))
+    methods.map { case (name, res) =>
+      emb.select(col("vec_id").as("neighbor_id"), col("label").as("nb_label"))
+        .join(broadcast(res), Seq("neighbor_id"))
+        .join(broadcast(qlab), Seq("q_id"))
+        .join(broadcast(labelCounts), Seq("q_label"))
+        .groupBy("q_id")
+        .agg(
+          sum(when(col("nb_label") === col("q_label"), disc).otherwise(0L))
+            .as("dcg"),
+          max(idcg).as("idcg")) // constant per query (one label)
+        .agg(count(lit(1)).cast("int").as("n_queries"),
+          sum(col("dcg")).as("dcg_grid"),
+          sum(col("idcg")).as("idcg_grid"))
+        .select(lit(name).as("method"), col("n_queries"),
+          col("dcg_grid"), col("idcg_grid"),
+          round(col("dcg_grid") / col("idcg_grid"), 6).as("micro_ndcg"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def ndcgRowSql(method: String, methodSql: String): String = {
+    val discSql = NdcgDisc.zipWithIndex
+      .map { case (dv, i) => s"WHEN t.rnk = ${i + 1} THEN $dv" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val idcgSql = NdcgPrefix.zipWithIndex
+      .map { case (pv, j) => s"WHEN least(lc.n_label - 1, $TopK) = ${j + 1} THEN $pv" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT '$method' AS method,
+              CAST(count(*) AS INTEGER) AS n_queries,
+              CAST(sum(dcg) AS BIGINT) AS dcg_grid,
+              CAST(sum(idcg) AS BIGINT) AS idcg_grid,
+              round(sum(dcg) * 1.0 / sum(idcg), 6) AS micro_ndcg
+       FROM (
+         SELECT t.q_id,
+                sum(CASE WHEN ne.label = qe.label THEN $discSql ELSE 0 END) AS dcg,
+                max($idcgSql) AS idcg
+         FROM ($methodSql) t
+         JOIN embeddings ne ON t.neighbor_id = ne.vec_id
+         JOIN embeddings qe ON t.q_id = qe.vec_id
+         JOIN (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1) lc
+           ON qe.label = lc.label
+         GROUP BY t.q_id) p"""
+  }
+
+  private lazy val annNdcgSql =
+    Seq("brute" -> annTopKSql, "ivf" -> annIvfSql, "lsh" -> annLshSql)
+      .map { case (m, sql) => ndcgRowSql(m, sql) }
+      .mkString("\nUNION ALL\n")
+
   /** Cross-source QUALITY NORMALIZATION: each document's quality as a
     * percentile rank WITHIN ITS SOURCE — the calibration step before a
     * single global threshold: raw quality scores are not comparable
@@ -2769,6 +2862,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
     GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),
+    GQuery("ext_ann_ndcg", annNdcg, Some(annNdcgSql), "micro-averaged nDCG@k per ANN method (integer-grid discounts, label relevance)"),
     GQuery("ext_emb_centroids", embCentroids, Some(embCentroidsSql), "per-label centroid cosine vs the global centroid (semantic drift, exact grid sums)"),
     GQuery("ext_ann_triplets", annTriplets, Some(annTripletsSql), "contrastive triplet mining: anchor + nearest positive + hard negative"),
     GQuery("ext_corpus_qnorm", corpusQnorm, Some(corpusQnormSql), "per-source percentile-rank quality normalization (cross-source calibration)"),

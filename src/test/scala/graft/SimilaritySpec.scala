@@ -313,6 +313,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - (0.8 * 10 + 0.4 * 30) / 40.0) < 1e-12)
   }
 
+  test("ndcg: dcg bounded by idcg, scores in [0,1], brute evaluates every query") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ext_ann_ndcg")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSet == Set("brute", "ivf", "lsh"))
+    // DCG can never exceed the ideal ordering's DCG
+    assert(out.forall(r => r._3 <= r._4), s"dcg > idcg: ${out.mkString(", ")}")
+    assert(out.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    // brute force retrieves k neighbors for every query, so it scores all
+    val nQ = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") % 50 === 0).count()
+    assert(out.find(_._1 == "brute").get._2.toLong == nQ)
+  }
+
   test("multimodal decode: real binary plumbing, deterministic stub") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val got = Multimodal.decodeFeatures(Multimodal.withPayload(df, "doc_id", "text"))
