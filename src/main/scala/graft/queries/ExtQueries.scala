@@ -2121,8 +2121,12 @@ object ExtQueries extends QueryGroup {
       .join(assigned.select(col("doc_id").as("doc_b"),
         col("split").as("split_b")), Seq("doc_b"))
       .where(col("split_a") =!= col("split_b"))
-    val leakBySplit = leaks.select(col("split_a").as("split"))
-      .union(leaks.select(col("split_b").as("split")))
+    // explode, not union: a union's two branches would each recompute
+    // the leak joins (Spark does not exchange-reuse the shared subtree —
+    // the round-4 sweep defect class); explode duplicates ROWS inside
+    // one pass instead
+    val leakBySplit = leaks
+      .select(explode(array(col("split_a"), col("split_b"))).as("split"))
       .groupBy("split").agg(count(lit(1)).as("n_leak"))
     assigned.groupBy("split")
       .agg(count(lit(1)).as("n_docs"),

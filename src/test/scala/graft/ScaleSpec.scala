@@ -278,6 +278,45 @@ class ScaleSpec extends SparkSpec {
       s"ext_ann_knnclass: label table must never hash-partition, got ${shuffles(knn)}")
   }
 
+  test("plan audit: quota, canonical, leak-free split, and ndcg shapes hold") {
+    def q(name: String) = SparkEntry.queries(name)(spark, sf0001)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    // quota telemetry: the (user_id, day) window exchange + the day
+    // rollup — nothing else, one corpus scan
+    val cap = shuffles(q("ext_events_cap"))
+    assert(cap.size == 2 && cap.exists(s => s.contains("user_id") && s.contains("day")),
+      s"ext_events_cap: window + rollup exchanges only, got $cap")
+    // canonical selection: component window + the two doc_id join sides
+    val canonDf = q("ext_dedup_canonical")
+    val canon = shuffles(canonDf)
+    assert(canon.size == 3 && canon.exists(_.contains("component")),
+      s"ext_dedup_canonical: component window + doc_id join only, got $canon")
+    assert(scans(canonDf) == 1,
+      "ext_dedup_canonical: one corpus scan (pair graph is checkpointed)")
+    // leak-free split: every corpus-derived input is checkpointed (0
+    // visible scans) and the leak audit joins run ONCE — exactly four
+    // doc-keyed exchanges; a union that recomputes the join subtree
+    // doubles that and fails here (the explode-not-union discipline)
+    val leakDf = q("ext_split_leakfree")
+    val leak = shuffles(leakDf)
+    val docKeyed = leak.filter(s => s.contains("doc_a") || s.contains("doc_b"))
+    assert(docKeyed.size == 4,
+      s"ext_split_leakfree: audit joins must run once (4 doc-keyed exchanges), got $leak")
+    assert(leak.size == 7, s"ext_split_leakfree: 7 exchanges total, got $leak")
+    assert(scans(leakDf) == 0,
+      "ext_split_leakfree: pair graph and assignment are checkpointed")
+    // ndcg: the corpus is never hash-partitioned by vector id — top-k
+    // lists broadcast onto the label table; label exchanges carry only
+    // map-side aggregate partials
+    val ndcgDf = q("ext_ann_ndcg")
+    val ndcg = shuffles(ndcgDf)
+    assert(!ndcg.exists(_.contains("vec_id")),
+      s"ext_ann_ndcg: corpus must never hash-partition on vec_id, got $ndcg")
+    assert(ndcgDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "ext_ann_ndcg: top-k lists must attach to labels via broadcast hash join")
+  }
+
   test("plan audit: no recomputed corpus-scan branches (round-4 sweep holds)") {
     // Spark does not reliably exchange-reuse identical aggregate
     // branches, so a model aggregate joined back to its own source
