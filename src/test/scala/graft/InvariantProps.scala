@@ -168,6 +168,33 @@ object InvariantProps extends Properties("graft.invariants") {
       got == want
     }
 
+  property("arrivalSeq: dense 1..n per key, input-order invariant, cap law holds") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 9L)))) { rows =>
+      import spark.implicits._
+      // unique synthetic event ids complete the (ts, eid) total order
+      val withId = rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val seqs = Relational.arrivalSeq(withId.toDF("k", "ts", "eid"),
+        Seq("k"), Seq(col("ts"), col("eid")))
+      // per key the seqs are exactly 1..n (sum = n(n+1)/2 and max = n)
+      val dense = seqs.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("seq").as("s"), max("seq").as("m"))
+        .collect().forall { r =>
+          val (n, s, m) = (r.getLong(1), r.getLong(2), r.getInt(3).toLong)
+          s == n * (n + 1) / 2 && m == n
+        }
+      // reversing arrival order changes nothing: the tiebreak chain is total
+      val rev = Relational.arrivalSeq(withId.reverse.toDF("k", "ts", "eid"),
+        Seq("k"), Seq(col("ts"), col("eid")))
+      val stable = seqs.exceptAll(rev).isEmpty && rev.exceptAll(seqs).isEmpty
+      // a downstream cap admits exactly min(cap, n) per key
+      val cap = 3
+      val kept = seqs.where(col("seq") <= cap).groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = withId.groupBy(_._1).map { case (k, g) =>
+        k -> math.min(cap, g.size).toLong }
+      dense && stable && kept == want
+    }
+
   property("mergeStates(state(A), state(B)) ≡ state(A ∪ B) for any split") =
     forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 6L),
         Gen.chooseNum(-500, 500).map(_ / 100.0)))) { rows =>
