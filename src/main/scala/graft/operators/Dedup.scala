@@ -1129,6 +1129,89 @@ object Dedup {
     out
   }
 
+  /** DETECTOR EVALUATION: precision / recall / F1 of each approximate
+    * near-dup detector against the exact inverted-index truth — the
+    * report a curation team reads before trusting a detector at scale.
+    * Ground truth is exact n-gram Jaccard: >= minhashTau for the
+    * MinHash-LSH and SimHash detectors (their operating threshold),
+    * >= jaccardTau for the DF-capped detector (its own). All sets
+    * derive from ONE shared edge build and ONE scored pair stream (the
+    * [[ensemblePairs]] discipline):
+    *
+    *  - MinHash set = truth semi-joined to band candidates (band
+    *    collision with no shared shingle ⇒ exact Jaccard 0 — identical
+    *    to standalone verification, the ensemble argument);
+    *  - SimHash set = the fused signature aggregate's fingerprints;
+    *  - capped set = truth pairs sharing >= 1 RARE (df <= maxDf)
+    *    shingle — provably the capped pipeline's output (candidates
+    *    require one rare shared shingle; verification is exact), and
+    *    computed survivor-only instead of re-running the rare
+    *    self-join (spec-asserted ≡ jaccardPairsCapped).
+    *
+    * F1 = 2·hit / (det + truth) — identical to the harmonic mean of
+    * P and R but computed from the raw integers, so the only float ops
+    * are the three final round-6 divisions. Per-detector counts are
+    * 1-row broadcast crossJoins; every frame past the scored stream is
+    * pair-list-sized.
+    */
+  def detectorPrf(docs: DataFrame, idCol: String, textCol: String,
+      jaccardTau: Double, numPerm: Int, rowsPerBand: Int, minhashTau: Double,
+      maxHamming: Int, maxDf: Int, mode: HashMode = XxHash,
+      broadcastSizes: Boolean = true): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val scored = scoredIntersectionPairsOnEdges(edges, "jaccard",
+      (inter, na, nb) => inter / (na + nb - inter),
+      math.min(jaccardTau, minhashTau), broadcastSizes).persist()
+    val truthLow = scored.where(col("jaccard") >= jaccardTau)
+    val truthHigh = scored.where(col("jaccard") >= minhashTau)
+    val (rawIds, releaseVocab) = shingleIds(edges, mode)
+    val ids = rawIds
+      .withColumn("h", (lit(SimhashA) * col("sid") + SimhashB) % MinhashMod)
+    val mins = (0 until numPerm).map { j =>
+      min(permute(lit(j.toLong), col("sid"))).as(s"m$j")
+    }
+    val sig = ids.groupBy("doc_id").agg((mins ++ simhashBitSums).head,
+      (mins ++ simhashBitSums).tail: _*).persist()
+    val keyCols = bandKeyCols(rowsPerBand)
+    val buckets = bandBuckets(sig, numPerm, rowsPerBand)
+    val cand = buckets.toDF("doc_a" +: "band" +: keyCols: _*)
+      .join(buckets.toDF("doc_b" +: "band" +: keyCols: _*),
+        Seq("band") ++ keyCols)
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val mh = truthHigh.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val sh = simhashPairsOnFingerprints(fingerprintFromBitSums(sig), maxHamming)
+    val hotShingles = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select("shingle").localCheckpoint()
+    val rareEdges = edges.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
+    val capped = truthLow.select("doc_a", "doc_b")
+      .join(rareEdges.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(rareEdges.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .select("doc_a", "doc_b").distinct()
+    def prfRow(name: String, det: DataFrame, truth: DataFrame): DataFrame = {
+      val t = truth.select("doc_a", "doc_b")
+      val dd = det.select("doc_a", "doc_b")
+      val hit = dd.join(t, Seq("doc_a", "doc_b"), "left_semi")
+      dd.agg(count(lit(1)).as("n_det"))
+        .crossJoin(t.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(name).as("detector"), col("n_truth"), col("n_det"),
+          col("n_hit"),
+          round(col("n_hit") / col("n_det"), 6).as("prec"),
+          round(col("n_hit") / col("n_truth"), 6).as("rec"),
+          round(lit(2) * col("n_hit") / (col("n_det") + col("n_truth")), 6)
+            .as("f1"))
+    }
+    val out = Seq(
+      prfRow("minhash", mh, truthHigh),
+      prfRow("simhash", sh, truthHigh),
+      prfRow("jaccard_capped", capped, truthLow)).reduce(_ unionByName _)
+      .localCheckpoint()
+    scored.unpersist(); sig.unpersist(); edges.unpersist(); releaseVocab()
+    out
+  }
+
   /** Embedding near-dup: pairs with cosine >= tau. Brute-force baseline
     * (all pairs a<b) — the exactness reference; for the scale path see
     * Similarity.lshTopK's bucketing, which bounds the join.

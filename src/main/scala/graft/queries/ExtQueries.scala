@@ -1060,6 +1060,89 @@ object ExtQueries extends QueryGroup {
        FROM cand WHERE bit_count(xor(fa, fb)) <= $SimhashMaxHamming"""
   }
 
+  /** Detector P/R/F1 vs exact truth (see Dedup.detectorPrf). The truth
+    * for minhash/simhash is exact Jaccard at THEIR threshold
+    * (MinhashTau); the capped detector evaluates against its own
+    * (JaccardTau). F1 = 2·hit/(det+truth) stays integer-derived.
+    */
+  private def dedupPrf(s: SparkSession, d: String): DataFrame =
+    Dedup.detectorPrf(Tables.documents(s, d), "doc_id", "text",
+      JaccardTau, MinhashPerms, MinhashRows, MinhashTau,
+      SimhashMaxHamming, JaccardMaxDf, Dedup.PolyHash)
+
+  /** Exact-Jaccard truth at the MinHash operating threshold — the
+    * all-candidate template of dedupJaccardSql with the higher tau.
+    */
+  private val jaccardHighSql =
+    s"""WITH $edgesSql, $sizesSql,
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM edges a JOIN edges b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       ${verifySql(MinhashTau)}"""
+
+  private lazy val dedupPrfSql =
+    s"""WITH t5 AS (SELECT doc_a, doc_b FROM ($dedupJaccardSql) x),
+       t8 AS (SELECT doc_a, doc_b FROM ($jaccardHighSql) x),
+       mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql) x),
+       sh AS (SELECT doc_a, doc_b FROM ($dedupSimhashSql) x),
+       cp AS (SELECT doc_a, doc_b FROM ($dedupJaccardCappedSql) x),
+       r AS (
+         SELECT 'minhash' AS detector,
+                (SELECT count(*) FROM t8) AS n_truth,
+                (SELECT count(*) FROM mh) AS n_det,
+                (SELECT count(*) FROM mh JOIN t8 USING (doc_a, doc_b)) AS n_hit
+         UNION ALL
+         SELECT 'simhash',
+                (SELECT count(*) FROM t8),
+                (SELECT count(*) FROM sh),
+                (SELECT count(*) FROM sh JOIN t8 USING (doc_a, doc_b))
+         UNION ALL
+         SELECT 'jaccard_capped',
+                (SELECT count(*) FROM t5),
+                (SELECT count(*) FROM cp),
+                (SELECT count(*) FROM cp JOIN t5 USING (doc_a, doc_b)))
+       SELECT detector, CAST(n_truth AS BIGINT) AS n_truth,
+              CAST(n_det AS BIGINT) AS n_det, CAST(n_hit AS BIGINT) AS n_hit,
+              round(n_hit * 1.0 / n_det, 6) AS prec,
+              round(n_hit * 1.0 / n_truth, 6) AS rec,
+              round(2.0 * n_hit / (n_det + n_truth), 6) AS f1
+       FROM r"""
+
+  /** K-ANONYMITY audit — the pre-release privacy gate: group the table
+    * by its quasi-identifier combination and report, for each policy
+    * threshold k, how many equivalence classes (and what fraction of
+    * rows) would violate k-anonymity if published. One map-side-
+    * combinable aggregate on the quasi-id keys; the threshold sweep
+    * explodes k literals over the |groups|-sized frame (never the
+    * rows), so the sweep is free at any scale.
+    */
+  private val KanonKs = Seq(2, 5, 10, 20)
+
+  private def privacyKanon(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .select(explode(array(KanonKs.map(lit): _*)).as("k"), col("n"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < col("k"), 1).otherwise(0)).as("n_viol_groups"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L)).as("n_viol_rows"),
+        sum(col("n")).as("n_rows"))
+      .select(col("k"), col("n_groups"), col("n_viol_groups"),
+        col("n_viol_rows"),
+        round(col("n_viol_rows") / col("n_rows"), 6).as("viol_frac"))
+
+  private val privacyKanonSql =
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                 FROM customer GROUP BY 1, 2),
+       e AS (SELECT k, n FROM g,
+             (SELECT unnest([${KanonKs.mkString(", ")}]) AS k) ks)
+       SELECT k, count(*) AS n_groups,
+              CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_groups,
+              CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS n_viol_rows,
+              round(sum(CASE WHEN n < k THEN n ELSE 0 END) * 1.0 / sum(n), 6) AS viol_frac
+       FROM e GROUP BY 1"""
+
   private val EmbCosTau = 0.4
 
   private def dedupEmbCos(s: SparkSession, d: String): DataFrame =
@@ -2877,6 +2960,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_split_leakfree", splitLeakfree, Some(splitLeakfreeSql), "leakage-safe split: whole near-dup clusters per split, cross-split pairs audited"),
     GQuery("ext_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql), "quality-aware canonical selection: argmax-quality survivor per near-dup cluster"),
+    GQuery("ext_dedup_prf", dedupPrf, Some(dedupPrfSql), "detector precision/recall/F1 vs exact truth (one shared edge build)"),
+    GQuery("ext_privacy_kanon", privacyKanon, Some(privacyKanonSql), "k-anonymity audit: violating quasi-id classes and row fractions per threshold"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_cc_pagerank", ccPageRank, Some(ccPageRankSql), "integer-exact PageRank authority over the near-dup graph"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),

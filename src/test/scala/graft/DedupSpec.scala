@@ -479,6 +479,24 @@ class DedupSpec extends SparkSpec {
       "a component was counted in two splits — cluster atomicity broken")
   }
 
+  test("detectorPrf: derived capped set ≡ standalone pipeline; subset detectors at precision 1") {
+    val prf = SparkEntry.queries("ext_dedup_prf")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prf.keySet == Set("minhash", "simhash", "jaccard_capped"))
+    // minhash and capped verify exactly against their own truth, so
+    // every reported pair is a true pair (hit = det, precision 1)
+    assert(prf("minhash")._3 == prf("minhash")._2)
+    assert(prf("jaccard_capped")._3 == prf("jaccard_capped")._2)
+    // hits can never exceed the truth
+    assert(prf.values.forall { case (t, _, h) => h <= t })
+    // the survivor-only derivation of the capped set must equal the
+    // standalone rare-self-join pipeline (same tau/maxDf as the query)
+    val standalone = graft.operators.Dedup.jaccardPairsCapped(
+      Tables.documents(spark, sf0001), "doc_id", "text", 0.5, 20).count()
+    assert(prf("jaccard_capped")._2 == standalone,
+      s"derived capped ${prf("jaccard_capped")._2} != standalone $standalone")
+  }
+
   test("canonical selection: one survivor per component, at the component's max quality") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("ext_dedup_canonical")(spark, sf0001)
