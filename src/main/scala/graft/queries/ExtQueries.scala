@@ -2385,6 +2385,58 @@ object ExtQueries extends QueryGroup {
               round(quantile_cont(value, 0.9), 6) AS p90
        FROM events GROUP BY event_type"""
 
+  /** pandas `df.describe()` per group — the reference repo's analysis
+    * idiom as one exact aggregate. mean and the SAMPLE std come from
+    * cent-quantized integer sums (the ext_pricing_summary discipline:
+    * per-row rounding is bit-identical in both engines, the cents then
+    * sum as order-free BIGINTs), so the only float work is the final
+    * expression over exact integers — written with the identical op
+    * tree in both engines, hence IEEE-bit-identical before the round-6.
+    * Quartiles ride on the percentile/quantile_cont parity
+    * ext_events_quantiles already proves. ONE map-side-combinable
+    * aggregate; the percentile sort is per (group, column), never
+    * global.
+    */
+  private def eventsDescribe(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("__s"),
+        sum(col("c") * col("c")).as("__ss"),
+        round(min(col("value")), 6).as("min_v"),
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        round(max(col("value")), 6).as("max_v"))
+      .select(col("event_type"), col("n"),
+        round(col("__s") / 100.0 / col("n"), 6).as("mean_v"),
+        round(sqrt((col("__ss") / 10000.0
+          - (col("__s") / 100.0) * (col("__s") / 100.0) / col("n"))
+          / (col("n") - 1)), 6).as("std_v"),
+        col("min_v"), col("p25"), col("p50"), col("p75"), col("max_v"))
+  }
+
+  private val eventsDescribeSql =
+    """WITH b AS (SELECT event_type, value,
+                CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+       g AS (SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss,
+               round(min(value), 6) AS min_v,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.75), 6) AS p75,
+               round(max(value), 6) AS max_v
+             FROM b GROUP BY 1)
+       SELECT event_type, n,
+              round(s / 100.0 / n, 6) AS mean_v,
+              round(sqrt((ss / 10000.0 - (s / 100.0) * (s / 100.0) / n)
+                / (n - 1)), 6) AS std_v,
+              min_v, p25, p50, p75, max_v
+       FROM g"""
+
   /** Cohort retention: users bucketed by first-activity week, then
     * distinct-active counts per (cohort_week, week_offset) — the grid a
     * retention curve is read off. Scale shape: ONE shuffle on user_id
@@ -2962,6 +3014,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql), "quality-aware canonical selection: argmax-quality survivor per near-dup cluster"),
     GQuery("ext_dedup_prf", dedupPrf, Some(dedupPrfSql), "detector precision/recall/F1 vs exact truth (one shared edge build)"),
     GQuery("ext_privacy_kanon", privacyKanon, Some(privacyKanonSql), "k-anonymity audit: violating quasi-id classes and row fractions per threshold"),
+    GQuery("ext_events_describe", eventsDescribe, Some(eventsDescribeSql), "pandas describe() per group: exact-grid mean/std + order-stat quartiles"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_cc_pagerank", ccPageRank, Some(ccPageRankSql), "integer-exact PageRank authority over the near-dup graph"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
