@@ -757,6 +757,48 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("component"))
   }
 
+  /** K-CORE of the near-dup pair graph by iterative degree peeling:
+    * each round drops nodes with within-graph degree < k (and their
+    * edges), for a FIXED round count — the maximal subgraph where every
+    * member has >= k surviving neighbors, the density signal that
+    * separates template FAMILIES (boilerplate cores every member of
+    * which duplicates k+ others — collapse aggressively) from drift
+    * CHAINS and stars (peel to empty — review members individually).
+    * Complements triangleCounts: a 2-core keeps exactly the cyclic
+    * mass, and k is tunable where triangles are fixed-motif.
+    *
+    * Fixed `rounds` rather than converge-detect: both engines run the
+    * identical schedule, so the gate is exact even if a pathological
+    * graph hasn't stabilized (the CC/PageRank oracle-unrolling
+    * discipline; peeling converges in a handful of rounds on shallow
+    * dup graphs). Each round is ONE degree aggregate + two semi-joins;
+    * with `broadcastKeep` (default — survivors of a dup graph are a
+    * small fraction of a corpus) the edge list never shuffles and a
+    * round costs one tiny exchange, the connectedComponents shape.
+    * Lineage is cut per round (lazy checkpoints, final eager).
+    *
+    * Returns surviving (doc_id, core_deg) — core members with their
+    * final within-core degree (>= k at a fixed point).
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+      broadcastKeep: Boolean = true): DataFrame = {
+    val hint = hintIf(broadcastKeep) _
+    var edges = pairs
+      .select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint(eager = false)
+    for (it <- 0 until rounds) {
+      val keep = edges.groupBy("s").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k).select("s")
+      edges = edges
+        .join(hint(keep), Seq("s"), "left_semi")
+        .join(hint(keep.select(col("s").as("d"))), Seq("d"), "left_semi")
+        .localCheckpoint(eager = it == rounds - 1)
+    }
+    edges.groupBy("s").agg(count(lit(1)).cast("int").as("core_deg"))
+      .select(col("s").as("doc_id"), col("core_deg"))
+  }
+
   /** Large prime modulus for the permutation family (2^31 - 1). */
   val MinhashMod = 2147483647L
   /** Permutation j: h_j(x) = ((37 j + 11) x + 101 j + 7) mod P. */

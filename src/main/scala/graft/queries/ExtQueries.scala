@@ -2245,6 +2245,35 @@ object ExtQueries extends QueryGroup {
              FROM a GROUP BY 1) g
        LEFT JOIN lk USING (split)"""
 
+  /** K-core of the minhash pair graph (see Dedup.kCore): the dense
+    * template-family mass at k=2 — every survivor duplicates >= 2
+    * others within the core. Oracle unrolls the fixed peel schedule.
+    */
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+
+  private def ccKcore(s: SparkSession, d: String): DataFrame =
+    Dedup.kCore(
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+        .select("doc_a", "doc_b"),
+      KCoreK, KCoreRounds)
+
+  private lazy val ccKcoreSql = {
+    val iters = (1 to KCoreRounds).map { r =>
+      s"""k$r AS (SELECT s FROM e${r - 1} GROUP BY s
+             HAVING count(*) >= $KCoreK),
+         e$r AS (SELECT e.s, e.d FROM e${r - 1} e
+                 JOIN k$r a ON e.s = a.s JOIN k$r b ON e.d = b.s)"""
+    }.mkString(",\n       ")
+    s"""WITH pairs AS ($dedupMinhashSql),
+       e0 AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+       $iters
+       SELECT s AS doc_id, CAST(count(*) AS INTEGER) AS core_deg
+       FROM e$KCoreRounds GROUP BY 1"""
+  }
+
   /** Quality-aware CANONICAL selection: inside each near-dup cluster,
     * the survivor is the argmax-quality member (ties to the smaller
     * doc_id) — the "which copy do we keep" decision of a curation
@@ -3015,6 +3044,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_prf", dedupPrf, Some(dedupPrfSql), "detector precision/recall/F1 vs exact truth (one shared edge build)"),
     GQuery("ext_privacy_kanon", privacyKanon, Some(privacyKanonSql), "k-anonymity audit: violating quasi-id classes and row fractions per threshold"),
     GQuery("ext_events_describe", eventsDescribe, Some(eventsDescribeSql), "pandas describe() per group: exact-grid mean/std + order-stat quartiles"),
+    GQuery("ext_cc_kcore", ccKcore, Some(ccKcoreSql), "k-core of the dup graph: iterative degree peel, unrolled oracle"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_cc_pagerank", ccPageRank, Some(ccPageRankSql), "integer-exact PageRank authority over the near-dup graph"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),

@@ -479,6 +479,25 @@ class DedupSpec extends SparkSpec {
       "a component was counted in two splits — cluster atomicity broken")
   }
 
+  test("kCore: K4 survives 2/3-core, chain peels empty, triangle holds at 2 only") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    // complete graph on 4: every node has degree 3 — intact at k=2 and 3
+    assert(Dedup.kCore(k4, 2, 4).count() == 4)
+    val c3 = Dedup.kCore(k4, 3, 4).collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(c3.length == 4 && c3.forall(_._2 == 3))
+    // a path has endpoints of degree 1 — peeling unravels it completely
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    assert(Dedup.kCore(chain, 2, 4).count() == 0)
+    // triangle with a pendant: the pendant (and only it) peels at k=2;
+    // nothing survives k=3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val core2 = Dedup.kCore(tri, 2, 4).collect().map(_.getLong(0)).sorted
+    assert(core2.toSeq == Seq(1L, 2L, 3L))
+    assert(Dedup.kCore(tri, 3, 4).count() == 0)
+  }
+
   test("detectorPrf: derived capped set ≡ standalone pipeline; subset detectors at precision 1") {
     val prf = SparkEntry.queries("ext_dedup_prf")(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
