@@ -294,4 +294,49 @@ object TextAnalysis {
       .withColumn("label", when(col("score") >= 0, 1).otherwise(0))
       .withColumn("mean_cents", round(col("score") / col("n_tokens"), 6))
   }
+
+  /** CONTENT-DEFINED CHUNKING: cut a document after every word whose
+    * outgoing `w`-gram hashes to 0 (mod `div`) — boundaries derive from
+    * CONTENT, not position, so a local edit re-chunks only its own
+    * neighborhood and any shared passage lands in identical chunks
+    * wherever it sits (the edit-locality property fixed-size chunking
+    * lacks; spec-asserted on a prefix-insertion pair). Emits the chunk
+    * stream (doc_id, carried cols, cid, n_words, chash) for chunk-level
+    * dedup: equal chash = equal content (modulo hash collision).
+    *
+    * Scale shape: boundary flags are a per-row array transform
+    * (codegen'd graft_polyhash, no join); the word stream shuffles ONCE
+    * on doc_id for the exclusive prefix-sum window, and the chunk
+    * groupBy reuses that partitioning (subset-key clustering). Chunk
+    * text is reassembled from sorted (p, word) structs — deterministic
+    * under any collect order.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String], w: Int, div: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val carry = carryCols.map(col)
+    val flagged = docs
+      .select((col(idCol).as("doc_id") +: carry :+
+        split(col(textCol), " ").as("__w")): _*)
+      .withColumn("__f", expr(s"""
+        transform(sequence(0, size(__w) - 1), p ->
+          CASE WHEN p <= size(__w) - $w AND
+            graft_polyhash(concat_ws(' ', slice(__w, p + 1, $w))) % $div = 0
+          THEN 1 ELSE 0 END)"""))
+    val words = flagged
+      .select((col("doc_id") +: carry :+
+        posexplode(arrays_zip(col("__w"), col("__f"))).as(Seq("p", "z"))): _*)
+      .select((col("doc_id") +: carry ++: Seq(col("p"),
+        col("z.__w").as("word"), col("z.__f").as("f"))): _*)
+    val wWin = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    words
+      .withColumn("cid", coalesce(sum(col("f")).over(wWin), lit(0L)))
+      .groupBy((col("doc_id") +: (carryCols :+ "cid").map(col)): _*)
+      .agg(count(lit(1)).as("n_words"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, word))), x -> x.word)"))
+          .as("ctext"))
+      .withColumn("chash", Dedup.polyHash(col("ctext")))
+  }
 }

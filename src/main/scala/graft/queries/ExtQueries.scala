@@ -2245,6 +2245,70 @@ object ExtQueries extends QueryGroup {
              FROM a GROUP BY 1) g
        LEFT JOIN lk USING (split)"""
 
+  /** CONTENT-DEFINED CHUNKING dedup ratio — the storage-dedup /
+    * long-document primitive: chunk boundaries fall where the rolling
+    * gram hash ≡ 0 (mod divisor), so a local edit only re-chunks its
+    * neighborhood and shared passages land in IDENTICAL chunks no
+    * matter where they sit in a document (fixed-size chunking would
+    * misalign them). Chunks then dedup globally by content hash; the
+    * report is each source's duplicated-token mass — what chunk-level
+    * dedup would save. First instance per hash (by doc_id, chunk) is
+    * the kept copy; instances are ranked deterministically.
+    *
+    * Scale shape: boundary flags are a per-row array transform
+    * (codegen, no join); the word stream shuffles ONCE on doc_id (the
+    * prefix-sum window), whose partitioning the chunk groupBy reuses
+    * (subset-key clustering, the ext_corpus_pack precedent); the chunk
+    * stream — already |words|/avg_chunk smaller — shuffles on the
+    * content hash for ranking, then the tiny source rollup.
+    */
+  private val CdcW = 3
+  private val CdcD = 8
+
+  private def textCdc(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextAnalysis.cdcChunks(Tables.documents(s, d), "doc_id",
+      "text", Seq("source"), CdcW, CdcD)
+    val ranked = chunks
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("chash").orderBy(col("doc_id"), col("cid"))))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rnk") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("rnk") > 1, col("n_words")).otherwise(0L)).as("dup_words"))
+      .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_words"), col("dup_words"),
+        round(col("dup_words") / col("n_words"), 6).as("dup_frac"))
+  }
+
+  private lazy val textCdcSql =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                 FROM documents),
+       f AS (SELECT doc_id, source,
+               unnest(range(0, len(ws))) AS p,
+               unnest(ws) AS word,
+               unnest(list_transform(range(0, len(ws)), p ->
+                 CASE WHEN p <= len(ws) - $CdcW AND
+                   ${polyHashSql(s"array_to_string(list_slice(ws, p + 1, p + $CdcW), ' ')")} % $CdcD = 0
+                 THEN 1 ELSE 0 END)) AS fl
+             FROM t),
+       c AS (SELECT doc_id, source, p, word,
+               coalesce(sum(fl) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+             FROM f),
+       ch AS (SELECT doc_id, source, cid, count(*) AS n_words,
+                ${polyHashSql("string_agg(word, ' ' ORDER BY p)")} AS chash
+              FROM c GROUP BY 1, 2, 3),
+       r AS (SELECT *, row_number() OVER (PARTITION BY chash
+               ORDER BY doc_id, cid) AS rnk FROM ch)
+       SELECT source, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN rnk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+              CAST(sum(n_words) AS BIGINT) AS n_words,
+              CAST(sum(CASE WHEN rnk > 1 THEN n_words ELSE 0 END) AS BIGINT) AS dup_words,
+              round(sum(CASE WHEN rnk > 1 THEN n_words ELSE 0 END) * 1.0
+                / sum(n_words), 6) AS dup_frac
+       FROM r GROUP BY 1"""
+
   /** K-core of the minhash pair graph (see Dedup.kCore): the dense
     * template-family mass at k=2 — every survivor duplicates >= 2
     * others within the core. Oracle unrolls the fixed peel schedule.
@@ -3045,6 +3109,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_privacy_kanon", privacyKanon, Some(privacyKanonSql), "k-anonymity audit: violating quasi-id classes and row fractions per threshold"),
     GQuery("ext_events_describe", eventsDescribe, Some(eventsDescribeSql), "pandas describe() per group: exact-grid mean/std + order-stat quartiles"),
     GQuery("ext_cc_kcore", ccKcore, Some(ccKcoreSql), "k-core of the dup graph: iterative degree peel, unrolled oracle"),
+    GQuery("ext_text_cdc", textCdc, Some(textCdcSql), "content-defined chunking: rolling-hash boundaries, chunk-dedup savings per source"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_cc_pagerank", ccPageRank, Some(ccPageRankSql), "integer-exact PageRank authority over the near-dup graph"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),

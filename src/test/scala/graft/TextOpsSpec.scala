@@ -94,4 +94,32 @@ class TextOpsSpec extends SparkSpec {
       Tables.documents(spark, sf0001).repartition(7), "doc_id", "text", 1024)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("cdcChunks: edit locality — a prefix insertion leaves shared-tail chunks identical") {
+    import spark.implicits._
+    // a long shared tail behind differing prefixes: content-defined
+    // boundaries must realign, so most tail chunks dedup across the two
+    // docs; fixed-size chunking would misalign every one of them
+    val tail = (1 to 400).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $tail"),
+      (2L, s"beta gamma delta injected $tail")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(docs, "doc_id", "text", Seq.empty, 3, 8)
+      .select("doc_id", "chash", "n_words").collect()
+    val h1 = chunks.filter(_.getLong(0) == 1L).map(_.getLong(1))
+    val h2 = chunks.filter(_.getLong(0) == 2L).map(_.getLong(1))
+    val shared = h1.toSet.intersect(h2.toSet)
+    // the bulk of each doc's chunks are the realigned shared tail
+    assert(shared.size >= (h1.length * 2) / 3,
+      s"only ${shared.size} of ${h1.length}/${h2.length} chunks realigned")
+    // chunks partition every document exactly
+    val words1 = chunks.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum
+    assert(words1 == 401L, s"doc 1 chunk words sum to $words1, not 401")
+    // determinism across partitionings (sorted struct reassembly)
+    val re = TextAnalysis.cdcChunks(docs.repartition(5), "doc_id", "text",
+      Seq.empty, 3, 8).select("doc_id", "chash", "n_words")
+    val orig = TextAnalysis.cdcChunks(docs, "doc_id", "text", Seq.empty, 3, 8)
+      .select("doc_id", "chash", "n_words")
+    assert(orig.exceptAll(re).isEmpty && re.exceptAll(orig).isEmpty)
+  }
 }
