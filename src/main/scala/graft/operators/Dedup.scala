@@ -1221,8 +1221,13 @@ object Dedup {
         Seq("band") ++ keyCols)
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // every detector set is consumed twice (its count + the hit
+    // semi-join): checkpoint the tiny pair lists so the band join and
+    // the capped survivor joins run once, not per consumer
     val mh = truthHigh.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .localCheckpoint()
     val sh = simhashPairsOnFingerprints(fingerprintFromBitSums(sig), maxHamming)
+      .localCheckpoint()
     val hotShingles = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf).select("shingle").localCheckpoint()
     val rareEdges = edges.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
@@ -1231,6 +1236,7 @@ object Dedup {
       .join(rareEdges.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
       .select("doc_a", "doc_b").distinct()
+      .localCheckpoint()
     def prfRow(name: String, det: DataFrame, truth: DataFrame): DataFrame = {
       val t = truth.select("doc_a", "doc_b")
       val dd = det.select("doc_a", "doc_b")
