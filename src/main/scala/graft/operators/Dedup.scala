@@ -1192,8 +1192,10 @@ object Dedup {
     *
     * F1 = 2·hit / (det + truth) — identical to the harmonic mean of
     * P and R but computed from the raw integers, so the only float ops
-    * are the three final round-6 divisions. Per-detector counts are
-    * 1-row broadcast crossJoins; every frame past the scored stream is
+    * are the three final round-6 divisions. All three detectors score
+    * in ONE grouped aggregate over the tagged pair union (hit-ness
+    * from a single left join to the scored stream, truth totals as a
+    * broadcast 1-row aggregate); every frame past the scored stream is
     * pair-list-sized.
     */
   def detectorPrf(docs: DataFrame, idCol: String, textCol: String,
@@ -1221,13 +1223,8 @@ object Dedup {
         Seq("band") ++ keyCols)
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // every detector set is consumed twice (its count + the hit
-    // semi-join): checkpoint the tiny pair lists so the band join and
-    // the capped survivor joins run once, not per consumer
     val mh = truthHigh.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      .localCheckpoint()
     val sh = simhashPairsOnFingerprints(fingerprintFromBitSums(sig), maxHamming)
-      .localCheckpoint()
     val hotShingles = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDf).select("shingle").localCheckpoint()
     val rareEdges = edges.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
@@ -1236,25 +1233,39 @@ object Dedup {
       .join(rareEdges.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
       .select("doc_a", "doc_b").distinct()
-      .localCheckpoint()
-    def prfRow(name: String, det: DataFrame, truth: DataFrame): DataFrame = {
-      val t = truth.select("doc_a", "doc_b")
-      val dd = det.select("doc_a", "doc_b")
-      val hit = dd.join(t, Seq("doc_a", "doc_b"), "left_semi")
-      dd.agg(count(lit(1)).as("n_det"))
-        .crossJoin(t.agg(count(lit(1)).as("n_truth")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(lit(name).as("detector"), col("n_truth"), col("n_det"),
-          col("n_hit"),
-          round(col("n_hit") / col("n_det"), 6).as("prec"),
-          round(col("n_hit") / col("n_truth"), 6).as("rec"),
-          round(lit(2) * col("n_hit") / (col("n_det") + col("n_truth")), 6)
-            .as("f1"))
-    }
-    val out = Seq(
-      prfRow("minhash", mh, truthHigh),
-      prfRow("simhash", sh, truthHigh),
-      prfRow("jaccard_capped", capped, truthLow)).reduce(_ unionByName _)
+    // ONE grouped aggregate scores every detector: hit-ness is read off
+    // a single left join to the persisted scored stream (mh/capped are
+    // subsets of it by construction; a simhash pair absent from it
+    // shares no shingle, so its exact Jaccard is 0 — a miss), and the
+    // two truth totals ride in as a broadcast 1-row aggregate. This
+    // replaces nine per-detector count jobs with two.
+    val dets = Seq(
+      mh.select(col("doc_a"), col("doc_b"), lit("minhash").as("detector")),
+      sh.select(col("doc_a"), col("doc_b"), lit("simhash").as("detector")),
+      capped.select(col("doc_a"), col("doc_b"),
+        lit("jaccard_capped").as("detector"))).reduce(_ unionByName _)
+    val tauOf = when(col("detector") === "jaccard_capped", jaccardTau)
+      .otherwise(minhashTau)
+    val truthCounts = scored.agg(
+      sum(when(col("jaccard") >= minhashTau, 1L).otherwise(0L)).as("__th"),
+      sum(when(col("jaccard") >= jaccardTau, 1L).otherwise(0L)).as("__tl"))
+    val out = dets
+      .join(scored.select("doc_a", "doc_b", "jaccard"),
+        Seq("doc_a", "doc_b"), "left")
+      .groupBy("detector")
+      .agg(count(lit(1)).as("n_det"),
+        sum(when(coalesce(col("jaccard"), lit(-1.0)) >= tauOf, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .crossJoin(broadcast(truthCounts))
+      .select(col("detector"),
+        when(col("detector") === "jaccard_capped", col("__tl"))
+          .otherwise(col("__th")).as("n_truth"),
+        col("n_det"), col("n_hit"))
+      .select(col("detector"), col("n_truth"), col("n_det"), col("n_hit"),
+        round(col("n_hit") / col("n_det"), 6).as("prec"),
+        round(col("n_hit") / col("n_truth"), 6).as("rec"),
+        round(lit(2) * col("n_hit") / (col("n_det") + col("n_truth")), 6)
+          .as("f1"))
       .localCheckpoint()
     scored.unpersist(); sig.unpersist(); edges.unpersist(); releaseVocab()
     out
