@@ -44,12 +44,17 @@ object Bench {
     *   5. error list collapsed to a count (unbounded when every query
     *      fails).
     */
-  private[graft] def canonicalLine(results: Seq[Result], sfDir: String): String = {
+  private[graft] def canonicalLine(results: Seq[Result], sfDir: String,
+      filteredOf: Option[Int] = None): String = {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // Subset marker: a SPARK_GRAFT_ONLY run must never masquerade as a
+    // full-suite total — every ladder rung carries "filtered":"picked/total"
+    // so a partial run is visibly partial to anything parsing the line.
+    val fmark = filteredOf.map(t => s""","filtered":"${results.size}/$t"""").getOrElse("")
     def line(qs: String, errsJson: String, extra: String = "") =
-      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$extra,"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
+      s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$extra$fmark,"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
     val short = abbrev(results.map(_._1))
     val slowest80 = results.sortBy(r => (-r._3, r._1)).take(80).sortBy(_._1)
     Seq(
@@ -62,6 +67,25 @@ object Bench {
       .find(_.length <= 1900).get
   }
 
+  /** Validate the SPARK_GRAFT_ONLY subset filter against the live query
+    * registry: Right(None) = unset (full suite), Right(Some(names)) = a
+    * non-empty, fully-known subset, Left(message) = reject the run.
+    */
+  private[graft] def resolveFilter(raw: Option[String],
+      known: Set[String]): Either[String, Option[Set[String]]] =
+    raw match {
+      case None => Right(None)
+      case Some(s) =>
+        val names = s.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- known
+        if (names.isEmpty)
+          Left(s"SPARK_GRAFT_ONLY is set but selects no queries: '$s'")
+        else if (unknown.nonEmpty)
+          Left("SPARK_GRAFT_ONLY names unknown queries: " +
+            unknown.toSeq.sorted.mkString(", "))
+        else Right(Some(names))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,6 +95,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // dormant compat for TIMESTAMP(NANOS) fixture vintages (see Verify)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,8 +112,14 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset
-    // (the driver never sets it, so driver runs stay full-suite).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    // (the driver never sets it, so driver runs stay full-suite). A typo'd
+    // or empty filter fails LOUDLY — silently benching zero queries would
+    // emit a 0.000 total with empty errors, which parses as a pass.
+    val only = resolveFilter(sys.env.get("SPARK_GRAFT_ONLY"),
+      SparkEntry.queries.keySet) match {
+      case Right(o) => o
+      case Left(msg) => System.err.println(s"[bench] $msg"); sys.exit(2); None
+    }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results: Seq[Result] = picked.map { case (name, fn) =>
@@ -109,7 +140,8 @@ object Bench {
     // FULL names, plus the error list
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"errors":$errs}}""")
-    println(canonicalLine(results, sfDir))
+    println(canonicalLine(results, sfDir,
+      only.map(_ => SparkEntry.queries.size)))
     spark.stop()
   }
 }

@@ -17,6 +17,32 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.sources.Sources.readParquetTable(spark, sfDir, name)
 
+  /** Normalize an event-time column to the engine's internal convention:
+    * Long NANOSECONDS since epoch. The driver fixture has shipped `ts`
+    * as both TIMESTAMP(NANOS) parquet (read as Long via the dormant
+    * `nanosAsLong` compat flag — passthrough here) and plain
+    * `timestamp[us]` (read as TIMESTAMP_NTZ — converted here), so this
+    * guard makes every downstream ns-denominated constant work against
+    * either vintage. The NTZ branch uses `timestampdiff` against the NTZ
+    * epoch literal, which is timezone-INDEPENDENT (a cast to
+    * TimestampType would shift by the session zone); exact integer
+    * micros → ×1000, no double rounding.
+    */
+  def tsToNanos(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType => df // nanos fixtures read via nanosAsLong: already ns
+      case TimestampNTZType => df.withColumn(colName,
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', $colName)") * lit(1000L))
+      case TimestampType => df.withColumn(colName,
+        unix_micros(col(colName)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"[graft] fixture drift: column '$colName' has unsupported type $other " +
+          "(expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP) - see FixtureCanary")
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -24,7 +50,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = tsToNanos(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

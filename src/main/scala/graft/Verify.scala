@@ -17,11 +17,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-      // default; read as Long nanos and convert explicitly in queries.
+      // Dormant compat: if the driver ever regenerates events.ts as
+      // TIMESTAMP(NANOS) parquet again (the pre-round-5 vintage), this
+      // flag reads it as Long nanos — which Tables.tsToNanos passes
+      // through. Harmless no-op against the current timestamp[us] data.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema-drift canary first: a regenerated fixture must fail LOUDLY
+    // with the drifted column named, not as N cryptic per-query errors
+    // (the round-5 failure mode).
+    FixtureCanary.check(spark, sfDir).foreach(m => System.err.println(s"[canary] DRIFT: $m"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -2444,8 +2444,9 @@ object ExtQueries extends QueryGroup {
     * metrics table actually runs (aggregate only the new batch, merge
     * into kept state) — gated against the oracle's full recompute over
     * all events. The cutoff splits the fixture's event month in half; ts
-    * is the raw nanosecond long (nanosAsLong), so the split is a pure
-    * integer comparison. See operators/Incremental.scala.
+    * is Long nanos (Tables.tsToNanos normalizes every fixture vintage),
+    * so the split is a pure integer comparison. See
+    * operators/Incremental.scala.
     */
   private val IncrCutoffNs = 1705363200000000000L // 2024-01-16T00:00:00Z
 

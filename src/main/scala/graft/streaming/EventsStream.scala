@@ -11,17 +11,23 @@ import org.apache.spark.sql.types._
   * over a static DataFrame — Structured Streaming's unified-API
   * guarantee makes the two share semantics).
   *
-  * `ts` arrives as Long nanoseconds (the driver parquet is
-  * TIMESTAMP(NANOS), read via spark.sql.legacy.parquet.nanosAsLong);
-  * windows are computed on the exact integer nanos, then reported as
+  * The driver parquet ships `ts` as plain `timestamp[us]` (TIMESTAMP_NTZ
+  * to Spark); [[eventsFileStream]] normalizes it to the engine's internal
+  * convention — Long NANOSECONDS since epoch (`Tables.tsToNanos`) — so
+  * windows are computed on exact integer nanos, then reported as
   * epoch-second window starts so engines with different timestamp
   * precisions (Spark µs vs DuckDB ns) agree bit-for-bit.
   */
 object EventsStream {
 
+  /** File-source schema matching the driver parquet as shipped
+    * (`ts: timestamp[us]` → TIMESTAMP_NTZ). A file stream cannot infer
+    * schema, so this must track the fixture; FixtureCanary names the
+    * drifted column if it moves again.
+    */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -75,15 +81,18 @@ object EventsStream {
 
   /** File stream over the events parquet with an event-time column — the
     * shared head of every streaming operator here. FileStreamSource needs
-    * a directory: stream the sf dir, filtered to the events file. The
-    * event-time conversion is integer division on the Long nanos (double
-    * math would round ns values above 2^53); µs precision suffices for
+    * a directory: stream the sf dir, filtered to the events file. `ts` is
+    * normalized to Long nanos (the batch-side convention, so the unified
+    * transforms like [[windowedAgg]] run on either frame) and the
+    * conversions are integer micros arithmetic end-to-end (double math
+    * would round ns values above 2^53); µs precision suffices for
     * minute-scale windows and watermarks.
     */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    graft.Tables.tsToNanos(
+      spark.readStream.schema(EventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Streaming dedup: first arrival of each key is emitted, replays

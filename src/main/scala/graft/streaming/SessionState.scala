@@ -91,10 +91,7 @@ object SessionState {
   def runSessions(spark: SparkSession, dir: String, name: String,
       gapMs: Long): Unit = {
     import spark.implicits._
-    val evs = spark.readStream.schema(EventsStream.EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val evs = EventsStream.eventsFileStream(spark, dir)
       .withWatermark("event_time", "5 minutes")
       .select(col("user_id"), col("event_time"), col("value"))
       .as[TsEv]
@@ -112,9 +109,7 @@ object SessionState {
     */
   def runOnce(spark: SparkSession, dir: String, name: String): Unit = {
     import spark.implicits._
-    val evs = spark.readStream.schema(EventsStream.EventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evs = EventsStream.eventsFileStream(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"))
       .as[Ev]
     val q = runningUserAgg(evs).writeStream

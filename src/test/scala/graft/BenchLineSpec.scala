@@ -75,6 +75,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("errors").size() >= 1) // list or collapsed count
   }
 
+  test("SPARK_GRAFT_ONLY validation: unknown or empty filters are rejected") {
+    val known = Set("q01_denorm_joins", "ext_dedup_exact")
+    assert(Bench.resolveFilter(None, known) == Right(None))
+    assert(Bench.resolveFilter(Some("q01_denorm_joins"), known) ==
+      Right(Some(Set("q01_denorm_joins"))))
+    assert(Bench.resolveFilter(Some(" q01_denorm_joins , ext_dedup_exact"), known) ==
+      Right(Some(known)))
+    assert(Bench.resolveFilter(Some(""), known).isLeft, "empty filter must be rejected")
+    assert(Bench.resolveFilter(Some(" , "), known).isLeft)
+    val typo = Bench.resolveFilter(Some("q01_denorm_joins,ext_dedup_exakt"), known)
+    assert(typo.isLeft && typo.left.exists(_.contains("ext_dedup_exakt")),
+      "unknown names must be rejected and named")
+  }
+
+  test("filtered runs carry a subset marker on the canonical line") {
+    val results = names80.take(2).map(n => (n, 2.0, 1.0, true))
+    val line = Bench.canonicalLine(results, "/root/testdata/sf0.1", filteredOf = Some(114))
+    val root = mapper.readTree(line)
+    assert(root.get("filtered").asText() == "2/114",
+      "a subset run must never masquerade as a full-suite total")
+    // and a full run carries no marker
+    assert(mapper.readTree(Bench.canonicalLine(results, "x")).get("filtered") == null)
+  }
+
   test("abbrev is deterministic and injective on colliding prefixes") {
     // jaccard/jacket abbreviate identically ("extdeja") pre-suffix
     val ns = Seq("ext_dedup_jaccard", "ext_dedup_jacket",

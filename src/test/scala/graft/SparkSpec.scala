@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs — one per suite, config mirrors the
-  * driver's Verify harness (UTC, nanos-as-long, small shuffle width).
+  * driver's Verify harness (UTC, dormant nanos-as-long compat, small
+  * shuffle width).
   */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
