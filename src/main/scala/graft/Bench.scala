@@ -5,6 +5,29 @@ object Bench {
   /** (name, coldSec, warmSec, succeeded) per query. */
   type Result = (String, Double, Double, Boolean)
 
+  /** Cumulative shuffle/spill byte counters across all tasks — snapshotted
+    * around each query so a bench line carries the work a query MOVED, not
+    * just how long it took. Contention-vs-regression adjudication (needed
+    * in rounds 3 and 5) becomes mechanical: same shuffle bytes + slower
+    * wall-clock = machine contention; more bytes = a real plan change.
+    * Listener delivery is async, so per-query attribution can lag a few
+    * tasks into the next query's window — MB-scale reading only.
+    */
+  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (write.get, read.get, spill.get)
+  }
+
   private def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
   private def fmt2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
   private def toJson(vs: Seq[(String, Double)], f: Double => String = fmt) =
@@ -45,14 +68,15 @@ object Bench {
     *      fails).
     */
   private[graft] def canonicalLine(results: Seq[Result], sfDir: String,
-      filteredOf: Option[Int] = None): String = {
+      filteredOf: Option[Int] = None, shuffleMb: Option[Double] = None): String = {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     // Subset marker: a SPARK_GRAFT_ONLY run must never masquerade as a
     // full-suite total — every ladder rung carries "filtered":"picked/total"
     // so a partial run is visibly partial to anything parsing the line.
-    val fmark = filteredOf.map(t => s""","filtered":"${results.size}/$t"""").getOrElse("")
+    val fmark = filteredOf.map(t => s""","filtered":"${results.size}/$t"""").getOrElse("") +
+      shuffleMb.map(v => s""","shuffle_mb":${fmt2(v)}""").getOrElse("")
     def line(qs: String, errsJson: String, extra: String = "") =
       s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$extra$fmark,"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
     val short = abbrev(results.map(_._1))
@@ -122,7 +146,11 @@ object Bench {
     }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results: Seq[Result] = picked.map { case (name, fn) =>
+      val before = tally.snapshot
       val (cold, okCold) = timed(fn)
       val warm = Seq.fill(3)(timed(fn))
       // Isolation breather between queries, OUTSIDE the timed window:
@@ -134,14 +162,19 @@ object Bench {
       // pressure. An explicit GC per query keeps every measurement
       // near-isolated; steady-state per-query cost is unaffected.
       System.gc()
+      // per-execution shuffle write MB (4 runs averaged); the GC pause
+      // above doubles as listener-queue drain time
+      val after = tally.snapshot
+      shuffleMb(name) = (after._1 - before._1) / 4.0 / 1e6
       (name, cold, warm.map(_._1).min, okCold && warm.forall(_._2))
     }
     // diagnostic line (may scroll off the tail): cold per-query map with
     // FULL names, plus the error list
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"errors":$errs}}""")
+    val totalShuffleMb = shuffleMb.values.sum
+    println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"queries_shuffle_mb":${toJson(shuffleMb.toSeq, fmt2)},"errors":$errs}}""")
     println(canonicalLine(results, sfDir,
-      only.map(_ => SparkEntry.queries.size)))
+      only.map(_ => SparkEntry.queries.size), Some(totalShuffleMb)))
     spark.stop()
   }
 }

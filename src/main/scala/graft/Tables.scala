@@ -24,9 +24,15 @@ object Tables {
     * `timestamp[us]` (read as TIMESTAMP_NTZ — converted here), so this
     * guard makes every downstream ns-denominated constant work against
     * either vintage. The NTZ branch uses `timestampdiff` against the NTZ
-    * epoch literal, which is timezone-INDEPENDENT (a cast to
-    * TimestampType would shift by the session zone); exact integer
-    * micros → ×1000, no double rounding.
+    * epoch literal — exact integer micros → ×1000, no double rounding.
+    * The analyzer implicit-casts both NTZ sides to TimestampType in the
+    * SESSION zone, so callers must pin `spark.sql.session.timeZone=UTC`
+    * (every graft entry point — Verify/Bench/Explain/Probe/SparkSpec —
+    * does): under UTC the casts are the identity on the internal micros;
+    * under a DST zone summer wall-clocks would shift by the offset
+    * delta. plans.TsNanosPushdown folds predicates on the normalized
+    * column back onto the raw one so parquet row-group pruning survives
+    * the projection.
     */
   def tsToNanos(df: DataFrame, colName: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -12,6 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // event-time predicates on the ns-normalized column fold back onto
+    // the raw timestamp so parquet min/max pruning still applies
+    e.injectOptimizerRule(_ => TsNanosPushdown)
     e.injectFunction((
       new FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),

@@ -50,9 +50,11 @@ class BenchLineSpec extends AnyFunSuite {
     val results = names.zipWithIndex.map { case (n, i) =>
       (n, 102.34, 2.34 + i * 0.01, true)
     }
-    val line = Bench.canonicalLine(results, "/root/testdata/sf0.1")
+    val line = Bench.canonicalLine(results, "/root/testdata/sf0.1",
+      shuffleMb = Some(123456.78)) // widest realistic telemetry field
     assert(line.length <= 1900, s"line is ${line.length} chars at ${names.size} queries")
     val root = mapper.readTree(line)
+    assert(root.get("shuffle_mb").asDouble() == 123456.78)
     val qs = root.get("queries")
     assert(qs.size() >= math.min(80, names.size),
       s"per-query map degraded to ${qs.size()} of ${names.size} entries")
