@@ -29,7 +29,16 @@ object FixtureCanary {
     ("embeddings", "embedding", Set[DataType](ArrayType(FloatType), ArrayType(FloatType, containsNull = false))),
     ("embeddings", "vec_id", Set[DataType](LongType)),
     ("documents", "text", Set[DataType](StringType)),
-    ("documents", "doc_id", Set[DataType](LongType)))
+    ("documents", "doc_id", Set[DataType](LongType)),
+    // star-schema columns compared against TIMESTAMP literals or summed
+    // exactly — a date32/decimal flip here would shift semantics silently
+    ("orders", "o_orderdate", Set[DataType](TimestampNTZType, TimestampType)),
+    ("orders", "o_totalprice", Set[DataType](DoubleType)),
+    ("orders", "o_custkey", Set[DataType](LongType)),
+    ("lineitem", "l_shipdate", Set[DataType](TimestampNTZType, TimestampType)),
+    ("lineitem", "l_quantity", Set[DataType](DoubleType)),
+    ("customer", "c_custkey", Set[DataType](LongType)),
+    ("customer", "c_nationkey", Set[DataType](IntegerType)))
 
   /** One drift message per mismatched column; empty = fixtures as
     * expected. Missing columns and unreadable tables are drift too.

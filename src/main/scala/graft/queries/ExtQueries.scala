@@ -2001,9 +2001,10 @@ object ExtQueries extends QueryGroup {
     * deterministic. Rounding damps the engines' differing sliding-sum
     * accumulation (DuckDB aggregates window frames via segment trees, not
     * sequential adds). The lag delta is over `value`, NOT the timestamp:
-    * DuckDB's parquet reader rounds the TIMESTAMP(NANOS) column to µs, so
-    * a raw ns difference can never hash-match (the standing events.ts
-    * rule) — ts serves only as the window ORDER key here.
+    * the fixture's ts storage precision has drifted between rounds
+    * (ns → µs parquet), so raw event timestamps are never emitted (the
+    * standing events.ts rule) — ts serves only as the window ORDER key
+    * here.
     */
   private def tsRolling(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
