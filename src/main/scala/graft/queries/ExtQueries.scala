@@ -1551,6 +1551,57 @@ object ExtQueries extends QueryGroup {
       .map { case (m, sql) => recallRowSql(m, sql) }
       .mkString("\nUNION ALL\n")
 
+  /** Matryoshka (truncated-dimension) retrieval evaluation: recall@k of
+    * brute-force search over PREFIX dims {8, 16, 32} of the 64-d
+    * embedding against the full-dim truth — the dial a matryoshka-
+    * trained embedding deployment tunes (serve a prefix, pay a known
+    * recall cost; at 100 TB a 8× narrower vector is 8× less scan, ANN
+    * memory, and shuffle). Same machinery as ext_ann_recall: each
+    * truncated search is the broadcast-query brute-force kernel over
+    * `slice(embedding, 1, d)` (the oracle slices identically, so the
+    * double-widened ordered folds stay bit-equal), semi-joined against
+    * the one shared truth.
+    */
+  private val MatryoshkaDims = Seq(8, 16, 32)
+
+  private def annMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+    val q = annQueries(s, d)
+    def trunc(df: DataFrame, dim: Int): DataFrame =
+      df.withColumn("embedding", slice(col("embedding"), 1, dim))
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", TopK),
+      MatryoshkaDims.map(dim => s"dim$dim" ->
+        Similarity.bruteForceTopK(trunc(corpus, dim), trunc(q, dim),
+          "vec_id", "embedding", TopK)),
+      TopK)
+  }
+
+  /** annTopKSql with the vectors sliced to the first `dim` components
+    * before the double-widening fold — the truncated brute-force twin.
+    */
+  private def truncTopKSql(dim: Int): String =
+    s"""WITH vt AS (SELECT vec_id,
+              list_transform(embedding[1:$dim], x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings),
+       nt AS (SELECT vec_id, vec,
+               list_reduce(list_transform(range(1, len(vec) + 1), i -> vec[i] * vec[i]),
+                           (a, b) -> a + b) AS nsq
+             FROM vt),
+       scored AS (
+         SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
+                ${dotOf("a.vec", "b.vec")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         FROM nt a JOIN nt b ON a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+
+  private lazy val annMatryoshkaSql =
+    MatryoshkaDims.map(dim => recallRowSql(s"dim$dim", truncTopKSql(dim)))
+      .mkString("\nUNION ALL\n")
+
   /** Embedding-quality probe: kNN label prediction accuracy per true
     * label — majority vote over exact top-k neighbor labels, ties to the
     * smallest label (see Similarity.knnClassify for the scale shape).
@@ -3094,6 +3145,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
+    GQuery("ext_ann_matryoshka", annMatryoshka, Some(annMatryoshkaSql), "recall@k of prefix-dim (matryoshka) search vs full-dim truth"),
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
     GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),
     GQuery("ext_ann_ndcg", annNdcg, Some(annNdcgSql), "micro-averaged nDCG@k per ANN method (integer-grid discounts, label relevance)"),

@@ -328,6 +328,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.find(_._1 == "brute").get._2.toLong == nQ)
   }
 
+  test("matryoshka recall: valid range, all dims evaluated, full-prefix ≡ truth") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ext_ann_matryoshka")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet == Set("dim8", "dim16", "dim32"))
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // the invariant a truncation bug would break: slicing to the FULL
+    // dimension is the identity, so its recall against the full-dim
+    // truth must be exactly 1.0
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.where(col("vec_id") % 50 === 0)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", slice(col("embedding"), 1, 64))
+    val r = operators.Similarity.recallAtK(
+      operators.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+      Seq("dim64" -> operators.Similarity.bruteForceTopK(full(emb), full(q),
+        "vec_id", "embedding", 5)), 5)
+      .collect().head
+    assert(r.getDouble(3) == 1.0, s"full-prefix recall must be 1.0, got $r")
+  }
+
   test("multimodal decode: real binary plumbing, deterministic stub") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val got = Multimodal.decodeFeatures(Multimodal.withPayload(df, "doc_id", "text"))
