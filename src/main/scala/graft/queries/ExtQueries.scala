@@ -211,6 +211,47 @@ object ExtQueries extends QueryGroup {
              FROM counts) r
        WHERE rnk <= $TopTermsK"""
 
+  /** First BPE merge iteration over the corpus: the frequency of every
+    * ADJACENT CHARACTER PAIR, weighted by word occurrence count — the
+    * statistic a byte-pair-encoding tokenizer trainer computes each
+    * round to pick its next merge. The 100 TB shape is the point: the
+    * corpus-sized work is one word groupBy (the same aggregate every
+    * token count runs); the per-character explosion then runs over the
+    * DISTINCT-WORD vocabulary only (bounded, ≪ corpus) with counts
+    * carried as weights — pair counting never re-touches the raw text.
+    * Top pairs by (freq desc, pair asc), deterministic.
+    */
+  private val BpePairsK = 20
+
+  private def textBpeMerges(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = wc.select(col("c"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("c")).as("freq"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("pair").asc)
+    pairs.withColumn("rnk", row_number().over(win).cast("int"))
+      .where(col("rnk") <= BpePairsK)
+      .select("rnk", "pair", "freq")
+  }
+
+  private val textBpeMergesSql =
+    s"""WITH wc AS (
+         SELECT w, count(*) AS c
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         WHERE len(w) >= 2 GROUP BY w),
+       pairs AS (
+         SELECT substring(w, i, 2) AS pair, c
+         FROM wc, unnest(range(1, len(w))) AS r(i)),
+       agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM pairs GROUP BY 1)
+       SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair ASC) AS INTEGER) AS rnk,
+              pair, freq
+       FROM agg
+       ORDER BY freq DESC, pair ASC LIMIT $BpePairsK"""
+
   private def textBigramLm(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
 
@@ -3097,6 +3138,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_fingerprint", textFingerprint, Some(textFingerprintSql), "rolling-hash fingerprint"),
     GQuery("ext_text_tfidf", textTfidf, Some(textTfidfSql), "top-k TF-IDF terms per doc (round-then-rank)"),
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
+    GQuery("ext_text_bpe_merges", textBpeMerges, Some(textBpeMergesSql), "BPE first-merge adjacent-char-pair frequencies over the distinct-word vocab"),
     GQuery("ext_text_redact", textRedact, Some(textRedactSql), "number-run redaction + redacted-text fingerprint"),
     GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
     GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),

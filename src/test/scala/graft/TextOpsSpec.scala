@@ -122,4 +122,26 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "chash", "n_words")
     assert(orig.exceptAll(re).isEmpty && re.exceptAll(orig).isEmpty)
   }
+
+  test("bpe merges: hand-checked pair frequencies, weighted by word count") {
+    // fixture registered under a temp dir so the registry query runs as-is
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    import spark.implicits._
+    // words: abab ×2 ("abab abab" + the solo doc's one) is 3 total,
+    // abc ×1, x dropped (len < 2)
+    Seq((1L, "abab abab abc", "en", "s", 13L), (2L, "abab x", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("ext_text_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    // abab: pairs ab, ba, ab -> ab×2, ba×1 per occurrence (3 occurrences)
+    // abc: ab×1, bc×1
+    assert(got("ab") == 3 * 2 + 1, s"got $got")
+    assert(got("ba") == 3L)
+    assert(got("bc") == 1L)
+    // ranks deterministic: ab (7) first, then ba (3), then bc (1)
+    val ranked = SparkEntry.queries("ext_text_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(ranked.sortBy(_._1).map(_._2).toSeq == Seq("ab", "ba", "bc"))
+  }
 }
