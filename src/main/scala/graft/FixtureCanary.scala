@@ -30,6 +30,11 @@ object FixtureCanary {
     ("embeddings", "vec_id", Set[DataType](LongType)),
     ("documents", "text", Set[DataType](StringType)),
     ("documents", "doc_id", Set[DataType](LongType)),
+    // stratification/grouping keys for the corpus-management queries —
+    // a string→dictionary or int-width flip would shift group hashing
+    ("documents", "lang", Set[DataType](StringType)),
+    ("documents", "source", Set[DataType](StringType)),
+    ("documents", "n_chars", Set[DataType](LongType)),
     // star-schema columns compared against TIMESTAMP literals or summed
     // exactly — a date32/decimal flip here would shift semantics silently
     ("orders", "o_orderdate", Set[DataType](TimestampNTZType, TimestampType)),

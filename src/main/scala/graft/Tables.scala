@@ -39,8 +39,22 @@ object Tables {
     import org.apache.spark.sql.types._
     df.schema(colName).dataType match {
       case LongType => df // nanos fixtures read via nanosAsLong: already ns
-      case TimestampNTZType => df.withColumn(colName,
-        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', $colName)") * lit(1000L))
+      case TimestampNTZType =>
+        // The analyzer casts both NTZ sides to TimestampType in the
+        // SESSION zone; only under UTC is that the identity on the
+        // internal micros (a DST zone shifts summer wall-clocks and is
+        // non-monotonic across spring-forward). Fail loudly instead of
+        // silently producing zone-shifted event times.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: Throwable => false }
+        if (!isUtc) throw new IllegalStateException(
+          s"[graft] tsToNanos($colName) on a TIMESTAMP_NTZ column requires " +
+            s"spark.sql.session.timeZone=UTC (got '$tz') - set it in the " +
+            "SparkSession builder as every graft entry point does")
+        df.withColumn(colName,
+          expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', $colName)") * lit(1000L))
       case TimestampType => df.withColumn(colName,
         unix_micros(col(colName)) * lit(1000L))
       case other => throw new IllegalArgumentException(

@@ -26,9 +26,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Schema-drift canary first: a regenerated fixture must fail LOUDLY
     // with the drifted column named, not as N cryptic per-query errors
-    // (the round-5 failure mode).
-    FixtureCanary.check(spark, sfDir).foreach(m => System.err.println(s"[canary] DRIFT: $m"))
+    // (the round-5 failure mode). The drift lines are also WRITTEN next
+    // to the per-query outputs so the diagnosis travels with the results
+    // even when the stderr line scrolls off.
     new java.io.File(outDir).mkdirs()
+    val drift = FixtureCanary.check(spark, sfDir)
+    drift.foreach(m => System.err.println(s"[canary] DRIFT: $m"))
+    if (drift.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/CANARY_DRIFT.txt"),
+        drift.mkString("", "\n", "\n"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

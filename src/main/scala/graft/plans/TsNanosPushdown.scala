@@ -24,16 +24,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *
   * into `ts cmp tsLiteral` on the RAW timestamp column with the bound
   * divided back to micros — exact integer math with direction-correct
-  * rounding (ceil for `<`/`>=`, floor for `<=`/`>`; equality against a
-  * non-µs-aligned ns bound can never hold and folds to false, which in a
-  * Filter drops the row exactly as the original null-or-false did). The
-  * plain attribute-vs-literal comparison then reaches the source as a
+  * rounding (ceil for `<`/`>=`, floor for `<=`/`>`). The plain
+  * attribute-vs-literal comparison then reaches the source as a
   * PushedFilter and prunes row groups via min/max stats.
   *
-  * Null semantics are preserved: both the original (null-intolerant
-  * arithmetic → null comparison) and the rewrite (null comparison) drop
-  * null-ts rows in a Filter. Bounds near Long.MaxValue skip the rewrite
-  * rather than overflow (addExact guards).
+  * Null semantics are preserved: the comparison rewrites map null ts to
+  * a null comparison exactly as the original (null-intolerant arithmetic
+  * → null comparison) did, at ANY position in the condition tree. The
+  * one non-null-preserving rewrite — equality against a non-µs-aligned
+  * ns bound can never hold (ns values are exact ×1000 multiples) and
+  * folds to FALSE — is applied ONLY where the equality is the Filter
+  * condition itself or a direct And-conjunct of it: under negation,
+  * `NOT(ts === c)` on a null ts row is NOT(null) = null → dropped by
+  * the original, but NOT(false) = true would wrongly keep it, so
+  * non-conjunct positions keep the unrewritten equality. Bounds near
+  * Long.MaxValue skip the rewrite rather than overflow (addExact
+  * guards).
   */
 object TsNanosPushdown extends Rule[LogicalPlan] {
 
@@ -107,9 +113,11 @@ object TsNanosPushdown extends Rule[LogicalPlan] {
         mk(ts, s, floorDiv(c), GreaterThan)
       case GreaterThanOrEqual(NsOfTs(ts, s), Literal(c: Long, LongType)) =>
         mk(ts, s, ceilDiv(c), GreaterThanOrEqual)
-      case EqualTo(NsOfTs(ts, s), Literal(c: Long, LongType)) =>
-        if (Math.floorMod(c, 1000L) == 0L) mk(ts, s, Some(Math.floorDiv(c, 1000L)), EqualTo)
-        else Some(Literal.FalseLiteral) // non-µs-aligned ns can never equal
+      // µs-aligned only: the non-aligned fold to FALSE is not null-safe
+      // under negation and is handled by foldConjuncts at top level
+      case EqualTo(NsOfTs(ts, s), Literal(c: Long, LongType))
+          if Math.floorMod(c, 1000L) == 0L =>
+        mk(ts, s, Some(Math.floorDiv(c, 1000L)), EqualTo)
       // literal-on-the-left orientations: mirror the operator
       case LessThan(l @ Literal(_, LongType), r @ NsOfTs(_, _)) =>
         rewrite(GreaterThan(r, l))
@@ -125,9 +133,24 @@ object TsNanosPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** Fold non-µs-aligned equalities to FALSE, but only at null-rejecting
+    * positions: the condition root and And-conjuncts reachable from it.
+    * FALSE and null are interchangeable there (both drop the row); under
+    * NOT/OR they are not, so deeper positions are left alone.
+    */
+  private def foldConjuncts(e: Expression): Expression = e match {
+    case And(l, r) => And(foldConjuncts(l), foldConjuncts(r))
+    case EqualTo(NsOfTs(_, _), Literal(c: Long, LongType))
+        if Math.floorMod(c, 1000L) != 0L => Literal.FalseLiteral
+    case EqualTo(Literal(c: Long, LongType), NsOfTs(_, _))
+        if Math.floorMod(c, 1000L) != 0L => Literal.FalseLiteral
+    case other => other
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val newCond = cond.transformUp { case e => rewrite(e).getOrElse(e) }
+      val newCond = foldConjuncts(cond)
+        .transformUp { case e => rewrite(e).getOrElse(e) }
       if (newCond.fastEquals(cond)) f else Filter(newCond, child)
   }
 }

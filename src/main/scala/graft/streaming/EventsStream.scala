@@ -20,18 +20,17 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** File-source schema matching the driver parquet as shipped
-    * (`ts: timestamp[us]` → TIMESTAMP_NTZ). A file stream cannot infer
-    * schema, so this must track the fixture; FixtureCanary names the
-    * drifted column if it moves again.
+  /** File-source schema for the events stream. A file stream cannot
+    * infer schema, so derive it from the BATCH read of the same parquet
+    * (one footer read, driver-side, once per stream construction): the
+    * streaming `ts` dtype then tracks whatever vintage the fixture
+    * actually ships (TIMESTAMP_NTZ today; Long nanos if the driver ever
+    * regenerates the TIMESTAMP(NANOS) vintage under the nanosAsLong
+    * flag) instead of a hardcoded pin that could disagree with the
+    * batch path while FixtureCanary passes.
     */
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
 
   val WindowSeconds = 600L
 
@@ -90,7 +89,7 @@ object EventsStream {
     */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.tsToNanos(
-      spark.readStream.schema(EventsSchema)
+      spark.readStream.schema(eventsSchema(spark, dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))

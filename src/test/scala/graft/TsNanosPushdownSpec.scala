@@ -62,4 +62,21 @@ class TsNanosPushdownSpec extends SparkSpec {
     assert(df.where(col("ts") >= 0L).count() == 2)
     assert(df.where(col("ts") === 1500L).count() == 0)
   }
+
+  test("non-aligned equality under NOT keeps null-drop semantics (no false fold)") {
+    val df = Tables.tsToNanos(
+      Seq(Some(1L), None, Some(2L)).toDF("us")
+        .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    // null row: NOT(null === c) is null → dropped by the original; a
+    // false-fold applied under NOT would give NOT(false) = true and
+    // wrongly keep it. Both negation spellings must count only the two
+    // non-null rows.
+    assert(df.where(!(col("ts") === 1500L)).count() == 2)
+    assert(df.where(col("ts") =!= 1500L).count() == 2)
+    // conjunct positions still fold to false (and still drop everything)
+    assert(df.where(col("ts") === 1500L && col("ts") >= 0L).count() == 0)
+    // OR position: null row kept via the other branch, identically with
+    // or without the (skipped) fold
+    assert(df.where(col("ts") === 1500L || col("ts").isNull).count() == 1)
+  }
 }
