@@ -339,4 +339,70 @@ object TextAnalysis {
           .as("ctext"))
       .withColumn("chash", Dedup.polyHash(col("ctext")))
   }
+
+  /** Iterated BPE merge training — the actual tokenizer-trainer loop a
+    * data pipeline runs before anything else. K fixed rounds; each round
+    * counts adjacent SYMBOL pairs weighted by word occurrence count,
+    * picks the argmax (freq desc, pair asc — deterministic), applies it
+    * as a vocabulary merge, and recounts. Returns one row per round:
+    * (round, pair "a b", freq).
+    *
+    * The 100 TB shape: the corpus-sized work is ONE word groupBy (same
+    * aggregate every token count runs); the entire training loop then
+    * iterates over the DISTINCT-WORD vocabulary only (bounded, ≪ corpus)
+    * with counts carried as weights — no round ever re-touches raw text.
+    *
+    * Representation trick that keeps both engines exact: a word's symbol
+    * sequence is a DOUBLE-SPACE-delimited string padded with one space
+    * each side (`" l  o  w "` is `[l, o, w]`; after merging `(l, o)` it
+    * becomes `" lo  w "` = `[lo, w]`), so applying merge (a, b) is a single
+    * `replace(repr, " a  b ", " ab ")`. String replace scans
+    * left-to-right, non-overlapping, continuing AFTER each replacement —
+    * exactly greedy BPE merge semantics (in `"a a a"`, merging `(a, a)`
+    * takes the first pair only), and identical in Spark's StringReplace
+    * and the DuckDB oracle's replace(). The one-space padding plus
+    * two-space separators make match boundaries unambiguous AND let
+    * adjacent occurrences (`" a  b  a  b "`) both match, since each
+    * match consumes only its own delimiters.
+    *
+    * Per-round argmax is a sort-limit-1 (TakeOrdered — no global window,
+    * no driver collect) broadcast-crossJoined back onto the vocab; lazy
+    * localCheckpoint per round cuts the O(rounds²) lineage growth, as in
+    * [[Dedup.connectedComponents]].
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val wc = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var vocab = wc.select(
+      concat(lit(" "), array_join(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          "  "), lit(" "))
+        .as("repr"),
+      col("c")).localCheckpoint(eager = false)
+    val picks = (1 to rounds).map { r =>
+      val pairs = vocab
+        .withColumn("syms", split(trim(col("repr")), "  "))
+        // guard: a fully-merged word has one symbol; sequence(1, 0) in
+        // Spark DESCENDS to [1, 0] and element_at(syms, 0) throws
+        .where(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("c")).as("freq"))
+      val best = pairs.orderBy(col("freq").desc, col("pair").asc).limit(1)
+        .localCheckpoint(eager = false)
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(expr(
+          """replace(repr, concat(' ', replace(bp, ' ', '  '), ' '),
+                           concat(' ', replace(bp, ' ', ''), ' '))""")
+          .as("repr"), col("c"))
+        .localCheckpoint(eager = false)
+      best.select(lit(r).cast("int").as("round"), col("pair"), col("freq"))
+    }
+    picks.reduce(_.unionAll(_))
+  }
 }

@@ -252,6 +252,50 @@ object ExtQueries extends QueryGroup {
        FROM agg
        ORDER BY freq DESC, pair ASC LIMIT $BpePairsK"""
 
+  /** Iterated BPE merge TRAINING (TextAnalysis.bpeTrain): K fixed merge
+    * rounds, each applying the argmax pair as a vocabulary merge and
+    * recounting — the CC/PageRank oracle-unrolling discipline (fixed
+    * schedule, one CTE triple per round, deterministic tiebreak freq
+    * desc / pair asc). Both engines share the padded double-space symbol
+    * string representation, so the greedy merge is a plain replace() in
+    * each.
+    */
+  private val BpeTrainRounds = 3
+
+  private def textBpeTrain(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables.documents(s, d), "text", BpeTrainRounds)
+
+  private val textBpeTrainSql: String = {
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""p$r AS (
+           SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+                  CAST(sum(c) AS BIGINT) AS freq
+           FROM (SELECT string_split(trim(repr), '  ') AS syms, c
+                 FROM v${r - 1}) t,
+                unnest(range(1, len(syms))) AS u$r(i)
+           GROUP BY 1),
+         b$r AS (SELECT pair, freq FROM p$r
+                 ORDER BY freq DESC, pair ASC LIMIT 1),
+         v$r AS (
+           SELECT replace(repr, ' ' || replace(pair, ' ', '  ') || ' ',
+                                ' ' || replace(pair, ' ', '') || ' ') AS repr, c
+           FROM v${r - 1}, b$r)"""
+    }.mkString(",\n")
+    val out = (1 to BpeTrainRounds)
+      .map(r => s"SELECT $r AS round, pair, freq FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH wc AS (
+         SELECT w, count(*) AS c
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         WHERE len(w) >= 2 GROUP BY w),
+       v0 AS (
+         SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                  i -> substring(w, i, 1)), '  ') || ' ' AS repr, c
+         FROM wc),
+       $rounds
+       $out"""
+  }
+
   private def textBigramLm(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
 
@@ -3139,6 +3183,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_tfidf", textTfidf, Some(textTfidfSql), "top-k TF-IDF terms per doc (round-then-rank)"),
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
     GQuery("ext_text_bpe_merges", textBpeMerges, Some(textBpeMergesSql), "BPE first-merge adjacent-char-pair frequencies over the distinct-word vocab"),
+    GQuery("ext_text_bpe_train", textBpeTrain, Some(textBpeTrainSql), "iterated BPE merge training: K argmax-merge-recount rounds over the vocab"),
     GQuery("ext_text_redact", textRedact, Some(textRedactSql), "number-run redaction + redacted-text fingerprint"),
     GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
     GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),

@@ -123,6 +123,38 @@ class TextOpsSpec extends SparkSpec {
     assert(orig.exceptAll(re).isEmpty && re.exceptAll(orig).isEmpty)
   }
 
+  test("bpeTrain: hand-checked 3-round merge schedule") {
+    // wc: low->2, lower->1
+    // r1 pairs: "l o":3, "o w":3, "w e":1, "e r":1 -> tie, asc -> "l o"
+    // r2: low=[lo,w], lower=[lo,w,e,r] -> "lo w":3 wins
+    // r3: low=[low] (no pairs), lower=[low,e,r] -> "e r" vs "low e" tie
+    //     at 1, asc -> "e r"
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "l o", 3L), (2, "lo w", 3L), (3, "e r", 1L)))
+  }
+
+  test("bpeTrain: greedy non-overlapping merge; adjacent occurrences both merge") {
+    // "aaaa": (a,a) counted 3x overlapping; the merge is greedy
+    // left-to-right -> [aa, aa] (not [aa, a, a]), then round 2 merges
+    // the two new symbols
+    val aa = TextAnalysis.bpeTrain(
+        Seq((1L, "aaaa")).toDF("doc_id", "text"), "text", 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(aa.toSeq == Seq((1, "a a", 3L), (2, "aa aa", 1L)))
+    // "abab": BOTH (a,b) occurrences merge in one round even though they
+    // are adjacent in the delimited representation (each match consumes
+    // only its own padding)
+    val ab = TextAnalysis.bpeTrain(
+        Seq((1L, "abab")).toDF("doc_id", "text"), "text", 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(ab.toSeq == Seq((1, "a b", 2L), (2, "ab ab", 1L)))
+  }
+
   test("bpe merges: hand-checked pair frequencies, weighted by word count") {
     // fixture registered under a temp dir so the registry query runs as-is
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
