@@ -337,6 +337,50 @@ object Sampling {
           (lit(2.0d) * col("n_tokens") * col("__nn")), 6).as("tv_dist"))
   }
 
+  /** CCNet-style perplexity-band corpus filter: score every document
+    * with the corpus-model bigram log-prob ([[TextAnalysis.bigramLogProb]]
+    * — higher avg_logprob = lower perplexity = more fluent), cut each
+    * stratum into perplexity deciles, and keep the MIDDLE band — the
+    * CCNet heuristic: the head is boilerplate-like ultra-predictable
+    * text, the tail is noise. Emits per (stratum, band) the selection
+    * telemetry a curation run must record: kept flag, doc count, token
+    * mass, and the band's log-prob range.
+    *
+    * Decile assignment is HISTOGRAM-based (the [[valueDeciles]]
+    * discipline), not a per-doc rank: after the doc-level score the
+    * whole chain runs over the (stratum, rounded-logprob) histogram —
+    * bounded, ≪ corpus — so there is no corpus-wide sort. Ties (equal
+    * rounded scores) land in the same decile by construction, which a
+    * row_number ranking would split arbitrarily. Counts and masses are
+    * integer sums, band edges are min/max — all order-free, so results
+    * are identical at any shuffle width.
+    */
+  def perplexityBands(docs: DataFrame, strataCol: String, idCol: String,
+      textCol: String, keepLo: Int = 4, keepHi: Int = 7): DataFrame = {
+    val lp = TextAnalysis.bigramLogProb(docs, idCol, textCol)
+    val strata = docs.select(col(idCol).as("doc_id"), col(strataCol))
+    val hist = lp.join(strata, Seq("doc_id"))
+      .groupBy(col(strataCol), col("avg_logprob").as("__lp"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("n_bigrams")).as("__mass"))
+    val ordered = Window.partitionBy(strataCol).orderBy(col("__lp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(strataCol)
+    hist
+      .withColumn("__cum", sum("__cnt").over(ordered))
+      .withColumn("__tot", sum("__cnt").over(whole))
+      .withColumn("__dec", expr("CAST((10 * __cum + __tot - 1) DIV __tot AS INT)"))
+      .withColumn("band",
+        when(col("__dec") < keepLo, lit("head"))
+          .when(col("__dec") <= keepHi, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col(strataCol), col("band"))
+      .agg(sum("__cnt").as("n_docs"),
+        sum("__mass").as("mass"),
+        min("__lp").as("min_lp"),
+        max("__lp").as("max_lp"))
+      .withColumn("kept", (col("band") === "middle").cast("int"))
+  }
+
   def valueDeciles(df: DataFrame, strataCol: String, value: Column,
       nBuckets: Int = 10): DataFrame = {
     val hist = df.groupBy(col(strataCol), value.as("__v"))

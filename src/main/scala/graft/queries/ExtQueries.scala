@@ -545,6 +545,47 @@ object ExtQueries extends QueryGroup {
               CAST(sum(spans_next) AS BIGINT) AS n_spanning
        FROM packed GROUP BY 1, 2"""
 
+  /** Perplexity-band corpus filter (Sampling.perplexityBands): the CCNet
+    * step — bigram-LM score per doc, per-language perplexity deciles
+    * (histogram form), keep-the-middle-band selection with kept/dropped
+    * doc and token mass telemetry.
+    */
+  private val PplKeepLo = 4
+  private val PplKeepHi = 7
+
+  private def corpusPplFilter(s: SparkSession, d: String): DataFrame =
+    Sampling.perplexityBands(Tables.documents(s, d), "lang", "doc_id",
+      "text", PplKeepLo, PplKeepHi)
+
+  private lazy val corpusPplFilterSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w) t),
+       bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+       uc AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+       lp AS (SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(ln(cb / cu)), 4) AS alp
+              FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+              GROUP BY doc_id),
+       h AS (SELECT lang, alp, count(*) AS cnt, sum(n_bigrams) AS mass
+             FROM lp JOIN documents USING (doc_id) GROUP BY 1, 2),
+       c AS (SELECT lang, alp, cnt, mass,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY alp DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS tot
+             FROM h),
+       banded AS (SELECT lang, alp, cnt, mass,
+               CASE WHEN CAST((10 * cum + tot - 1) // tot AS INTEGER) < $PplKeepLo THEN 'head'
+                    WHEN CAST((10 * cum + tot - 1) // tot AS INTEGER) <= $PplKeepHi THEN 'middle'
+                    ELSE 'tail' END AS band
+             FROM c)
+       SELECT lang, band,
+              CAST(sum(cnt) AS BIGINT) AS n_docs,
+              CAST(sum(mass) AS BIGINT) AS mass,
+              min(alp) AS min_lp, max(alp) AS max_lp,
+              CAST(band = 'middle' AS INTEGER) AS kept
+       FROM banded GROUP BY lang, band"""
+
   /** Per-language quality deciles over THE quality score — the curation
     * threshold table ("keep the top-3 deciles of each language"). Value-
     * based buckets via the histogram formulation (the windows run over a
@@ -3196,6 +3237,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
     GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
     GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
+    GQuery("ext_corpus_pplfilter", corpusPplFilter, Some(corpusPplFilterSql), "CCNet perplexity-band filter: bigram-LM deciles, keep-middle, mass telemetry"),
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),

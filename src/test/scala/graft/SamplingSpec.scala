@@ -150,6 +150,37 @@ class SamplingSpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(r => r._3 > 0.0 && r._3 < 1.0))
   }
 
+  test("perplexityBands: bands partition each stratum, kept=middle, lp ranges ordered") {
+    val bands = Sampling.perplexityBands(docs, "lang", "doc_id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5), r.getInt(6)))
+      .toMap
+    // kept flag is exactly the middle band
+    bands.foreach { case ((_, band), (_, _, _, kept)) =>
+      assert((kept == 1) == (band == "middle"), s"$band kept=$kept")
+    }
+    // per lang: band doc counts sum to the scored-doc count (docs with
+    // >= 2 tokens score; the fixture's docs all do)
+    val scored = docs.where(size(split(col("text"), " ")) >= 2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    scored.foreach { case (lang, n) =>
+      val got = bands.collect { case ((l, _), (nd, _, _, _)) if l == lang => nd }.sum
+      assert(got == n, s"$lang: bands sum $got != $n docs")
+    }
+    // head holds the HIGHEST log-probs (lowest perplexity): ranges are
+    // ordered and non-overlapping across bands (histogram buckets are
+    // distinct values)
+    scored.keys.foreach { lang =>
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2))
+        (bands.get((lang, hi)), bands.get((lang, lo))) match {
+          case (Some((_, hiMin, _, _)), Some((_, _, loMax, _))) =>
+            assert(hiMin > loMax, s"$lang: $hi min <= $lo max")
+          case _ => // a band can be empty in a tiny stratum
+        }
+    }
+  }
+
   test("mixtureWeights: shares sum to 1, sqrt flattens head and lifts tail") {
     val corpus = Seq.tabulate(120) { i =>
       // head domain = 100 docs of 9 tokens, tail = 20 docs of 4 tokens
