@@ -55,20 +55,27 @@ object Bench {
     * only the final ~2000 chars of process output and json-parses the
     * LAST line, so this must stay under 1900 chars (round-1 lesson).
     * Degrade ladder, richest representation that fits:
-    *   1. full query names;
+    *   1. full query names + q_shuffle_mb for the 16 slowest;
     *   2. abbreviated query names (see [[abbrev]]) at 2-decimal values
     *      (10 ms grain — ample for per-query comparisons; bench_detail
-    *      keeps full names at 3 decimals);
+    *      keeps full names at 3 decimals) + q_shuffle_mb;
     *   3. the TOP-80-SLOWEST queries only, plus a `q_omitted` count —
     *      the fast tail is what drops, the queries that matter for
     *      grading stay on the parse-guaranteed line (full values remain
-    *      on the earlier bench_detail diagnostic line);
-    *   4. no per-query map;
-    *   5. error list collapsed to a count (unbounded when every query
+    *      on the earlier bench_detail diagnostic line) + q_shuffle_mb;
+    *   4. top-80 without q_shuffle_mb;
+    *   5. no per-query map;
+    *   6. error list collapsed to a count (unbounded when every query
     *      fails).
+    * q_shuffle_mb outranks the fast-tail times on purpose: per-query
+    * shuffle bytes are THE contention-vs-regression adjudicator (round-6
+    * lesson — the kcore re-run would have been a pure diff had the map
+    * survived the driver's 2-line tail), and any query that regresses
+    * enters the slowest-80 automatically.
     */
   private[graft] def canonicalLine(results: Seq[Result], sfDir: String,
-      filteredOf: Option[Int] = None, shuffleMb: Option[Double] = None): String = {
+      filteredOf: Option[Int] = None, shuffleMb: Option[Double] = None,
+      qShuffleMb: Map[String, Double] = Map.empty): String = {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -80,12 +87,21 @@ object Bench {
     def line(qs: String, errsJson: String, extra: String = "") =
       s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$extra$fmark,"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
     val short = abbrev(results.map(_._1))
-    val slowest80 = results.sortBy(r => (-r._3, r._1)).take(80).sortBy(_._1)
+    val bySlow = results.sortBy(r => (-r._3, r._1))
+    val slowest80 = bySlow.take(80).sortBy(_._1)
+    val shuffle16 = bySlow.take(16).map(_._1)
+      .filter(qShuffleMb.contains).sorted
+    def shuffleJson(key: String => String) =
+      if (shuffle16.isEmpty) ""
+      else s""","q_shuffle_mb":${toJson(shuffle16.map(n => key(n) -> qShuffleMb(n)), fmt2)}"""
+    val omitted = s""","q_omitted":${math.max(0, results.size - 80)}"""
     Seq(
-      line(toJson(results.map(r => r._1 -> r._3)), errs),
-      line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3), fmt2), errs),
+      line(toJson(results.map(r => r._1 -> r._3)), errs, shuffleJson(identity)),
+      line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3), fmt2),
+        errs, shuffleJson(short)),
       line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs,
-        s""","q_omitted":${math.max(0, results.size - 80)}"""),
+        omitted + shuffleJson(short)),
+      line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs, omitted),
       line("{}", errs, s""","q_omitted":${results.size}"""),
       line("{}", s"""["${results.count(!_._4)}_queries_failed"]"""))
       .find(_.length <= 1900).get
@@ -174,7 +190,8 @@ object Bench {
     val totalShuffleMb = shuffleMb.values.sum
     println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"queries_shuffle_mb":${toJson(shuffleMb.toSeq, fmt2)},"errors":$errs}}""")
     println(canonicalLine(results, sfDir,
-      only.map(_ => SparkEntry.queries.size), Some(totalShuffleMb)))
+      only.map(_ => SparkEntry.queries.size), Some(totalShuffleMb),
+      shuffleMb.toMap))
     spark.stop()
   }
 }

@@ -50,8 +50,11 @@ class BenchLineSpec extends AnyFunSuite {
     val results = names.zipWithIndex.map { case (n, i) =>
       (n, 102.34, 2.34 + i * 0.01, true)
     }
+    // per-query shuffle at pessimistic widths ("12345.67" per query)
+    val qShuffle = names.map(_ -> 12345.67).toMap
     val line = Bench.canonicalLine(results, "/root/testdata/sf0.1",
-      shuffleMb = Some(123456.78)) // widest realistic telemetry field
+      shuffleMb = Some(123456.78), // widest realistic telemetry field
+      qShuffleMb = qShuffle)
     assert(line.length <= 1900, s"line is ${line.length} chars at ${names.size} queries")
     val root = mapper.readTree(line)
     assert(root.get("shuffle_mb").asDouble() == 123456.78)
@@ -67,6 +70,17 @@ class BenchLineSpec extends AnyFunSuite {
       assert(qs.has(maxName) || qs.has(kept),
         s"slowest query $maxName missing from the kept per-query map")
     }
+    // the contention adjudicator must survive on the canonical line:
+    // shuffle MB for the 16 slowest queries, keyed like `queries`
+    val qsh = root.get("q_shuffle_mb")
+    assert(qsh != null && qsh.size() == 16,
+      s"expected 16 q_shuffle_mb entries, got ${if (qsh == null) "none" else qsh.size()}")
+    val slowKey = Bench.abbrev(names)(results.maxBy(_._3)._1)
+    assert(qsh.has(results.maxBy(_._3)._1) || qsh.has(slowKey),
+      "slowest query missing from q_shuffle_mb")
+    val it = qsh.fieldNames()
+    while (it.hasNext) { val k = it.next(); assert(qs.has(k),
+      s"q_shuffle_mb key $k not present in queries map — keys must match") }
   }
 
   test("pathological failure: every query errored still yields a short, parseable line") {
