@@ -1000,14 +1000,30 @@ object Dedup {
     require(mode != DenseId,
       "DenseId signatures are vocabulary-relative and cannot be stored across increments")
     val exEdges = shingleEdges(existing, idCol, textCol).persist()
-    val inEdges = shingleEdges(incoming, idCol, textCol).persist()
     val (exWide, _) = minhashWideReleasable(exEdges, numPerm, mode)
+    val out = incrementalFromIndex(
+      bandBuckets(exWide, numPerm, rowsPerBand), exEdges,
+      incoming, idCol, textCol, numPerm, rowsPerBand, tau, mode)
+    exEdges.unpersist()
+    out
+  }
+
+  /** The bipartite candidate + exact-Jaccard-verify chain shared by
+    * [[incrementalMinhashDups]] (existing-side index built in-plan) and
+    * [[probeMinhashIndex]] (index re-read from parquet): probe the
+    * `incoming` batch against a prebuilt existing-side band index +
+    * shingle-edge table. exBands columns: (doc_id, band, k0..k{r-1});
+    * exEdges: (doc_id, shingle).
+    */
+  private def incrementalFromIndex(exBands: DataFrame, exEdges: DataFrame,
+      incoming: DataFrame, idCol: String, textCol: String, numPerm: Int,
+      rowsPerBand: Int, tau: Double, mode: HashMode): DataFrame = {
+    val inEdges = shingleEdges(incoming, idCol, textCol).persist()
     val (inWide, _) = minhashWideReleasable(inEdges, numPerm, mode)
     val keyCols = bandKeyCols(rowsPerBand)
     val candidates = bandBuckets(inWide, numPerm, rowsPerBand)
       .toDF("new_id" +: "band" +: keyCols: _*)
-      .join(bandBuckets(exWide, numPerm, rowsPerBand)
-        .toDF("old_id" +: "band" +: keyCols: _*),
+      .join(exBands.toDF("old_id" +: "band" +: keyCols: _*),
         Seq("band") ++ keyCols)
       .select("new_id", "old_id").distinct()
     val inter = candidates
@@ -1022,9 +1038,47 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= tau)
       .select("new_id", "old_id", "jaccard")
-    val out = materializePairs(inter, inEdges)
+    materializePairs(inter, inEdges)
+  }
+
+  /** PERSIST the existing-corpus MinHash index: the band-bucket table
+    * (the LSH inverted index every increment probes) and the
+    * shingle-edge table (exact-Jaccard verification of candidates).
+    * This is the daily-crawl loop's durable state — built once per
+    * corpus version, probed by every incoming batch via
+    * [[probeMinhashIndex]] without redoing existing-side signature work
+    * (PolyHash/XxHash signatures depend only on document text, which is
+    * exactly why DenseId is rejected: its vocabulary ranks shift with
+    * every increment, silently invalidating a stored index). At 100 TB
+    * the index is a fraction of corpus size (band tuples + shingle ids,
+    * no text) and both writes partition on doc_id-derived keys — each
+    * daily probe then reads the index instead of re-scanning the corpus.
+    */
+  def writeMinhashIndex(existing: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, rowsPerBand: Int, mode: HashMode, path: String): Unit = {
+    require(mode != DenseId,
+      "DenseId signatures are vocabulary-relative and cannot be stored across increments")
+    val exEdges = shingleEdges(existing, idCol, textCol).persist()
+    val (exWide, release) = minhashWideReleasable(exEdges, numPerm, mode)
+    bandBuckets(exWide, numPerm, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    exEdges.write.mode("overwrite").parquet(s"$path/edges")
+    release()
     exEdges.unpersist()
-    out
+  }
+
+  /** Probe an `incoming` batch against a [[writeMinhashIndex]]-persisted
+    * index. Same result as [[incrementalMinhashDups]] over the original
+    * existing frame — DedupSpec proves written-index ≡ in-plan index.
+    */
+  def probeMinhashIndex(indexPath: String, incoming: DataFrame,
+      idCol: String, textCol: String, numPerm: Int, rowsPerBand: Int,
+      tau: Double, mode: HashMode = XxHash): DataFrame = {
+    val spark = incoming.sparkSession
+    incrementalFromIndex(
+      spark.read.parquet(s"$indexPath/bands"),
+      spark.read.parquet(s"$indexPath/edges"),
+      incoming, idCol, textCol, numPerm, rowsPerBand, tau, mode)
   }
 
   /** SimHash parameters: 31-bit LCG over shingle ids. */

@@ -1130,6 +1130,25 @@ object ExtQueries extends QueryGroup {
       "doc_id", "text", MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
   }
 
+  /** The PERSIST-AND-PROBE round of the daily-crawl loop: the existing
+    * side's band index + shingle edges are WRITTEN to parquet
+    * (Dedup.writeMinhashIndex) and re-read before the incoming batch
+    * probes them — index build and probe run as separate jobs over
+    * durable state, exactly as a daily pipeline does. Results are
+    * identical to ext_dedup_incremental (the index round-trips
+    * losslessly), so the same oracle gates both.
+    */
+  private def dedupIncrPersist(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val docs = Tables.documents(s, d)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_minhash_idx_${math.abs(d.hashCode)}"
+    Dedup.writeMinhashIndex(docs.where(bucket < 80), "doc_id", "text",
+      MinhashPerms, MinhashRows, Dedup.PolyHash, path)
+    Dedup.probeMinhashIndex(path, docs.where(bucket >= 80 && bucket < 90),
+      "doc_id", "text", MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+  }
+
   /** Twin of Dedup.incrementalMinhashDups over the deterministic split:
     * existing = train bucket, incoming = the middle (val) bucket.
     */
@@ -3253,6 +3272,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_contaminate", dedupContaminate, Some(dedupContaminateSql), "cross-corpus benchmark decontamination (train x test shingle coverage)"),
     GQuery("ext_dedup_bloom", dedupBloom, Some(dedupBloomSql), "bloom-filter decontamination (broadcast eval bitset, map-side probes, FP-exact oracle)"),
     GQuery("ext_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql), "incremental MinHash dedup: new batch probed against the stored corpus index"),
+    GQuery("ext_dedup_incr_persist", dedupIncrPersist, Some(dedupIncrementalSql), "persist-and-probe incremental dedup: band index written to parquet, re-read, probed"),
     GQuery("ext_dedup_spans", dedupSpans, Some(dedupSpansSql), "verbatim-span detection: exact substring overlaps via positional-gram diagonals"),
     GQuery("ext_cc_triangles", ccTriangles, Some(ccTrianglesSql), "triangle participation on the dup graph (degree-ordered wedge join)"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),

@@ -324,6 +324,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted minhash index: written-index probe ≡ in-plan incremental, sf data") {
+    val d = Tables.documents(spark, sf0001)
+    val bucket = Dedup.polyHash(concat(col("text"), lit("|graft-split-42"))) % 100
+    val existing = d.where(bucket < 80)
+    val incoming = d.where(bucket >= 80 && bucket < 90)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_spec").toString
+    try {
+      Dedup.writeMinhashIndex(existing, "doc_id", "text", 16, 2,
+        Dedup.PolyHash, path)
+      val fromIndex = Dedup.probeMinhashIndex(path, incoming, "doc_id",
+        "text", 16, 2, 0.6, Dedup.PolyHash)
+        .as[(Long, Long, Double)].collect().toSet
+      val inPlan = Dedup.incrementalMinhashDups(existing, incoming,
+        "doc_id", "text", 16, 2, 0.6, Dedup.PolyHash)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fromIndex == inPlan,
+        s"round-tripped index diverged: ${fromIndex.diff(inPlan)} vs ${inPlan.diff(fromIndex)}")
+      assert(fromIndex.nonEmpty, "vacuous: split produced no near-dup pairs")
+      // a SECOND batch probes the SAME stored index - no index rebuild
+      val batch2 = d.where(bucket >= 90)
+      val fromIndex2 = Dedup.probeMinhashIndex(path, batch2, "doc_id",
+        "text", 16, 2, 0.6, Dedup.PolyHash)
+        .as[(Long, Long, Double)].collect().toSet
+      val inPlan2 = Dedup.incrementalMinhashDups(existing, batch2,
+        "doc_id", "text", 16, 2, 0.6, Dedup.PolyHash)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fromIndex2 == inPlan2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("bloomContamination: superset of exact coverage, tight at generous sizing") {
     val d = Tables.documents(spark, sf0001)
     val bucket = Dedup.polyHash(concat(col("text"), lit("|graft-split-42"))) % 100
