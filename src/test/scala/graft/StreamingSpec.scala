@@ -167,6 +167,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index probe: micro-batched stream ≡ one-shot batch probe, replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = Tables.documents(spark, sf0001)
+    val bucket = operators.Dedup.polyHash(
+      concat(col("text"), lit("|graft-split-42"))) % 100
+    val existing = d.where(bucket < 80)
+    val incoming = d.where(bucket >= 80 && bucket < 90)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(incoming.length >= 3, "fixture split too small to micro-batch")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_stream").toString
+    try {
+      operators.Dedup.writeMinhashIndex(existing, "doc_id", "text", 16, 2,
+        operators.Dedup.PolyHash, path)
+      val state = new graft.streaming.IndexProbeStream.ProbeState(
+        path, "doc_id", "text", 16, 2, 0.6, operators.Dedup.PolyHash)
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch(state.sink _).outputMode("append").start()
+      try {
+        // three uneven micro-batches covering the whole incoming set
+        val (b1, rest) = incoming.splitAt(incoming.length / 3)
+        val (b2, b3) = rest.splitAt(rest.length / 2)
+        for (b <- Seq(b1, b2, b3)) { input.addData(b.toSeq); q.processAllAvailable() }
+        val streamed = state.pairs.as[(Long, Long, Double)].collect().toSet
+        val oneShot = operators.Dedup.probeMinhashIndex(path,
+            d.where(bucket >= 80 && bucket < 90), "doc_id", "text",
+            16, 2, 0.6, operators.Dedup.PolyHash)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(streamed == oneShot,
+          s"stream/batch diverged: ${streamed.diff(oneShot)} vs ${oneShot.diff(streamed)}")
+        assert(streamed.nonEmpty, "vacuous: no near-dup pairs in the split")
+        // at-least-once replay: re-deliver batch 1, accumulated set unchanged
+        input.addData(b1.toSeq); q.processAllAvailable()
+        val replayed = state.pairs.as[(Long, Long, Double)].collect().toSet
+        assert(replayed == oneShot, "replayed batch must fold to a no-op")
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("streaming SCD2 on the keyed backend: live foreachBatch, same dimension") {
     // the production backend under a REAL streaming query (the batch-wise
     // equivalence test below covers the slice mechanics; this covers the
