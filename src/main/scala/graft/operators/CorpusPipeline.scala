@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data corpus clean — the operation the
@@ -62,5 +62,61 @@ object CorpusPipeline {
     val pairs = Dedup.minhashLshPairs(prefiltered, idCol, textCol,
       numPerm, rowsPerBand, tau, mode)
     CleanFunnel(Dedup.sweep(prefiltered, idCol, pairs), oScored, oKept)
+  }
+
+  /** Per-document curation LINEAGE — the governance/provenance column a
+    * training-data pipeline must carry: a stage bitmask recording how
+    * far each document advanced through clean → dedup → sample → pack.
+    *
+    *   bit 0 (1): passed the quality + language prefilter;
+    *   bit 1 (2): survived the near-dup sweep (kept as canonical);
+    *   bit 2 (4): drawn by the stratified sample;
+    *   bit 3 (8): packed spanning a context-window boundary.
+    *
+    * Stages are nested (sampled ⊆ canonical ⊆ prefiltered), so the only
+    * reachable masks are 0, 1, 3, 7 and 15 — any other value is a
+    * pipeline bug, which is exactly what makes the column auditable.
+    * Returns one row per input document: (idCol, pred_lang, unitsCol,
+    * lineage); callers roll up per (pred_lang, lineage) for the audit
+    * table.
+    *
+    * Scale shape: one scored corpus checkpoint feeds both the filter
+    * chain and the final assembly (the quality/langId string work runs
+    * once); the flag attachments are doc_id equi-joins against frames
+    * that shrink down the funnel, never a second corpus scan.
+    */
+  def lineage(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, langs: Seq[String],
+      numPerm: Int, rowsPerBand: Int, tau: Double, mode: Dedup.HashMode,
+      quota: Column, sampleSalt: String,
+      unitsCol: String, budget: Long, packSalt: String): DataFrame = {
+    val t = col(textCol)
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityScore(t))
+      .withColumn("pred_lang", TextAnalysis.langId(t))
+      .localCheckpoint()
+    val keep = col("quality") >= minQuality &&
+      col("pred_lang").isin(langs.map(x => x: Any): _*)
+    val pre = scored.where(keep)
+    val removed = Dedup.minhashLshPairs(pre, idCol, textCol,
+        numPerm, rowsPerBand, tau, mode)
+      .select(col("doc_b").as(idCol)).distinct()
+    val cleaned = pre.join(removed, Seq(idCol), "left_anti")
+    val sampled = Sampling.stratified(cleaned, Seq("pred_lang"),
+      idCol, textCol, quota, sampleSalt)
+    val packed = Sampling.packSequences(sampled, Seq("pred_lang"),
+      idCol, unitsCol, budget, packSalt)
+    scored.select(col(idCol), col("pred_lang"), col(unitsCol),
+        keep.cast("int").as("__pre"))
+      .join(removed.select(col(idCol), lit(1).as("__rm")), Seq(idCol), "left")
+      .join(sampled.select(col(idCol), lit(1).as("__smp")), Seq(idCol), "left")
+      .join(packed.select(col(idCol), col("spans_next").as("__span")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("pred_lang"), col(unitsCol),
+        (col("__pre")
+          + when(col("__pre") === 1 && col("__rm").isNull, 2).otherwise(0)
+          + coalesce(col("__smp") * 4, lit(0))
+          + when(col("__span") === 1, 8).otherwise(0)).cast("int")
+          .as("lineage"))
   }
 }

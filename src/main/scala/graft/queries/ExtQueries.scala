@@ -3159,6 +3159,79 @@ object ExtQueries extends QueryGroup {
         min(col("quality")).as("min_quality"))
   }
 
+  /** Curation lineage audit (CorpusPipeline.lineage): per-document stage
+    * bitmask (1 prefiltered | 2 canonical | 4 sampled | 8 pack-spanning)
+    * rolled up per (pred_lang, lineage) with doc and char mass — the
+    * auditable per-stage funnel of the curate composite.
+    */
+  private def corpusLineage(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.operators.CorpusPipeline.lineage(Tables.documents(s, d),
+        "doc_id", "text", CleanMinQuality, CleanLangs,
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash,
+        lit(CurateQuota), CurateSampleSalt,
+        "n_chars", CurateBudget, CuratePackSalt)
+      .groupBy("pred_lang", "lineage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  private lazy val corpusLineageSql = {
+    val langList = CleanLangs.map(l => s"'$l'").mkString(", ")
+    val quality = qualitySqlOver(
+      "len(list_distinct(string_split(text, ' ')))",
+      "len(string_split(text, ' '))",
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql)))")
+    val keep = s"quality >= $CleanMinQuality AND pred_lang IN ($langList)"
+    val keepS = s"s.quality >= $CleanMinQuality AND s.pred_lang IN ($langList)"
+    s"""WITH scored AS (
+         SELECT doc_id, text, n_chars,
+           $quality AS quality,
+           $langCaseSql AS pred_lang
+         FROM (SELECT doc_id, text, n_chars, $langScoresSql FROM documents) t0),
+       pre AS (SELECT * FROM scored WHERE $keep),
+       pairs AS (
+         WITH ${minhashCtesSql("pre")},
+         ${verifySql(MinhashTau)}),
+       removed AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+       cleaned AS (
+         SELECT doc_id, text, pred_lang, n_chars FROM pre
+         WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = pre.doc_id)),
+       sampled AS (
+         SELECT doc_id, pred_lang, n_chars FROM (
+           SELECT doc_id, pred_lang, n_chars,
+             row_number() OVER (PARTITION BY pred_lang
+               ORDER BY ${polyHashSql(s"'$CurateSampleSalt' || text")}, doc_id) AS rn
+           FROM cleaned) t
+         WHERE rn <= $CurateQuota),
+       ordered AS (
+         SELECT doc_id, pred_lang, n_chars,
+           sum(n_chars) OVER (PARTITION BY pred_lang
+             ORDER BY ${polyHashSql(s"'$CuratePackSalt' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM sampled),
+       packd AS (
+         SELECT doc_id,
+           CASE WHEN CAST(floor((cum - 1) / $CurateBudget) AS BIGINT)
+                   > CAST(floor((cum - n_chars) / $CurateBudget) AS BIGINT)
+                THEN 1 ELSE 0 END AS spans_next
+         FROM ordered),
+       lin AS (
+         SELECT s.pred_lang, s.n_chars,
+           (CASE WHEN $keepS THEN 1 ELSE 0 END)
+           + (CASE WHEN $keepS AND r.doc_id IS NULL THEN 2 ELSE 0 END)
+           + (CASE WHEN sm.doc_id IS NOT NULL THEN 4 ELSE 0 END)
+           + (CASE WHEN pk.spans_next = 1 THEN 8 ELSE 0 END) AS lineage
+         FROM scored s
+         LEFT JOIN removed r ON r.doc_id = s.doc_id
+         LEFT JOIN (SELECT doc_id FROM sampled) sm ON sm.doc_id = s.doc_id
+         LEFT JOIN packd pk ON pk.doc_id = s.doc_id)
+       SELECT pred_lang, CAST(lineage AS INTEGER) AS lineage,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM lin GROUP BY 1, 2"""
+  }
+
   private lazy val corpusCurateSql = {
     val langList = CleanLangs.map(l => s"'$l'").mkString(", ")
     val quality = qualitySqlOver(
@@ -3255,6 +3328,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_sample", corpusSample, Some(corpusSampleSql), "stratified weighted-quota sample (deterministic salted-hash draw)"),
     GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
     GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
+    GQuery("ext_corpus_lineage", corpusLineage, Some(corpusLineageSql), "per-doc curation stage bitmask (prefilter|canonical|sampled|spanning) rollup"),
     GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
     GQuery("ext_corpus_pplfilter", corpusPplFilter, Some(corpusPplFilterSql), "CCNet perplexity-band filter: bigram-LM deciles, keep-middle, mass telemetry"),
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),

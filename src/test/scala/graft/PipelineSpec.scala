@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * the "whole proc in one call" surface.
   */
 class PipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   lazy val out: CustomerDimPipeline.Outputs =
     CustomerDimPipeline.run(spark, sf0001)
@@ -29,6 +30,32 @@ class PipelineSpec extends SparkSpec {
       .count()
     assert(kept == keptDirect)
     assert(nClean > 0 && nClean <= kept) // dedup only ever removes
+  }
+
+  test("curation lineage: nested stages yield only masks {0,1,3,7,15}, funnel consistent") {
+    import graft.operators.{CorpusPipeline, Dedup}
+    val docs = Tables.documents(spark, sf0001)
+    val lin = CorpusPipeline.lineage(docs, "doc_id", "text", 0.7,
+        Seq("sqlish", "streamish"), 16, 2, 0.8, Dedup.PolyHash,
+        lit(40), "|s1", "n_chars", 4000L, "|p1")
+      .localCheckpoint()
+    // one row per input document
+    assert(lin.count() == docs.count())
+    // nesting: the stage bits can only accumulate in order
+    val masks = lin.groupBy("lineage").count()
+      .as[(Int, Long)].collect().toMap
+    assert(masks.keySet.subsetOf(Set(0, 1, 3, 7, 15)),
+      s"unreachable mask present: ${masks.keySet -- Set(0, 1, 3, 7, 15)}")
+    // funnel consistency vs the standalone clean: canonical docs (bit 1)
+    // = clean() survivors
+    val nClean = CorpusPipeline.clean(docs, "doc_id", "text", 0.7,
+      Seq("sqlish", "streamish"), 16, 2, 0.8, Dedup.PolyHash).count()
+    val nCanonical = lin.where((col("lineage").bitwiseAND(2)) === 2).count()
+    assert(nCanonical == nClean, s"canonical $nCanonical != clean $nClean")
+    // sampled (bit 2) respects the per-stratum quota
+    val perLang = lin.where((col("lineage").bitwiseAND(4)) === 4)
+      .groupBy("pred_lang").count().as[(String, Long)].collect()
+    assert(perLang.nonEmpty && perLang.forall(_._2 <= 40))
   }
 
   test("upsert image keeps exactly one row per customer") {
