@@ -1483,6 +1483,58 @@ object ExtQueries extends QueryGroup {
        WHERE rnk <= $TopK"""
   }
 
+  /** Recall-vs-probes CURVE: recall@k of IVF at nprobe ∈ {1, 2, 4, 8}
+    * against the brute-force truth — the tuning table an ANN deployment
+    * reads to pick its operating point (each probe step multiplies
+    * scanned candidates by ~P/previous-P; recall is monotone
+    * non-decreasing in P because a query's candidate set only grows).
+    * Completes the multi-probe story: ext_ann_ivf/ivf2 are single
+    * operating points, this is the dial.
+    */
+  private val IvfProbeLadder = Seq(1, 2, 4, 8)
+
+  private def annIvfProbes(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+    val q = annQueries(s, d)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", TopK),
+      IvfProbeLadder.map(p => s"p$p" ->
+        Similarity.ivfTopK(corpus, q, "vec_id", "embedding", TopK,
+          IvfCentroidEvery, nprobe = p)),
+      TopK)
+  }
+
+  /** annIvf2Sql generalized to any probe count: query-side assignment
+    * keeps the top-$p cells, corpus assignment stays single-cell.
+    */
+  private def annIvfProbeSql(p: Int): String = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    val searchCos = s"${dotOf("q.vec", "c.vec")} / (sqrt(q.nsq) * sqrt(c.nsq))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       ranked AS (
+         SELECT n.vec_id AS vid, n.vec, n.nsq, c.cent_id AS cell,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vid, vec, nsq, cell FROM ranked WHERE rn = 1),
+       qassign AS (SELECT vid, vec, nsq, cell FROM ranked
+                   WHERE rn <= $p AND vid % $QueryMod = 0),
+       scored AS (
+         SELECT q.vid AS q_id, c.vid AS vec_b, $searchCos AS cosine
+         FROM qassign q JOIN assign c ON q.cell = c.cell AND q.vid <> c.vid)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
+  private lazy val annIvfProbesSql =
+    IvfProbeLadder.map(p => recallRowSql(s"p$p", annIvfProbeSql(p)))
+      .mkString("\nUNION ALL\n")
+
   /** Product quantization: 2 subspaces of 32 dims, corpus-seeded
     * codebooks (same every-25th pick as IVF). Small M on purpose — the
     * oracle mirrors each subspace as its own CTE chain.
@@ -3368,6 +3420,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
+    GQuery("ext_ann_ivf_probes", annIvfProbes, Some(annIvfProbesSql), "recall-vs-nprobe curve: IVF at 1/2/4/8 probes vs brute-force truth"),
     GQuery("ext_ann_matryoshka", annMatryoshka, Some(annMatryoshkaSql), "recall@k of prefix-dim (matryoshka) search vs full-dim truth"),
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
     GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),

@@ -72,6 +72,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got("ivf")._2 == exactSet.map(_._1).size)
   }
 
+  test("multi-probe ladder: recall is monotone non-decreasing in nprobe") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+    val ladder = Seq(1, 2, 4, 8)
+    val got = Similarity.recallAtK(exact,
+        ladder.map(p => s"p$p" -> Similarity.ivfTopK(corpus, queries,
+          "vec_id", "embedding", 5, 25, nprobe = p)), 5)
+      .as[(String, Int, Int, Double)].collect().map(r => r._1 -> r._4).toMap
+    val curve = ladder.map(p => got(s"p$p"))
+    // a query's candidate set only grows with nprobe, and anything that
+    // displaces a truth member from the approximate top-k has higher
+    // cosine and is therefore itself a truth member — so hits (and
+    // recall) cannot decrease
+    assert(curve == curve.sorted,
+      s"recall not monotone over nprobe ladder: ${ladder.zip(curve)}")
+    // the curve must actually move somewhere on this data: probing all
+    // ~20 cells at p=8 beats single-probe
+    assert(curve.last > curve.head,
+      s"vacuous curve (flat at ${curve.head}): widen the ladder or data")
+    info(s"recall curve: ${ladder.zip(curve).map { case (p, r) => s"p$p=$r" }.mkString(" ")}")
+  }
+
   test("pqTopK: identical codes reconstruct identically; recall floor holds") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)
