@@ -977,6 +977,56 @@ object Dedup {
       s"stack($numBands, $stackRows) AS (band, ${bandKeyCols(rowsPerBand).mkString(", ")})")
   }
 
+  /** LSH BAND-SWEEP — the (bands × rows) operating-point curve every
+    * MinHash deployment tunes before a 100 TB run: for each rowsPerBand
+    * r in the ladder (bands = numPerm / r), the candidate-pair volume
+    * the banding surfaces (the verification COST) and the fraction of
+    * the exact-Jaccard >= tau truth those candidates recover (the
+    * RECALL). Fewer rows per band -> looser buckets -> more candidates
+    * -> higher recall; since a pair sharing an r-row band shares every
+    * divisor-width sub-band, candidate sets are NESTED down the ladder
+    * and both counts are monotone in r (DedupSpec asserts it).
+    *
+    * ONE signature build is shared across every ladder point (the wide
+    * frame persists; each banding is just a stack() re-read) and the
+    * truth pair set is computed once — the sweep costs one exact-Jaccard
+    * pass plus |ladder| band self-joins, never |ladder| signature
+    * builds.
+    */
+  def minhashBandSweep(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, rowsLadder: Seq[Int], tau: Double,
+      mode: HashMode = XxHash): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val truth = scoredIntersectionPairsOnEdges(edges, "jaccard",
+        (inter, na, nb) => inter / (na + nb - inter), tau,
+        broadcastSizes = true)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val (wide0, releaseVocab) = minhashWideReleasable(edges, numPerm, mode)
+    val wide = wide0.persist()
+    val truthCnt = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = rowsLadder.map { r =>
+      val keyCols = bandKeyCols(r)
+      val buckets = bandBuckets(wide, numPerm, r)
+      val cand = buckets.toDF("doc_a" +: "band" +: keyCols: _*)
+        .join(buckets.toDF("doc_b" +: "band" +: keyCols: _*),
+          Seq("band") ++ keyCols)
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint(eager = false)
+      val candCnt = cand.agg(count(lit(1)).as("n_cand"))
+      val hitCnt = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_pairs"))
+      candCnt.crossJoin(hitCnt).crossJoin(truthCnt)
+        .select(lit(r).cast("int").as("rows_per_band"),
+          lit(numPerm / r).cast("int").as("n_bands"),
+          col("n_cand"), col("n_pairs"),
+          round(col("n_pairs") / col("n_truth"), 6).as("pair_recall"))
+    }
+    val out = rows.reduce(_.unionAll(_)).localCheckpoint()
+    releaseVocab(); wide.unpersist(); edges.unpersist()
+    out
+  }
+
   /** INCREMENTAL dedup — the daily-crawl shape: near-dups of the
     * `incoming` batch AGAINST the `existing` corpus (bipartite — the
     * corpus is never self-joined; intra-batch dups are [[minhashLshPairs]]

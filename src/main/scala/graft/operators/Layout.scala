@@ -45,6 +45,50 @@ object Layout {
         min(aCol).as("a_min"), max(aCol).as("a_max"),
         min(bCol).as("b_min"), max(bCol).as("b_max"))
 
+  /** Zone-map MANIFEST + skip audit — footer-stats pruning made
+    * auditable: rows are assigned to "files" under TWO layouts in one
+    * scan (a grouping-sets aggregate): the Z-ORDER layout (files =
+    * aligned z-value blocks of width `zDiv`, see [[zValue]]) and the
+    * NATURAL ingest layout (files = consecutive `natDiv`-wide windows of
+    * the time dimension — what a daily append job produces). Each output
+    * row is one file's footer stats (row count, min/max of both dims)
+    * plus `skippable`: whether the rectangle predicate
+    * (a BETWEEN aLo AND aHi, b within the first `bSpan` values of the
+    * b range) can prune the file without reading it. The natural layout
+    * prunes on b only; z-order bounds BOTH dims per file — the reason a
+    * 100 TB table pays for the z-order rewrite.
+    *
+    * Scale shape: ONE corpus scan feeding one grouping-sets aggregate
+    * (map-side combinable in both sets) plus a broadcast 1-row min for
+    * the data-relative b window. No windows, no global sort.
+    */
+  def zoneManifest(df: DataFrame, aCol: String, bCol: String, bits: Int,
+      zDiv: Long, natDiv: Long, aLo: Long, aHi: Long,
+      bSpan: Long): DataFrame = {
+    val b0 = df.agg(min(col(bCol)).cast("long").as("__b0"))
+    val base = df
+      .withColumn("__z", zValue(aCol, bCol, bits))
+      .withColumn("__zf", expr(s"__z div ${zDiv}L"))
+      .withColumn("__nf", expr(s"$bCol div ${natDiv}L"))
+    base
+      .groupingSets(Seq(Seq(col("__zf")), Seq(col("__nf"))),
+        col("__zf"), col("__nf"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
+        min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"),
+        grouping(col("__nf")).cast("int").as("__gz"))
+      .crossJoin(broadcast(b0))
+      .select(
+        when(col("__gz") === 1, lit("zorder")).otherwise(lit("natural"))
+          .as("layout"),
+        coalesce(col("__zf"), col("__nf")).as("file_id"),
+        col("n_rows"), col("a_min"), col("a_max"),
+        col("b_min"), col("b_max"),
+        (col("a_max") < aLo || col("a_min") > aHi ||
+          col("b_min") > col("__b0") + lit(bSpan - 1) ||
+          col("b_max") < col("__b0")).as("skippable"))
+  }
+
   /** Export shard-balance audit: content-hashed shard assignment
     * (shard = polyhash(content) mod numShards — content-addressed, so an
     * exact duplicate always lands in the same output file regardless of

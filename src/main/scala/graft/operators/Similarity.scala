@@ -389,6 +389,43 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** Two-stage retrieval with exact RE-RANKING — the production serving
+    * shape: the approximate first stage ([[ivfPqTopK]], cell-pruned
+    * candidates scored on code reconstructions) keeps a candidate list of
+    * size c >> k per query; the second stage re-scores ONLY those c
+    * candidates against their raw full-precision vectors and emits the
+    * exact-cosine top-k. Any global-truth neighbor the candidate stage
+    * recovers is GUARANTEED into the final list (it beats every other
+    * candidate on exact cosine), so recall(rerank) >= recall(ivfpq@k) by
+    * construction — SimilaritySpec asserts it.
+    *
+    * The 100 TB shape: stage one never touches raw vectors at search
+    * time (codes only); stage two's raw-vector reads are bounded by
+    * n_queries x c — the tiny candidate list BROADCASTS onto the
+    * un-shuffled corpus, so full-precision data moves for candidates
+    * only, never for the corpus.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cands: Int, centroidEvery: Int, numSub: Int,
+      dim: Int): DataFrame = {
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, cands,
+        centroidEvery, numSub, dim)
+      .select(col("q_id"), col("neighbor_id"))
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val corp = corpus.select(col(idCol).as("neighbor_id"), vecD.as("vb"),
+      VectorOps.normSq(vecD).as("nb"))
+    val q = queries.select(col(idCol).as("q_id"), vecD.as("va"),
+      VectorOps.normSq(vecD).as("na"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corp.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine",
+        VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage form of a
     * billion-vector ANN index (4x smaller than float32, SIMD-friendly
     * dot products). scale = max|v| / 127, q_i = floor(v_i / scale + 0.5)

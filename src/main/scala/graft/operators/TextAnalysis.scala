@@ -370,12 +370,23 @@ object TextAnalysis {
     * localCheckpoint per round cuts the O(rounds²) lineage growth, as in
     * [[Dedup.connectedComponents]].
     */
-  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeLoop(docs, textCol, rounds)._1.reduce(_.unionAll(_))
+
+  /** Shared BPE trainer core: runs the K merge rounds and returns both the
+    * per-round picks and the FINAL segmented vocabulary (w, repr, c) —
+    * `bpeTrain` publishes the former, [[bpeApplyBudget]] consumes the
+    * latter. The word column rides the chain untouched so application can
+    * join token counts back onto the corpus word stream.
+    */
+  private def bpeLoop(
+      docs: DataFrame, textCol: String, rounds: Int): (Seq[DataFrame], DataFrame) = {
     val wc = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("c"))
     var vocab = wc.select(
+      col("w"),
       concat(lit(" "), array_join(
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
           "  "), lit(" "))
@@ -396,13 +407,47 @@ object TextAnalysis {
         .localCheckpoint(eager = false)
       vocab = vocab
         .crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .select(expr(
+        .select(col("w"), expr(
           """replace(repr, concat(' ', replace(bp, ' ', '  '), ' '),
                            concat(' ', replace(bp, ' ', ''), ' '))""")
           .as("repr"), col("c"))
         .localCheckpoint(eager = false)
       best.select(lit(r).cast("int").as("round"), col("pair"), col("freq"))
     }
-    picks.reduce(_.unionAll(_))
+    (picks, vocab)
+  }
+
+  /** Tokenizer APPLICATION — the per-source token BUDGET under the trained
+    * vocabulary: train K merges ([[bpeLoop]]), segment every vocabulary
+    * word, and roll the per-word token counts up to one row per source
+    * (docs, words, chars, BPE tokens, chars-per-token compression). This is
+    * the statistic a pre-training pipeline prices every corpus slice with
+    * before mixing.
+    *
+    * The 100 TB shape: the corpus is touched by exactly TWO map-side-
+    * combinable aggregates (the trainer's global word count and the
+    * per-(source, word) count); the segmentation join then runs on the
+    * vocab-×-sources frame — bounded, ≪ corpus — with the segmented vocab
+    * broadcast. Words the trainer never saw (length < 2) count as one
+    * token via the left-join coalesce.
+    */
+  def bpeApplyBudget(
+      docs: DataFrame, srcCol: String, textCol: String, rounds: Int): DataFrame = {
+    val seg = bpeLoop(docs, textCol, rounds)._2
+      .select(col("w"), size(split(trim(col("repr")), "  ")).as("n_sym"))
+    val wcs = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cw"))
+    val budget = wcs.join(broadcast(seg), Seq("w"), "left")
+      .groupBy("source").agg(
+        sum(col("cw")).as("n_words"),
+        sum(col("cw") * length(col("w"))).as("n_chars"),
+        sum(col("cw") * coalesce(col("n_sym"), lit(1))).as("n_tokens"))
+    val perSrcDocs = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    perSrcDocs.join(budget, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_chars") / col("n_tokens"), 6).as("chars_per_token"))
   }
 }

@@ -296,6 +296,59 @@ object ExtQueries extends QueryGroup {
        $out"""
   }
 
+  /** Tokenizer APPLICATION (TextAnalysis.bpeApplyBudget): per-source token
+    * BUDGET under the K-merge trained vocabulary — docs, words, chars, BPE
+    * tokens, chars-per-token. The oracle re-runs the identical unrolled
+    * merge chain (carrying the word through the vocab CTEs) and joins the
+    * segmented vocab back onto a per-(source, word) count.
+    */
+  private def textBpeApply(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeApplyBudget(Tables.documents(s, d), "source", "text", BpeTrainRounds)
+
+  private val textBpeApplySql: String = {
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""p$r AS (
+           SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+                  CAST(sum(c) AS BIGINT) AS freq
+           FROM (SELECT string_split(trim(repr), '  ') AS syms, c
+                 FROM v${r - 1}) t,
+                unnest(range(1, len(syms))) AS u$r(i)
+           GROUP BY 1),
+         b$r AS (SELECT pair, freq FROM p$r
+                 ORDER BY freq DESC, pair ASC LIMIT 1),
+         v$r AS (
+           SELECT w, replace(repr, ' ' || replace(pair, ' ', '  ') || ' ',
+                                   ' ' || replace(pair, ' ', '') || ' ') AS repr, c
+           FROM v${r - 1}, b$r)"""
+    }.mkString(",\n")
+    s"""WITH wc AS (
+         SELECT w, count(*) AS c
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         WHERE len(w) >= 2 GROUP BY w),
+       v0 AS (
+         SELECT w, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                  i -> substring(w, i, 1)), '  ') || ' ' AS repr, c
+         FROM wc),
+       $rounds,
+       seg AS (
+         SELECT w, CAST(len(string_split(trim(repr), '  ')) AS INTEGER) AS n_sym
+         FROM v$BpeTrainRounds),
+       wcs AS (
+         SELECT source, w, count(*) AS cw
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+         GROUP BY 1, 2),
+       budget AS (
+         SELECT source,
+                CAST(sum(cw) AS BIGINT) AS n_words,
+                CAST(sum(cw * len(w)) AS BIGINT) AS n_chars,
+                CAST(sum(cw * coalesce(n_sym, 1)) AS BIGINT) AS n_tokens
+         FROM wcs LEFT JOIN seg USING (w) GROUP BY 1),
+       d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       SELECT source, n_docs, n_words, n_chars, n_tokens,
+              round(n_chars / n_tokens, 6) AS chars_per_token
+       FROM d JOIN budget USING (source)"""
+  }
+
   private def textBigramLm(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
 
@@ -697,6 +750,41 @@ object ExtQueries extends QueryGroup {
               min(user_id) AS a_min, max(user_id) AS a_max,
               min(day) AS b_min, max(day) AS b_max
        FROM zv GROUP BY 1"""
+  }
+
+  /** Zone-map manifest over the same (user, day) dims as the z-order
+    * audit: z-block files vs 4-day natural ingest files, with the
+    * per-file skippable flag for the rectangle predicate
+    * user_id IN [2, 5] AND day within the first 8 days of the fixture.
+    */
+  private def layoutManifest(s: SparkSession, d: String): DataFrame =
+    Layout.zoneManifest(
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $ZDayNs").as("day")),
+      "user_id", "day", 16, 1024L, 4L, 2L, 5L, 8L)
+
+  /** Twin of Layout.zoneManifest: the same interleave fold, one GROUPING
+    * SETS aggregate over (zf) and (nf), and the rectangle-overlap flag
+    * off the per-file stats.
+    */
+  private val layoutManifestSql = {
+    val z = (0 until 16).map(i =>
+      s"(((user_id >> $i) & 1) << ${2 * i}) + (((day >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $ZDayNs AS day FROM events),
+       f AS (SELECT user_id, day,
+               CAST($z AS BIGINT) // 1024 AS zf, day // 4 AS nf FROM e),
+       b0 AS (SELECT min(day) AS d0 FROM f),
+       m AS (
+         SELECT CASE WHEN GROUPING(nf) = 1 THEN 'zorder' ELSE 'natural' END AS layout,
+                coalesce(zf, nf) AS file_id,
+                count(*) AS n_rows,
+                min(user_id) AS a_min, max(user_id) AS a_max,
+                min(day) AS b_min, max(day) AS b_max
+         FROM f GROUP BY GROUPING SETS ((zf), (nf)))
+       SELECT layout, file_id, n_rows, a_min, a_max, b_min, b_max,
+              (a_max < 2 OR a_min > 5 OR b_min > d0 + 7 OR b_max < d0) AS skippable
+       FROM m, b0"""
   }
 
   private val NumShards = 16
@@ -1106,6 +1194,61 @@ object ExtQueries extends QueryGroup {
   private val dedupMinhashSql =
     s"""WITH ${minhashCtesSql("documents")},
        ${verifySql(MinhashTau)}"""
+
+  /** The rowsPerBand ladder of the LSH band-sweep (bands = 16/r): r=1 is
+    * the loosest bucketing (most candidates, highest recall), r=4 the
+    * tightest — the cost/recall operating points a deployment chooses
+    * between.
+    */
+  private val BandLadder = Seq(1, 2, 4)
+
+  private def dedupBandSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashBandSweep(Tables.documents(s, d), "doc_id", "text",
+      MinhashPerms, BandLadder, MinhashTau, Dedup.PolyHash)
+
+  /** Twin of Dedup.minhashBandSweep: one shared signature CTE, one truth
+    * CTE (exact all-pairs Jaccard >= tau off the inverted index), then a
+    * bucket/candidate/hit CTE triple per ladder point and one output row
+    * each via scalar-subquery counts.
+    */
+  private lazy val dedupBandSweepSql = {
+    val bands = BandLadder.map { r =>
+      s"""bkt$r AS (
+           SELECT doc_id, j // $r AS band,
+                  string_agg(minh::VARCHAR, ',' ORDER BY j) AS bucket
+           FROM sig GROUP BY doc_id, band),
+         cand$r AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bkt$r a JOIN bkt$r b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         hit$r AS (SELECT doc_a, doc_b FROM cand$r
+                   INTERSECT SELECT doc_a, doc_b FROM truth)"""
+    }.mkString(",\n")
+    val pts = BandLadder.map { r =>
+      s"""SELECT $r AS rows_per_band, ${MinhashPerms / r} AS n_bands,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand$r) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM hit$r) AS n_pairs,
+             round((SELECT count(*) FROM hit$r) * 1.0 /
+                   (SELECT count(*) FROM truth), 6) AS pair_recall"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${edgesSqlFrom("documents")}, $sizesSql,
+       $polyIdsSql,
+       sig AS (
+         SELECT doc_id, j, min(((37 * j + 11) * sid + 101 * j + 7) % ${Dedup.MinhashMod}) AS minh
+         FROM ids, range($MinhashPerms) t(j) GROUP BY doc_id, j),
+       ti AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM edges a JOIN edges b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT doc_a, doc_b
+         FROM ti JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE i / (sa.n_sh + sb.n_sh - i) >= $MinhashTau),
+       $bands
+       $pts"""
+  }
 
   /** One side of the bipartite incremental chain: edges → polyhash ids →
     * wide signatures → band buckets, all CTEs prefixed `$p`.
@@ -1634,6 +1777,59 @@ object ExtQueries extends QueryGroup {
          JOIN nr b ON b.vec_id = ca.vid
          WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id)
        $pqTopKSelect"""
+  }
+
+  /** Candidate-list size of the exact re-rank stage — c >> k so the
+    * second stage has headroom to repair first-stage quantization error.
+    */
+  private val RerankCands = 20
+
+  private def annRerank(s: SparkSession, d: String): DataFrame =
+    Similarity.rerankTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, RerankCands, IvfCentroidEvery, PqSub, EmbDim)
+
+  /** Twin of Similarity.rerankTopK: annIvfPqSql's chain kept to the top-c
+    * candidate list, then an exact-cosine rescore of just those
+    * candidates against the raw vectors.
+    */
+  private lazy val annRerankSql = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       assign AS (
+         SELECT vid, cell FROM (
+           SELECT n.vec_id AS vid, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+           FROM n, cents c) t
+         WHERE rn = 1),
+       $pqSubCtes,
+       $pqRecCtes,
+       scored AS (
+         SELECT q.vec_id AS q_id, b.vec_id AS vec_b,
+                ${dotOf("q.vec", "b.vrec")} / (sqrt(q.nsq) * sqrt(b.nrec)) AS cosine
+         FROM n q
+         JOIN assign qa ON qa.vid = q.vec_id
+         JOIN assign ca ON ca.cell = qa.cell
+         JOIN nr b ON b.vec_id = ca.vid
+         WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+       cand AS (
+         SELECT q_id, vec_b FROM (
+           SELECT q_id, vec_b,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS rn
+           FROM scored) r
+         WHERE rn <= $RerankCands),
+       rescored AS (
+         SELECT cand.q_id, cand.vec_b,
+                ${dotOf("q.vec", "b.vec")} / (sqrt(q.nsq) * sqrt(b.nsq)) AS cosine
+         FROM cand JOIN n q ON q.vec_id = cand.q_id
+                   JOIN n b ON b.vec_id = cand.vec_b)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM rescored) r
+       WHERE rnk <= $TopK"""
   }
 
   /** Fixed Lloyd-iteration count for the k-means-refined IVF — small and
@@ -3369,6 +3565,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
     GQuery("ext_text_bpe_merges", textBpeMerges, Some(textBpeMergesSql), "BPE first-merge adjacent-char-pair frequencies over the distinct-word vocab"),
     GQuery("ext_text_bpe_train", textBpeTrain, Some(textBpeTrainSql), "iterated BPE merge training: K argmax-merge-recount rounds over the vocab"),
+    GQuery("ext_text_bpe_apply", textBpeApply, Some(textBpeApplySql), "tokenizer application: per-source token budget under the K-merge trained vocab"),
     GQuery("ext_text_redact", textRedact, Some(textRedactSql), "number-run redaction + redacted-text fingerprint"),
     GQuery("ext_text_boilerplate", textBoilerplate, Some(textBoilerplateSql), "cross-doc repeated 3-gram (boilerplate) detection"),
     GQuery("ext_text_bigram_lm", textBigramLm, Some(textBigramLmSql), "corpus-model bigram log-prob (perplexity-filter) scoring"),
@@ -3386,6 +3583,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
+    GQuery("ext_layout_manifest", layoutManifest, Some(layoutManifestSql), "zone-map manifest: per-file footer stats + skippable flag, z-order vs natural layout"),
     GQuery("ext_layout_shards", layoutShards, Some(layoutShardsSql), "export shard-balance audit: content-hashed shards, doc/mass balance ratios"),
     GQuery("ext_layout_compact", layoutCompact, Some(layoutCompactSql), "compaction planner: next-fit packing of partition cells into target-size files"),
     GQuery("ext_corpus_epochs", corpusEpochs, Some(corpusEpochsSql), "epoch/repetition schedule from the temperature mixture (exact-integer budgets)"),
@@ -3403,6 +3601,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_cc_triangles", ccTriangles, Some(ccTrianglesSql), "triangle participation on the dup graph (degree-ordered wedge join)"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
+    GQuery("ext_dedup_bandsweep", dedupBandSweep, Some(dedupBandSweepSql), "LSH band-sweep: candidate cost + pair recall at rows-per-band 1/2/4"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
     GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),
@@ -3431,6 +3630,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql), "SemDeDup: k-means clusters prune the cosine pair search to cluster-mates"),
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
+    GQuery("ext_ann_rerank", annRerank, Some(annRerankSql), "two-stage retrieval: IVF-PQ top-c candidates exact-cosine re-ranked to top-k"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_split_leakfree", splitLeakfree, Some(splitLeakfreeSql), "leakage-safe split: whole near-dup clusters per split, cross-split pairs audited"),

@@ -324,6 +324,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashBandSweep: nested candidate sets, monotone cost and recall down the ladder") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Dedup.minhashBandSweep(d, "doc_id", "text", 16, Seq(1, 2, 4),
+        0.8, Dedup.PolyHash)
+      .orderBy("rows_per_band").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(got.map(_._2).toSeq == Seq(16, 8, 4))
+    // a pair sharing an r-row band shares every 1-row sub-band: candidate
+    // sets nest, so counts and recall are monotone non-increasing in r
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+    got.foreach { case (_, _, nCand, nPairs, recall) =>
+      assert(nPairs <= nCand && recall >= 0.0 && recall <= 1.0)
+    }
+    // identical duplicate docs collide in every band: r=1 recall is 1.0
+    // only if the fixture's exact dups dominate; assert nonzero instead
+    assert(got.head._5 > 0.0)
+  }
+
   test("persisted minhash index: written-index probe ≡ in-plan incremental, sf data") {
     val d = Tables.documents(spark, sf0001)
     val bucket = Dedup.polyHash(concat(col("text"), lit("|graft-split-42"))) % 100

@@ -79,6 +79,29 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("zoneManifest: both layouts conserve rows; skippable ≡ stats-rectangle miss") {
+    import graft.operators.Layout
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val n = ev.count()
+    val d0 = ev.agg(min("day")).as[Long].head()
+    val rows = Layout.zoneManifest(ev, "user_id", "day", 16, 1024L, 4L, 2L, 5L, 8L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    // every row lands in exactly one file under EACH layout
+    Seq("zorder", "natural").foreach { l =>
+      assert(rows.filter(_._1 == l).map(_._3).sum == n, s"layout $l drops rows")
+    }
+    // the flag is exactly the rectangle miss recomputed from the stats
+    rows.foreach { case (_, fid, _, aMin, aMax, bMin, bMax, skip) =>
+      val expect = aMax < 2 || aMin > 5 || bMin > d0 + 7 || bMax < d0
+      assert(skip == expect, s"file $fid flag $skip != $expect")
+    }
+    // natural files bound day only: each spans one 4-day window
+    rows.filter(_._1 == "natural").foreach { case (_, fid, _, _, _, bMin, bMax, _) =>
+      assert(bMin / 4 == fid && bMax / 4 == fid)
+    }
+  }
+
   test("shardAudit: total mass conserved, ratios average to 1, content-addressed") {
     import graft.operators.Layout
     val docs = Tables.documents(spark, sf0001)

@@ -57,6 +57,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rk >= 0.8, f"k-means IVF recall collapsed: $rk%.3f")
   }
 
+  test("rerankTopK: subset of candidates, recall >= plain IVF-PQ") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val ivfpq = pairs(Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", 5, 25, 2, 64))
+    val cand = pairs(Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", 20, 25, 2, 64))
+    val rr = pairs(Similarity.rerankTopK(corpus, queries, "vec_id", "embedding", 5, 20, 25, 2, 64))
+    // re-ranked picks come from the candidate stage only
+    assert(rr.subsetOf(cand))
+    // any truth neighbor inside the candidate list is guaranteed into the
+    // exact-rescored top-k, so rerank recall dominates first-stage recall
+    val rIvfpq = (ivfpq & exact).size.toDouble / exact.size
+    val rRerank = (rr & exact).size.toDouble / exact.size
+    info(f"recall@5 ivfpq=$rIvfpq%.3f rerank=$rRerank%.3f")
+    assert(rRerank >= rIvfpq && rRerank > 0.0)
+  }
+
   test("recallAtK: truth vs itself is 1.0; method rows match set-recall") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)

@@ -155,6 +155,22 @@ class TextOpsSpec extends SparkSpec {
     assert(ab.toSeq == Seq((1, "a b", 2L), (2, "ab ab", 1L)))
   }
 
+  test("bpeApplyBudget: hand-checked per-source token budget under trained merges") {
+    // trained on both docs: wc low->3, lower->1 (x dropped, len < 2)
+    // r1 "l o":4, r2 "lo w":4, r3 "e r":1 -> seg: low=1 sym, lower=2 syms
+    // source a: low x2 + lower -> words 3, chars 11, tokens 1+1+2=4
+    // source b: low + x (unseen -> 1 token) -> words 2, chars 4, tokens 2
+    val docs = Seq((1L, "low low lower", "a"), (2L, "low x", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bpeApplyBudget(docs, "source", "text", 3)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 3L, 11L, 4L, 2.75),
+      ("b", 1L, 2L, 4L, 2L, 2.0)))
+  }
+
   test("bpe merges: hand-checked pair frequencies, weighted by word count") {
     // fixture registered under a temp dir so the registry query runs as-is
     val dir = java.nio.file.Files.createTempDirectory("bpe").toString
