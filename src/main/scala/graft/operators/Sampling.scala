@@ -398,4 +398,42 @@ object Sampling {
         max(col("__v")).as("max_q"),
         min(col("__v")).as("min_q"))
   }
+
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023): per-document log importance weight
+    * log w(x) = Σ_tokens [ln p_target(h(w)) - ln p_corpus(h(w))] over
+    * HASHED unigram features (the hashing trick — `buckets` buckets via
+    * the engine-independent polyhash, add-one smoothing over the bucket
+    * space). Documents scoring > 0 look more like the target domain
+    * (here: a language slice) than the corpus average — the resampling
+    * weight a targeted-pretraining pipeline draws with.
+    *
+    * Scale shape: the corpus is touched by ONE explode feeding two
+    * map-side-combinable counts (corpus and target bucket histograms —
+    * the target count rides the same aggregate via a conditional, not a
+    * second scan) plus the per-doc rollup; the per-bucket log-ratio
+    * table is `buckets` rows, bounded and BROADCAST back onto the word
+    * stream. The per-doc float sum is rounded to 4 decimals — the
+    * [[TextAnalysis.bigramLogProb]] precedent: reorder error of a
+    * ~100-term double sum is ~1e-13, far under the rounding quantum.
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      targetFlag: Column, buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val words = docs.select(col(idCol), targetFlag.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .withColumn("hb", Dedup.polyHash(col("w")) % buckets)
+    val hist = words.groupBy("hb").agg(
+      count(lit(1)).as("cc"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+    val tot = hist.agg(sum(col("cc")).as("nc"), sum(col("ct")).as("nt"))
+    val ratios = hist.crossJoin(broadcast(tot))
+      .select(col("hb"),
+        (log((col("ct") + 1L).cast("double") / (col("nt") + buckets)) -
+          log((col("cc") + 1L).cast("double") / (col("nc") + buckets))).as("lr"))
+    words.join(broadcast(ratios), Seq("hb"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr")), 4).as("dsir_score"))
+  }
 }

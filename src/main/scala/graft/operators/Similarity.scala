@@ -389,6 +389,105 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** PERSIST the IVF index: the corpus written to parquet PARTITIONED BY
+    * its cell assignment (one directory per inverted list — the on-disk
+    * form of a billion-vector IVF index) plus the centroid table. The
+    * serving win is physical: a probe touches only its own cell's
+    * directory, so the full-precision corpus is never re-scanned at
+    * query time. [[probeIvfIndex]] is the read side; SimilaritySpec
+    * asserts probe ≡ the in-plan [[ivfTopK]] and that the probe's scan
+    * carries a dynamic-partition-pruning filter on `cell`.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, path: String): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val cents = corpus.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), vecD.as("cvec"),
+        VectorOps.normSq(vecD).as("cn"))
+    corpus.select(col(idCol).as("vec_b"), vecD.as("vb"),
+        VectorOps.normSq(vecD).as("nb"))
+      .crossJoin(broadcast(centArray(cents)))
+      .withColumn("cell", argmaxCell(col("vb"), col("nb")))
+      .drop("__cents")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+  }
+
+  /** PROBE the persisted IVF index ([[writeIvfIndex]]): queries assign
+    * to their cell via the broadcast centroid table (the shuffle-free
+    * argmax fold), then join the partitioned corpus on the PARTITION
+    * column — the broadcast join plants a dynamic-partition-pruning
+    * subquery on the scan, so only the probed cells' directories are
+    * read. Same top-k contract as [[ivfTopK]].
+    */
+  def probeIvfIndex(path: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val s = queries.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val cents = s.read.parquet(s"$path/cents")
+    val corp = s.read.parquet(s"$path/cells")
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val q = queries.select(col(idCol).as("q_id"), vecD.as("va"),
+        VectorOps.normSq(vecD).as("na"))
+      .crossJoin(broadcast(centArray(cents)))
+      .withColumn("cell", argmaxCell(col("va"), col("na")))
+      .drop("__cents")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    corp.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine",
+        VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
+  /** Simplified (centroid-based) SILHOUETTE — the cluster-quality audit
+    * of an embedding space: per vector, cos1 = cosine to its own
+    * (nearest) centroid, cos2 = cosine to the runner-up centroid;
+    * s = (cos1 - cos2) / (1 - cos2) in [0, 1) — 0 means the vector sits
+    * on a cell border (ambiguous cluster), 1 means it coincides with its
+    * centroid. Emitted PER VECTOR (with the assigned cell and the
+    * confidence margin), never as a float mean across partitions — group
+    * averages of doubles are fold-order-dependent; per-row values are
+    * not.
+    *
+    * Scale shape: ONE projection over the broadcast centroid array — no
+    * shuffle, no window; per-row cost is numCells fused dot products
+    * plus a bounded numCells-element array sort.
+    */
+  def silhouette(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int): DataFrame = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val cents = corpus.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), vecD.as("cvec"),
+        VectorOps.normSq(vecD).as("cn"))
+    val scored = transform(col("__cents"), c =>
+      struct(
+        VectorOps.cosine(col("__v"), c.getField("cvec"), col("__n"),
+          c.getField("cn")).as("cos"),
+        c.getField("cent_id").as("cent_id")))
+    val bestFirst = array_sort(scored, (l, r) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cent_id") < r.getField("cent_id"), -1)
+        .when(l.getField("cent_id") > r.getField("cent_id"), 1)
+        .otherwise(0))
+    val cos1 = col("__top").getField("cos")
+    val cos2 = col("__snd").getField("cos")
+    corpus.select(col(idCol).as("vec_id"), vecD.as("__v"),
+        VectorOps.normSq(vecD).as("__n"))
+      .crossJoin(broadcast(centArray(cents)))
+      .withColumn("__sorted", bestFirst)
+      .withColumn("__top", element_at(col("__sorted"), 1))
+      .withColumn("__snd", element_at(col("__sorted"), 2))
+      .select(col("vec_id"), col("__top").getField("cent_id").as("cell"),
+        round(when(lit(1.0d) - cos2 === 0.0d, lit(0.0d))
+          .otherwise((cos1 - cos2) / (lit(1.0d) - cos2)), 6).as("silhouette"),
+        round(cos1 - cos2, 6).as("margin"))
+  }
+
   /** Two-stage retrieval with exact RE-RANKING — the production serving
     * shape: the approximate first stage ([[ivfPqTopK]], cell-pruned
     * candidates scored on code reconstructions) keeps a candidate list of

@@ -1431,6 +1431,69 @@ object ExtQueries extends QueryGroup {
               round(sum(CASE WHEN n < k THEN n ELSE 0 END) * 1.0 / sum(n), 6) AS viol_frac
        FROM e GROUP BY 1"""
 
+  /** l-diversity audit beside the k-anonymity sweep: same quasi-ID
+    * grid, sensitive attribute = the account-balance 1000-band; a group
+    * with fewer than l distinct sensitive values lets an attacker infer
+    * the band from the quasi-IDs alone.
+    */
+  private val LdivLs = Seq(2, 4, 6)
+
+  private def privacyLdiv(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(countDistinct(expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")).as("n_sens"),
+        count(lit(1)).as("n"))
+      .select(explode(array(LdivLs.map(lit): _*)).as("l"), col("n_sens"), col("n"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_sens") < col("l"), 1).otherwise(0)).as("n_viol_groups"),
+        sum(when(col("n_sens") < col("l"), col("n")).otherwise(0L)).as("n_viol_rows"),
+        sum(col("n")).as("n_rows"))
+      .select(col("l"), col("n_groups"), col("n_viol_groups"),
+        col("n_viol_rows"),
+        round(col("n_viol_rows") / col("n_rows"), 6).as("viol_frac"))
+
+  private val privacyLdivSql =
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+                 count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS n_sens,
+                 count(*) AS n
+               FROM customer GROUP BY 1, 2),
+       e AS (SELECT l, n_sens, n FROM g,
+             (SELECT unnest([${LdivLs.mkString(", ")}]) AS l) ls)
+       SELECT l, count(*) AS n_groups,
+              CAST(sum(CASE WHEN n_sens < l THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_groups,
+              CAST(sum(CASE WHEN n_sens < l THEN n ELSE 0 END) AS BIGINT) AS n_viol_rows,
+              round(sum(CASE WHEN n_sens < l THEN n ELSE 0 END) * 1.0 / sum(n), 6) AS viol_frac
+       FROM e GROUP BY 1"""
+
+  /** DSIR-style hashed-unigram importance scores (Sampling.dsirScores):
+    * target = the English slice, corpus = everything; log weight > 0
+    * means "more target-like than average".
+    */
+  private val DsirBuckets = 1024
+
+  private def corpusDsir(s: SparkSession, d: String): DataFrame =
+    Sampling.dsirScores(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", DsirBuckets)
+
+  private val corpusDsirSql =
+    s"""WITH w AS (SELECT doc_id, lang = 'en' AS t,
+                 unnest(string_split(text, ' ')) AS w
+               FROM documents),
+       h AS (SELECT doc_id, t, ${polyHashSql("w")} % $DsirBuckets AS hb FROM w),
+       hist AS (SELECT hb, count(*) AS cc,
+                  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+                FROM h GROUP BY 1),
+       tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc,
+                      CAST(sum(ct) AS BIGINT) AS nt FROM hist),
+       r AS (SELECT hb,
+               ln((ct + 1) * 1.0 / (nt + $DsirBuckets)) -
+               ln((cc + 1) * 1.0 / (nc + $DsirBuckets)) AS lr
+             FROM hist, tot)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+              round(sum(lr), 4) AS dsir_score
+       FROM h JOIN r USING (hb) GROUP BY 1"""
+
   private val EmbCosTau = 0.4
 
   private def dedupEmbCos(s: SparkSession, d: String): DataFrame =
@@ -1777,6 +1840,46 @@ object ExtQueries extends QueryGroup {
          JOIN nr b ON b.vec_id = ca.vid
          WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id)
        $pqTopKSelect"""
+  }
+
+  /** Persisted IVF index round-trip: write the corpus partitioned by
+    * cell (Similarity.writeIvfIndex) and probe the on-disk index — the
+    * ANN twin of the minhash persist-and-probe loop. Results ≡ the
+    * in-plan IVF, so the same oracle gates both.
+    */
+  private def annIvfPersist(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_${math.abs(d.hashCode)}"
+    Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+      IvfCentroidEvery, path)
+    Similarity.probeIvfIndex(path, annQueries(s, d), "vec_id", "embedding", TopK)
+  }
+
+  /** Per-vector simplified silhouette over the seeded coarse quantizer
+    * (Similarity.silhouette): cluster-quality and assignment-confidence
+    * audit of the embedding space.
+    */
+  private def embSilhouette(s: SparkSession, d: String): DataFrame =
+    Similarity.silhouette(Tables.embeddings(s, d), "vec_id", "embedding",
+      IvfCentroidEvery)
+
+  /** Twin of Similarity.silhouette: rank all (vector, centroid) cosines,
+    * pivot ranks 1 and 2, same guarded ratio.
+    */
+  private lazy val embSilhouetteSql = {
+    val cosExpr = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       ranked AS (
+         SELECT n.vec_id AS vid, c.cent_id, $cosExpr AS cos,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY $cosExpr DESC, c.cent_id ASC) AS rn
+         FROM n, cents c)
+       SELECT a.vid AS vec_id, a.cent_id AS cell,
+              round(CASE WHEN 1 - b.cos = 0 THEN 0.0
+                    ELSE (a.cos - b.cos) / (1 - b.cos) END, 6) AS silhouette,
+              round(a.cos - b.cos, 6) AS margin
+       FROM ranked a JOIN ranked b ON a.vid = b.vid AND a.rn = 1 AND b.rn = 2"""
   }
 
   /** Candidate-list size of the exact re-rank stage — c >> k so the
@@ -3580,6 +3683,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_lineage", corpusLineage, Some(corpusLineageSql), "per-doc curation stage bitmask (prefilter|canonical|sampled|spanning) rollup"),
     GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
     GQuery("ext_corpus_pplfilter", corpusPplFilter, Some(corpusPplFilterSql), "CCNet perplexity-band filter: bigram-LM deciles, keep-middle, mass telemetry"),
+    GQuery("ext_corpus_dsir", corpusDsir, Some(corpusDsirSql), "DSIR hashed-unigram importance scores vs the target language slice"),
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
@@ -3616,6 +3720,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
+    GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
@@ -3632,11 +3737,13 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_ann_rerank", annRerank, Some(annRerankSql), "two-stage retrieval: IVF-PQ top-c candidates exact-cosine re-ranked to top-k"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
+    GQuery("ext_emb_silhouette", embSilhouette, Some(embSilhouetteSql), "per-vector simplified silhouette + assignment margin over the coarse quantizer"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_split_leakfree", splitLeakfree, Some(splitLeakfreeSql), "leakage-safe split: whole near-dup clusters per split, cross-split pairs audited"),
     GQuery("ext_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql), "quality-aware canonical selection: argmax-quality survivor per near-dup cluster"),
     GQuery("ext_dedup_prf", dedupPrf, Some(dedupPrfSql), "detector precision/recall/F1 vs exact truth (one shared edge build)"),
     GQuery("ext_privacy_kanon", privacyKanon, Some(privacyKanonSql), "k-anonymity audit: violating quasi-id classes and row fractions per threshold"),
+    GQuery("ext_privacy_ldiv", privacyLdiv, Some(privacyLdivSql), "l-diversity audit: distinct sensitive bands per quasi-id class, violation sweep"),
     GQuery("ext_events_describe", eventsDescribe, Some(eventsDescribeSql), "pandas describe() per group: exact-grid mean/std + order-stat quartiles"),
     GQuery("ext_cc_kcore", ccKcore, Some(ccKcoreSql), "k-core of the dup graph: iterative degree peel, unrolled oracle"),
     GQuery("ext_text_cdc", textCdc, Some(textCdcSql), "content-defined chunking: rolling-hash boundaries, chunk-dedup savings per source"),

@@ -76,6 +76,62 @@ class SimilaritySpec extends SparkSpec {
     assert(rRerank >= rIvfpq && rRerank > 0.0)
   }
 
+  test("silhouette: bounded scores, centroids score ~1, cell ≡ nearest centroid") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.silhouette(corpus, "vec_id", "embedding", 25)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { case (vid, _, s, m) =>
+      assert(s >= 0.0 && s <= 1.000001 && m >= 0.0, s"vec $vid s=$s m=$m")
+    }
+    // a centroid vector's nearest centroid is itself: cell = own id and
+    // the silhouette saturates (cos1 = 1 up to fp rounding)
+    rows.filter(_._1 % 25 == 0).foreach { case (vid, cell, s, _) =>
+      assert(cell == vid && s >= 0.999, s"centroid $vid cell=$cell s=$s")
+    }
+  }
+
+  test("persisted IVF index: probe ≡ in-plan ivfTopK; scan is DPP-pruned on cell") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    try {
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", 25, path)
+      val probe = Similarity.probeIvfIndex(path, queries, "vec_id", "embedding", 5)
+      val inPlan = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5, 25)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(probe.as[(Long, Int, Long)].collect().toSet == inPlan)
+      // the broadcast join on the partition column plants a dynamic
+      // partition pruning filter — probing reads only the probed cells
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no DPP filter on the cell scan:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
+  test("dsirScores: self-target is identically zero; target slice scores higher") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // target = corpus -> ct = cc and nt = nc bucket-wise -> every
+    // log-ratio is exactly 0 and every doc scores 0.0
+    val self = Sampling.dsirScores(docs, "doc_id", "text", lit(true), 1024)
+      .as[(Long, Long, Double)].collect()
+    assert(self.nonEmpty && self.forall(_._3 == 0.0))
+    // with the English slice as target, en docs average a higher
+    // per-token score than the rest (their tokens are target-enriched)
+    val scored = Sampling.dsirScores(docs, "doc_id", "text",
+        col("lang") === "en", 1024)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang") === "en", col("dsir_score") / col("n_feats"))
+      .as[(Boolean, Double)].collect()
+    val enAvg = scored.filter(_._1).map(_._2).sum / scored.count(_._1)
+    val restAvg = scored.filterNot(_._1).map(_._2).sum / scored.count(!_._1)
+    info(f"per-token dsir: en=$enAvg%.4f rest=$restAvg%.4f")
+    assert(enAvg > restAvg)
+  }
+
   test("recallAtK: truth vs itself is 1.0; method rows match set-recall") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)
