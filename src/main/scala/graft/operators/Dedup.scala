@@ -977,6 +977,36 @@ object Dedup {
       s"stack($numBands, $stackRows) AS (band, ${bandKeyCols(rowsPerBand).mkString(", ")})")
   }
 
+  /** LEXICAL top-k retrieval by n-gram Jaccard: for each query document,
+    * the k highest-Jaccard corpus documents (rank ties broken by id) —
+    * the sparse leg of hybrid search ([[Similarity.hybridRrfTopK]]).
+    * Same inverted-index discipline as the pair operators: the only
+    * corpus-sized work is the shingle equi-join, bounded by the QUERY
+    * side's shingle list; sizes attach broadcast; the per-query window
+    * runs on the scored candidate list, compiled to WindowGroupLimit.
+    */
+  def jaccardTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val edges = shingleEdges(corpus, idCol, textCol).persist()
+    val qids = queries.select(col(idCol).as("q_id"))
+    val qEdges = edges.join(broadcast(qids),
+      edges("doc_id") === qids("q_id")).select(col("q_id"), col("shingle"))
+    val sizes = shingleSizes(edges)
+    val scored = qEdges
+      .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("q_id") =!= col("doc_b"))
+      .groupBy("q_id", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("q_id"), col("n_sh").as("na"))), Seq("q_id"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+    val w = Window.partitionBy("q_id").orderBy(col("jaccard").desc, col("doc_b").asc)
+    materializePairs(
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .where(col("rnk") <= k)
+        .select(col("q_id"), col("rnk"), col("doc_b").as("neighbor_id")),
+      edges)
+  }
+
   /** LSH BAND-SWEEP — the (bands × rows) operating-point curve every
     * MinHash deployment tunes before a 100 TB run: for each rowsPerBand
     * r in the ladder (bands = numPerm / r), the candidate-pair volume

@@ -389,6 +389,34 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** HYBRID retrieval fusion by Reciprocal Rank Fusion: the dense leg
+    * (vector top-k, e.g. [[bruteForceTopK]]) and the sparse leg (lexical
+    * top-k, e.g. [[Dedup.jaccardTopK]]) merged per (query, candidate) as
+    * rrf = Σ 1 / (c + rank) over the legs that retrieved it, re-ranked
+    * to the final top-k. RRF is THE production hybrid-search combiner
+    * (Cormack et al. 2009; every lexical+vector search stack ships it):
+    * rank-based, so the two legs' incomparable score scales never meet.
+    *
+    * Scale shape: both legs are top-k lists — n_queries × k rows — so
+    * the fusion join, the rrf projection, and the final per-query window
+    * all run on candidate-list-sized data; the corpus is only touched
+    * inside the legs.
+    */
+  def hybridRrfTopK(sem: DataFrame, lex: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    val s = sem.select(col("q_id"), col("neighbor_id"), col("rnk").as("rnk_s"))
+    val l = lex.select(col("q_id"), col("neighbor_id"), col("rnk").as("rnk_l"))
+    val fused = s.join(l, Seq("q_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0d) / (col("rnk_s") + lit(c)), lit(0.0d)) +
+          coalesce(lit(1.0d) / (col("rnk_l") + lit(c)), lit(0.0d)))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   /** PERSIST the IVF index: the corpus written to parquet PARTITIONED BY
     * its cell assignment (one directory per inverted list — the on-disk
     * form of a billion-vector IVF index) plus the centroid table. The

@@ -1935,6 +1935,66 @@ object ExtQueries extends QueryGroup {
        WHERE rnk <= $TopK"""
   }
 
+  /** Per-leg candidate depth of the hybrid fusion (final top-k = TopK). */
+  private val HybridLegK = 10
+
+  /** Hybrid search: dense leg (brute-force cosine top-10 over the
+    * embeddings) + sparse leg (3-gram Jaccard top-10 over the documents,
+    * same id space) fused by Reciprocal Rank Fusion
+    * (Similarity.hybridRrfTopK) to a final top-5 per query.
+    */
+  private def searchHybrid(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sem = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+      annQueries(s, d), "vec_id", "embedding", HybridLegK)
+    val lex = Dedup.jaccardTopK(docs,
+      docs.where(col("doc_id") % QueryMod === 0), "doc_id", "text", HybridLegK)
+    Similarity.hybridRrfTopK(sem, lex, TopK)
+  }
+
+  /** Twin of the hybrid fusion: both legs as ranked CTEs, FULL OUTER on
+    * (query, candidate), the double-exact rrf sum, final re-rank.
+    */
+  private lazy val searchHybridSql =
+    s"""WITH $vecsSql,
+       ${edgesSqlFrom("documents")}, $sizesSql,
+       sem AS (
+         SELECT q_id, vec_b, rnk FROM (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
+                  CAST(row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY $dotSql / (sqrt(a.nsq) * sqrt(b.nsq)) DESC, b.vec_id) AS INTEGER) AS rnk
+           FROM n a JOIN n b ON a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id) t
+         WHERE rnk <= $HybridLegK),
+       li AS (
+         SELECT a.doc_id AS q_id, b.doc_id AS doc_b, count(*) AS i
+         FROM edges a JOIN edges b ON a.shingle = b.shingle
+         WHERE a.doc_id % $QueryMod = 0 AND a.doc_id <> b.doc_id
+         GROUP BY 1, 2),
+       lj AS (
+         SELECT q_id, doc_b, i / (sa.n_sh + sb.n_sh - i) AS j
+         FROM li JOIN sizes sa ON q_id = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id),
+       lex AS (
+         SELECT q_id, doc_b, rnk FROM (
+           SELECT q_id, doc_b,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY j DESC, doc_b) AS INTEGER) AS rnk
+           FROM lj) t
+         WHERE rnk <= $HybridLegK),
+       f AS (
+         SELECT coalesce(s.q_id, l.q_id) AS q_id,
+                coalesce(s.vec_b, l.doc_b) AS neighbor_id,
+                coalesce(CAST(1 AS DOUBLE) / (s.rnk + 60), 0) +
+                coalesce(CAST(1 AS DOUBLE) / (l.rnk + 60), 0) AS rrf
+         FROM sem s FULL OUTER JOIN lex l
+           ON s.q_id = l.q_id AND s.vec_b = l.doc_b)
+       SELECT q_id, rnk, neighbor_id, round(rrf, 6) AS rrf
+       FROM (SELECT q_id, neighbor_id, rrf,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, neighbor_id) AS INTEGER) AS rnk
+             FROM f) t
+       WHERE rnk <= $TopK"""
+
   /** Fixed Lloyd-iteration count for the k-means-refined IVF — small and
     * constant (quality saturates fast on a coarse quantizer), which is
     * also what lets the oracle UNROLL the loop as CTE chains.
@@ -3736,6 +3796,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_ann_rerank", annRerank, Some(annRerankSql), "two-stage retrieval: IVF-PQ top-c candidates exact-cosine re-ranked to top-k"),
+    GQuery("ext_search_hybrid", searchHybrid, Some(searchHybridSql), "hybrid retrieval: dense cosine + lexical Jaccard legs fused by reciprocal rank"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_emb_silhouette", embSilhouette, Some(embSilhouetteSql), "per-vector simplified silhouette + assignment margin over the coarse quantizer"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),

@@ -76,6 +76,32 @@ class SimilaritySpec extends SparkSpec {
     assert(rRerank >= rIvfpq && rRerank > 0.0)
   }
 
+  test("hybridRrfTopK: hand-checked fusion — both-legs hit outranks either alone") {
+    val sem = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("q_id", "rnk", "neighbor_id")
+    val lex = Seq((1L, 1, 10L), (1L, 2, 12L)).toDF("q_id", "rnk", "neighbor_id")
+    val got = Similarity.hybridRrfTopK(sem, lex, 3)
+      .orderBy("rnk").as[(Long, Int, Long, Double)].collect().toSeq
+    // 10 retrieved by both at rank 1: 2/61; 11 and 12 tie at 1/62 and
+    // break by neighbor id
+    assert(got == Seq(
+      (1L, 1, 10L, 0.032787),
+      (1L, 2, 11L, 0.016129),
+      (1L, 3, 12L, 0.016129)))
+  }
+
+  test("jaccardTopK: near-dup ranks first, self excluded") {
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "a b c d x"), (2L, "a b q r s"), (3L, "z z z y y")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.jaccardTopK(
+        docs, docs.where(col("doc_id") === 0), "doc_id", "text", 3)
+      .orderBy("rnk").as[(Long, Int, Long)].collect().toSeq
+    // shingles(0) = {abc,bcd,cde}; doc1 shares {abc,bcd} -> j=2/4;
+    // doc2 shares {} with 0? abq,bqr,qrs -> no; doc3 none
+    assert(got.map(_._3) == Seq(1L))
+    assert(got == Seq((0L, 1, 1L)))
+  }
+
   test("silhouette: bounded scores, centroids score ~1, cell ≡ nearest centroid") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Similarity.silhouette(corpus, "vec_id", "embedding", 25)
