@@ -389,6 +389,46 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** FILTERED vector search — the metadata-constrained query every
+    * production vector store serves ("top-k similar WITHIN the query's
+    * category"), under both strategies of the classic design axis:
+    * PRE-FILTER restricts the corpus to eligible rows before ranking
+    * (exact top-k among eligible — always k results, the correct
+    * semantics, at the cost of filtering inside the index), POST-FILTER
+    * ranks unfiltered then drops ineligible hits (the cheap overlay —
+    * holes where eligible neighbors were crowded out of the global
+    * top-k; original ranks kept so the holes are visible). Emitting both
+    * from ONE scored frame makes the recall gap auditable row-by-row.
+    *
+    * Scale shape: one broadcast-query scan of the corpus scores both
+    * strategies; the windows run per query on candidate-sized data
+    * (WindowGroupLimit pre-prunes map-side as in [[bruteForceTopK]]).
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val c = corpus.select(col(idCol).as("vec_b"), vecD.as("vb"),
+      VectorOps.normSq(vecD).as("nb"), col(labelCol).as("lb"))
+    val q = queries.select(col(idCol).as("q_id"), vecD.as("va"),
+      VectorOps.normSq(vecD).as("na"), col(labelCol).as("lq"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine",
+        VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
+    val pre = scored.where(col("lb") === col("lq"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(lit("prefilter").as("strategy"), col("q_id"), col("rnk"),
+        col("vec_b").as("neighbor_id"))
+    val post = scored
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k && col("lb") === col("lq"))
+      .select(lit("postfilter").as("strategy"), col("q_id"), col("rnk"),
+        col("vec_b").as("neighbor_id"))
+    pre.unionAll(post)
+  }
+
   /** HYBRID retrieval fusion by Reciprocal Rank Fusion: the dense leg
     * (vector top-k, e.g. [[bruteForceTopK]]) and the sparse leg (lexical
     * top-k, e.g. [[Dedup.jaccardTopK]]) merged per (query, candidate) as

@@ -1935,6 +1935,42 @@ object ExtQueries extends QueryGroup {
        WHERE rnk <= $TopK"""
   }
 
+  /** Filtered (metadata-constrained) vector search: top-k within the
+    * query's label, pre-filter vs post-filter side by side
+    * (Similarity.filteredTopK) — the recall gap of the cheap overlay
+    * made auditable.
+    */
+  private def annFiltered(s: SparkSession, d: String): DataFrame =
+    Similarity.filteredTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", "label", TopK)
+
+  private lazy val annFilteredSql = {
+    val cos = s"$dotSql / (sqrt(a.nsq) * sqrt(b.nsq))"
+    s"""WITH $vecsSql,
+       lab AS (SELECT vec_id, label FROM embeddings),
+       sc AS (
+         SELECT a.vec_id AS q_id, la.label AS lq, b.vec_id AS vec_b,
+                lb.label AS lb, $cos AS cosine
+         FROM n a JOIN n b ON a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id
+         JOIN lab la ON la.vec_id = a.vec_id
+         JOIN lab lb ON lb.vec_id = b.vec_id),
+       pre AS (
+         SELECT 'prefilter' AS strategy, q_id, rnk, vec_b AS neighbor_id
+         FROM (SELECT q_id, vec_b,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+               FROM sc WHERE lb = lq) t
+         WHERE rnk <= $TopK),
+       post AS (
+         SELECT 'postfilter' AS strategy, q_id, rnk, vec_b AS neighbor_id
+         FROM (SELECT q_id, vec_b, lb, lq,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+               FROM sc) t
+         WHERE rnk <= $TopK AND lb = lq)
+       SELECT * FROM pre UNION ALL SELECT * FROM post"""
+  }
+
   /** Per-leg candidate depth of the hybrid fusion (final top-k = TopK). */
   private val HybridLegK = 10
 
@@ -3797,6 +3833,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_ann_rerank", annRerank, Some(annRerankSql), "two-stage retrieval: IVF-PQ top-c candidates exact-cosine re-ranked to top-k"),
     GQuery("ext_search_hybrid", searchHybrid, Some(searchHybridSql), "hybrid retrieval: dense cosine + lexical Jaccard legs fused by reciprocal rank"),
+    GQuery("ext_ann_filtered", annFiltered, Some(annFilteredSql), "filtered vector search: pre-filter vs post-filter within the query's label"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_emb_silhouette", embSilhouette, Some(embSilhouetteSql), "per-vector simplified silhouette + assignment margin over the coarse quantizer"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),

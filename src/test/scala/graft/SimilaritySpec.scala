@@ -76,6 +76,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rRerank >= rIvfpq && rRerank > 0.0)
   }
 
+  test("filteredTopK: label-pure, prefilter dense ranks, postfilter ⊆ prefilter") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val rows = Similarity.filteredTopK(corpus, queries, "vec_id", "embedding", "label", 5)
+      .as[(String, Long, Int, Long)].collect()
+    val labels = corpus.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    rows.foreach { case (_, q, _, nb) => assert(labels(q) == labels(nb)) }
+    val pre = rows.filter(_._1 == "prefilter")
+    val post = rows.filter(_._1 == "postfilter")
+    // prefilter = exact top-k among eligible: dense ranks per query
+    pre.groupBy(_._2).foreach { case (q, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length).toSeq, s"query $q")
+    }
+    // an eligible global-top-k hit is necessarily in the eligible top-k,
+    // so the cheap overlay never finds anything prefilter missed
+    val preSet = pre.map(r => (r._2, r._4)).toSet
+    assert(post.forall(r => preSet.contains((r._2, r._4))) && post.length <= pre.length)
+  }
+
   test("hybridRrfTopK: hand-checked fusion — both-legs hit outranks either alone") {
     val sem = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("q_id", "rnk", "neighbor_id")
     val lex = Seq((1L, 1, 10L), (1L, 2, 12L)).toDF("q_id", "rnk", "neighbor_id")
