@@ -420,20 +420,27 @@ object Sampling {
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
       targetFlag: Column, buckets: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val words = docs.select(col(idCol), targetFlag.as("__t"),
+    // ONE explode, immediately folded to the compact (doc, bucket) count
+    // frame — bounded by |docs| × buckets — which then feeds both the
+    // histogram and the per-doc rollup; persisting the compact frame
+    // (not the raw word stream) is what keeps the shape 100 TB-safe
+    val dw = docs.select(col(idCol), targetFlag.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .withColumn("hb", Dedup.polyHash(col("w")) % buckets)
-    val hist = words.groupBy("hb").agg(
-      count(lit(1)).as("cc"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+      .groupBy(col(idCol), col("hb"))
+      .agg(count(lit(1)).as("cw"), max(col("__t")).as("__t"))
+      .localCheckpoint(eager = false)
+    val hist = dw.groupBy("hb").agg(
+      sum(col("cw")).as("cc"),
+      sum(when(col("__t"), col("cw")).otherwise(0L)).as("ct"))
     val tot = hist.agg(sum(col("cc")).as("nc"), sum(col("ct")).as("nt"))
     val ratios = hist.crossJoin(broadcast(tot))
       .select(col("hb"),
         (log((col("ct") + 1L).cast("double") / (col("nt") + buckets)) -
           log((col("cc") + 1L).cast("double") / (col("nc") + buckets))).as("lr"))
-    words.join(broadcast(ratios), Seq("hb"))
+    dw.join(broadcast(ratios), Seq("hb"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        round(sum(col("lr")), 4).as("dsir_score"))
+      .agg(sum(col("cw")).as("n_feats"),
+        round(sum(col("cw") * col("lr")), 4).as("dsir_score"))
   }
 }

@@ -1480,19 +1480,21 @@ object ExtQueries extends QueryGroup {
     s"""WITH w AS (SELECT doc_id, lang = 'en' AS t,
                  unnest(string_split(text, ' ')) AS w
                FROM documents),
-       h AS (SELECT doc_id, t, ${polyHashSql("w")} % $DsirBuckets AS hb FROM w),
-       hist AS (SELECT hb, count(*) AS cc,
-                  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
-                FROM h GROUP BY 1),
+       dw AS (SELECT doc_id, t, ${polyHashSql("w")} % $DsirBuckets AS hb,
+                     count(*) AS cw
+              FROM w GROUP BY 1, 2, 3),
+       hist AS (SELECT hb, CAST(sum(cw) AS BIGINT) AS cc,
+                  CAST(sum(CASE WHEN t THEN cw ELSE 0 END) AS BIGINT) AS ct
+                FROM dw GROUP BY 1),
        tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc,
                       CAST(sum(ct) AS BIGINT) AS nt FROM hist),
        r AS (SELECT hb,
                ln((ct + 1) * 1.0 / (nt + $DsirBuckets)) -
                ln((cc + 1) * 1.0 / (nc + $DsirBuckets)) AS lr
              FROM hist, tot)
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-              round(sum(lr), 4) AS dsir_score
-       FROM h JOIN r USING (hb) GROUP BY 1"""
+       SELECT doc_id, CAST(sum(cw) AS BIGINT) AS n_feats,
+              round(sum(cw * lr), 4) AS dsir_score
+       FROM dw JOIN r USING (hb) GROUP BY 1"""
 
   private val EmbCosTau = 0.4
 
