@@ -1057,6 +1057,57 @@ object Dedup {
     out
   }
 
+  /** MinHash ESTIMATOR-ERROR audit: for every band-sharing candidate
+    * pair, the signature's Jaccard estimate (matching permutations /
+    * numPerm — the unbiased MinHash estimator) next to the EXACT Jaccard
+    * and the absolute error. This is the statistical quality audit of
+    * the sketch itself — the number that justifies numPerm before a
+    * 100 TB run (E[err] ~ 1/sqrt(numPerm)); pairs sharing a band but NO
+    * shingle (bucket collisions) surface with exact 0.
+    *
+    * Scale shape: the estimate is a per-pair comparison of two WIDE
+    * signature rows (numPerm equality folds, no per-permutation
+    * explode); the exact side reuses the inverted-index intersection
+    * stream. Everything pair-wise runs on the candidate list.
+    */
+  def minhashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, rowsPerBand: Int, mode: HashMode = XxHash): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val (wide0, releaseVocab) = minhashWideReleasable(edges, numPerm, mode)
+    val wide = wide0.persist()
+    val keyCols = bandKeyCols(rowsPerBand)
+    val buckets = bandBuckets(wide, numPerm, rowsPerBand)
+    val cand = buckets.toDF("doc_a" +: "band" +: keyCols: _*)
+      .join(buckets.toDF("doc_b" +: "band" +: keyCols: _*), Seq("band") ++ keyCols)
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val matchCount = (0 until numPerm)
+      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val wa = wide.toDF("doc_a" +: (0 until numPerm).map(j => s"a_m$j"): _*)
+    val wb = wide.toDF("doc_b" +: (0 until numPerm).map(j => s"b_m$j"): _*)
+    val est = cand.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matchCount / lit(numPerm.toDouble)).as("est"))
+    val sizes = shingleSizes(edges)
+    val inter = edges.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val out = est.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .withColumn("__i", coalesce(col("inter"), lit(0L)))
+      .withColumn("__j", col("__i") / (col("na") + col("nb") - col("__i")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(col("__j"), 6).as("jaccard"),
+        round(abs(col("est") - col("__j")), 6).as("abs_err"))
+    val res = materializePairs(out, edges)
+    releaseVocab(); wide.unpersist()
+    res
+  }
+
   /** INCREMENTAL dedup — the daily-crawl shape: near-dups of the
     * `incoming` batch AGAINST the `existing` corpus (bipartite — the
     * corpus is never self-joined; intra-batch dups are [[minhashLshPairs]]

@@ -1250,6 +1250,37 @@ object ExtQueries extends QueryGroup {
        $pts"""
   }
 
+  /** MinHash estimator-error audit (Dedup.minhashEstimateAudit): per
+    * band-sharing candidate pair, est = matching perms / numPerm vs the
+    * exact Jaccard — the sketch-quality audit behind the numPerm choice.
+    */
+  private def dedupMinhashEst(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashEstimateAudit(Tables.documents(s, d), "doc_id", "text",
+      MinhashPerms, MinhashRows, Dedup.PolyHash)
+
+  private lazy val dedupMinhashEstSql =
+    s"""WITH ${minhashCtesSql("documents")},
+       mm AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+         FROM sig a JOIN sig b
+           ON a.j = b.j AND a.minh = b.minh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       ti AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM edges a JOIN edges b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT c.doc_a, c.doc_b,
+              round(coalesce(m, 0) / $MinhashPerms.0, 6) AS est_jaccard,
+              round(coalesce(i, 0) / (sa.n_sh + sb.n_sh - coalesce(i, 0)), 6) AS jaccard,
+              round(abs(coalesce(m, 0) / $MinhashPerms.0 -
+                        coalesce(i, 0) / (sa.n_sh + sb.n_sh - coalesce(i, 0))), 6) AS abs_err
+       FROM cand c
+       LEFT JOIN mm ON c.doc_a = mm.doc_a AND c.doc_b = mm.doc_b
+       LEFT JOIN ti ON c.doc_a = ti.doc_a AND c.doc_b = ti.doc_b
+       JOIN sizes sa ON c.doc_a = sa.doc_id
+       JOIN sizes sb ON c.doc_b = sb.doc_id"""
+
   /** One side of the bipartite incremental chain: edges → polyhash ids →
     * wide signatures → band buckets, all CTEs prefixed `$p`.
     */
@@ -3804,6 +3835,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_bandsweep", dedupBandSweep, Some(dedupBandSweepSql), "LSH band-sweep: candidate cost + pair recall at rows-per-band 1/2/4"),
+    GQuery("ext_dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql), "MinHash estimator-error audit: est vs exact Jaccard per candidate pair"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
     GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),

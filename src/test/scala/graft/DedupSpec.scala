@@ -324,6 +324,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashEstimateAudit: exact dups estimate 1.0; error is |est - exact|") {
+    val real = Tables.documents(spark, sf0001)
+    val rows = Dedup.minhashEstimateAudit(real, "doc_id", "text", 16, 2, Dedup.PolyHash)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, est, j, err) =>
+      assert(est >= 0.0 && est <= 1.0 && j >= 0.0 && j <= 1.0, s"($a,$b)")
+      assert(math.abs(err - math.abs(est - j)) <= 2e-6, s"($a,$b) err=$err est=$est j=$j")
+    }
+    // identical texts share every permutation minimum AND every shingle
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely different sentence about something else here")
+    ).toDF("doc_id", "text")
+    val dup = Dedup.minhashEstimateAudit(d, "doc_id", "text", 16, 2, Dedup.PolyHash)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val exact = dup.filter(r => r._1 == 1L && r._2 == 2L)
+    assert(exact.length == 1 &&
+      exact.forall(r => r._3 == 1.0 && r._4 == 1.0 && r._5 == 0.0))
+  }
+
   test("minhashBandSweep: nested candidate sets, monotone cost and recall down the ladder") {
     val d = Tables.documents(spark, sf0001)
     val got = Dedup.minhashBandSweep(d, "doc_id", "text", 16, Seq(1, 2, 4),
