@@ -1198,6 +1198,28 @@ object Dedup {
     exEdges.unpersist()
   }
 
+  /** APPEND a new batch to a [[writeMinhashIndex]]-persisted index —
+    * the missing half of the daily-crawl lifecycle: after a batch is
+    * probed (and its survivors admitted to the corpus), its band rows
+    * and shingle edges are appended so TOMORROW's batch probes
+    * yesterday's admissions too. Content-derived signatures are what
+    * make this a pure append: no stored row ever changes (DenseId is
+    * rejected for exactly that reason). DedupSpec proves
+    * write(A) + append(B) ≡ write(A ∪ B).
+    */
+  def appendMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, rowsPerBand: Int, mode: HashMode, path: String): Unit = {
+    require(mode != DenseId,
+      "DenseId signatures are vocabulary-relative and cannot be stored across increments")
+    val edges = shingleEdges(newDocs, idCol, textCol).persist()
+    val (wide, release) = minhashWideReleasable(edges, numPerm, mode)
+    bandBuckets(wide, numPerm, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
+    edges.write.mode("append").parquet(s"$path/edges")
+    release()
+    edges.unpersist()
+  }
+
   /** Probe an `incoming` batch against a [[writeMinhashIndex]]-persisted
     * index. Same result as [[incrementalMinhashDups]] over the original
     * existing frame — DedupSpec proves written-index ≡ in-plan index.

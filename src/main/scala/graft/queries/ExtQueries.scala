@@ -1323,6 +1323,45 @@ object ExtQueries extends QueryGroup {
       "doc_id", "text", MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
   }
 
+  /** TWO-DAY index lifecycle: write(train) → append(day-1 batch) →
+    * probe(day-2 batch) against the grown index — the full daily-crawl
+    * loop including the admission append (Dedup.appendMinhashIndex).
+    * Oracle = the bipartite chain with existing = train ∪ day-1.
+    */
+  private def dedupIncr2(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val docs = Tables.documents(s, d)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_minhash_idx2_${math.abs(d.hashCode)}"
+    Dedup.writeMinhashIndex(docs.where(bucket < 80), "doc_id", "text",
+      MinhashPerms, MinhashRows, Dedup.PolyHash, path)
+    Dedup.appendMinhashIndex(docs.where(bucket >= 80 && bucket < 90),
+      "doc_id", "text", MinhashPerms, MinhashRows, Dedup.PolyHash, path)
+    Dedup.probeMinhashIndex(path, docs.where(bucket >= 90), "doc_id", "text",
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+  }
+
+  private lazy val dedupIncr2Sql =
+    s"""WITH bkt AS (SELECT doc_id, text,
+            ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS bk
+          FROM documents),
+       ${minhashSideCtes("(SELECT doc_id, text FROM bkt WHERE bk < 90)", "o")},
+       ${minhashSideCtes("(SELECT doc_id, text FROM bkt WHERE bk >= 90)", "n")},
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM nb n JOIN ob o ON n.band = o.band AND n.bucket = o.bucket),
+       inter AS (
+         SELECT c.new_id, c.old_id, count(*) AS i
+         FROM cand c JOIN ne en ON c.new_id = en.doc_id
+         JOIN oe eo ON c.old_id = eo.doc_id AND en.shingle = eo.shingle
+         GROUP BY 1, 2),
+       szn AS (SELECT doc_id, count(*) AS n_sh FROM ne GROUP BY 1),
+       szo AS (SELECT doc_id, count(*) AS n_sh FROM oe GROUP BY 1)
+       SELECT new_id, old_id, i / (szn.n_sh + szo.n_sh - i) AS jaccard
+       FROM inter JOIN szn ON inter.new_id = szn.doc_id
+       JOIN szo ON inter.old_id = szo.doc_id
+       WHERE i / (szn.n_sh + szo.n_sh - i) >= $MinhashTau"""
+
   /** Twin of Dedup.incrementalMinhashDups over the deterministic split:
     * existing = train bucket, incoming = the middle (val) bucket.
     */
@@ -1496,6 +1535,39 @@ object ExtQueries extends QueryGroup {
               CAST(sum(CASE WHEN n_sens < l THEN n ELSE 0 END) AS BIGINT) AS n_viol_rows,
               round(sum(CASE WHEN n_sens < l THEN n ELSE 0 END) * 1.0 / sum(n), 6) AS viol_frac
        FROM e GROUP BY 1"""
+
+  /** Per-source unigram ENTROPY + type-token ratio — the lexical
+    * diversity telemetry a corpus-mixing job reads next to the TV-drift
+    * monitor: low entropy flags templated/boilerplate sources, low TTR
+    * flags repetitive ones. entropy = ln N − (Σ c·ln c)/N from one
+    * word-count aggregate; ONE corpus explode, map-side combinable.
+    */
+  private def corpusEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * log(col("c").cast("double"))).as("__clnc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast("double")) - col("__clnc") / col("n_tokens"), 4)
+          .as("entropy"),
+        round(col("n_types") / col("n_tokens"), 6).as("type_token_ratio"))
+
+  private val corpusEntropySql =
+    """WITH wc AS (
+         SELECT source, w, count(*) AS c
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents) t
+         GROUP BY 1, 2),
+       agg AS (
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_types, sum(c * ln(c)) AS clnc
+         FROM wc GROUP BY 1)
+       SELECT source, n_tokens, n_types,
+              round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy,
+              round(n_types / n_tokens, 6) AS type_token_ratio
+       FROM agg"""
 
   /** DSIR-style hashed-unigram importance scores (Sampling.dsirScores):
     * target = the English slice, corpus = everything; log weight > 0
@@ -3813,6 +3885,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_deciles", corpusDeciles, Some(corpusDecilesSql), "per-language quality deciles (histogram form, value-based buckets)"),
     GQuery("ext_corpus_pplfilter", corpusPplFilter, Some(corpusPplFilterSql), "CCNet perplexity-band filter: bigram-LM deciles, keep-middle, mass telemetry"),
     GQuery("ext_corpus_dsir", corpusDsir, Some(corpusDsirSql), "DSIR hashed-unigram importance scores vs the target language slice"),
+    GQuery("ext_corpus_entropy", corpusEntropy, Some(corpusEntropySql), "per-source unigram entropy + type-token ratio (lexical diversity telemetry)"),
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
@@ -3836,6 +3909,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_bandsweep", dedupBandSweep, Some(dedupBandSweepSql), "LSH band-sweep: candidate cost + pair recall at rows-per-band 1/2/4"),
     GQuery("ext_dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql), "MinHash estimator-error audit: est vs exact Jaccard per candidate pair"),
+    GQuery("ext_dedup_incr2", dedupIncr2, Some(dedupIncr2Sql), "two-day index lifecycle: write, append day-1 admissions, probe day-2 batch"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
     GQuery("ext_dedup_emblsh", dedupEmbLsh, Some(dedupEmbLshSql), "LSH-bucketed embedding near-dup (scale path)"),

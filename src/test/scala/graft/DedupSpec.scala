@@ -366,6 +366,29 @@ class DedupSpec extends SparkSpec {
     assert(got.head._5 > 0.0)
   }
 
+  test("appendMinhashIndex: write(A) + append(B) ≡ write(A ∪ B) for the probe") {
+    val d = Tables.documents(spark, sf0001)
+    val bucket = Dedup.polyHash(concat(col("text"), lit("|graft-split-42"))) % 100
+    val a = d.where(bucket < 60)
+    val b = d.where(bucket >= 60 && bucket < 90)
+    val probeDocs = d.where(bucket >= 90)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_idx_app1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft_idx_app2").toString
+    try {
+      Dedup.writeMinhashIndex(a, "doc_id", "text", 16, 2, Dedup.PolyHash, p1)
+      Dedup.appendMinhashIndex(b, "doc_id", "text", 16, 2, Dedup.PolyHash, p1)
+      Dedup.writeMinhashIndex(a.unionAll(b), "doc_id", "text", 16, 2,
+        Dedup.PolyHash, p2)
+      def probe(p: String) =
+        Dedup.probeMinhashIndex(p, probeDocs, "doc_id", "text", 16, 2, 0.6,
+          Dedup.PolyHash).as[(Long, Long, Double)].collect().toSet
+      assert(probe(p1) == probe(p2))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p2))
+    }
+  }
+
   test("persisted minhash index: written-index probe ≡ in-plan incremental, sf data") {
     val d = Tables.documents(spark, sf0001)
     val bucket = Dedup.polyHash(concat(col("text"), lit("|graft-split-42"))) % 100
