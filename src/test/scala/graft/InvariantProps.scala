@@ -251,6 +251,41 @@ object InvariantProps extends Properties("graft.invariants") {
           audit.forall(r => r._1 >= 0 && r._1 < shards)
     }
 
+  property("zoneManifest conserves rows per layout; flag ≡ rectangle miss") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 31L), Gen.chooseNum(0L, 63L)))) { pts =>
+      import spark.implicits._
+      val df = pts.toDF("a", "b")
+      val rows = graft.operators.Layout
+        .zoneManifest(df, "a", "b", 16, 64L, 8L, 4L, 9L, 16L)
+        .as[(String, Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      val b0 = pts.map(_._2).min
+      Seq("zorder", "natural").forall(l =>
+        rows.filter(_._1 == l).map(_._3).sum == pts.length.toLong) &&
+        rows.forall { case (_, _, _, aMin, aMax, bMin, bMax, skip) =>
+          skip == (aMax < 4 || aMin > 9 || bMin > b0 + 15 || bMax < b0)
+        }
+    }
+
+  property("hybridRrfTopK: dense ranks from 1; rrf bounded by 2/(c+1)") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 9L))),
+           Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 9L)))) {
+      (s0, l0) =>
+        import spark.implicits._
+        // rank the raw (q, neighbor) draws per leg to make valid top-k lists
+        def leg(xs: List[(Long, Long)]) = xs.distinct.groupBy(_._1).toList
+          .flatMap { case (q, g) =>
+            g.map(_._2).distinct.sorted.zipWithIndex
+              .map { case (n, i) => (q, i + 1, n) }
+          }.toDF("q_id", "rnk", "neighbor_id")
+        val out = graft.operators.Similarity
+          .hybridRrfTopK(leg(s0), leg(l0), 5)
+          .as[(Long, Int, Long, Double)].collect()
+        out.groupBy(_._1).forall { case (_, g) =>
+          g.map(_._2).sorted.toSeq == (1 to g.length).toSeq
+        } && out.forall(r => r._4 > 0.0 && r._4 <= 2.0 / 61.0 + 1e-6)
+    }
+
   property("domainDivergence: TV within [0,1]; a lone domain scores exactly 0") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"),
       Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))) {
