@@ -630,6 +630,32 @@ object Similarity {
         size(filter(col("qvec"), q => abs(q) === 127)).as("n_saturated"))
   }
 
+  /** Retrieval impact of int8 STORAGE ([[quantizeInt8]]): brute-force
+    * top-k where corpus vectors are their int8 reconstructions
+    * (code × scale) while queries stay full-precision — the asymmetric
+    * search every quantized index serves — evaluated as recall@k against
+    * the float truth. ONE output row: the "does 4× compression hurt
+    * retrieval" number read before committing a billion-vector index to
+    * int8.
+    */
+  def int8RecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val rec = corpus.select(col(idCol), vecD.as("__v"))
+      .withColumn("__scale",
+        array_max(transform(col("__v"), x => abs(x))) / 127.0d)
+      .withColumn("__q",
+        when(col("__scale") === 0.0d, transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"),
+            x => floor(x / col("__scale") + 0.5d).cast("int"))))
+      .select(col(idCol),
+        transform(col("__q"), q => q.cast("double") * col("__scale"))
+          .as(vecCol))
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val approx = bruteForceTopK(rec, queries, idCol, vecCol, k)
+    recallAtK(truth, Seq("int8" -> approx), k)
+  }
+
   /** Recall@k evaluation harness: for each (method, result) the fraction
     * of the exact top-k ground truth the approximate method recovered —
     * the quality dial every ANN deployment tunes (nprobe, bands, codebook

@@ -1705,6 +1705,47 @@ object ExtQueries extends QueryGroup {
              FROM scored) r
        WHERE rnk <= $TopK"""
 
+  /** Retrieval impact of int8 storage (Similarity.int8RecallAtK):
+    * asymmetric search over reconstructed corpus vectors, recall@k vs
+    * the float truth — the compression-accuracy number.
+    */
+  private def annInt8Recall(s: SparkSession, d: String): DataFrame =
+    Similarity.int8RecallAtK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK)
+
+  /** Self-contained twin of the int8 asymmetric search: embQuantSql's
+    * reconstruction chain feeding the standard top-k, wrapped by the
+    * recall row against the brute-force truth.
+    */
+  private lazy val annInt8RecallSql = {
+    val int8TopKSql =
+      s"""WITH $vecsSql,
+         rq AS (
+           SELECT vec_id,
+                  list_transform(range(1, len(vec) + 1), i -> qv[i] * scale) AS vrec
+           FROM (
+             SELECT vec_id, vec, scale,
+               CASE WHEN scale = 0 THEN list_transform(vec, x -> 0)
+                    ELSE list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+               END AS qv
+             FROM (
+               SELECT vec_id, vec,
+                 list_reduce(list_transform(vec, x -> abs(x)),
+                   (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS scale
+               FROM v) s) q),
+         rn AS (SELECT vec_id, vrec, ${listNormSq("vrec")} AS nrec FROM rq),
+         scored AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
+                  ${dotOf("a.vec", "b.vrec")} / (sqrt(a.nsq) * sqrt(b.nrec)) AS cosine
+           FROM n a JOIN rn b ON a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id)
+         SELECT q_id, rnk, vec_b AS neighbor_id
+         FROM (SELECT q_id, vec_b,
+                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+               FROM scored) r
+         WHERE rnk <= $TopK"""
+    recallRowSql("int8", int8TopKSql)
+  }
+
   private val EmbDim = 64
 
   private def annLsh(s: SparkSession, d: String): DataFrame =
@@ -3300,6 +3341,41 @@ object ExtQueries extends QueryGroup {
     * day per key, then per-day active/new counts. Exact integer counts;
     * the one division is exact-int / exact-int.
     */
+  /** DAU / WAU / stickiness — the engagement telemetry every event
+    * pipeline reports: per day, distinct active users, the 7-day
+    * trailing distinct count, and their ratio. The trailing distinct
+    * CANNOT be a window aggregate (count distinct over a range frame);
+    * both engines compute it as the day-list × activity interval join —
+    * the fan-out is bounded by 7 × |distinct (day, user)|, and the
+    * corpus-sized reduce (the DISTINCT) happens first.
+    */
+  private def eventsWau(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(expr(s"ts div $ZDayNs").as("day"), col("user_id")).distinct()
+      .localCheckpoint(eager = false)
+    val days = act.select(col("day")).distinct()
+    val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = days.as("dd")
+      .join(act.as("a"), col("a.day").between(col("dd.day") - 6, col("dd.day")))
+      .groupBy(col("dd.day").as("day"))
+      .agg(countDistinct(col("a.user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 6).as("stickiness"))
+  }
+
+  private val eventsWauSql =
+    s"""WITH act AS (
+         SELECT DISTINCT epoch_ns(ts) // $ZDayNs AS day, user_id FROM events),
+       days AS (SELECT DISTINCT day FROM act),
+       dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+       wau AS (
+         SELECT d.day, count(DISTINCT a.user_id) AS wau
+         FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+         GROUP BY 1)
+       SELECT day, dau, wau, round(dau / wau, 6) AS stickiness
+       FROM dau JOIN wau USING (day)"""
+
   private def eventsNovelty(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
@@ -3928,6 +4004,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),
+    GQuery("ext_ann_int8recall", annInt8Recall, Some(annInt8RecallSql), "recall@k of asymmetric search over int8-reconstructed corpus vectors"),
     GQuery("ext_ann_ivf_probes", annIvfProbes, Some(annIvfProbesSql), "recall-vs-nprobe curve: IVF at 1/2/4/8 probes vs brute-force truth"),
     GQuery("ext_ann_matryoshka", annMatryoshka, Some(annMatryoshkaSql), "recall@k of prefix-dim (matryoshka) search vs full-dim truth"),
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
@@ -3962,6 +4039,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
     GQuery("ext_events_novelty", eventsNovelty, Some(eventsNoveltySql), "per-day novelty-rate drift monitor (first-seen key fraction)"),
+    GQuery("ext_events_wau", eventsWau, Some(eventsWauSql), "DAU / 7-day WAU / stickiness engagement telemetry"),
     GQuery("ext_events_mad", eventsMad, Some(eventsMadSql), "volume-anomaly days via median ± 3·MAD (exact lower-median order stats)"),
     GQuery("ext_events_cap", eventsCap, Some(eventsCapSql), "ingest quota telemetry: shed rate of a first-N-per-(user,day) cap"),
     GQuery("ext_dedup_srcmatrix", dedupSourceMatrix, Some(dedupSourceMatrixSql), "cross-source duplication matrix (near-dup pairs by unordered source pair)"),

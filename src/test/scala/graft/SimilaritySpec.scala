@@ -76,6 +76,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rRerank >= rIvfpq && rRerank > 0.0)
   }
 
+  test("int8RecallAtK: one row, high recall — 8-bit noise barely moves cosine ranks") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val rows = Similarity.int8RecallAtK(corpus, queries, "vec_id", "embedding", 5)
+      .as[(String, Int, Int, Double)].collect()
+    assert(rows.length == 1)
+    val (m, nq, hits, recall) = rows.head
+    info(f"int8 recall@5 = $recall%.3f ($hits of ${nq * 5})")
+    assert(m == "int8" && hits <= nq * 5 && recall >= 0.8)
+  }
+
+  test("eventsWau via registry: wau >= dau, stickiness in (0, 1]") {
+    val rows = SparkEntry.queries("ext_events_wau")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, wau, st) =>
+      assert(wau >= dau && dau >= 1, s"day $day")
+      assert(st > 0.0 && st <= 1.0, s"day $day stickiness $st")
+    }
+  }
+
   test("filteredTopK: label-pure, prefilter dense ranks, postfilter ⊆ prefilter") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = corpus.where(col("vec_id") % 50 === 0)
