@@ -977,6 +977,71 @@ object Dedup {
       s"stack($numBands, $stackRows) AS (band, ${bandKeyCols(rowsPerBand).mkString(", ")})")
   }
 
+  /** TWO-STAGE fuzzy dedup with EDIT-DISTANCE verification: MinHash band
+    * candidates re-scored by normalized Levenshtein similarity
+    * 1 - lev(a,b)/max(|a|,|b|) — the character-level verifier that
+    * catches what set-similarity can't distinguish (word reorderings
+    * score high Jaccard but low edit similarity; small in-place edits
+    * score high on both). The O(L²)-per-pair DP runs ONLY on the
+    * band-candidate list (never all pairs), and both texts are capped at
+    * `maxChars` so the worst pair costs a bounded maxChars² — the knob
+    * that keeps a pathological 1 GB document from stalling an executor
+    * at 100 TB. Texts attach to the candidate list by joining the pair
+    * frame (tiny) onto the corpus twice; the corpus is never shuffled —
+    * the candidate side broadcasts.
+    */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, rowsPerBand: Int, simTau: Double, maxChars: Int,
+      mode: HashMode = XxHash): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val (candidates, releaseVocab) =
+      minhashBandCandidates(edges, numPerm, rowsPerBand, mode)
+    val txt = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, maxChars).as("__txt"))
+    val verified = txt.select(col("doc_id").as("doc_a"), col("__txt").as("__ta"))
+      .join(broadcast(candidates), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("__txt").as("__tb")),
+        Seq("doc_b"))
+      .withColumn("lev_dist",
+        levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("lev_dist") /
+          greatest(length(col("__ta")), length(col("__tb"))), 6))
+      .where(col("edit_sim") >= simTau)
+      .select("doc_a", "doc_b", "lev_dist", "edit_sim")
+    val out = materializePairs(verified, edges)
+    releaseVocab()
+    out
+  }
+
+  /** Per-document DUPLICATED-NGRAM COVERAGE: the fraction of a doc's
+    * distinct 3-gram shingles that also appear in at least `minDf - 1`
+    * OTHER documents — the RefinedWeb/Gopher cross-doc contamination
+    * signal a pipeline uses as a doc-level drop rule when pair-level
+    * dedup is too expensive or too aggressive. One explode feeds both
+    * the document-frequency aggregate and the per-doc rollup; the only
+    * corpus-sized shuffle is the df groupBy on the shingle key — the
+    * same key the near-dup family already shuffles on. Per-doc coverage
+    * comes from a join of the edge list with the df table on shingle —
+    * both join inputs are the SAME shingle-partitioned exchange of the
+    * edge list (one side aggregated), so Spark plans a ReusedExchange:
+    * the explode is computed and shuffled ONCE (no cache, no
+    * checkpoint — corpus-sized state never pins executor memory) — and
+    * one groupBy(doc). No pair stream exists at all: cost is linear in
+    * the edge list, which is why this is the operator that still runs
+    * where the quadratic-candidate family needs DF caps.
+    */
+  def dupShingleCoverage(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol)
+    val df = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    edges.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup") / col("n_shingles"), 6))
+  }
+
   /** LEXICAL top-k retrieval by n-gram Jaccard: for each query document,
     * the k highest-Jaccard corpus documents (rank ties broken by id) —
     * the sparse leg of hybrid search ([[Similarity.hybridRrfTopK]]).

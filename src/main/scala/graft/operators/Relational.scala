@@ -205,4 +205,37 @@ object Relational {
       explode(sequence(lit(0L), lit(salts - 1L))))
     leftSalted.join(rightSalted, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** CALENDAR RESAMPLE with gap fill — pandas `resample('D').sum()` +
+    * `ffill()` re-expressed relationally: left-join a per-group daily
+    * aggregate onto the DENSE (group × day) spine spanning the data's
+    * own [min, max] day window, zero-fill the count, keep the value
+    * NULL on silent days, and forward-fill the last observed value with
+    * an ignore-nulls running window. The spine is data-relative (no
+    * wall-clock): its bounds come from a 1-row global aggregate that
+    * broadcasts onto the (tiny) distinct-group frame before one
+    * sequence-explode — spine size = |groups| × days, never
+    * corpus-shaped. The corpus-sized work is exactly one groupBy
+    * (group, day); the ffill window repartitions only the spine.
+    * `aggs` must be DETERMINISTIC aggregates of `df`'s columns (the
+    * caller owns exactness — integer grids for float sums).
+    */
+  def resampleDailyFfill(df: DataFrame, groupCol: String, dayCol: Column,
+      aggs: Seq[Column], ffillCols: Seq[String]): DataFrame = {
+    val keyed = df.withColumn("__day", dayCol)
+    val daily = keyed.groupBy(col(groupCol), col("__day").as("day"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val bounds = keyed.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val spine = keyed.select(groupCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(groupCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val joined = spine.join(daily, Seq(groupCol, "day"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+    val w = Window.partitionBy(groupCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ffillCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"${c}_ffill", last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DETERMINISTIC cardinality/frequency sketches with built-in accuracy
+  * audits — the approximate counters a 100 TB pipeline runs where exact
+  * answers would shuffle the key universe, paired here with the exact
+  * answer so the estimator error is a measured number, not a trusted
+  * claim (the same audit discipline as Dedup.minhashEstimateAudit).
+  *
+  * Unlike approx_count_distinct / the HLL family — whose register values
+  * are engine-specific, so their queries can only be rows-checked — both
+  * sketches here are built from the repo's reproducible integer hashes
+  * (Knuth multiplicative mix, polynomial character fold mod 2^31-1), so
+  * the DuckDB oracle computes bit-identical sketch state and the
+  * CORRECTNESS gate hashes estimate columns too.
+  *
+  * Mirrors the aggregate/summary surface of the reference's groupby-size
+  * blocks (/root/reference/dmCustomerProc.py:42-55) at the scale where
+  * exact distinct-counting stops being free.
+  */
+object Sketches {
+
+  /** Knuth multiplicative constant (2^32 · conjugate golden ratio). */
+  val KnuthA = 2654435761L
+  /** Shared prime modulus (2^31 - 1), same family as Dedup.MinhashMod. */
+  val Mod: Long = Dedup.MinhashMod
+
+  /** Integer-key bucket hash: ((k mod P) · A + salt) mod P, then mod B.
+    * Max intermediate (P-1)·A < 2^63 — overflow-free BIGINT arithmetic
+    * in any engine.
+    */
+  def bucketOf(key: Column, buckets: Int, salt: Long): Column =
+    (((key % Mod) * KnuthA + salt) % Mod) % buckets
+
+  /** LINEAR-COUNTING distinct estimate per group with exact-count audit:
+    * hash each key into one of `buckets` slots, count occupied slots m,
+    * estimate n̂ = B·ln(B/(B-m)) (Whang et al., the load-factor-corrected
+    * occupancy inversion). Scale story: the exact side shuffles every
+    * distinct key; the sketch side is a FIXED-width bitmap per group —
+    * B·groups bits of state, map-side combinable, mergeable across days
+    * by bitwise OR (the streaming twin's state). Emitted per group:
+    * n_exact, n_occupied, est (NULL at saturation m = B — the signal to
+    * widen B), rel_err vs exact.
+    *
+    * Determinism: the bucket hash is exact integer arithmetic; ln runs
+    * once on the same rational B/(B-m) in both engines (≤1 ulp apart,
+    * ~1e-11 absolute here) and the estimate is rounded at 4 dp — seven
+    * orders of magnitude above the libm disagreement floor. rel_err is
+    * derived from the ROUNDED estimate so the audit chain shares one
+    * quantization point.
+    */
+  def linearCountDistinct(rows: DataFrame, keyCol: String, groupCol: String,
+      buckets: Int): DataFrame = {
+    val keys = rows.select(col(groupCol), col(keyCol).as("__k")).distinct()
+    val est = lit(buckets.toDouble) *
+      log(lit(buckets.toDouble) / (lit(buckets) - col("n_occupied")))
+    keys
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_exact"),
+        countDistinct(bucketOf(col("__k"), buckets, 7L)).as("n_occupied"))
+      .withColumn("est",
+        when(col("n_occupied") < buckets, round(est, 4)))
+      .withColumn("rel_err",
+        when(col("est").isNotNull,
+          round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)))
+  }
+
+  /** COUNT-MIN frequency sketch with exact-count audit over the word
+    * stream: `depth` hash rows × `width` counters, est(w) = min over
+    * rows of its counter — always an OVERcount (each counter adds the
+    * mass of every colliding word), so `overcount` is provably ≥ 0
+    * (spec-pinned). Scale story: the sketch is a fixed depth×width
+    * integer grid built by ONE map-side-combinable aggregate over the
+    * distinct-word vocabulary WITH COUNTS AS WEIGHTS (the BPE-trainer
+    * discipline — raw text is tokenized once, never re-touched);
+    * estimates for the audited top-k words come from a k-row broadcast
+    * joined against the (depth·width)-row counter table. The exact side
+    * is the same vocabulary aggregate the sketch consumed — at 100 TB
+    * you drop it and keep only the grid.
+    */
+  def countMinAudit(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, depth: Int, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("__sid", Dedup.polyHash(col("word")))
+      .persist()
+
+    def rowBucket(sid: Column, r: Int): Column =
+      ((sid * (2L * r + 3L) + (5L * r + 1L)) % Mod) % width
+
+    val stackExpr = (0 until depth).map { r =>
+      s"$r, ((__sid * ${2L * r + 3L} + ${5L * r + 1L}) % $Mod) % $width"
+    }.mkString(", ")
+    val counters = vocab
+      .selectExpr("cnt", s"stack($depth, $stackExpr) AS (r, bucket)")
+      .groupBy("r", "bucket").agg(sum(col("cnt")).as("counter"))
+
+    val top = vocab
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topK)
+    val probes = (0 until depth).foldLeft(top) { (df, r) =>
+      df.withColumn(s"__b$r", rowBucket(col("__sid"), r))
+    }
+    val est = (0 until depth).foldLeft(broadcast(probes): DataFrame) { (df, r) =>
+      df.join(counters.select(col("r"), col("bucket").as(s"__b$r"),
+          col("counter").as(s"__c$r")).where(col("r") === r).drop("r"),
+        Seq(s"__b$r"))
+    }
+    val minEst = (0 until depth).map(r => col(s"__c$r")).reduce(least(_, _))
+    val out = est.select(col("word"), col("cnt").as("n_exact"),
+        minEst.as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .localCheckpoint()
+    vocab.unpersist()
+    out
+  }
+
+  /** FIXED-GRID HISTOGRAM QUANTILE sketch with exact audit: per group,
+    * bin values into `bins` equal-width buckets over the group's own
+    * [min, max], estimate quantile q as the midpoint of the first bin
+    * whose cumulative count reaches ⌈q·n⌉, and emit it next to the
+    * exact interpolated percentile. Scale story: the exact side is a
+    * per-group SORT of every value (percentile is an order statistic);
+    * the sketch side is a fixed `bins`-row integer histogram per
+    * group — map-side combinable, mergeable across days by vector ADD
+    * (the t-digest/KLL role, in the deterministic fixed-grid form an
+    * oracle can replicate). Estimate error is bounded by the bin width;
+    * `abs_err` makes that bound a measured number per quantile.
+    *
+    * Determinism: lo/hi/width and the bin index derive from the same
+    * IEEE doubles in both engines (min, max, one subtraction, one
+    * division, one floor); counts and the ⌈q·n⌉ threshold comparison
+    * are exact; the only post-integer float work is the midpoint
+    * expression, rounded at 4 dp.
+    */
+  def histogramQuantiles(rows: DataFrame, valCol: String, groupCol: String,
+      bins: Int, qs: Seq[Double]): DataFrame = {
+    val v = col(valCol)
+    val stats = rows.groupBy(groupCol)
+      .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
+    val width = (col("__hi") - col("__lo")) / bins
+    val binIdx = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit(bins - 1L), floor((v - col("__lo")) / width).cast("long")))
+    val counts = rows.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol), binIdx.as("bin"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = counts.withColumn("__cum",
+      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy("bin")))
+    val qDf = rows.sparkSession.createDataFrame(
+      qs.zipWithIndex.map { case (q, i) => (i, q) }).toDF("qi", "q")
+    val est = cum.join(broadcast(stats), Seq(groupCol))
+      .crossJoin(broadcast(qDf))
+      .where(col("__cum") >= ceil(col("q") * col("__n")))
+      .groupBy(col(groupCol), col("qi"), col("q"))
+      .agg(min(col("bin")).as("__qbin"))
+      .join(broadcast(stats), Seq(groupCol))
+      .select(col(groupCol), col("qi"), col("q"),
+        round(col("__lo") + (col("__qbin") + 0.5d) *
+          ((col("__hi") - col("__lo")) / bins), 4).as("est"))
+    val exactCols = qs.zipWithIndex.map { case (q, i) =>
+      round(expr(s"percentile($valCol, $q)"), 6).as(s"__x$i")
+    }
+    val exact = rows.groupBy(groupCol)
+      .agg(exactCols.head, exactCols.tail: _*)
+      .selectExpr(groupCol,
+        s"stack(${qs.size}, ${qs.indices.map(i => s"$i, __x$i").mkString(", ")}) AS (qi, exact)")
+    est.join(exact, Seq(groupCol, "qi"))
+      .withColumn("abs_err", round(abs(col("est") - col("exact")), 4))
+      .select(groupCol, "qi", "q", "est", "exact", "abs_err")
+  }
+}

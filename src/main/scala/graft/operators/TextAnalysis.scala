@@ -450,4 +450,113 @@ object TextAnalysis {
         col("n_words"), col("n_chars"), col("n_tokens"),
         round(col("n_chars") / col("n_tokens"), 6).as("chars_per_token"))
   }
+
+  /** IN-ENGINE CLASSIFIER TRAINING: a batch perceptron over hashed
+    * bag-of-words features — the quality/domain-filter training loop
+    * (fastText-style) run as `rounds` relational iterations instead of a
+    * driver-side ML job. Labels come from `labelCol` (±1); features are
+    * token counts hashed into `dim` buckets (the same hashing trick
+    * [[hashedLinearScore]] serves at inference, so a trained weight
+    * table drops straight into that scorer). Per round: margins =
+    * Σ cnt·w per doc (weights BROADCAST — ≤dim rows), predictions by
+    * sign, then the batch update w += Σ_misclassified y·x. Emits one
+    * telemetry row per round: correct/wrong counts against the
+    * pre-update weights plus post-update weight L1 mass and support.
+    *
+    * Scale shape: the corpus text is tokenized and hashed ONCE into the
+    * compact (doc, y, bucket, cnt) frame — ≤ dim rows per doc,
+    * persisted; every training round is two aggregates over that frame
+    * (margins by doc, updates by bucket) plus a dim-row weight join that
+    * always broadcasts. The weight table is localCheckpointed per round
+    * (tiny, eager) so lineage stays flat across rounds — the CC/PageRank
+    * loop discipline. Everything is BIGINT arithmetic: counts, ±1
+    * labels, integer weights — bit-reproducible in any engine, at any
+    * partitioning, which is what makes a TRAINING loop oracle-checkable
+    * at all.
+    */
+  def hashedPerceptronTrain(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int, rounds: Int): DataFrame = {
+    val (stats, _, feat) =
+      perceptronLoop(docs, idCol, textCol, labelCol, dim, rounds)
+    val out = stats.localCheckpoint()
+    feat.unpersist()
+    out
+  }
+
+  /** TRAIN-THEN-APPLY composite: run [[hashedPerceptronTrain]]'s loop,
+    * then score EVERY document against the final weight table and roll
+    * up per `groupCol` — predicted-positive rate, true-positive rate,
+    * and accuracy per group. This is the deployment shape of the
+    * in-engine trainer: the model that just trained filters the corpus
+    * in the same job, no weight export round-trip. Scoring reuses the
+    * persisted compact feature frame (the corpus is re-touched only for
+    * the tiny (doc_id, group) projection the rollup joins on); the
+    * final weights broadcast, so scoring adds one aggregate over the
+    * compact frame + one corpus-key join.
+    */
+  def hashedPerceptronApply(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, groupCol: String, dim: Int, rounds: Int): DataFrame = {
+    val (_, w, feat) =
+      perceptronLoop(docs, idCol, textCol, labelCol, dim, rounds)
+    val scored = feat.join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * col("w")).as("margin"))
+      .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(-1L))
+    val out = scored
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol)), Seq("doc_id"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_true_pos"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc", round(col("n_correct") / col("n_docs"), 6))
+      .localCheckpoint()
+    feat.unpersist()
+    out
+  }
+
+  /** Shared train loop: returns (per-round stats, final weights, the
+    * PERSISTED compact feature frame — caller must unpersist).
+    */
+  private def perceptronLoop(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int,
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    val feat = docs
+      .select(col(idCol).as("doc_id"), col(labelCol).cast("long").as("y"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("doc_id"), col("y"),
+        (Dedup.polyHash(col("__t")) % dim).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+
+    var w = spark.range(dim).select(col("id").as("bucket"), lit(0L).as("w"))
+      .localCheckpoint()
+    var stats = Seq.empty[DataFrame]
+    for (t <- 1 to rounds) {
+      val margins = feat.join(broadcast(w), Seq("bucket"))
+        .groupBy("doc_id", "y")
+        .agg(sum(col("cnt") * col("w")).as("margin"))
+        .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(-1L))
+        .localCheckpoint()
+      val wrong = margins.where(col("pred") =!= col("y")).select("doc_id")
+      val delta = feat.join(wrong, Seq("doc_id"))
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("__du"))
+      w = w.join(delta, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w") + coalesce(col("__du"), lit(0L))).as("w"))
+        .localCheckpoint()
+      val roundStats = margins.agg(
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+          sum(when(col("pred") =!= col("y"), 1L).otherwise(0L)).as("n_wrong"))
+        .crossJoin(broadcast(
+          w.agg(sum(abs(col("w"))).as("w_l1"),
+            sum(when(col("w") =!= 0L, 1L).otherwise(0L)).as("w_nnz"))))
+        .select(lit(t).as("round"), col("n_correct"), col("n_wrong"),
+          col("w_l1"), col("w_nnz"))
+      stats = stats :+ roundStats
+    }
+    (stats.reduce(_.unionByName(_)), w, feat)
+  }
 }

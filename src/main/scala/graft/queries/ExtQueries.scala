@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GQuery, QueryGroup, Tables}
-import graft.operators.{Dedup, Incremental, Layout, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Incremental, Layout, Multimodal, Relational, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -3937,6 +3937,329 @@ object ExtQueries extends QueryGroup {
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("n_users_approx"))
 
+  // ----------------------------------------- round-7 depth: verify/sketch/train
+
+  /** Normalized-edit-similarity floor for the two-stage fuzzy verify. */
+  private val EditSimTau = 0.5
+  /** Per-text DP cap: worst pair costs EditMaxChars² regardless of doc
+    * size — the bounded-work knob (both engines cap identically).
+    */
+  private val EditMaxChars = 4000
+
+  /** TWO-STAGE fuzzy dedup (Dedup.editVerifiedPairs): MinHash band
+    * candidates re-verified by normalized Levenshtein similarity — the
+    * character-level check that separates in-place edits (high edit sim)
+    * from word reshuffles (high Jaccard, low edit sim).
+    */
+  private def dedupEditVerify(s: SparkSession, d: String): DataFrame =
+    Dedup.editVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+      MinhashPerms, MinhashRows, EditSimTau, EditMaxChars, Dedup.PolyHash)
+
+  private lazy val dedupEditVerifySql =
+    s"""WITH ${minhashCtesSql("documents")},
+       tx AS (SELECT doc_id, substr(text, 1, $EditMaxChars) AS t FROM documents),
+       sc AS (
+         SELECT c.doc_a, c.doc_b,
+                CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev_dist,
+                round(1.0 - levenshtein(ta.t, tb.t) / greatest(len(ta.t), len(tb.t)), 6) AS edit_sim
+         FROM cand c
+         JOIN tx ta ON c.doc_a = ta.doc_id
+         JOIN tx tb ON c.doc_b = tb.doc_id)
+       SELECT doc_a, doc_b, lev_dist, edit_sim
+       FROM sc WHERE edit_sim >= $EditSimTau"""
+
+  /** Cross-doc duplicated-shingle coverage threshold: a shingle counts
+    * as duplicated when ≥ 2 documents contain it.
+    */
+  private val DupCovMinDf = 2
+
+  /** Per-doc duplicated-ngram coverage (Dedup.dupShingleCoverage) — the
+    * linear-cost doc-level contamination signal.
+    */
+  private def dedupNgramCov(s: SparkSession, d: String): DataFrame =
+    Dedup.dupShingleCoverage(Tables.documents(s, d), "doc_id", "text",
+      DupCovMinDf)
+
+  private val dedupNgramCovSql =
+    s"""WITH $edgesSql,
+       sdf AS (SELECT shingle, count(*) AS df FROM edges GROUP BY 1)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(sum(CASE WHEN df >= $DupCovMinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              round(sum(CASE WHEN df >= $DupCovMinDf THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+       FROM edges JOIN sdf USING (shingle)
+       GROUP BY doc_id"""
+
+  /** Linear-counting bitmap width: 1500 distinct users at sf0.1 load it
+    * to ~31%; saturation (est = NULL) would need ~34k distinct keys —
+    * the documented signal to widen B, not a correctness cliff.
+    */
+  private val LinCountBuckets = 4096
+
+  /** Deterministic linear-counting distinct-users estimate per event
+    * type with exact-count audit (Sketches.linearCountDistinct).
+    */
+  private def sketchLincount(s: SparkSession, d: String): DataFrame =
+    Sketches.linearCountDistinct(
+      Tables.events(s, d).select(col("event_type"), col("user_id")),
+      "user_id", "event_type", LinCountBuckets)
+
+  private val sketchLincountSql = {
+    val b = LinCountBuckets
+    val est = s"round($b * ln($b.0 / ($b - n_occupied)), 4)"
+    s"""WITH ks AS (SELECT DISTINCT event_type, user_id FROM events),
+       occ AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(DISTINCT (((user_id % ${Sketches.Mod}) * ${Sketches.KnuthA} + 7) % ${Sketches.Mod}) % $b) AS BIGINT) AS n_occupied
+         FROM ks GROUP BY 1)
+       SELECT event_type, n_exact, n_occupied,
+              CASE WHEN n_occupied < $b THEN $est END AS est,
+              CASE WHEN n_occupied < $b
+                   THEN round(abs($est - n_exact) / n_exact, 4) END AS rel_err
+       FROM occ"""
+  }
+
+  private val CmsWidth = 256
+  private val CmsDepth = 3
+  private val CmsTopK = 20
+
+  /** Count-min heavy-hitter audit (Sketches.countMinAudit): top-20 exact
+    * word counts vs their depth-3 × width-256 sketch estimates.
+    */
+  private def sketchCms(s: SparkSession, d: String): DataFrame =
+    Sketches.countMinAudit(Tables.documents(s, d), "doc_id", "text",
+      CmsWidth, CmsDepth, CmsTopK)
+
+  private lazy val sketchCmsSql = {
+    val joins = (0 until CmsDepth).map { r =>
+      s"""JOIN counters c$r ON c$r.r = $r
+          AND c$r.bucket = ((sid * ${2 * r + 3} + ${5 * r + 1}) % ${Sketches.Mod}) % $CmsWidth"""
+    }.mkString("\n")
+    val minEst = s"least(${(0 until CmsDepth).map(r => s"c$r.counter").mkString(", ")})"
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       vocab AS (SELECT word, cnt, ${polyHashSql("word")} AS sid FROM wc),
+       counters AS (
+         SELECT r, ((sid * (2 * r + 3) + (5 * r + 1)) % ${Sketches.Mod}) % $CmsWidth AS bucket,
+                CAST(sum(cnt) AS BIGINT) AS counter
+         FROM vocab, range($CmsDepth) t(r) GROUP BY 1, 2),
+       top AS (SELECT word, cnt, sid FROM vocab ORDER BY cnt DESC, word LIMIT $CmsTopK)
+       SELECT word, cnt AS n_exact, $minEst AS n_est, $minEst - cnt AS overcount
+       FROM top
+       $joins"""
+  }
+
+  private val TrainDim = 64
+  private val TrainRounds = 3
+
+  /** In-engine classifier training (TextAnalysis.hashedPerceptronTrain):
+    * a 3-round batch perceptron learning the en/non-en language label
+    * from hashed bag-of-words counts — per-round accuracy + weight-mass
+    * telemetry, all-BIGINT and oracle-unrolled like the CC/BPE loops.
+    */
+  private def classifyTrain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+    TextAnalysis.hashedPerceptronTrain(docs, "doc_id", "text", "y",
+      TrainDim, TrainRounds)
+  }
+
+  /** The trainer's CTE chain (features + w0 + per-round m/p/u/w
+    * quadruples) — shared by the train telemetry and apply oracles.
+    */
+  private lazy val classifyTrainCtes = {
+    val featCtes =
+      s"""lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         feat AS (
+           SELECT doc_id, y, ${polyHashSql("t")} % $TrainDim AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM tok JOIN lab USING (doc_id) GROUP BY 1, 2, 3),
+         w0 AS (SELECT r AS bucket, CAST(0 AS BIGINT) AS w FROM range($TrainDim) rr(r))"""
+    val rounds = (1 to TrainRounds).map { t =>
+      s"""m$t AS (SELECT doc_id, y, sum(f.cnt * w.w) AS margin
+            FROM feat f JOIN w${t - 1} w USING (bucket) GROUP BY 1, 2),
+         p$t AS (SELECT doc_id, y,
+                   CASE WHEN margin >= 0 THEN 1 ELSE -1 END AS pred FROM m$t),
+         u$t AS (SELECT bucket, sum(f.y * f.cnt) AS du
+            FROM feat f JOIN (SELECT doc_id FROM p$t WHERE pred != y) b USING (doc_id)
+            GROUP BY 1),
+         w$t AS (SELECT w.bucket, w.w + coalesce(u.du, 0) AS w
+            FROM w${t - 1} w LEFT JOIN u$t u USING (bucket))"""
+    }.mkString(",\n")
+    s"$featCtes,\n$rounds"
+  }
+
+  private lazy val classifyTrainSql = {
+    val rows = (1 to TrainRounds).map { t =>
+      s"""SELECT CAST($t AS INTEGER) AS round,
+           (SELECT CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) FROM p$t) AS n_correct,
+           (SELECT CAST(sum(CASE WHEN pred != y THEN 1 ELSE 0 END) AS BIGINT) FROM p$t) AS n_wrong,
+           (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w$t) AS w_l1,
+           (SELECT CAST(count(*) FILTER (WHERE w != 0) AS BIGINT) FROM w$t) AS w_nnz"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH $classifyTrainCtes\n$rows"
+  }
+
+  /** Train-then-apply (TextAnalysis.hashedPerceptronApply): the
+    * freshly-trained weights score every document; per-source rollup of
+    * predicted-positive / true-positive / accuracy — the deployment
+    * composite that turns ext_classify_train's weights into a corpus
+    * filter in the same job.
+    */
+  private def classifyApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+    TextAnalysis.hashedPerceptronApply(docs, "doc_id", "text", "y",
+      "source", TrainDim, TrainRounds)
+  }
+
+  private lazy val classifyApplySql =
+    s"""WITH $classifyTrainCtes,
+       sc AS (
+         SELECT doc_id, y,
+                CASE WHEN sum(f.cnt * w.w) >= 0 THEN 1 ELSE -1 END AS pred
+         FROM feat f JOIN w$TrainRounds w USING (bucket)
+         GROUP BY doc_id, y)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+              CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+              CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+              round(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) / count(*), 6) AS acc
+       FROM sc JOIN documents USING (doc_id)
+       GROUP BY source"""
+
+  /** Calendar resample + gap fill (Relational.resampleDailyFfill):
+    * per-type daily event counts and cent-exact value sums on the dense
+    * day spine — zero-filled counts, NULL-preserving day values,
+    * forward-filled last observation. The pandas resample('D') +
+    * ffill() twin.
+    */
+  private def tsResample(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("value"))
+    Relational.resampleDailyFfill(ev, "event_type", expr(s"ts div $ZDayNs"),
+        Seq(sum(cents).as("day_cents")), Seq("day_cents"))
+      .select(col("event_type"), col("day"), col("n_rows").as("n_events"),
+        round(col("day_cents") / 100.0, 2).as("day_value"),
+        round(col("day_cents_ffill") / 100.0, 2).as("ffill_value"))
+  }
+
+  private val tsResampleSql =
+    s"""WITH ev AS (
+         SELECT event_type, epoch_ns(ts) // $ZDayNs AS day,
+                CAST(round(value * 100, 0) AS BIGINT) AS cents
+         FROM events),
+       daily AS (
+         SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS day_cents
+         FROM ev GROUP BY 1, 2),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+       spine AS (
+         SELECT event_type, day
+         FROM (SELECT DISTINCT event_type FROM ev),
+              (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds)),
+       j AS (
+         SELECT s.event_type, s.day,
+                coalesce(n_events, CAST(0 AS BIGINT)) AS n_events, day_cents
+         FROM spine s LEFT JOIN daily USING (event_type, day))
+       SELECT event_type, day, n_events,
+              round(day_cents / 100.0, 2) AS day_value,
+              round(last_value(day_cents IGNORE NULLS) OVER (
+                      PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    / 100.0, 2) AS ffill_value
+       FROM j"""
+
+  private val QsBins = 256
+  private val Quantiles = Seq(0.5, 0.9, 0.99)
+
+  /** Histogram quantile sketch audit (Sketches.histogramQuantiles):
+    * 256-bin fixed-grid P50/P90/P99 per event type vs the exact
+    * interpolated percentile.
+    */
+  private def sketchQuantile(s: SparkSession, d: String): DataFrame =
+    Sketches.histogramQuantiles(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      "value", "event_type", QsBins, Quantiles)
+
+  private lazy val sketchQuantileSql = {
+    val qsValues = Quantiles.zipWithIndex
+      .map { case (q, i) => s"($i, CAST($q AS DOUBLE))" }.mkString(", ")
+    val exUnion = Quantiles.zipWithIndex.map { case (q, i) =>
+      s"""SELECT event_type, $i AS qi, round(quantile_cont(value, $q), 6) AS exact
+         FROM events GROUP BY 1"""
+    }.mkString("\nUNION ALL\n")
+    val mid = s"round(lo + (qbin + 0.5) * ((hi - lo) / $QsBins), 4)"
+    s"""WITH st AS (
+         SELECT event_type, min(value) AS lo, max(value) AS hi,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1),
+       b AS (
+         SELECT e.event_type,
+                CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                     ELSE least(${QsBins - 1}, CAST(floor((value - lo) / ((hi - lo) / $QsBins)) AS BIGINT))
+                END AS bin
+         FROM events e JOIN st USING (event_type)),
+       c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+             FROM b GROUP BY 1, 2),
+       cc AS (SELECT event_type, bin,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+              FROM c),
+       qs(qi, q) AS (VALUES $qsValues),
+       eq AS (
+         SELECT cc.event_type, qi, q, min(bin) AS qbin
+         FROM cc JOIN st USING (event_type) CROSS JOIN qs
+         WHERE cum >= ceil(q * n) GROUP BY 1, 2, 3),
+       ex AS ($exUnion)
+       SELECT eq.event_type, eq.qi, q, $mid AS est, exact,
+              round(abs($mid - exact), 4) AS abs_err
+       FROM eq JOIN st USING (event_type)
+       JOIN ex ON eq.event_type = ex.event_type AND eq.qi = ex.qi"""
+  }
+
+  /** SPLIT-BALANCE audit: per (split, lang) cell of the deterministic
+    * hash-bucket split, the within-split language share vs the corpus
+    * share and their absolute deviation — the distribution-parity check
+    * run before trusting a val/test set (the split is hash-random, so
+    * residual deviation is sampling noise; a biased splitter shows up
+    * here). ONE corpus aggregate; every ratio is window arithmetic on
+    * the ≤(splits × langs)-row count frame.
+    */
+  private def splitBalance(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val counts = Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+    val wSplit = Window.partitionBy("split")
+    val wLang = Window.partitionBy("lang")
+    val wAll = Window.partitionBy()
+    val splitFrac = col("n_docs") / sum("n_docs").over(wSplit)
+    val corpusFrac = sum("n_docs").over(wLang) / sum("n_docs").over(wAll)
+    counts
+      .withColumn("split_frac", round(splitFrac, 6))
+      .withColumn("corpus_frac", round(corpusFrac, 6))
+      .withColumn("abs_dev", round(abs(splitFrac - corpusFrac), 6))
+  }
+
+  private lazy val splitBalanceSql =
+    s"""WITH c AS (
+         SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n_docs
+         FROM (SELECT lang, ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS b
+               FROM documents) t
+         GROUP BY 1, 2)
+       SELECT split, lang, n_docs,
+         round(n_docs / sum(n_docs) OVER (PARTITION BY split), 6) AS split_frac,
+         round(sum(n_docs) OVER (PARTITION BY lang) / sum(n_docs) OVER (), 6) AS corpus_frac,
+         round(abs(n_docs / sum(n_docs) OVER (PARTITION BY split)
+                   - sum(n_docs) OVER (PARTITION BY lang) / sum(n_docs) OVER ()), 6) AS abs_dev
+       FROM c"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -4056,5 +4379,14 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
-    GQuery("ext_stream_approx", streamWindowApprox, None, "HLL++ distinct users (sketch differs from DuckDB's — rows-only check)"))
+    GQuery("ext_stream_approx", streamWindowApprox, None, "HLL++ distinct users (sketch differs from DuckDB's — rows-only check)"),
+    GQuery("ext_dedup_editverify", dedupEditVerify, Some(dedupEditVerifySql), "two-stage fuzzy dedup: MinHash candidates verified by normalized Levenshtein similarity"),
+    GQuery("ext_dedup_ngramcov", dedupNgramCov, Some(dedupNgramCovSql), "per-doc duplicated-ngram coverage (linear-cost doc-level contamination signal)"),
+    GQuery("ext_sketch_lincount", sketchLincount, Some(sketchLincountSql), "linear-counting distinct sketch with exact-count audit (deterministic bitmap)"),
+    GQuery("ext_sketch_cms", sketchCms, Some(sketchCmsSql), "count-min heavy-hitter estimates vs exact top-20 word counts"),
+    GQuery("ext_classify_train", classifyTrain, Some(classifyTrainSql), "batch-perceptron classifier training over hashed features (3 oracle-unrolled rounds)"),
+    GQuery("ext_ts_resample", tsResample, Some(tsResampleSql), "calendar resample + gap fill: dense day spine, zero-filled counts, forward-filled values"),
+    GQuery("ext_classify_apply", classifyApply, Some(classifyApplySql), "train-then-apply: freshly-trained perceptron scores the corpus, per-source rollup"),
+    GQuery("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql), "fixed-grid histogram quantile sketch vs exact percentile (P50/P90/P99 audit)"),
+    GQuery("ext_split_balance", splitBalance, Some(splitBalanceSql), "split distribution-balance audit: per-split language share vs corpus share"))
 }

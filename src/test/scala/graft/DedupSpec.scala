@@ -637,4 +637,53 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "signature top-k must prune map-side before the doc_id shuffle")
   }
+
+  test("editVerifiedPairs: edit distance separates in-place edits from reshuffles") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i x"), // one word replaced: lev = 1
+      (3L, "j i h g f e d c b a"), // same words reversed: high lev
+      (4L, "p q r s t u v w x y")  // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(corpus, "doc_id", "text",
+        numPerm = 16, rowsPerBand = 2, simTau = 0.5, maxChars = 4000,
+        Dedup.PolyHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.contains((1L, 2L)), "the in-place edit pair must survive")
+    val (lev, sim) = got((1L, 2L))
+    assert(lev == 1L)
+    // 19 chars, 1 edit: 1 - 1/19 rounded at 6
+    assert(sim == BigDecimal(1.0 - 1.0 / 19)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the reversal (3) shares NO 3-gram shingles with (1) — identical
+    // word multiset, zero shingle overlap -> never even a candidate;
+    // the unrelated doc must not appear either
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L || k._1 == 4L || k._2 == 4L))
+  }
+
+  test("dupShingleCoverage: full coverage for clones, zero for unique docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),  // clone: every shingle duplicated
+      (3L, "p q r s t u")   // unique: nothing duplicated
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupShingleCoverage(corpus, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((4L, 4L, 1.0)))
+    assert(got(3L) == ((4L, 0L, 0.0)))
+  }
+
+  test("dupShingleCoverage: df shuffle is planned once (ReusedExchange)") {
+    val df = Dedup.dupShingleCoverage(Tables.documents(spark, sf0001),
+      "doc_id", "text", 2)
+    // AQE applies exchange reuse at stage materialization — execute
+    // first, then read the FINAL adaptive plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "both sides of the df join must read ONE shingle-partitioned exchange")
+  }
 }

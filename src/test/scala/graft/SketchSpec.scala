@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Deterministic-sketch invariants on crafted frames where the exact
+  * answers (and in the collision-free regimes, the sketch answers too)
+  * are known by hand.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linearCountDistinct: exact counts, occupancy bound, closed-form estimate") {
+    val rows = (1L to 300L).map(k => ("g1", k)) ++
+      (1L to 5L).map(k => ("g2", k * 1000L)) ++
+      (1L to 5L).map(k => ("g2", k * 1000L)) // duplicates collapse
+    val got = Sketches.linearCountDistinct(
+        rows.toDF("grp", "k"), "k", "grp", buckets = 1024)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val g1 = got("g1")
+    assert(g1.getLong(1) == 300L)                 // n_exact
+    val m1 = g1.getLong(2)                        // n_occupied
+    assert(m1 <= 300L && m1 > 0L)
+    val expectedEst =
+      BigDecimal(1024.0 * math.log(1024.0 / (1024.0 - m1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g1.getDouble(3) == expectedEst)        // est matches closed form
+    assert(math.abs(g1.getDouble(3) - 300.0) / 300.0 < 0.25) // sane accuracy
+
+    val g2 = got("g2")
+    assert(g2.getLong(1) == 5L)
+    // 5 keys into 1024 buckets: collision-free with this hash fixture
+    assert(g2.getLong(2) == 5L)
+  }
+
+  test("linearCountDistinct: saturated bitmap yields NULL estimate") {
+    val rows = (1L to 64L).map(k => ("g", k))
+    // 2 buckets, 64 keys: both buckets occupied -> est must be NULL,
+    // never a division by zero or an Infinity leaking through round()
+    val r = Sketches.linearCountDistinct(rows.toDF("grp", "k"), "k", "grp", 2)
+      .collect().head
+    assert(r.getLong(1) == 64L && r.getLong(2) == 2L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("countMinAudit: estimates are exact in a collision-free grid") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    // width 4096 >> 9 distinct hash targets: no collisions, so every
+    // row of the sketch holds the true count and overcount == 0
+    val got = Sketches.countMinAudit(docs, "doc_id", "text",
+        width = 4096, depth = 3, topK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4)
+    val byWord = got.map(t => t._1 -> t._2).toMap
+    assert(byWord == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    assert(got.forall(t => t._3 == t._2 && t._4 == 0L))
+  }
+
+  test("histogramQuantiles: hand-computed grid estimate on 1..100") {
+    val rows = (1 to 100).map(v => ("g", v.toDouble)).toDF("grp", "v")
+    val got = Sketches.histogramQuantiles(rows, "v", "grp",
+        bins = 10, qs = Seq(0.5))
+      .collect().head
+    // lo=1, hi=100, w=9.9; the 50th value (=50) sits in bin
+    // floor(49/9.9)=4, and cum(bin 4)=50 >= ceil(0.5*100) -> qbin=4;
+    // est = 1 + 4.5*9.9 = 45.55; exact interpolated P50 = 50.5
+    assert(got.getAs[Double]("est") == 45.55)
+    assert(got.getAs[Double]("exact") == 50.5)
+    assert(got.getAs[Double]("abs_err") == 4.95)
+  }
+
+  test("histogramQuantiles: degenerate single-value group (hi == lo)") {
+    val rows = Seq(("g", 7.0), ("g", 7.0), ("g", 7.0)).toDF("grp", "v")
+    val got = Sketches.histogramQuantiles(rows, "v", "grp", 10, Seq(0.5, 0.99))
+      .collect()
+    assert(got.length == 2)
+    // every value in bin 0 of a zero-width grid: est = lo + 0.5*0 = 7
+    assert(got.forall(r => r.getAs[Double]("est") == 7.0))
+    assert(got.forall(r => r.getAs[Double]("exact") == 7.0))
+    assert(got.forall(r => r.getAs[Double]("abs_err") == 0.0))
+  }
+
+  test("countMinAudit: overcount is non-negative under forced collisions") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "w1 w1 w1 w2 w2 w3")
+    ).toDF("doc_id", "text")
+    // width 4: heavy collisions guaranteed; CMS may only OVERcount
+    val got = Sketches.countMinAudit(docs, "doc_id", "text",
+        width = 4, depth = 3, topK = 10)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getLong(2) >= r.getLong(1))) // n_est >= n_exact
+    assert(got.forall(r => r.getLong(3) == r.getLong(2) - r.getLong(1)))
+  }
+}

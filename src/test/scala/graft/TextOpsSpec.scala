@@ -192,4 +192,75 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(ranked.sortBy(_._1).map(_._2).toSeq == Seq("ab", "ba", "bc"))
   }
+
+  test("hashedPerceptronTrain ≡ sequential reference loop on a micro-corpus") {
+    val docs = Seq(
+      (1L, "cat cat dog", 1L),
+      (2L, "dog dog dog", -1L),
+      (3L, "cat bird", 1L),
+      (4L, "dog bird bird", -1L),
+      (5L, "cat cat cat cat", 1L)
+    ).toDF("doc_id", "text", "y")
+    val dim = 8
+    val rounds = 3
+
+    // sequential reference: same hashed features, same batch update
+    def bucket(tok: String): Int =
+      (tok.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + b) % 2147483647L)
+        % dim).toInt
+    val feats = Seq(
+      (1L, 1L, Seq("cat", "cat", "dog")),
+      (2L, -1L, Seq("dog", "dog", "dog")),
+      (3L, 1L, Seq("cat", "bird")),
+      (4L, -1L, Seq("dog", "bird", "bird")),
+      (5L, 1L, Seq("cat", "cat", "cat", "cat"))
+    ).map { case (id, y, ts) =>
+      (id, y, ts.groupBy(bucket).view.mapValues(_.size.toLong).toMap)
+    }
+    var w = Map.empty[Int, Long].withDefaultValue(0L)
+    val expected = (1 to rounds).map { t =>
+      val preds = feats.map { case (_, y, x) =>
+        val margin = x.map { case (b, c) => c * w(b) }.sum
+        (y, if (margin >= 0) 1L else -1L, x)
+      }
+      val nCorrect = preds.count(p => p._1 == p._2).toLong
+      val wrong = preds.filter(p => p._1 != p._2)
+      val delta = wrong.flatMap { case (y, _, x) =>
+        x.map { case (b, c) => b -> y * c } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      w = (0 until dim).map(b => b -> (w(b) + delta.getOrElse(b, 0L))).toMap
+        .withDefaultValue(0L)
+      (t, nCorrect, feats.size - nCorrect,
+        w.values.map(math.abs).sum, w.values.count(_ != 0L).toLong)
+    }
+
+    val got = TextAnalysis.hashedPerceptronTrain(docs, "doc_id", "text", "y",
+        dim, rounds)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    // the loop must actually learn this separable fixture
+    assert(got.last._2 == feats.size.toLong)
+  }
+
+  test("hashedPerceptronApply: trained weights classify the separable fixture") {
+    val docs = Seq(
+      (1L, "cat cat dog", 1L, "s1"),
+      (2L, "dog dog dog", -1L, "s1"),
+      (3L, "cat bird", 1L, "s2"),
+      (4L, "dog bird bird", -1L, "s2"),
+      (5L, "cat cat cat cat", 1L, "s2")
+    ).toDF("doc_id", "text", "y", "src")
+    val got = TextAnalysis.hashedPerceptronApply(docs, "doc_id", "text", "y",
+        "src", dim = 8, rounds = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // 3 rounds converge on this fixture (proven by the train spec), so
+    // the applied model is perfect: pred == y everywhere
+    assert(got("s1") == ((2L, 1L, 1L, 2L, 1.0)))
+    assert(got("s2") == ((3L, 2L, 2L, 3L, 1.0)))
+  }
 }

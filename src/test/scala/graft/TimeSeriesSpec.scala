@@ -63,4 +63,30 @@ class TimeSeriesSpec extends SparkSpec {
       assert(rows.count(_._3 <= med) * 2 >= rows.size)
     }
   }
+
+  test("resampleDailyFfill: dense spine, zero-filled counts, forward-filled values") {
+    // group A observed on days 10 and 13 (gap 11-12); group B only on 12
+    val df = Seq(
+      ("A", 10L, 100L), ("A", 10L, 50L), ("A", 13L, 70L),
+      ("B", 12L, 30L)
+    ).toDF("grp", "day_in", "v")
+    val got = Relational.resampleDailyFfill(df, "grp", col("day_in"),
+        Seq(sum(col("v")).as("day_v")), Seq("day_v"))
+      .select("grp", "day", "n_rows", "day_v", "day_v_ffill")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+         if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+
+    // spine is dense over the GLOBAL [10, 13] window for BOTH groups
+    assert(got.keySet == (for (g <- Seq("A", "B"); d <- 10L to 13L) yield (g, d)).toSet)
+    assert(got(("A", 10L)) == ((2L, Some(150L), Some(150L))))
+    assert(got(("A", 11L)) == ((0L, None, Some(150L)))) // gap: ffill carries
+    assert(got(("A", 12L)) == ((0L, None, Some(150L))))
+    assert(got(("A", 13L)) == ((1L, Some(70L), Some(70L))))
+    assert(got(("B", 10L)) == ((0L, None, None)))       // before first obs: null
+    assert(got(("B", 12L)) == ((1L, Some(30L), Some(30L))))
+    assert(got(("B", 13L)) == ((0L, None, Some(30L))))
+  }
 }
