@@ -992,7 +992,7 @@ object Dedup {
     */
   def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int, rowsPerBand: Int, simTau: Double, maxChars: Int,
-      mode: HashMode = XxHash): DataFrame = {
+      mode: HashMode = XxHash, materialize: Boolean = true): DataFrame = {
     val edges = shingleEdges(docs, idCol, textCol).persist()
     val (candidates, releaseVocab) =
       minhashBandCandidates(edges, numPerm, rowsPerBand, mode)
@@ -1009,6 +1009,7 @@ object Dedup {
           greatest(length(col("__ta")), length(col("__tb"))), 6))
       .where(col("edit_sim") >= simTau)
       .select("doc_a", "doc_b", "lev_dist", "edit_sim")
+    if (!materialize) return verified // plan-inspection path (ScaleSpec)
     val out = materializePairs(verified, edges)
     releaseVocab()
     out

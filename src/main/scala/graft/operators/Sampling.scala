@@ -443,4 +443,31 @@ object Sampling {
       .agg(sum(col("cw")).as("n_feats"),
         round(sum(col("cw") * col("lr")), 4).as("dsir_score"))
   }
+
+  /** CORPUS SNAPSHOT DIFF: reconcile two crawl/ingest snapshots by key,
+    * comparing CONTENT HASHES — added / removed / changed / unchanged
+    * counts, the day-over-day telemetry an incremental pipeline uses to
+    * size its work (changed+added drive re-processing; removed drives
+    * tombstones). The hash (the repo's polynomial char fold) is
+    * computed BEFORE the join, so the full-outer reconcile ships only
+    * (key, 8-byte hash) — never document text — and the join is the
+    * single shuffle. Same full-outer discipline as ext_reconcile_full,
+    * lifted from value deltas to content identity.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+      contentCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(prev.sparkSession)
+    def hashed(df: DataFrame, side: String): DataFrame =
+      df.select(col(keyCol).as(s"__k$side"),
+        Dedup.polyHash(col(contentCol)).as(s"__h$side"))
+    val j = hashed(prev, "a").join(hashed(cur, "b"),
+      col("__ka") === col("__kb"), "full_outer")
+    j.select(
+        when(col("__ka").isNull, "added")
+          .when(col("__kb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

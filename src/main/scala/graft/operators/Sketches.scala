@@ -54,18 +54,53 @@ object Sketches {
   def linearCountDistinct(rows: DataFrame, keyCol: String, groupCol: String,
       buckets: Int): DataFrame = {
     val keys = rows.select(col(groupCol), col(keyCol).as("__k")).distinct()
-    val est = lit(buckets.toDouble) *
-      log(lit(buckets.toDouble) / (lit(buckets) - col("n_occupied")))
     keys
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_exact"),
         countDistinct(bucketOf(col("__k"), buckets, 7L)).as("n_occupied"))
       .withColumn("est",
-        when(col("n_occupied") < buckets, round(est, 4)))
+        when(col("n_occupied") < buckets, estimateExpr(buckets)))
       .withColumn("rel_err",
         when(col("est").isNotNull,
           round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)))
   }
+
+  private def estimateExpr(buckets: Int): Column =
+    round(lit(buckets.toDouble) *
+      log(lit(buckets.toDouble) / (lit(buckets) - col("n_occupied"))), 4)
+
+  /** The linear-counting sketch STATE in relational form: the distinct
+    * (group, bucket) occupancy set — the bitmap as rows. This is what a
+    * streaming/incremental pipeline persists per day: fixed-cardinality
+    * (≤ groups × buckets), map-side combinable, and mergeable with
+    * [[mergeLincountStates]].
+    */
+  def lincountState(rows: DataFrame, keyCol: String, groupCol: String,
+      buckets: Int): DataFrame =
+    rows.select(col(groupCol),
+      bucketOf(col(keyCol), buckets, 7L).as("bucket")).distinct()
+
+  /** OR-merge of two occupancy states: union + distinct. IDEMPOTENT —
+    * keys seen in both inputs set the same bit once, so re-processed or
+    * overlapping batches never inflate the estimate (the property an
+    * ADDITIVE sketch merge lacks); state(A) ⊕ state(B) ≡ state(A ∪ B)
+    * for ANY split of the rows, which is what makes micro-batch
+    * boundaries semantically invisible (spec-asserted in
+    * StreamingSpec).
+    */
+  def mergeLincountStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Read the estimate off a persisted/folded occupancy state. Columns
+    * match the audit's sketch side ([[linearCountDistinct]] minus the
+    * exact columns the state intentionally does not carry).
+    */
+  def lincountEstimate(state: DataFrame, groupCol: String,
+      buckets: Int): DataFrame =
+    state.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_occupied"))
+      .withColumn("est",
+        when(col("n_occupied") < buckets, estimateExpr(buckets)))
 
   /** COUNT-MIN frequency sketch with exact-count audit over the word
     * stream: `depth` hash rows × `width` counters, est(w) = min over
@@ -140,36 +175,43 @@ object Sketches {
   def histogramQuantiles(rows: DataFrame, valCol: String, groupCol: String,
       bins: Int, qs: Seq[Double]): DataFrame = {
     val v = col(valCol)
+    // ONE combined per-group aggregate carries lo/hi/n AND the exact
+    // percentiles (5 + |qs| tiny columns), broadcast ONCE onto the row
+    // stream — a naive stats-frame-per-join formulation re-computes the
+    // aggregate (and re-scans the corpus) at every join site, the
+    // recomputed-branch defect family; this plan has exactly TWO scans
+    // (spec-pinned), and dropping the audit leaves one.
+    val exactCols = qs.zipWithIndex.map { case (q, i) =>
+      round(expr(s"percentile($valCol, $q)"), 6).as(s"__x$i")
+    }
+    val statCols = Seq("__lo", "__hi", "__n") ++ qs.indices.map(i => s"__x$i")
     val stats = rows.groupBy(groupCol)
-      .agg(min(v).as("__lo"), max(v).as("__hi"), count(lit(1)).as("__n"))
+      .agg(min(v).as("__lo"),
+        (Seq(max(v).as("__hi"), count(lit(1)).as("__n")) ++ exactCols): _*)
     val width = (col("__hi") - col("__lo")) / bins
     val binIdx = when(col("__hi") === col("__lo"), lit(0L))
       .otherwise(least(lit(bins - 1L), floor((v - col("__lo")) / width).cast("long")))
+    // the per-group constants ride the groupBy keys (functionally
+    // dependent on the group) so no re-join is ever needed downstream
     val counts = rows.join(broadcast(stats), Seq(groupCol))
-      .groupBy(col(groupCol), binIdx.as("bin"))
+      .groupBy(col(groupCol) +: statCols.map(col) :+ binIdx.as("bin"): _*)
       .agg(count(lit(1)).as("__c"))
     val cum = counts.withColumn("__cum",
       sum(col("__c")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol).orderBy("bin")))
     val qDf = rows.sparkSession.createDataFrame(
       qs.zipWithIndex.map { case (q, i) => (i, q) }).toDF("qi", "q")
-    val est = cum.join(broadcast(stats), Seq(groupCol))
-      .crossJoin(broadcast(qDf))
+    val exactOfQ = qs.indices
+      .map(i => when(col("qi") === i, col(s"__x$i")))
+      .reduce(coalesce(_, _))
+    cum.crossJoin(broadcast(qDf))
       .where(col("__cum") >= ceil(col("q") * col("__n")))
-      .groupBy(col(groupCol), col("qi"), col("q"))
+      .groupBy(col(groupCol) +: statCols.map(col) ++: Seq(col("qi"), col("q")): _*)
       .agg(min(col("bin")).as("__qbin"))
-      .join(broadcast(stats), Seq(groupCol))
       .select(col(groupCol), col("qi"), col("q"),
         round(col("__lo") + (col("__qbin") + 0.5d) *
-          ((col("__hi") - col("__lo")) / bins), 4).as("est"))
-    val exactCols = qs.zipWithIndex.map { case (q, i) =>
-      round(expr(s"percentile($valCol, $q)"), 6).as(s"__x$i")
-    }
-    val exact = rows.groupBy(groupCol)
-      .agg(exactCols.head, exactCols.tail: _*)
-      .selectExpr(groupCol,
-        s"stack(${qs.size}, ${qs.indices.map(i => s"$i, __x$i").mkString(", ")}) AS (qi, exact)")
-    est.join(exact, Seq(groupCol, "qi"))
+          ((col("__hi") - col("__lo")) / bins), 4).as("est"),
+        exactOfQ.as("exact"))
       .withColumn("abs_err", round(abs(col("est") - col("exact")), 4))
       .select(groupCol, "qi", "q", "est", "exact", "abs_err")
   }

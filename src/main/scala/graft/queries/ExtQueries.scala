@@ -4260,6 +4260,38 @@ object ExtQueries extends QueryGroup {
                    - sum(n_docs) OVER (PARTITION BY lang) / sum(n_docs) OVER ()), 6) AS abs_dev
        FROM c"""
 
+  /** Snapshot diff (Sampling.snapshotDiff) between two deterministic
+    * corpus vintages carved from the fixture: "yesterday" drops the
+    * doc_id%10==9 stratum, "today" drops doc_id%10==0 and revises every
+    * doc_id%7==0 text — so all four statuses are populated and the
+    * expected counts are fixture-derived, not engine artifacts.
+    */
+  private def corpusSnapdiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prev = docs.where(col("doc_id") % 10 =!= 9)
+    val cur = docs.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    Sampling.snapshotDiff(prev, cur, "doc_id", "text")
+  }
+
+  private lazy val corpusSnapdiffSql =
+    s"""WITH a AS (
+         SELECT doc_id, ${polyHashSql("text")} AS h
+         FROM documents WHERE doc_id % 10 != 9),
+       b AS (
+         SELECT doc_id,
+                ${polyHashSql("CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END")} AS h
+         FROM documents WHERE doc_id % 10 != 0)
+       SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'removed'
+                   WHEN a.h != b.h THEN 'changed'
+                   ELSE 'unchanged' END AS status,
+              count(*) AS n_docs
+       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       GROUP BY 1"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -4388,5 +4420,6 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ts_resample", tsResample, Some(tsResampleSql), "calendar resample + gap fill: dense day spine, zero-filled counts, forward-filled values"),
     GQuery("ext_classify_apply", classifyApply, Some(classifyApplySql), "train-then-apply: freshly-trained perceptron scores the corpus, per-source rollup"),
     GQuery("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql), "fixed-grid histogram quantile sketch vs exact percentile (P50/P90/P99 audit)"),
-    GQuery("ext_split_balance", splitBalance, Some(splitBalanceSql), "split distribution-balance audit: per-split language share vs corpus share"))
+    GQuery("ext_split_balance", splitBalance, Some(splitBalanceSql), "split distribution-balance audit: per-split language share vs corpus share"),
+    GQuery("ext_corpus_snapdiff", corpusSnapdiff, Some(corpusSnapdiffSql), "snapshot diff by content hash: added/removed/changed/unchanged between corpus vintages"))
 }

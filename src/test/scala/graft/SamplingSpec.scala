@@ -300,4 +300,16 @@ class SamplingSpec extends SparkSpec {
       assert(r._4 == math.ceil(r._3.toDouble / r._2).toLong)
     }
   }
+
+  test("snapshotDiff: all four statuses on a hand-built vintage pair") {
+    import spark.implicits._
+    val prev = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val cur = Seq((2L, "two"), (3L, "three revised"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val got = Sampling.snapshotDiff(prev, cur, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
 }

@@ -341,4 +341,34 @@ class ScaleSpec extends SparkSpec {
           "recomputed aggregate branch crept back in")
     }
   }
+
+  test("histogramQuantiles: stats attach broadcasts; exactly two event scans") {
+    val df = graft.operators.Sketches.histogramQuantiles(
+      Tables.events(spark, sf0001).select(col("event_type"), col("value")),
+      "value", "event_type", 256, Seq(0.5, 0.9))
+    df.collect()
+    // adaptive toString prints Final + Initial sections; count scans in
+    // the FINAL plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-group lo/hi/n must attach to the row stream as a broadcast")
+    val evScans = "Scan parquet".r.findAllIn(plan).size
+    assert(evScans == 2,
+      s"expected 2 corpus scans (histogram + exact audit), got $evScans — " +
+        "at 100 TB the audit scan is dropped and ONE remains")
+  }
+
+  test("editVerifiedPairs: text attachment never shuffles the corpus") {
+    val df = graft.operators.Dedup.editVerifiedPairs(
+      Tables.documents(spark, sf0001), "doc_id", "text",
+      16, 2, 0.5, 4000, graft.operators.Dedup.PolyHash, materialize = false)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "edit verification must stay candidate-bounded")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the candidate pair list must broadcast onto the corpus text scans")
+    assert(plan.contains("levenshtein"),
+      "sanity: the verify expression is in this plan")
+  }
 }

@@ -419,4 +419,40 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count() == evs.length)
     } finally q.stop()
   }
+
+  test("streaming lincount: OR-merged bitmap ≡ one-shot sketch despite replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val empty = Seq.empty[(String, Long)].toDF("grp", "k")
+    val state = new graft.streaming.SketchStream.LincountState(
+      empty, "k", "grp", buckets = 1024)
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("grp", "k").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    val batches = Seq(
+      (1L to 40L).map(k => ("g1", k)) :+ ("g2", 7L),
+      // heavy overlap with batch 1: the idempotent OR must not inflate
+      (20L to 60L).map(k => ("g1", k)) :+ ("g2", 7L),
+      Seq(("g2", 8L), ("g2", 9L)))
+    try {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val oneShot = graft.operators.Sketches.lincountEstimate(
+        graft.operators.Sketches.lincountState(
+          batches.flatten.toDF("grp", "k"), "k", "grp", 1024),
+        "grp", 1024)
+      val folded = state.estimate()
+      assert(folded.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(folded).isEmpty,
+        "micro-batch boundaries or replays leaked into the folded sketch")
+      // and the audit path agrees with the state path on the estimate
+      val audit = graft.operators.Sketches.linearCountDistinct(
+          batches.flatten.toDF("grp", "k"), "k", "grp", 1024)
+        .select("grp", "n_occupied", "est")
+      assert(audit.exceptAll(folded).isEmpty && folded.exceptAll(audit).isEmpty)
+    } finally q.stop()
+  }
 }
