@@ -4018,6 +4018,44 @@ object ExtQueries extends QueryGroup {
        FROM occ"""
   }
 
+  /** PERSIST-AND-MERGE sketch lifecycle: day-1's occupancy state is
+    * WRITTEN to parquet, re-read, and OR-merged with day-2's before the
+    * estimate is taken — the durable daily loop (the lincount analogue
+    * of ext_dedup_incr_persist). Because the state round-trips
+    * losslessly and the merge is state(A) ⊕ state(B) ≡ state(A ∪ B),
+    * the oracle is simply the one-shot sketch over ALL events — the
+    * split, the write, and the re-read are semantically invisible,
+    * which is exactly the property being gated.
+    */
+  private def sketchLincount2(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
+      col("ts"))
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lincount_${math.abs(d.hashCode)}"
+    Sketches.lincountState(ev.where(col("ts") < IncrCutoffNs),
+        "user_id", "event_type", LinCountBuckets)
+      .write.mode("overwrite").parquet(path)
+    Sketches.lincountEstimate(
+      Sketches.mergeLincountStates(
+        s.read.parquet(path),
+        Sketches.lincountState(ev.where(col("ts") >= IncrCutoffNs),
+          "user_id", "event_type", LinCountBuckets)),
+      "event_type", LinCountBuckets)
+  }
+
+  private val sketchLincount2Sql = {
+    val b = LinCountBuckets
+    s"""WITH ks AS (
+         SELECT DISTINCT event_type,
+                (((user_id % ${Sketches.Mod}) * ${Sketches.KnuthA} + 7) % ${Sketches.Mod}) % $b AS bucket
+         FROM events),
+       occ AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_occupied
+               FROM ks GROUP BY 1)
+       SELECT event_type, n_occupied,
+              CASE WHEN n_occupied < $b
+                   THEN round($b * ln($b.0 / ($b - n_occupied)), 4) END AS est
+       FROM occ"""
+  }
+
   private val CmsWidth = 256
   private val CmsDepth = 3
   private val CmsTopK = 20
@@ -4292,6 +4330,60 @@ object ExtQueries extends QueryGroup {
        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
        GROUP BY 1"""
 
+  /** TPC-H Q3-shaped shipping-priority top-k — the canonical selective
+    * star-join: a filtered dimension SEMI-reduces the mid fact
+    * (customer → orders, broadcast — orders rows never carry customer
+    * payload), then ONE fact-fact equi-join on the order key feeds a
+    * grouped revenue aggregate and a TakeOrderedAndProject top-10.
+    * Revenue runs on the cent grid (ext_pricing_summary discipline) so
+    * ranking ties and the hash gate are exact; both date filters reach
+    * the parquet scans as pushed predicates (ScaleSpec pins the
+    * broadcast + pushdown). At 100 TB: the only shuffle is lineitem ⇄
+    * orders on orderkey, both sides pre-reduced by their pushed-down
+    * date filters.
+    */
+  private val Q3Date = "1998-06-01 00:00:00"
+  private val Q3Segment = "MACHINERY"
+  private val Q3TopN = 10
+
+  private def pricingQ3(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === Q3Segment).select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") < to_timestamp(lit(Q3Date)))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") > to_timestamp(lit(Q3Date)))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("__rc")).as("rev_cents"))
+      .withColumn("revenue", round(col("rev_cents") / 100.0, 2))
+      .orderBy(col("rev_cents").desc, col("l_orderkey"))
+      .limit(Q3TopN)
+  }
+
+  private val pricingQ3Sql =
+    s"""WITH li AS (
+         SELECT l_orderkey,
+                CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS rc
+         FROM lineitem WHERE l_shipdate > TIMESTAMP '$Q3Date'),
+       o AS (
+         SELECT o_orderkey, o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderdate < TIMESTAMP '$Q3Date'
+           AND o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = '$Q3Segment'))
+       SELECT l_orderkey, o_orderdate, o_orderpriority,
+              CAST(sum(rc) AS BIGINT) AS rev_cents,
+              round(CAST(sum(rc) AS BIGINT) / 100.0, 2) AS revenue
+       FROM li JOIN o ON l_orderkey = o_orderkey
+       GROUP BY 1, 2, 3
+       ORDER BY rev_cents DESC, l_orderkey LIMIT $Q3TopN"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -4421,5 +4513,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_classify_apply", classifyApply, Some(classifyApplySql), "train-then-apply: freshly-trained perceptron scores the corpus, per-source rollup"),
     GQuery("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql), "fixed-grid histogram quantile sketch vs exact percentile (P50/P90/P99 audit)"),
     GQuery("ext_split_balance", splitBalance, Some(splitBalanceSql), "split distribution-balance audit: per-split language share vs corpus share"),
-    GQuery("ext_corpus_snapdiff", corpusSnapdiff, Some(corpusSnapdiffSql), "snapshot diff by content hash: added/removed/changed/unchanged between corpus vintages"))
+    GQuery("ext_corpus_snapdiff", corpusSnapdiff, Some(corpusSnapdiffSql), "snapshot diff by content hash: added/removed/changed/unchanged between corpus vintages"),
+    GQuery("ext_sketch_lincount2", sketchLincount2, Some(sketchLincount2Sql), "persist-and-merge sketch lifecycle: day-1 bitmap written/re-read, OR-merged with day-2"),
+    GQuery("ext_pricing_q3", pricingQ3, Some(pricingQ3Sql), "TPC-H Q3-shaped shipping-priority top-10: broadcast dim semi-join + one fact-fact shuffle, cent-exact revenue"))
 }

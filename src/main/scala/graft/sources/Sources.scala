@@ -129,6 +129,39 @@ object Sources {
       .mode(if (replace) SaveMode.Overwrite else SaveMode.Append)
       .json(s"$dir/$table.jsonl")
 
+  /** JSON-lines scan with a CORRUPT-RECORD QUARANTINE channel: malformed
+    * lines land in `__rejected` (PERMISSIVE mode) instead of failing the
+    * job or being silently dropped — the ingest posture for crawl data,
+    * where a 100 TB feed ALWAYS contains breakage and the pipeline must
+    * both keep going and account for every rejected line (a silent drop
+    * is a data-loss bug wearing a robustness costume). Callers split on
+    * `__rejected IS NULL` for the clean stream and aggregate the rest
+    * into reject telemetry. The declared schema keeps the single-pass
+    * no-inference scan of [[readJsonTable]].
+    *
+    * Caveat (Spark semantics): a query referencing ONLY the corrupt
+    * column over the raw file scan is rejected by the analyzer — persist
+    * the parsed frame (cache, or write the split outputs) before probing
+    * the quarantine channel alone; in the real ingest loop the write IS
+    * the materialization, so this costs nothing extra.
+    */
+  def readJsonTableQuarantine(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("__rejected", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "__rejected")
+      .json(s"$dir/$table.jsonl")
+
+  /** FAILFAST flavor — the posture for trusted internal feeds where a
+    * malformed line means upstream breakage that must stop the job, not
+    * be quarantined.
+    */
+  def readJsonTableStrict(spark: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST")
+      .json(s"$dir/$table.jsonl")
+
   /** ORC scan — the other columnar lake format Spark ships natively
     * (self-describing like parquet; same predicate-pushdown and
     * column-pruning path, min/max stripe skipping instead of row

@@ -359,6 +359,21 @@ class ScaleSpec extends SparkSpec {
         "at 100 TB the audit scan is dropped and ONE remains")
   }
 
+  test("ext_pricing_q3: broadcast dim semi-join, date filters pushed to both scans") {
+    val df = SparkEntry.queries("ext_pricing_q3")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      "the filtered customer dim must SEMI-reduce orders as a broadcast")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      plan.contains("LessThan(o_orderdate"),
+      "the order-date cutoff must reach the orders parquet scan")
+    assert(plan.contains("GreaterThan(l_shipdate"),
+      "the ship-date cutoff must reach the lineitem parquet scan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must plan as per-partition heaps, not a global sort")
+  }
+
   test("editVerifiedPairs: text attachment never shuffles the corpus") {
     val df = graft.operators.Dedup.editVerifiedPairs(
       Tables.documents(spark, sf0001), "doc_id", "text",

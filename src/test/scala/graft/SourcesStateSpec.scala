@@ -116,6 +116,38 @@ class SourcesStateSpec extends SparkSpec {
       df.as[(Long, String, Int)].collect().toSet)
   }
 
+  test("JSON quarantine: malformed lines rejected with accounting, strict mode throws") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonq").toString
+    // 3 good lines, 2 broken (truncated JSON; schema-violating scalar)
+    Files.write(java.nio.file.Paths.get(s"$dir/t.jsonl"),
+      java.util.Arrays.asList(
+        """{"id": 1, "txt": "ok"}""",
+        """{"id": 2, "txt": "also ok"}""",
+        """{"id": 3, "txt": tru""",
+        """not json at all""",
+        """{"id": 4, "txt": "fine"}"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("txt", StringType)))
+    // Spark refuses queries that touch ONLY the corrupt column over a raw
+    // file scan (SPARK-25271 semantics) — materialize the parse once, as
+    // the helper's scaladoc directs, then split.
+    val back = Sources.readJsonTableQuarantine(spark, dir, "t", schema).cache()
+    try {
+      val clean = back.where(col("__rejected").isNull)
+      val rejected = back.where(col("__rejected").isNotNull)
+      assert(clean.select("id", "txt").as[(Long, String)].collect().toSet ==
+        Set((1L, "ok"), (2L, "also ok"), (4L, "fine")))
+      // every input line is accounted for: parsed or quarantined verbatim
+      assert(rejected.count() == 2)
+      assert(rejected.select("__rejected").as[String].collect().toSet ==
+        Set("""{"id": 3, "txt": tru""", "not json at all"))
+    } finally back.unpersist()
+    // FAILFAST: the trusted-feed posture surfaces the breakage instead
+    val strict = Sources.readJsonTableStrict(spark, dir, "t", schema)
+    assertThrows[org.apache.spark.SparkException](strict.collect())
+  }
+
   test("ORC source/sink: self-describing round-trip, replace/append, pushdown") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val df = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
