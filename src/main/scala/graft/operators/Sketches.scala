@@ -102,6 +102,51 @@ object Sketches {
       .withColumn("est",
         when(col("n_occupied") < buckets, estimateExpr(buckets)))
 
+  /** JOIN-SIZE ESTIMATION from count sketches with exact audit — the
+    * AMS/CMS inner-product statistic a query optimizer consults before
+    * picking a join strategy: |A ⋈ B| on a key equals Σ_k cntA(k)·cntB(k),
+    * and the inner product of the two sides' count-min rows,
+    * minimized over depth, upper-bounds it (every colliding key pair
+    * adds nonnegative mass, so `overcount` ≥ 0 provably — spec-pinned).
+    *
+    * Scale shape: ONE corpus scan builds the per-key (cntA, cntB) frame
+    * via conditional aggregation (sideA/sideB are predicates over the
+    * same rows — the two-vintage / two-day case); the sketches are
+    * depth×width integer grids off that frame, and the estimate is a
+    * (depth·width)-row join of grid against grid. The exact side is
+    * Σ cntA·cntB over the same frame — at 100 TB you keep only the
+    * grids (a few KB per side, mergeable by vector ADD across days)
+    * and never materialize the per-key frame at all.
+    *
+    * Determinism: all-BIGINT — key mix, bucket arithmetic, counter
+    * sums, inner products. Max intermediate: counter ≤ |rows|,
+    * product of two counters ≤ |rows|² — well under 2^63 at any SF
+    * this audit would run at (the production path drops the audit).
+    */
+  def joinSizeAudit(rows: DataFrame, keyCol: String, sideA: Column,
+      sideB: Column, width: Int, depth: Int): DataFrame = {
+    val kc = rows.groupBy(col(keyCol).as("__k"))
+      .agg(sum(when(sideA, 1L).otherwise(0L)).as("ca"),
+        sum(when(sideB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("__sid", ((col("__k") % Mod) * KnuthA + 7) % Mod)
+      .localCheckpoint()
+    def grid(cntCol: String, outCol: String): DataFrame = {
+      val stackExpr = (0 until depth).map { r =>
+        s"$r, ((__sid * ${2L * r + 3L} + ${5L * r + 1L}) % $Mod) % $width"
+      }.mkString(", ")
+      kc.where(col(cntCol) > 0)
+        .selectExpr(cntCol, s"stack($depth, $stackExpr) AS (r, bucket)")
+        .groupBy("r", "bucket").agg(sum(col(cntCol)).as(outCol))
+    }
+    val ip = grid("ca", "cntA").join(grid("cb", "cntB"), Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("cntA") * col("cntB")).as("__est"))
+      .agg(min(col("__est")).as("n_est"))
+    val exact = kc.agg(sum(col("ca") * col("cb")).as("n_exact"))
+    exact.crossJoin(broadcast(ip))
+      .select(col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
+
   /** COUNT-MIN frequency sketch with exact-count audit over the word
     * stream: `depth` hash rows × `width` counters, est(w) = min over
     * rows of its counter — always an OVERcount (each counter adds the

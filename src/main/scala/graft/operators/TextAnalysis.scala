@@ -515,6 +515,46 @@ object TextAnalysis {
     out
   }
 
+  /** CALIBRATION AUDIT (reliability diagram) for the trained
+    * perceptron: score every document, split the exact-integer margin
+    * range into `bins` equal-width bands, and emit per band the doc
+    * count, positive-label count, and empirical positive rate — the
+    * check that the model's score actually orders label probability
+    * before anyone uses it as a corpus-filter threshold (a model can be
+    * accurate yet badly calibrated; thresholding an uncalibrated score
+    * silently shifts the kept-data distribution).
+    *
+    * Scale shape: scoring is the same compact-frame aggregate as
+    * [[hashedPerceptronApply]]; the global (lo, hi) margin envelope is
+    * ONE 1-row aggregate broadcast back, and band assignment is pure
+    * BIGINT arithmetic — (margin−lo)·bins div (hi−lo+1) — so the whole
+    * audit adds one tiny exchange after scoring. No rank/ntile: a
+    * rank-decile formulation would funnel the corpus-sized score frame
+    * through a single global-sort window partition.
+    */
+  def hashedPerceptronCalibration(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int, rounds: Int,
+      bins: Int): DataFrame = {
+    val (_, w, feat) =
+      perceptronLoop(docs, idCol, textCol, labelCol, dim, rounds)
+    val scored = feat.join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * col("w")).as("margin"))
+      .localCheckpoint()
+    feat.unpersist()
+    val env = scored.agg(min(col("margin")).as("__lo"),
+      max(col("margin")).as("__hi"))
+    scored.crossJoin(broadcast(env))
+      .withColumn("bin",
+        least(lit(bins - 1L), expr(s"(margin - __lo) * $bins div (__hi - __lo + 1)")))
+      .groupBy("bin")
+      .agg(min(col("margin")).as("margin_lo"),
+        max(col("margin")).as("margin_hi"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate", round(col("n_pos") / col("n_docs"), 6))
+  }
+
   /** Shared train loop: returns (per-round stats, final weights, the
     * PERSISTED compact feature frame — caller must unpersist).
     */

@@ -4384,6 +4384,208 @@ object ExtQueries extends QueryGroup {
        GROUP BY 1, 2, 3
        ORDER BY rev_cents DESC, l_orderkey LIMIT $Q3TopN"""
 
+  /** TPC-H Q18-shaped large-volume-order query — the canonical
+    * AGGREGATE-THEN-SEMI-REDUCE shape: the fact table aggregates FIRST
+    * (sum of quantity per order, HAVING > threshold), and only the
+    * surviving handful of order keys join back to orders + customer.
+    * The complement of ext_pricing_q3 (there a dim filter reduces the
+    * fact; here the fact's own aggregate is the filter). Quantities are
+    * integer-valued doubles in the fixture — cast to BIGINT before
+    * summing so the HAVING cut and the hash gate are exact, never a
+    * float-sum race. At 100 TB: the qualifying-key set after HAVING is
+    * tiny (heavy-hitter orders), so the join back to orders/customer
+    * broadcasts it; the only big shuffle is the lineitem aggregate
+    * itself, map-side combinable on the natural key.
+    */
+  private val Q18Qty = 250L
+  private val Q18TopN = 100
+
+  private def pricingQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .where(col("sum_qty") > Q18Qty)
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(Q18TopN)
+  }
+
+  private val pricingQ18Sql =
+    s"""WITH big AS (
+         SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > $Q18Qty)
+       SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       FROM orders
+       JOIN big ON o_orderkey = l_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT $Q18TopN"""
+
+  /** HIERARCHICAL SKETCH ROLLUP: per-(event_type, day) linear-counting
+    * occupancy states OR-merged up the time hierarchy to a per-type
+    * distinct-user estimate — the data-cube story for mergeable
+    * sketches. Because the bucket hash ignores the day, the union of
+    * the day bitmaps IS the one-shot bitmap (state(∪ days) ≡
+    * ⊕ state(day)), so the rolled-up estimate equals the one-shot
+    * estimate exactly — the algebraic property that lets a 100 TB
+    * pipeline keep ONLY per-day states (groups × buckets rows each)
+    * and answer any coarser granularity by merge, never rescanning
+    * history. `sum_day_occupied` (Σ of per-day occupancies, exact
+    * BIGINT) rides along as the integer witness of WHY the merge must
+    * be an OR and not an ADD: it double-counts every user active on
+    * multiple days.
+    */
+  private def sketchRollup(s: SparkSession, d: String): DataFrame = {
+    val b = LinCountBuckets
+    val dayState = Tables.events(s, d)
+      .select(col("event_type"), expr(s"ts div $ZDayNs").as("day"),
+        Sketches.bucketOf(col("user_id"), b, 7L).as("bucket"))
+      .distinct()
+    dayState.groupBy("event_type")
+      .agg(countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("sum_day_occupied"),
+        countDistinct(col("bucket")).as("n_occupied"))
+      .withColumn("est",
+        when(col("n_occupied") < b,
+          round(lit(b.toDouble) * log(lit(b.toDouble) / (lit(b) - col("n_occupied"))), 4)))
+  }
+
+  private val sketchRollupSql = {
+    val b = LinCountBuckets
+    s"""WITH ds AS (
+         SELECT DISTINCT event_type, epoch_ns(ts) // $ZDayNs AS day,
+                (((user_id % ${Sketches.Mod}) * ${Sketches.KnuthA} + 7) % ${Sketches.Mod}) % $b AS bucket
+         FROM events),
+       m AS (SELECT event_type,
+                    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+                    CAST(count(*) AS BIGINT) AS sum_day_occupied,
+                    CAST(count(DISTINCT bucket) AS BIGINT) AS n_occupied
+             FROM ds GROUP BY 1)
+       SELECT event_type, n_days, sum_day_occupied, n_occupied,
+              CASE WHEN n_occupied < $b
+                   THEN round($b * ln($b.0 / ($b - n_occupied)), 4) END AS est
+       FROM m"""
+  }
+
+  private val JoinSketchWidth = 512
+  private val JoinSketchDepth = 3
+
+  /** Join-size estimation audit (Sketches.joinSizeAudit): predicted
+    * |day-1 events ⋈ day-2 events| on user_id from count-min inner
+    * products vs the exact Σ cntA·cntB — the optimizer statistic for
+    * picking join strategies without touching either side.
+    */
+  private def sketchJoinsize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    Sketches.joinSizeAudit(ev, "user_id",
+      col("ts") < IncrCutoffNs, col("ts") >= IncrCutoffNs,
+      JoinSketchWidth, JoinSketchDepth)
+  }
+
+  private lazy val sketchJoinsizeSql = {
+    val (m, a, w, dep) =
+      (Sketches.Mod, Sketches.KnuthA, JoinSketchWidth, JoinSketchDepth)
+    s"""WITH kc AS (
+         SELECT user_id,
+                CAST(sum(CASE WHEN epoch_ns(ts) < $IncrCutoffNs THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN epoch_ns(ts) >= $IncrCutoffNs THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+                ((user_id % $m) * $a + 7) % $m AS sid
+         FROM events GROUP BY 1),
+       ga AS (SELECT r, ((sid * (2 * r + 3) + (5 * r + 1)) % $m) % $w AS bucket,
+                     CAST(sum(ca) AS BIGINT) AS cnt_a
+              FROM kc, range($dep) t(r) WHERE ca > 0 GROUP BY 1, 2),
+       gb AS (SELECT r, ((sid * (2 * r + 3) + (5 * r + 1)) % $m) % $w AS bucket,
+                     CAST(sum(cb) AS BIGINT) AS cnt_b
+              FROM kc, range($dep) t(r) WHERE cb > 0 GROUP BY 1, 2),
+       ip AS (SELECT ga.r, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS est
+              FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
+              GROUP BY 1),
+       ex AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS n_exact FROM kc)
+       SELECT n_exact, CAST(min(est) AS BIGINT) AS n_est,
+              CAST(min(est) AS BIGINT) - n_exact AS overcount
+       FROM ip, ex GROUP BY n_exact"""
+  }
+
+  private val CalibBins = 10
+
+  /** Classifier calibration audit
+    * (TextAnalysis.hashedPerceptronCalibration): the trained
+    * perceptron's margins banded into 10 equal-width bins with
+    * per-band empirical positive rate — the reliability diagram run
+    * before the score becomes a corpus-filter threshold.
+    */
+  private def classifyCalib(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+    TextAnalysis.hashedPerceptronCalibration(docs, "doc_id", "text", "y",
+      TrainDim, TrainRounds, CalibBins)
+  }
+
+  private lazy val classifyCalibSql =
+    s"""WITH $classifyTrainCtes,
+       sc AS (
+         SELECT doc_id, y, CAST(sum(f.cnt * w.w) AS BIGINT) AS margin
+         FROM feat f JOIN w$TrainRounds w USING (bucket)
+         GROUP BY doc_id, y),
+       env AS (SELECT min(margin) AS lo, max(margin) AS hi FROM sc),
+       b AS (SELECT y, margin,
+                    least($CalibBins - 1,
+                          ((margin - lo) * $CalibBins) // (hi - lo + 1)) AS bin
+             FROM sc, env)
+       SELECT bin, CAST(min(margin) AS BIGINT) AS margin_lo,
+              CAST(max(margin) AS BIGINT) AS margin_hi,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              round(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) / count(*), 6) AS pos_rate
+       FROM b GROUP BY 1"""
+
+  private val SkewTopK = 10
+
+  /** JOIN-KEY SKEW PROFILE: the diagnostic run BEFORE choosing between
+    * a plain shuffle join, a salted join (ext_skew_salted is the cure
+    * this query indicates), or an AQE skew split — per-key load summary
+    * for events.user_id as one row: total rows, distinct keys, max and
+    * mean per-key load, their ratio (the straggler multiplier: one
+    * reducer gets skew_ratio × the average work), and the mass share of
+    * the top-10 heaviest keys. All counts exact BIGINTs off ONE per-key
+    * aggregate; the top-k side is a TakeOrderedAndProject over the
+    * per-key frame, never the raw rows.
+    */
+  private def skewProfile(s: SparkSession, d: String): DataFrame = {
+    val kc = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = kc.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("c")).as("max_cnt"))
+    val topk = kc.orderBy(col("c").desc, col("user_id")).limit(SkewTopK)
+      .agg(sum(col("c")).as("topk_rows"))
+    tot.crossJoin(broadcast(topk))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("n_rows") / col("n_keys"), 4).as("mean_cnt"),
+        round(col("max_cnt") * col("n_keys") / col("n_rows"), 4).as("skew_ratio"),
+        col("topk_rows"),
+        round(col("topk_rows") / col("n_rows"), 6).as("topk_share"))
+  }
+
+  private val skewProfileSql =
+    s"""WITH kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                    CAST(count(*) AS BIGINT) AS n_keys,
+                    CAST(max(c) AS BIGINT) AS max_cnt FROM kc),
+       tk AS (SELECT CAST(sum(c) AS BIGINT) AS topk_rows
+              FROM (SELECT c FROM kc ORDER BY c DESC, user_id LIMIT $SkewTopK))
+       SELECT n_rows, n_keys, max_cnt,
+              round(n_rows / n_keys, 4) AS mean_cnt,
+              round(max_cnt * n_keys / n_rows, 4) AS skew_ratio,
+              topk_rows,
+              round(topk_rows / n_rows, 6) AS topk_share
+       FROM t, tk"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -4515,5 +4717,10 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_split_balance", splitBalance, Some(splitBalanceSql), "split distribution-balance audit: per-split language share vs corpus share"),
     GQuery("ext_corpus_snapdiff", corpusSnapdiff, Some(corpusSnapdiffSql), "snapshot diff by content hash: added/removed/changed/unchanged between corpus vintages"),
     GQuery("ext_sketch_lincount2", sketchLincount2, Some(sketchLincount2Sql), "persist-and-merge sketch lifecycle: day-1 bitmap written/re-read, OR-merged with day-2"),
-    GQuery("ext_pricing_q3", pricingQ3, Some(pricingQ3Sql), "TPC-H Q3-shaped shipping-priority top-10: broadcast dim semi-join + one fact-fact shuffle, cent-exact revenue"))
+    GQuery("ext_pricing_q3", pricingQ3, Some(pricingQ3Sql), "TPC-H Q3-shaped shipping-priority top-10: broadcast dim semi-join + one fact-fact shuffle, cent-exact revenue"),
+    GQuery("ext_pricing_q18", pricingQ18, Some(pricingQ18Sql), "TPC-H Q18-shaped large-volume orders: aggregate-then-semi-reduce, exact BIGINT quantity sums"),
+    GQuery("ext_sketch_rollup", sketchRollup, Some(sketchRollupSql), "hierarchical sketch rollup: per-day lincount states OR-merged up the time hierarchy"),
+    GQuery("ext_sketch_joinsize", sketchJoinsize, Some(sketchJoinsizeSql), "join-size estimation from count-min inner products vs exact sum(cntA*cntB)"),
+    GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),
+    GQuery("ext_skew_profile", skewProfile, Some(skewProfileSql), "join-key skew profile: max/mean load ratio + top-k heavy-hitter mass share"))
 }

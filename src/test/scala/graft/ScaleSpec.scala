@@ -374,6 +374,25 @@ class ScaleSpec extends SparkSpec {
       "top-10 must plan as per-partition heaps, not a global sort")
   }
 
+  test("ext_pricing_q18: qualifying keys broadcast back, top-k plans as heaps") {
+    val df = SparkEntry.queries("ext_pricing_q18")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny post-HAVING key set must broadcast onto orders, not shuffle it")
+    assert(!plan.contains("SortMergeJoin"),
+      "no fact-sized shuffle join belongs in this plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must plan as per-partition heaps, not a global sort")
+  }
+
+  test("ext_classify_calib: banding is arithmetic, never a rank window") {
+    val df = SparkEntry.queries("ext_classify_calib")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "margin banding must be (margin-lo)*bins div range arithmetic — a " +
+        "rank/ntile formulation funnels the corpus through one sort partition")
+  }
+
   test("editVerifiedPairs: text attachment never shuffles the corpus") {
     val df = graft.operators.Dedup.editVerifiedPairs(
       Tables.documents(spark, sf0001), "doc_id", "text",

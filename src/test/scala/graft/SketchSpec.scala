@@ -97,4 +97,44 @@ class SketchSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(2) >= r.getLong(1))) // n_est >= n_exact
     assert(got.forall(r => r.getLong(3) == r.getLong(2) - r.getLong(1)))
   }
+
+  test("joinSizeAudit: exact in a collision-free grid, overcount >= 0 under collisions") {
+    // keys 1..6: A-side counts 2 each for 1..4; B-side counts 3 each for
+    // 3..6 -> exact join size = keys {3,4} x 2*3 = 12
+    val rows =
+      (1L to 4L).flatMap(k => Seq.fill(2)((k, "a"))) ++
+      (3L to 6L).flatMap(k => Seq.fill(3)((k, "b")))
+    val df = rows.toDF("k", "side")
+    val wide = Sketches.joinSizeAudit(df, "k",
+      col("side") === "a", col("side") === "b", width = 4096, depth = 3)
+      .collect().head
+    assert(wide.getLong(0) == 12L) // n_exact
+    // 6 keys into width 4096: collision-free -> inner product is exact
+    assert(wide.getLong(1) == 12L && wide.getLong(2) == 0L)
+
+    // width 2: forced collisions -> the estimate may only OVERcount
+    val tight = Sketches.joinSizeAudit(df, "k",
+      col("side") === "a", col("side") === "b", width = 2, depth = 3)
+      .collect().head
+    assert(tight.getLong(0) == 12L)
+    assert(tight.getLong(1) >= 12L && tight.getLong(2) == tight.getLong(1) - 12L)
+  }
+
+  test("lincount rollup ≡ one-shot: day-sliced states OR-merge to the exact bitmap") {
+    // same keys scattered across 3 "days": the union of per-day
+    // occupancy states must equal the one-shot state bit for bit, so
+    // the rolled-up estimate is EXACTLY the one-shot estimate
+    val rows = (1L to 200L).map(k => (k % 3L, k, "g"))
+    val df = rows.toDF("day", "k", "grp")
+    val oneShot = Sketches.linearCountDistinct(df, "k", "grp", 1024)
+      .collect().head
+    val perDay = df.select(col("grp"), col("day"),
+        Sketches.bucketOf(col("k"), 1024, 7L).as("bucket"))
+      .distinct()
+    val rolled = perDay.groupBy("grp")
+      .agg(countDistinct(col("bucket")).as("n_occupied"))
+      .collect().head
+    assert(rolled.getLong(1) == oneShot.getLong(2),
+      "OR-merged day states must reproduce the one-shot occupancy")
+  }
 }
