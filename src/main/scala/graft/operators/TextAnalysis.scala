@@ -515,6 +515,25 @@ object TextAnalysis {
     out
   }
 
+  /** Per-document predictions from the freshly-trained perceptron:
+    * (doc_id, y, margin, pred) — the frame agreement/calibration
+    * audits consume. Same compact-frame aggregate as
+    * [[hashedPerceptronApply]]'s scoring step.
+    */
+  def hashedPerceptronPredictions(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int,
+      rounds: Int): DataFrame = {
+    val (_, w, feat) =
+      perceptronLoop(docs, idCol, textCol, labelCol, dim, rounds)
+    val out = feat.join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * col("w")).as("margin"))
+      .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(-1L))
+      .localCheckpoint()
+    feat.unpersist()
+    out
+  }
+
   /** CALIBRATION AUDIT (reliability diagram) for the trained
     * perceptron: score every document, split the exact-integer margin
     * range into `bins` equal-width bands, and emit per band the doc

@@ -4586,6 +4586,196 @@ object ExtQueries extends QueryGroup {
               round(topk_rows / n_rows, 6) AS topk_share
        FROM t, tk"""
 
+  /** TIME-DECAYED ACTIVITY MASS with exact integer arithmetic: per
+    * event type, Σ 2^(−age_days div H) under half-life H = 7 days —
+    * the freshness-weighted engagement statistic (recent activity
+    * counts full, stale activity geometrically less). The decay weight
+    * is computed as a SCALED BIGINT 2^(30 − k) (k capped at 30), summed
+    * exactly, and divided by 2^30 exactly ONCE at the end — so the
+    * result is bit-reproducible at any partitioning/order, unlike a
+    * float pow() sum whose value depends on reduction order. Overflow
+    * headroom: Σ ≤ rows·2^30, safe under 2^63 to ~8·10^9 rows per
+    * group; past that, decimal(38,0) is the same one-line swap the TV
+    * drift query already demonstrates.
+    */
+  private val DecayRefNs = 1706745600000000000L // 2024-02-01T00:00:00Z
+  private val DecayHalfLifeDays = 7L
+  private val DecayScaleBits = 30
+
+  private def eventsDecay(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        least(expr(s"($DecayRefNs - ts) div $ZDayNs div $DecayHalfLifeDays"),
+          lit(DecayScaleBits.toLong)).as("k"))
+      .withColumn("w",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($DecayScaleBits - k AS INT))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decay_scaled"))
+      .withColumn("decayed_mass",
+        round(col("decay_scaled") / math.pow(2.0, DecayScaleBits), 6))
+
+  private val eventsDecaySql =
+    s"""WITH k AS (
+         SELECT event_type,
+                least(($DecayRefNs - epoch_ns(ts)) // $ZDayNs // $DecayHalfLifeDays,
+                      $DecayScaleBits) AS k
+         FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(1 AS BIGINT) << CAST($DecayScaleBits - k AS INTEGER)) AS BIGINT) AS decay_scaled,
+              round(sum(CAST(1 AS BIGINT) << CAST($DecayScaleBits - k AS INTEGER)) / ${1L << DecayScaleBits}.0, 6) AS decayed_mass
+       FROM k GROUP BY 1"""
+
+  /** INTER-LABELER AGREEMENT (Cohen's kappa): the freshly-trained
+    * perceptron's en/non-en prediction against the ground-truth label,
+    * chance-corrected — the labeling-ops statistic that separates "the
+    * cheap labeler agrees 80%" from "…but 70% of that was chance
+    * because one class dominates" (raw accuracy, which
+    * ext_classify_apply reports, cannot tell the two apart). All counts
+    * ride the tiny (pred, truth) confusion frame (≤ classes² rows after
+    * ONE aggregate over the scored docs); po, pe, and kappa are
+    * fixed-order float divisions off exact BIGINTs, rounded at 6 dp.
+    * pe divides by n twice ((pe_num/n)/n) so no intermediate needs
+    * n² — which would overflow BIGINT past ~3·10^9 docs.
+    *
+    * On the synthetic fixture this audit EARNS ITS KEEP: the text
+    * carries no real signal for the lang label, the batch perceptron
+    * collapses to the majority-class constant predictor, and kappa
+    * reports exactly 0 while ext_classify_apply's raw accuracy reads a
+    * respectable-looking 43% — the precise failure mode chance
+    * correction exists to expose.
+    */
+  private def labelKappa(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+    val cm = TextAnalysis.hashedPerceptronPredictions(docs, "doc_id", "text",
+        "y", TrainDim, TrainRounds)
+      .groupBy("pred", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = cm.agg(sum(col("c")).as("n"),
+      sum(when(col("pred") === col("y"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    val peNum = cm.groupBy("pred").agg(sum(col("c")).as("ca"))
+      .join(cm.groupBy("y").agg(sum(col("c")).as("cb")),
+        col("pred") === col("y"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
+    val po = col("n_agree") / col("n")
+    val pe = col("pe_num") / col("n") / col("n")
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"), col("n_agree"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  private lazy val labelKappaSql =
+    s"""WITH $classifyTrainCtes,
+       sc AS (
+         SELECT doc_id, y,
+                CASE WHEN sum(f.cnt * w.w) >= 0 THEN 1 ELSE -1 END AS pred
+         FROM feat f JOIN w$TrainRounds w USING (bucket)
+         GROUP BY doc_id, y),
+       cm AS (SELECT pred, y, CAST(count(*) AS BIGINT) AS c
+              FROM sc GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN pred = y THEN c ELSE 0 END) AS BIGINT) AS n_agree
+               FROM cm),
+       ma AS (SELECT pred AS cls, CAST(sum(c) AS BIGINT) AS ca FROM cm GROUP BY 1),
+       mb AS (SELECT y AS cls, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1),
+       pe AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS pe_num
+              FROM ma JOIN mb USING (cls))
+       SELECT n, n_agree, round(n_agree / n, 6) AS po,
+              round(pe_num / n / n, 6) AS pe,
+              CASE WHEN pe_num / n / n < 1
+                   THEN round((n_agree / n - pe_num / n / n) / (1 - pe_num / n / n), 6)
+              END AS kappa
+       FROM tot, pe"""
+
+  /** RIGHT-TO-BE-FORGOTTEN SWEEP: erasure requests propagated through
+    * the fact tables with per-table accounting — events erased by a
+    * user-id request list (GDPR deletion), documents by a source
+    * takedown list (DMCA/robots revocation). The request table is
+    * telephone-book-sized next to the corpus, so it BROADCASTS and each
+    * table is processed in ONE pass: a broadcast left join marks hits,
+    * and a single aggregate emits kept/deleted/before counts — the same
+    * job that would write the kept rows writes the audit row, no second
+    * scan. (The user request list here is derived from the fixture by a
+    * deterministic predicate — the stand-in for an external requests
+    * table.)
+    */
+  private val TakedownSources = Seq("src3", "src7")
+
+  private def privacyErasure(s: SparkSession, d: String): DataFrame = {
+    val reqUsers = Tables.events(s, d).select(col("user_id"))
+      .where(col("user_id") % 97 === 0).distinct()
+    val ev = Tables.events(s, d)
+      .join(broadcast(reqUsers.withColumn("__del", lit(1))),
+        Seq("user_id"), "left_outer")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("__del").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+      .select(lit("events").as("tbl"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_after"))
+    val docs = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("source").isin(TakedownSources: _*), 1L).otherwise(0L))
+          .as("n_deleted"))
+      .select(lit("documents").as("tbl"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_after"))
+    ev.unionByName(docs)
+  }
+
+  private val privacyErasureSql = {
+    val srcs = TakedownSources.map(x => s"'$x'").mkString(", ")
+    s"""SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_before,
+              CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+              CAST(count(*) - sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+       FROM events
+       UNION ALL
+       SELECT 'documents', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN source IN ($srcs) THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(*) - sum(CASE WHEN source IN ($srcs) THEN 1 ELSE 0 END) AS BIGINT)
+       FROM documents"""
+  }
+
+  /** DUPLICATE-MASS GROWTH CURVE: how duplication accumulates across
+    * crawl days — per synthetic crawl day (doc_id mod 7, the vintage
+    * convention of ext_corpus_snapdiff), new-content-hash count vs doc
+    * count, with running totals and the cumulative duplicate share
+    * 1 − unique/total. This is the curve that sizes incremental dedup:
+    * its slope says how much of tomorrow's crawl is already in the
+    * index. Scale shape: content hashes reduce to a (hash → first day)
+    * frame (ONE aggregate over 8-byte hashes, never text); the window
+    * runs over the DAYS frame (7 rows), not the corpus.
+    */
+  private def corpusDupgrowth(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val h = Tables.documents(s, d)
+      .select((col("doc_id") % 7).as("day"),
+        Dedup.polyHash(col("text")).as("h"))
+    val byDay = h.groupBy("day").agg(count(lit(1)).as("n_docs"))
+    val newByDay = h.groupBy("h").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new_hashes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.join(newByDay, Seq("day"), "left_outer")
+      .withColumn("n_new_hashes", coalesce(col("n_new_hashes"), lit(0L)))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_unique", sum(col("n_new_hashes")).over(w))
+      .withColumn("dup_share",
+        round(lit(1.0) - col("cum_unique") / col("cum_docs"), 6))
+  }
+
+  private lazy val corpusDupgrowthSql =
+    s"""WITH h AS (SELECT doc_id % 7 AS day, ${polyHashSql("text")} AS h
+                   FROM documents),
+       bd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+       fd AS (SELECT h, min(day) AS day FROM h GROUP BY 1),
+       nd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_hashes FROM fd GROUP BY 1)
+       SELECT bd.day, n_docs, coalesce(n_new_hashes, 0) AS n_new_hashes,
+              CAST(sum(n_docs) OVER (ORDER BY bd.day) AS BIGINT) AS cum_docs,
+              CAST(sum(coalesce(n_new_hashes, 0)) OVER (ORDER BY bd.day) AS BIGINT) AS cum_unique,
+              round(1 - sum(coalesce(n_new_hashes, 0)) OVER (ORDER BY bd.day)
+                        / sum(n_docs) OVER (ORDER BY bd.day), 6) AS dup_share
+       FROM bd LEFT JOIN nd ON bd.day = nd.day"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -4722,5 +4912,9 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_sketch_rollup", sketchRollup, Some(sketchRollupSql), "hierarchical sketch rollup: per-day lincount states OR-merged up the time hierarchy"),
     GQuery("ext_sketch_joinsize", sketchJoinsize, Some(sketchJoinsizeSql), "join-size estimation from count-min inner products vs exact sum(cntA*cntB)"),
     GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),
-    GQuery("ext_skew_profile", skewProfile, Some(skewProfileSql), "join-key skew profile: max/mean load ratio + top-k heavy-hitter mass share"))
+    GQuery("ext_skew_profile", skewProfile, Some(skewProfileSql), "join-key skew profile: max/mean load ratio + top-k heavy-hitter mass share"),
+    GQuery("ext_events_decay", eventsDecay, Some(eventsDecaySql), "time-decayed activity mass: exact scaled-BIGINT half-life weighting, one division at the end"),
+    GQuery("ext_label_kappa", labelKappa, Some(labelKappaSql), "inter-labeler agreement: Cohen's kappa of heuristic langid vs ground truth"),
+    GQuery("ext_privacy_erasure", privacyErasure, Some(privacyErasureSql), "right-to-be-forgotten sweep: broadcast request lists, one-pass kept/deleted accounting"),
+    GQuery("ext_corpus_dupgrowth", corpusDupgrowth, Some(corpusDupgrowthSql), "duplicate-mass growth curve across crawl days: cumulative unique vs total, dup share"))
 }

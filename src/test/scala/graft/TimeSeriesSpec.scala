@@ -89,4 +89,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("B", 12L)) == ((1L, Some(30L), Some(30L))))
     assert(got(("B", 13L)) == ((0L, None, Some(30L))))
   }
+
+  test("ext_events_decay: dyadic weights sum exactly, scaled sum reconciles") {
+    val rows = SparkEntry.queries("ext_events_decay")(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, scaled, mass) =>
+      // every weight is 2^(30-k) with k in [0,30]: the scaled sum is
+      // bounded by n*2^30 (full freshness) and >= n (stalest cap)
+      assert(scaled >= n && scaled <= n * (1L << 30))
+      // the emitted mass is exactly the scaled sum / 2^30 rounded at 6dp
+      val expected = BigDecimal(scaled) / BigDecimal(1L << 30)
+      assert(math.abs(mass - expected.toDouble) < 5e-7)
+    }
+  }
+
+  test("ext_privacy_erasure and ext_label_kappa: accounting invariants hold") {
+    val er = SparkEntry.queries("ext_privacy_erasure")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(er.keySet == Set("events", "documents"))
+    er.values.foreach { case (_, before, deleted, after) =>
+      assert(before == deleted + after && deleted > 0 && after > 0)
+    }
+    val k = SparkEntry.queries("ext_label_kappa")(spark, sf0001)
+      .collect().head
+    val (n, agree) = (k.getLong(0), k.getLong(1))
+    val (po, pe, kappa) = (k.getDouble(2), k.getDouble(3), k.getDouble(4))
+    assert(agree <= n && po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    // chance-corrected: kappa below raw agreement, and consistent with
+    // (po-pe)/(1-pe) at the emitted rounding
+    assert(kappa <= po + 1e-6)
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-4)
+  }
 }
