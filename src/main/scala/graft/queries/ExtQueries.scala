@@ -4776,6 +4776,94 @@ object ExtQueries extends QueryGroup {
                         / sum(n_docs) OVER (ORDER BY bd.day), 6) AS dup_share
        FROM bd LEFT JOIN nd ON bd.day = nd.day"""
 
+  /** DATA-CONTRACT BATTERY (the Deequ/dbt-test/Great-Expectations
+    * role): a declarative suite of quality checks over the orders feed,
+    * evaluated in ONE fused pass — row-count floor, primary-key
+    * uniqueness, null rate, accepted-values sets, value range,
+    * referential integrity against customer, and freshness — emitting
+    * one row per check with the observed statistic, violation count,
+    * and pass flag. The contract gate a pipeline runs BEFORE letting a
+    * new drop of data into training.
+    *
+    * Scale shape: every column check folds into a SINGLE aggregate scan
+    * of orders, and the referential-integrity probe rides the SAME scan
+    * (customer reduces to its broadcast key set; a left join marks
+    * orphans, the aggregate counts them) — Deequ's fused-metrics
+    * design: N checks ≠ N scans. countDistinct shares the pass via
+    * expand; at 100 TB you'd swap it for the lincount sketch column
+    * this repo already ships if the exact distinct got hot.
+    *
+    * One check intentionally FAILS on the fixture: the strict status
+    * contract declares {O, F} while the feed carries P (pending) rows —
+    * exercising the violation-accounting path, not just eight green
+    * rows.
+    */
+  private val ContractPriorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val ContractMinRows = 1000L
+  private val ContractFreshDay = 11323L // 2001-01-01 as epoch day
+
+  private def qualityContract(s: SparkSession, d: String): DataFrame = {
+    val custKeys = Tables.customer(s, d).select(col("c_custkey")).distinct()
+    val agg = Tables.orders(s, d)
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"),
+        "left_outer")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nd"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+        sum(when(!col("o_orderpriority").isin(ContractPriorities: _*), 1L)
+          .otherwise(0L)).as("bad_prio"),
+        sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+          .as("bad_status"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("ri_viol"),
+        datediff(max(col("o_orderdate").cast("date")),
+          to_date(lit("1970-01-01"))).cast("long").as("max_day"))
+    agg.selectExpr(s"""stack(8,
+      'row_count_min', n, CAST(0 AS BIGINT),
+        CASE WHEN n >= $ContractMinRows THEN 1 ELSE 0 END,
+      'pk_unique', nd, n - nd, CASE WHEN n = nd THEN 1 ELSE 0 END,
+      'custkey_not_null', null_cust, null_cust,
+        CASE WHEN null_cust = 0 THEN 1 ELSE 0 END,
+      'priority_accepted', bad_prio, bad_prio,
+        CASE WHEN bad_prio = 0 THEN 1 ELSE 0 END,
+      'status_accepted_strict', bad_status, bad_status,
+        CASE WHEN bad_status = 0 THEN 1 ELSE 0 END,
+      'totalprice_positive', bad_price, bad_price,
+        CASE WHEN bad_price = 0 THEN 1 ELSE 0 END,
+      'ri_custkey', ri_viol, ri_viol,
+        CASE WHEN ri_viol = 0 THEN 1 ELSE 0 END,
+      'freshness', max_day, CAST(0 AS BIGINT),
+        CASE WHEN max_day >= $ContractFreshDay THEN 1 ELSE 0 END
+      ) AS (check, observed, violations, passed)""")
+  }
+
+  private val qualityContractSql = {
+    val prios = ContractPriorities.map(p => s"'$p'").mkString(", ")
+    s"""WITH a AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ($prios) THEN 1 ELSE 0 END) AS BIGINT) AS bad_prio,
+                CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+                CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+                CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ri_viol,
+                CAST(date_diff('day', DATE '1970-01-01',
+                               max(CAST(o_orderdate AS DATE))) AS BIGINT) AS max_day
+         FROM orders o
+         LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+           ON o.o_custkey = c.c_custkey)
+       SELECT 'row_count_min' AS check, n AS observed, CAST(0 AS BIGINT) AS violations,
+              CASE WHEN n >= $ContractMinRows THEN 1 ELSE 0 END AS passed FROM a
+       UNION ALL SELECT 'pk_unique', nd, n - nd, CASE WHEN n = nd THEN 1 ELSE 0 END FROM a
+       UNION ALL SELECT 'custkey_not_null', null_cust, null_cust, CASE WHEN null_cust = 0 THEN 1 ELSE 0 END FROM a
+       UNION ALL SELECT 'priority_accepted', bad_prio, bad_prio, CASE WHEN bad_prio = 0 THEN 1 ELSE 0 END FROM a
+       UNION ALL SELECT 'status_accepted_strict', bad_status, bad_status, CASE WHEN bad_status = 0 THEN 1 ELSE 0 END FROM a
+       UNION ALL SELECT 'totalprice_positive', bad_price, bad_price, CASE WHEN bad_price = 0 THEN 1 ELSE 0 END FROM a
+       UNION ALL SELECT 'ri_custkey', ri_viol, ri_viol, CASE WHEN ri_viol = 0 THEN 1 ELSE 0 END FROM a
+       UNION ALL SELECT 'freshness', max_day, CAST(0 AS BIGINT), CASE WHEN max_day >= $ContractFreshDay THEN 1 ELSE 0 END FROM a"""
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -4916,5 +5004,6 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_decay", eventsDecay, Some(eventsDecaySql), "time-decayed activity mass: exact scaled-BIGINT half-life weighting, one division at the end"),
     GQuery("ext_label_kappa", labelKappa, Some(labelKappaSql), "inter-labeler agreement: Cohen's kappa of heuristic langid vs ground truth"),
     GQuery("ext_privacy_erasure", privacyErasure, Some(privacyErasureSql), "right-to-be-forgotten sweep: broadcast request lists, one-pass kept/deleted accounting"),
-    GQuery("ext_corpus_dupgrowth", corpusDupgrowth, Some(corpusDupgrowthSql), "duplicate-mass growth curve across crawl days: cumulative unique vs total, dup share"))
+    GQuery("ext_corpus_dupgrowth", corpusDupgrowth, Some(corpusDupgrowthSql), "duplicate-mass growth curve across crawl days: cumulative unique vs total, dup share"),
+    GQuery("ext_quality_contract", qualityContract, Some(qualityContractSql), "data-contract battery: 8 declarative checks fused into one scan, violation accounting"))
 }

@@ -393,6 +393,16 @@ class ScaleSpec extends SparkSpec {
         "rank/ntile formulation funnels the corpus through one sort partition")
   }
 
+  test("ext_quality_contract: eight checks, ONE orders scan (fused metrics)") {
+    val df = SparkEntry.queries("ext_quality_contract")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1,
+      s"the whole battery must ride one fused orders scan, found $ordersScans")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the RI probe must ride the same pass via a broadcast key-set join")
+  }
+
   test("editVerifiedPairs: text attachment never shuffles the corpus") {
     val df = graft.operators.Dedup.editVerifiedPairs(
       Tables.documents(spark, sf0001), "doc_id", "text",
