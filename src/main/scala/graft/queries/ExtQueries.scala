@@ -3921,6 +3921,28 @@ object ExtQueries extends QueryGroup {
               count(DISTINCT user_id) AS n_users
        FROM events GROUP BY 1, 2"""
 
+  /** Sliding-window twin (EventsStream.slidingWindowedAgg): 10-minute
+    * windows every 5 — each event in exactly 2 windows; the oracle
+    * unnests the same 2-element start sequence.
+    */
+  private def streamSliding(s: SparkSession, d: String): DataFrame =
+    EventsStream.slidingWindowedAgg(Tables.events(s, d))
+
+  private val streamSlidingSql = {
+    val slideNs = EventsStream.SlideSeconds * 1000000000L
+    val steps = (EventsStream.WindowSeconds / EventsStream.SlideSeconds).toInt
+    s"""WITH w AS (
+         SELECT event_type, value,
+                unnest(generate_series(
+                  (epoch_ns(ts) // $slideNs - ${steps - 1}) * ${EventsStream.SlideSeconds},
+                  (epoch_ns(ts) // $slideNs) * ${EventsStream.SlideSeconds},
+                  ${EventsStream.SlideSeconds})) AS window_start
+         FROM events)
+       SELECT window_start, event_type, count(*) AS n_events,
+              round(sum(value), 3) AS sum_value
+       FROM w GROUP BY 1, 2"""
+  }
+
   /** Scale flavor of the window aggregate: HyperLogLog++ distinct users
     * (constant memory per group vs countDistinct's exact shuffle of every
     * key). NO ORACLE on purpose: DuckDB's approx_distinct uses a
@@ -4983,6 +5005,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
+    GQuery("ext_stream_sliding", streamSliding, Some(streamSlidingSql), "sliding-window agg (batch twin): 10-min windows every 5, each event in 2 windows"),
     GQuery("ext_stream_approx", streamWindowApprox, None, "HLL++ distinct users (sketch differs from DuckDB's — rows-only check)"),
     GQuery("ext_dedup_editverify", dedupEditVerify, Some(dedupEditVerifySql), "two-stage fuzzy dedup: MinHash candidates verified by normalized Levenshtein similarity"),
     GQuery("ext_dedup_ngramcov", dedupNgramCov, Some(dedupNgramCovSql), "per-doc duplicated-ngram coverage (linear-cost doc-level contamination signal)"),

@@ -49,6 +49,60 @@ object EventsStream {
         round(sum(col("value")), 3).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  val SlideSeconds = 300L
+
+  /** SLIDING-window aggregate, batch form: 10-minute windows advancing
+    * every 5 — each event lands in exactly len/slide = 2 windows, the
+    * overlap that gives trend dashboards smooth updates without waiting
+    * a full window. The batch twin materializes the window membership
+    * by exploding a 2-element start sequence per row (integer nanos
+    * arithmetic, like [[windowedAgg]]); the streaming flavor
+    * ([[streamingSlidingAgg]]) expresses the same thing with Spark's
+    * native window(col, len, slide), and the unified-API guarantee is
+    * spec-asserted. At scale the explode doubles rows BEFORE the
+    * aggregate — the map-side combine absorbs it (each partial row is
+    * (window, type) keyed), so the shuffle carries windows × types, not
+    * 2 × events.
+    */
+  def slidingWindowedAgg(events: DataFrame): DataFrame = {
+    val slideNs = SlideSeconds * 1000000000L
+    val steps = (WindowSeconds / SlideSeconds).toInt // windows per event
+    events
+      .withColumn("window_start", explode(expr(
+        s"sequence((ts div $slideNs - ${steps - 1}) * $SlideSeconds," +
+          s" (ts div $slideNs) * $SlideSeconds, $SlideSeconds)")))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"))
+  }
+
+  /** Streaming sliding windows: native window(event_time, 10 min, 5 min)
+    * under the same 5-minute watermark as the tumbling flavor. State
+    * holds len/slide concurrently-open windows per key instead of 1 —
+    * still bounded by the watermark horizon, the property that matters.
+    */
+  def streamingSlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    eventsFileStream(spark, dir)
+      .withWatermark("event_time", "5 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"))
+
+  /** Drive [[streamingSlidingAgg]] to completion via the memory sink
+    * (append mode, same finalize-and-evict reasoning as [[runOnce]]).
+    */
+  def runSlidingOnce(spark: SparkSession, dir: String,
+      name: String): StreamingQuery = {
+    val q = streamingSlidingAgg(spark, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming flavor with a real event-time watermark: nanos -> timestamp
     * (µs precision suffices for a 10-minute window), 10-minute tumbling
     * window, 5-minute late-data watermark. Late rows beyond the watermark

@@ -30,6 +30,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SLIDING windows match the batch explode twin") {
+    val q = EventsStream.runSlidingOnce(spark, sf0001, "ev_slide")
+    try {
+      val streamed = spark.table("ev_slide")
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"))
+      val batch = EventsStream.slidingWindowedAgg(Tables.events(spark, sf0001))
+        .select(col("window_start"), col("event_type"), col("n_events"))
+      assert(streamed.count() > 0)
+      // every emitted sliding window must match the exploded batch twin
+      assert(streamed.exceptAll(batch).count() == 0)
+      // append mode may withhold only windows still open at the final
+      // watermark: window_end > max - 5 min, i.e. start > max - 15 min
+      val withheld = batch.exceptAll(streamed)
+      val cutoff = batch.agg(max(col("window_start"))).collect().head.getLong(0) -
+        EventsStream.WindowSeconds - EventsStream.SlideSeconds
+      assert(withheld.where(col("window_start") < cutoff).count() == 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val q = EventsStream.purchaseClickJoin(spark, sf0001, gapSeconds = 3600L)
       .writeStream.outputMode("append").format("memory")
