@@ -199,6 +199,61 @@ object Sketches {
     out
   }
 
+  /** The FIXED-EDGE histogram sketch STATE in relational form: per
+    * (group, bin) counts on a grid declared up front ([lo, hi) split
+    * into `bins` equal bands, out-of-range values clamped into the edge
+    * bins). Unlike [[histogramQuantiles]]' data-relative grid, fixed
+    * edges are what make day states MERGEABLE — two days binned against
+    * the same edges combine by vector ADD ([[mergeHistStates]]). This
+    * is the quantile analogue of [[lincountState]], with the OPPOSITE
+    * merge algebra: counts are additive, NOT idempotent — a replayed
+    * batch DOUBLE-COUNTS (where the lincount OR-merge shrugs it off),
+    * so the upstream must deliver each batch exactly once (the
+    * foreachBatch/epoch-id dedup discipline). State ≤ groups × bins
+    * rows regardless of traffic.
+    */
+  def fixedHistState(rows: DataFrame, valCol: String, groupCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val bin = greatest(lit(0L), least(lit(bins - 1L),
+      floor((col(valCol) - lo) / width).cast("long")))
+    rows.groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Vector-ADD merge of two fixed-edge histogram states. */
+  def mergeHistStates(a: DataFrame, b: DataFrame): DataFrame = {
+    val g = a.columns.filterNot(c => c == "bin" || c == "cnt")
+    a.unionByName(b)
+      .groupBy((g :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates off a (possibly merged) fixed-edge state:
+    * est(q) = midpoint of the first bin whose cumulative count reaches
+    * ⌈q·n⌉. The window runs over the state frame (≤ groups × bins
+    * rows), never the raw values.
+    */
+  def fixedHistQuantiles(state: DataFrame, groupCol: String, lo: Double,
+      hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    val width = (hi - lo) / bins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bin")
+    val cum = state
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    val qDf = state.sparkSession.createDataFrame(
+      qs.zipWithIndex.map { case (q, i) => (i, q) }).toDF("qi", "q")
+    cum.crossJoin(broadcast(qDf))
+      .where(col("__cum") >= ceil(col("q") * col("__n")))
+      .groupBy(col(groupCol), col("qi"), col("q"), col("__n"))
+      .agg(min(col("bin")).as("__qbin"))
+      .select(col(groupCol), col("qi"), col("q"),
+        col("__n").as("n_rows"),
+        round(lit(lo) + (col("__qbin") + 0.5d) * width, 4).as("est"))
+  }
+
   /** FIXED-GRID HISTOGRAM QUANTILE sketch with exact audit: per group,
     * bin values into `bins` equal-width buckets over the group's own
     * [min, max], estimate quantile q as the midpoint of the first bin

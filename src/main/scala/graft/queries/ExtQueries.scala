@@ -4886,6 +4886,112 @@ object ExtQueries extends QueryGroup {
        UNION ALL SELECT 'freshness', max_day, CAST(0 AS BIGINT), CASE WHEN max_day >= $ContractFreshDay THEN 1 ELSE 0 END FROM a"""
   }
 
+  /** PERSIST-AND-ADD-MERGE quantile-sketch lifecycle — the histogram
+    * counterpart of ext_sketch_lincount2, demonstrating the OPPOSITE
+    * merge algebra: day-1's fixed-edge histogram state is written to
+    * parquet, re-read, and VECTOR-ADDED to day-2's before the P50/P90/
+    * P99 estimates. Additive counts merge exactly (state(A)+state(B) ≡
+    * state(A∪B) for disjoint batches) but are NOT idempotent — a
+    * replayed batch double-counts where the lincount OR shrugs it off —
+    * which is why the daily loop pairs this state with exactly-once
+    * batch delivery. Oracle = the one-shot fixed-grid sketch over all
+    * events: the split/write/re-read are semantically invisible for the
+    * disjoint ts partition, exactly the property gated.
+    */
+  private val QHistLo = 0.0
+  private val QHistHi = 512.0
+  private val QHistBins = 256
+  private val QHistQs = Seq(0.5, 0.9, 0.99)
+
+  private def sketchQuantile2(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+      col("ts"))
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_qhist_${math.abs(d.hashCode)}"
+    Sketches.fixedHistState(ev.where(col("ts") < IncrCutoffNs), "value",
+        "event_type", QHistLo, QHistHi, QHistBins)
+      .write.mode("overwrite").parquet(path)
+    Sketches.fixedHistQuantiles(
+      Sketches.mergeHistStates(
+        s.read.parquet(path),
+        Sketches.fixedHistState(ev.where(col("ts") >= IncrCutoffNs), "value",
+          "event_type", QHistLo, QHistHi, QHistBins)),
+      "event_type", QHistLo, QHistHi, QHistBins, QHistQs)
+  }
+
+  private val sketchQuantile2Sql = {
+    val width = (QHistHi - QHistLo) / QHistBins
+    val vals = QHistQs.zipWithIndex.map { case (q, i) => s"($i, $q)" }
+      .mkString(", ")
+    s"""WITH h AS (
+         SELECT event_type,
+                greatest(0, least(${QHistBins - 1},
+                  CAST(floor((value - $QHistLo) / $width) AS BIGINT))) AS bin,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       c AS (SELECT event_type, bin, cnt,
+                    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                    sum(cnt) OVER (PARTITION BY event_type) AS n
+             FROM h),
+       qs AS (SELECT * FROM (VALUES $vals) t(qi, q))
+       SELECT event_type, qi, q, CAST(n AS BIGINT) AS n_rows,
+              round($QHistLo + (min(bin) + 0.5) * $width, 4) AS est
+       FROM c CROSS JOIN qs
+       WHERE cum >= ceil(q * n)
+       GROUP BY event_type, qi, q, n"""
+  }
+
+  /** TEMPORAL train/val/test split with entity-overlap accounting: rows
+    * split by fixed time cuts (the forecasting-correct protocol — the
+    * model never trains on the future), plus the per-user split bitmask
+    * histogram (1=train, 2=val, 4=test) that QUANTIFIES what a temporal
+    * split does NOT give you: user disjointness. mask 5/7 counts are
+    * the users whose test behavior is partially memorizable from train —
+    * the complement of ext_split_leakfree's group-hash split, where
+    * entity disjointness is the guarantee and temporal order is not.
+    * One corpus scan per output branch; the mask histogram rides a
+    * per-user aggregate (3 bit-max's) then a ≤7-row count.
+    */
+  private val TemporalT1Ns = 1705795200000000000L // 2024-01-21T00:00:00Z
+  private val TemporalT2Ns = 1706227200000000000L // 2024-01-26T00:00:00Z
+
+  private def splitTemporal(s: SparkSession, d: String): DataFrame = {
+    val tagged = Tables.events(s, d).select(col("user_id"),
+      when(col("ts") < TemporalT1Ns, "train")
+        .when(col("ts") < TemporalT2Ns, "val")
+        .otherwise("test").as("split"))
+    val bySplit = tagged.groupBy("split").agg(count(lit(1)).as("n"))
+      .select(lit("split_rows").as("kind"), col("split").as("key"), col("n"))
+    val byMask = tagged.groupBy("user_id")
+      .agg((max(when(col("split") === "train", 1L).otherwise(0L)) +
+        max(when(col("split") === "val", 2L).otherwise(0L)) +
+        max(when(col("split") === "test", 4L).otherwise(0L))).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n"))
+      .select(lit("user_mask").as("kind"),
+        col("mask").cast("string").as("key"), col("n"))
+    bySplit.unionByName(byMask)
+  }
+
+  private val splitTemporalSql =
+    s"""WITH e AS (
+         SELECT user_id,
+                CASE WHEN epoch_ns(ts) < $TemporalT1Ns THEN 'train'
+                     WHEN epoch_ns(ts) < $TemporalT2Ns THEN 'val'
+                     ELSE 'test' END AS split
+         FROM events),
+       s1 AS (SELECT 'split_rows' AS kind, split AS key,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY 2),
+       m AS (SELECT user_id,
+                    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) +
+                    max(CASE WHEN split = 'val' THEN 2 ELSE 0 END) +
+                    max(CASE WHEN split = 'test' THEN 4 ELSE 0 END) AS mask
+             FROM e GROUP BY 1),
+       s2 AS (SELECT 'user_mask' AS kind, CAST(mask AS VARCHAR) AS key,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM m GROUP BY 2)
+       SELECT * FROM s1 UNION ALL SELECT * FROM s2"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -5028,5 +5134,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_label_kappa", labelKappa, Some(labelKappaSql), "inter-labeler agreement: Cohen's kappa of heuristic langid vs ground truth"),
     GQuery("ext_privacy_erasure", privacyErasure, Some(privacyErasureSql), "right-to-be-forgotten sweep: broadcast request lists, one-pass kept/deleted accounting"),
     GQuery("ext_corpus_dupgrowth", corpusDupgrowth, Some(corpusDupgrowthSql), "duplicate-mass growth curve across crawl days: cumulative unique vs total, dup share"),
-    GQuery("ext_quality_contract", qualityContract, Some(qualityContractSql), "data-contract battery: 8 declarative checks fused into one scan, violation accounting"))
+    GQuery("ext_quality_contract", qualityContract, Some(qualityContractSql), "data-contract battery: 8 declarative checks fused into one scan, violation accounting"),
+    GQuery("ext_sketch_quantile2", sketchQuantile2, Some(sketchQuantile2Sql), "persist-and-ADD-merge quantile lifecycle: day-1 histogram written/re-read, vector-added to day-2"),
+    GQuery("ext_split_temporal", splitTemporal, Some(splitTemporalSql), "temporal train/val/test split with per-user split-bitmask overlap accounting"))
 }

@@ -120,6 +120,31 @@ class SketchSpec extends SparkSpec {
     assert(tight.getLong(1) >= 12L && tight.getLong(2) == tight.getLong(1) - 12L)
   }
 
+  test("fixedHistState: disjoint-split ADD-merge ≡ one-shot; replay double-counts") {
+    val rows = (1 to 100).map(i => ("g", i.toDouble, i % 2))
+    val df = rows.toDF("grp", "v", "day")
+    val oneShot = Sketches.fixedHistState(df, "v", "grp", 0.0, 128.0, 64)
+    val a = Sketches.fixedHistState(df.where(col("day") === 0), "v", "grp", 0.0, 128.0, 64)
+    val b = Sketches.fixedHistState(df.where(col("day") === 1), "v", "grp", 0.0, 128.0, 64)
+    val merged = Sketches.mergeHistStates(a, b)
+    // disjoint batches: vector ADD reproduces the one-shot state exactly
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0)
+    // NON-idempotence (the algebra lincount's OR does NOT share): merging
+    // a batch with itself doubles every count — the reason this state
+    // demands exactly-once delivery
+    val doubled = Sketches.mergeHistStates(a, a)
+    assert(doubled.agg(sum(col("cnt"))).collect().head.getLong(0) ==
+      2 * a.agg(sum(col("cnt"))).collect().head.getLong(0))
+    // estimates off the merged state: monotone in q, inside the grid
+    val est = Sketches.fixedHistQuantiles(merged, "grp", 0.0, 128.0, 64,
+        Seq(0.5, 0.9)).orderBy("qi")
+      .select("est").as[Double].collect()
+    assert(est.length == 2 && est(0) <= est(1))
+    // 100 uniform values 1..100, bin width 2: P50 lands in bin 24/25
+    assert(math.abs(est(0) - 50.0) <= 2.0)
+  }
+
   test("lincount rollup ≡ one-shot: day-sliced states OR-merge to the exact bitmap") {
     // same keys scattered across 3 "days": the union of per-day
     // occupancy states must equal the one-shot state bit for bit, so
