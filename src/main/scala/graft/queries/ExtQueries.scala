@@ -4992,6 +4992,46 @@ object ExtQueries extends QueryGroup {
               FROM m GROUP BY 2)
        SELECT * FROM s1 UNION ALL SELECT * FROM s2"""
 
+  /** NATIVE session windows: Spark's session_window(event_time, gap)
+    * doing what Relational.sessionize composes by hand (lag + prefix
+    * sum) — per (user, session): event count and the session's first
+    * event time. Boundary semantics verified EMPIRICALLY and
+    * spec-pinned (TimeSeriesSpec): an exactly-gap-later event MERGES
+    * (split iff diff > gap, inclusive ends) — the same ≤-gap rule as
+    * sessionize, so the two operators agree row-for-row including the
+    * boundary, and the oracle encodes `diff > gap` splits. Same single
+    * shuffle on the user key as the hand-rolled form; the native
+    * operator additionally works unchanged in Structured Streaming with
+    * watermark-evicted session state.
+    */
+  private val SessionGapSeconds = 600L
+
+  private def sessionNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$SessionGapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_sec"),
+        col("n_events"))
+
+  private val sessionNativeSql =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events),
+       l AS (SELECT user_id, t,
+                    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                              > ${SessionGapSeconds * 1000000000L}
+                         THEN 1 ELSE 0 END AS brk
+             FROM e),
+       s AS (SELECT user_id, t,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+             FROM l)
+       SELECT user_id, CAST(min(t) // 1000000000 AS BIGINT) AS session_start_sec,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, sid"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -5110,6 +5150,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_gsets", corpusGsets, Some(corpusGsetsSql), "explicit GROUPING SETS slices w/ grouping_id"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
+    GQuery("ext_sessionize_native", sessionNative, Some(sessionNativeSql), "native session_window sessions: per (user, session) count + start, exclusive-end gap semantics"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
     GQuery("ext_stream_sliding", streamSliding, Some(streamSlidingSql), "sliding-window agg (batch twin): 10-min windows every 5, each event in 2 windows"),
     GQuery("ext_stream_approx", streamWindowApprox, None, "HLL++ distinct users (sketch differs from DuckDB's — rows-only check)"),

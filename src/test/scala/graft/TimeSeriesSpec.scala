@@ -90,6 +90,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("B", 13L)) == ((0L, None, Some(30L))))
   }
 
+  test("session_window ≡ sessionize at the exact-gap boundary (both inclusive)") {
+    // events at 0, 100ms, 201ms. Empirically pinned: session_window
+    // MERGES an exactly-gap-later event (split iff diff > gap) — the
+    // same ≤-gap rule as the hand-rolled sessionize, so the native
+    // operator is a drop-in and the ext_sessionize_native oracle's
+    // `diff > gap` split rule is the correct encoding.
+    val df = Seq((1L, 0L), (1L, 100000000L), (1L, 201000000L))
+      .toDF("k", "ts") // nanos: 0, 100ms, 201ms
+    val handRolled = graft.operators.Relational
+      .sessionize(df, "k", "ts", gapNanos = 100000000L)
+      .select("session_id").distinct().count()
+    assert(handRolled == 2) // {0, 100ms} merge (diff == gap); 201ms splits
+    def nativeSessions(gap: String): Long = df
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("k"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n")).count()
+    // inclusive boundary: diff == gap merges, diff 101ms > gap splits
+    assert(nativeSessions("100 milliseconds") == 2)
+    // one unit under the first diff: everything splits (strict > rule)
+    assert(nativeSessions("99 milliseconds") == 3)
+    // at the widest diff: everything merges
+    assert(nativeSessions("101 milliseconds") == 1)
+  }
+
   test("ext_events_decay: dyadic weights sum exactly, scaled sum reconciles") {
     val rows = SparkEntry.queries("ext_events_decay")(spark, sf0001)
       .as[(String, Long, Long, Double)].collect()
