@@ -862,4 +862,75 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE diversification: greedily re-rank an
+    * exact top-`cands` candidate list so each successive pick trades
+    * relevance against redundancy with what's already shown —
+    * round 1 = argmax rel; round r = argmax λ·rel − μ·max_{s∈selected}
+    * sim(c, s). The serving-tier step after ext_ann_rerank: a result
+    * page of near-duplicates is useless however relevant, and in a
+    * dedup-minded corpus MMR is the query-time face of the same
+    * diversity objective.
+    *
+    * `mu` must be passed EXPLICITLY (not computed as 1−λ): 0.3 as a
+    * literal and 1.0−0.7 are different doubles, and the oracle writes
+    * the same literals — the determinism discipline every float query
+    * here follows. Greedy rounds are unrolled relationally (the
+    * CC/BPE loop discipline): everything after the one corpus scan
+    * operates on queries×cands frames — serving-page-sized, broadcast
+    * all the way down. Scores are bit-reproducible: cosine folds are
+    * order-fixed, the λ/μ combination is one fused expression, and
+    * ties break on vec_b.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cands: Int, rounds: Int, lambda: Double,
+      mu: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      VectorOps.normSq(col(vecCol)).as("nb"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("va"),
+      VectorOps.normSq(col(vecCol)).as("na"))
+    val relW = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("vec_b").asc)
+    val cand = broadcast(q).crossJoin(c)
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("rel",
+        VectorOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("rn", row_number().over(relW))
+      .where(col("rn") <= cands)
+      .select("q_id", "vec_b", "vb", "nb", "rel")
+      .localCheckpoint()
+    val sims = cand.select(col("q_id"), col("vec_b"), col("vb"), col("nb"))
+      .join(cand.select(col("q_id"), col("vec_b").as("sel_b"),
+        col("vb").as("svb"), col("nb").as("snb")), Seq("q_id"))
+      .where(col("vec_b") =!= col("sel_b"))
+      .select(col("q_id"), col("vec_b"), col("sel_b"),
+        VectorOps.cosine(col("vb"), col("svb"), col("nb"), col("snb"))
+          .as("sim"))
+      .localCheckpoint()
+    var selected = cand.withColumn("rn", row_number().over(relW))
+      .where(col("rn") === 1)
+      .select(col("q_id"), col("vec_b").as("sel"),
+        lit(1).as("pick"), col("rel").as("score"))
+      .localCheckpoint()
+    for (r <- 2 to rounds) {
+      val msim = sims
+        .join(selected.select(col("q_id"), col("sel").as("sel_b")),
+          Seq("q_id", "sel_b"))
+        .groupBy("q_id", "vec_b").agg(max(col("sim")).as("msim"))
+      val next = cand
+        .join(selected.select(col("q_id"), col("sel").as("vec_b")),
+          Seq("q_id", "vec_b"), "left_anti")
+        .join(msim, Seq("q_id", "vec_b"))
+        .withColumn("score", lit(lambda) * col("rel") - lit(mu) * col("msim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_b").asc)))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("vec_b").as("sel"),
+          lit(r).as("pick"), col("score"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("q_id"), col("pick"),
+      col("sel").as("selected_id"), round(col("score"), 6).as("mmr"))
+  }
 }

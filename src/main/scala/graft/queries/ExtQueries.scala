@@ -5032,6 +5032,70 @@ object ExtQueries extends QueryGroup {
               count(*) AS n_events
        FROM s GROUP BY user_id, sid"""
 
+  /** MMR diversification (Similarity.mmrTopK): greedy relevance-vs-
+    * redundancy re-rank of the exact top-8 candidates, 3 unrolled
+    * picks at λ=0.7/μ=0.3 — the serving-tier step after rerank: a
+    * result page of near-duplicates is useless however relevant.
+    */
+  private val MmrCands = 8
+  private val MmrPicks = 3
+  private val MmrLambda = 0.7
+  private val MmrMu = 0.3
+
+  private def searchMmr(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", MmrCands, MmrPicks, MmrLambda, MmrMu)
+
+  private lazy val searchMmrSql =
+    s"""WITH $vecsSql,
+       sc AS (
+         SELECT q.vec_id AS q_id, b.vec_id AS vec_b,
+                ${dotOf("q.vec", "b.vec")} / (sqrt(q.nsq) * sqrt(b.nsq)) AS rel
+         FROM n q, n b
+         WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> b.vec_id),
+       cand AS (SELECT q_id, vec_b, rel FROM (
+           SELECT q_id, vec_b, rel,
+                  row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_b) AS rn
+           FROM sc) t WHERE rn <= $MmrCands),
+       sims AS (
+         SELECT c1.q_id, c1.vec_b, c2.vec_b AS sel_b,
+                ${dotOf("b1.vec", "b2.vec")} / (sqrt(b1.nsq) * sqrt(b2.nsq)) AS sim
+         FROM cand c1
+         JOIN cand c2 ON c1.q_id = c2.q_id AND c1.vec_b <> c2.vec_b
+         JOIN n b1 ON b1.vec_id = c1.vec_b
+         JOIN n b2 ON b2.vec_id = c2.vec_b),
+       s1 AS (SELECT q_id, vec_b AS sel, rel AS score FROM (
+           SELECT q_id, vec_b, rel,
+                  row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_b) AS rn
+           FROM cand) t WHERE rn = 1),
+       m2 AS (
+         SELECT c.q_id, c.vec_b, $MmrLambda * c.rel - $MmrMu * si.sim AS score
+         FROM cand c
+         JOIN s1 ON s1.q_id = c.q_id AND c.vec_b <> s1.sel
+         JOIN sims si ON si.q_id = c.q_id AND si.vec_b = c.vec_b
+                     AND si.sel_b = s1.sel),
+       s2 AS (SELECT q_id, vec_b AS sel, score FROM (
+           SELECT q_id, vec_b, score,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_b) AS rn
+           FROM m2) t WHERE rn = 1),
+       m3 AS (
+         SELECT c.q_id, c.vec_b,
+                $MmrLambda * c.rel - $MmrMu * max(si.sim) AS score
+         FROM cand c
+         JOIN s1 ON s1.q_id = c.q_id
+         JOIN s2 ON s2.q_id = c.q_id
+         JOIN sims si ON si.q_id = c.q_id AND si.vec_b = c.vec_b
+                     AND si.sel_b IN (s1.sel, s2.sel)
+         WHERE c.vec_b <> s1.sel AND c.vec_b <> s2.sel
+         GROUP BY c.q_id, c.vec_b, c.rel),
+       s3 AS (SELECT q_id, vec_b AS sel, score FROM (
+           SELECT q_id, vec_b, score,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_b) AS rn
+           FROM m3) t WHERE rn = 1)
+       SELECT q_id, 1 AS pick, sel AS selected_id, round(score, 6) AS mmr FROM s1
+       UNION ALL SELECT q_id, 2, sel, round(score, 6) FROM s2
+       UNION ALL SELECT q_id, 3, sel, round(score, 6) FROM s3"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -5112,6 +5176,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_pq", annPq, Some(annPqSql), "angular product-quantization ANN (codes + reconstruction scoring)"),
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_ann_rerank", annRerank, Some(annRerankSql), "two-stage retrieval: IVF-PQ top-c candidates exact-cosine re-ranked to top-k"),
+    GQuery("ext_search_mmr", searchMmr, Some(searchMmrSql), "MMR diversification: greedy relevance-vs-redundancy picks over the exact top-8"),
     GQuery("ext_search_hybrid", searchHybrid, Some(searchHybridSql), "hybrid retrieval: dense cosine + lexical Jaccard legs fused by reciprocal rank"),
     GQuery("ext_ann_filtered", annFiltered, Some(annFilteredSql), "filtered vector search: pre-filter vs post-filter within the query's label"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),

@@ -525,4 +525,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(Multimodal.withPayload(df, "doc_id", "text"))
       .schema == Multimodal.DecodedSchema)
   }
+
+  test("mmrTopK: an exact duplicate of pick 1 is deferred behind the diverse result") {
+    import spark.implicits._
+    // corpus: a and b are the SAME direction as the query (rel = 1,
+    // sim(a,b) = 1); c is 45° off (rel ≈ .707). Pure relevance ranks
+    // a, b, c — MMR with diversity-heavy weights must pick a, then c
+    // (the duplicate's redundancy penalty exceeds c's relevance gap),
+    // then b.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), // same direction as 1, different norm
+      (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .mmrTopK(corpus, queries, "vec_id", "embedding",
+        cands = 3, rounds = 3, lambda = 0.3, mu = 0.7)
+      .orderBy("pick")
+      .select("pick", "selected_id").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
 }

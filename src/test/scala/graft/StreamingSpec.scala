@@ -50,6 +50,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window: emitted sessions ≡ batch islands, tail watermark-withheld") {
+    val q = EventsStream.eventsFileStream(spark, sf0001)
+      .withWatermark("event_time", "5 minutes")
+      .groupBy(col("user_id"), session_window(col("event_time"), "600 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ev_sess").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_sess")
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_sec"),
+          col("n_events"))
+      // batch islands via the hand-rolled twin (boundary ≡, spec-pinned)
+      val gapNs = 600L * 1000000000L
+      val batch = graft.operators.Relational
+        .sessionize(Tables.events(spark, sf0001)
+          .select(col("user_id"), col("ts")), "user_id", "ts", gapNs)
+        .groupBy("user_id", "session_id")
+        .agg(expr("min(ts) div 1000000000").as("start_sec"),
+          max(col("ts")).as("end_ns"), count(lit(1)).as("n_events"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(
+        batch.select("user_id", "start_sec", "n_events")).count() == 0)
+      // append mode may withhold only sessions not CLOSED by the final
+      // watermark: closure needs watermark past last-event + gap
+      val withheld = batch.select("user_id", "start_sec", "n_events")
+        .exceptAll(streamed)
+      val maxNs = Tables.events(spark, sf0001).agg(max(col("ts")))
+        .collect().head.getLong(0)
+      val openCut = maxNs - 300L * 1000000000L - gapNs
+      val wrongly = withheld
+        .join(batch, Seq("user_id", "start_sec", "n_events"))
+        .where(col("end_ns") + gapNs < openCut)
+      assert(wrongly.count() == 0,
+        "a session closed well before the final watermark must have been emitted")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val q = EventsStream.purchaseClickJoin(spark, sf0001, gapSeconds = 3600L)
       .writeStream.outputMode("append").format("memory")
