@@ -5096,6 +5096,103 @@ object ExtQueries extends QueryGroup {
        UNION ALL SELECT q_id, 2, sel, round(score, 6) FROM s2
        UNION ALL SELECT q_id, 3, sel, round(score, 6) FROM s3"""
 
+  /** TREND DETECTION: per-type least-squares slope of the daily event
+    * count — is this event type growing or declining, as a number with
+    * a closed form instead of an eyeballed chart. slope = (n·Σxy −
+    * Σx·Σy) / (n·Σx² − (Σx)²) over (day-index, daily-count) points:
+    * every Σ is an exact BIGINT off the tiny per-day frame (≤ types ×
+    * days rows after ONE corpus aggregate), so the only float work is
+    * the final division — the ext_events_decay determinism discipline.
+    * Magnitudes: day indices ~2e4, counts ≤ 2^31 → n·Σxy bounded well
+    * under 2^63 for any per-type daily series a dashboard would hold.
+    */
+  private def eventsTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_days") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("slope_per_day"))
+  }
+
+  private val eventsTrendSql =
+    s"""WITH daily AS (
+         SELECT event_type, epoch_ns(ts) // $ZDayNs AS x,
+                CAST(count(*) AS BIGINT) AS y
+         FROM events GROUP BY 1, 2),
+       a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx
+             FROM daily GROUP BY 1)
+       SELECT event_type, n_days, sy AS n_events,
+              CASE WHEN n_days * sxx - sx * sx != 0
+                   THEN round((n_days * sxy - sx * sy)
+                              / (n_days * sxx - sx * sx), 6) END AS slope_per_day
+       FROM a"""
+
+  /** CO-OCCURRENCE LIFT (association-rule telemetry): for every pair of
+    * event types, how much more often do they share a user than
+    * independence predicts — lift = P(a∧b) / (P(a)·P(b)) over the user
+    * universe. The market-basket statistic that finds coupled behaviors
+    * (and, in a corpus context, coupled source/topic memberships). All
+    * counts ride the distinct (user, type) frame: pair counts from its
+    * self-join (type universe is tiny, so pairs ≤ types²/2), marginals
+    * from one aggregate, n_users from one count — the only corpus-sized
+    * work is the initial distinct. Lift computes as (both·n)/(ca·cb) in
+    * a fixed order, one rounded division.
+    */
+  private def eventsLift(s: SparkSession, d: String): DataFrame = {
+    val ut = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ut.as("a")
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")).as("b"),
+        Seq("user_id"))
+      .where(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("c").as("ca"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("c").as("cb"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("ca"),
+        col("cb"), col("n_users"),
+        round(col("n_both") * col("n_users") / (col("ca") * col("cb")), 6)
+          .as("lift"))
+  }
+
+  private val eventsLiftSql =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                FROM ut GROUP BY 1),
+       nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                CAST(count(*) AS BIGINT) AS n_both
+         FROM ut a JOIN ut b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT type_a, type_b, n_both,
+              ma.c AS ca, mb.c AS cb, n_users,
+              round(n_both * n_users / (ma.c * mb.c), 6) AS lift
+       FROM pairs
+       JOIN marg ma ON ma.event_type = type_a
+       JOIN marg mb ON mb.event_type = type_b
+       CROSS JOIN nu"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -5237,6 +5334,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),
     GQuery("ext_skew_profile", skewProfile, Some(skewProfileSql), "join-key skew profile: max/mean load ratio + top-k heavy-hitter mass share"),
     GQuery("ext_events_decay", eventsDecay, Some(eventsDecaySql), "time-decayed activity mass: exact scaled-BIGINT half-life weighting, one division at the end"),
+    GQuery("ext_events_trend", eventsTrend, Some(eventsTrendSql), "per-type least-squares daily-count slope: exact BIGINT sums, one division"),
+    GQuery("ext_events_lift", eventsLift, Some(eventsLiftSql), "event-type co-occurrence lift over the user universe (association-rule telemetry)"),
     GQuery("ext_label_kappa", labelKappa, Some(labelKappaSql), "inter-labeler agreement: Cohen's kappa of heuristic langid vs ground truth"),
     GQuery("ext_privacy_erasure", privacyErasure, Some(privacyErasureSql), "right-to-be-forgotten sweep: broadcast request lists, one-pass kept/deleted accounting"),
     GQuery("ext_corpus_dupgrowth", corpusDupgrowth, Some(corpusDupgrowthSql), "duplicate-mass growth curve across crawl days: cumulative unique vs total, dup share"),
