@@ -42,4 +42,41 @@ object SketchStream {
     def estimate(): DataFrame =
       Sketches.lincountEstimate(state, groupCol, buckets)
   }
+
+  /** ADDITIVE sketch state under redelivery — the fixed-edge histogram
+    * ([[Sketches.fixedHistState]]) folded over foreachBatch with the
+    * IDEMPOTENT-SINK pattern: vector-ADD is exact for disjoint batches
+    * but double-counts a replay (SketchSpec proves it), and Structured
+    * Streaming's foreachBatch contract is AT-LEAST-once per batchId —
+    * the same (batchId, data) pair may be re-delivered after a failure.
+    * The canonical fix is the batchId ledger: a sink that records which
+    * epochs it has applied and no-ops on re-delivery, turning
+    * at-least-once delivery into exactly-once STATE. (In a durable
+    * deployment the ledger is a transactional write of state + max
+    * batchId together; here it is the in-memory set the spec attacks by
+    * calling the sink twice with the same id.) This is the half of the
+    * exactly-once story the OR-bitmap never needed — pairing the two
+    * states makes the merge-algebra distinction operational, not just
+    * documented.
+    */
+  final class HistState(initial: DataFrame, valCol: String,
+      groupCol: String, lo: Double, hi: Double, bins: Int) {
+    @volatile var state: DataFrame =
+      Sketches.fixedHistState(initial, valCol, groupCol, lo, hi, bins)
+        .localCheckpoint()
+    private val applied = scala.collection.mutable.Set.empty[Long]
+
+    def sink(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!applied.add(batchId)) return // replayed epoch: already folded
+      val old = state
+      state = Sketches.mergeHistStates(old,
+          Sketches.fixedHistState(batch, valCol, groupCol, lo, hi, bins))
+        .localCheckpoint()
+      Scd2Stream.releaseSnapshot(old)
+    }
+
+    /** Quantile estimates off the folded histogram state. */
+    def quantiles(qs: Seq[Double]): DataFrame =
+      Sketches.fixedHistQuantiles(state, groupCol, lo, hi, bins, qs)
+  }
 }

@@ -514,4 +514,29 @@ class StreamingSpec extends SparkSpec {
       assert(audit.exceptAll(folded).isEmpty && folded.exceptAll(audit).isEmpty)
     } finally q.stop()
   }
+
+  test("idempotent hist sink: batchId ledger turns a replayed epoch into a no-op") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("grp", "v")
+    val state = new graft.streaming.SketchStream.HistState(
+      empty, "v", "grp", lo = 0.0, hi = 128.0, bins = 64)
+    val b1 = (1 to 50).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val b2 = (51 to 80).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    state.sink(b1, batchId = 0L)
+    state.sink(b2, batchId = 1L)
+    val afterClean = state.state.agg(sum(col("cnt"))).collect().head.getLong(0)
+    assert(afterClean == 80L)
+    // at-least-once delivery: the SAME epoch re-arrives after a "failure"
+    state.sink(b1, batchId = 0L)
+    val afterReplay = state.state.agg(sum(col("cnt"))).collect().head.getLong(0)
+    assert(afterReplay == 80L,
+      "a replayed batchId must not double-count additive state")
+    // but the raw merge WOULD have: that's the defect the ledger guards
+    val naive = graft.operators.Sketches.mergeHistStates(state.state,
+      graft.operators.Sketches.fixedHistState(b1, "v", "grp", 0.0, 128.0, 64))
+    assert(naive.agg(sum(col("cnt"))).collect().head.getLong(0) == 130L)
+    // estimates come off the protected state
+    val p50 = state.quantiles(Seq(0.5)).select("est").as[Double].collect().head
+    assert(p50 > 30.0 && p50 < 50.0) // true median 40.5, bin width 2
+  }
 }
