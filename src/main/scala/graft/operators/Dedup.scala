@@ -1174,6 +1174,73 @@ object Dedup {
     res
   }
 
+  /** PRECISION/RECALL CURVE of the MinHash detector over an estimate-
+    * threshold ladder — the operating-point table behind choosing the
+    * verification cutoff: for each threshold k (in matching-perm UNITS,
+    * so the sweep compares exact integers, never floats), the detector
+    * set is {band candidates with ≥ k matching perms} and is scored
+    * against the exact-Jaccard ≥ tau truth. Recall's denominator is ALL
+    * truth pairs — including those the banding never surfaced — so the
+    * curve exposes the candidate-generation miss floor that a
+    * candidates-only audit ([[minhashEstimateAudit]]) cannot see.
+    *
+    * Scale shape: one edge build feeds the signature aggregate, the
+    * band self-join, and the truth pass; everything past the scored
+    * streams is pair-list-sized, and the k-sweep explodes literals over
+    * the candidate pair list. Truth-ness decides on the cross-
+    * multiplied integers i·100 ≥ tauPct·(union) — identical arithmetic
+    * in the oracle, no float threshold anywhere.
+    */
+  def minhashPrCurve(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int, rowsPerBand: Int, tauPct: Int, ks: Seq[Int],
+      mode: HashMode = XxHash): DataFrame = {
+    val edges = shingleEdges(docs, idCol, textCol).persist()
+    val (wide0, releaseVocab) = minhashWideReleasable(edges, numPerm, mode)
+    val wide = wide0.persist()
+    val keyCols = bandKeyCols(rowsPerBand)
+    val buckets = bandBuckets(wide, numPerm, rowsPerBand)
+    val cand = buckets.toDF("doc_a" +: "band" +: keyCols: _*)
+      .join(buckets.toDF("doc_b" +: "band" +: keyCols: _*), Seq("band") ++ keyCols)
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val matchCount = (0 until numPerm)
+      .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val wa = wide.toDF("doc_a" +: (0 until numPerm).map(j => s"a_m$j"): _*)
+    val wb = wide.toDF("doc_b" +: (0 until numPerm).map(j => s"b_m$j"): _*)
+    val sizes = shingleSizes(edges)
+    val inter = edges.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(edges.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .withColumn("is_truth",
+        (col("inter") * 100 >= lit(tauPct) * (col("na") + col("nb") - col("inter")))
+          .cast("int"))
+      .localCheckpoint()
+    val truth = inter.agg(sum(col("is_truth")).as("n_truth"))
+    val ce = cand.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matchCount.as("m"))
+      .join(inter.select("doc_a", "doc_b", "is_truth"), Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("is_truth"))
+    val out = ce
+      .withColumn("k", explode(array(ks.map(lit): _*)))
+      .where(col("m") >= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_det"),
+        sum(col("is_truth")).cast("long").as("n_hit"))
+      .crossJoin(broadcast(truth))
+      .select(round(col("k") / numPerm.toDouble, 4).as("t"),
+        col("n_det"), col("n_hit"), col("n_truth"),
+        round(col("n_hit") / col("n_det"), 6).as("prec"),
+        round(col("n_hit") / col("n_truth"), 6).as("rec"),
+        round(lit(2) * col("n_hit") / (col("n_det") + col("n_truth")), 6).as("f1"))
+    val res = materializePairs(out, edges)
+    releaseVocab(); wide.unpersist()
+    res
+  }
+
   /** INCREMENTAL dedup — the daily-crawl shape: near-dups of the
     * `incoming` batch AGAINST the `existing` corpus (bipartite — the
     * corpus is never self-joined; intra-batch dups are [[minhashLshPairs]]

@@ -102,6 +102,104 @@ object Sketches {
       .withColumn("est",
         when(col("n_occupied") < buckets, estimateExpr(buckets)))
 
+  /** PAIRWISE-OVERLAP ESTIMATION from lincount states with exact audit
+    * — the audience-overlap / source-intersection statistic
+    * (inclusion–exclusion over the occupancy bitmaps): for groups A, B,
+    * n̂(A ∩ B) = n̂(A) + n̂(B) − n̂(A ∪ B), where the union estimate reads
+    * the OR of the two bitmaps — and the OR needs NO third pass, because
+    * |bits(A) ∪ bits(B)| = occA + occB − |bits(A) ∩ bits(B)| and the
+    * shared-bit count is an equi-join of the two fixed-width states.
+    *
+    * Scale story: the exact side self-joins the distinct (group, key)
+    * frame on the KEY — for G groups that is G·(G−1)/2 distinct-shuffles
+    * over the key universe, the thing that stops being affordable first.
+    * The sketch side touches the corpus ONCE (the shared state build,
+    * ≤ G·B rows, map-side combinable, the same state the daily lincount
+    * loop already persists) and every pair statistic after that reads
+    * bitmap-sized frames. Estimates go NULL at saturation (any occupancy
+    * = B) — the widen-B signal, not a correctness cliff.
+    *
+    * Determinism: occupancy/shared-bit/exact counts are exact BIGINTs;
+    * each ln-estimate is rounded at 4 dp ([[estimateExpr]]'s
+    * quantization point) and the overlap estimate is derived FROM THE
+    * ROUNDED per-set estimates, so both engines subtract identical
+    * doubles. `err` is signed (inclusion–exclusion can under- or
+    * over-shoot) off the same rounded chain.
+    */
+  def lincountOverlapAudit(rows: DataFrame, keyCol: String, groupCol: String,
+      buckets: Int): DataFrame = {
+    // ONE corpus scan: the distinct (group, key) reduce is pinned with
+    // localCheckpoint so the self-joined audit branches and the state
+    // build all re-read it instead of re-scanning the rows (ScaleSpec
+    // pins scans == 1); the ≤ G·B-row state is pinned too so the
+    // shared-bit self-join reads it twice for free. At 100 TB the audit
+    // (and with it the keys frame) is dropped and only the tiny state
+    // build remains.
+    val keys = rows.select(col(groupCol).as("__g"), col(keyCol).as("__k"))
+      .distinct().localCheckpoint()
+    val state = keys.select(col("__g"),
+      bucketOf(col("__k"), buckets, 7L).as("bucket")).distinct()
+      .localCheckpoint()
+    val exact = keys.as("ka").join(keys.as("kb"),
+        col("ka.__k") === col("kb.__k") && col("ka.__g") < col("kb.__g"))
+      .groupBy(col("ka.__g").as("grp_a"), col("kb.__g").as("grp_b"))
+      .agg(count(lit(1)).as("n_exact_overlap"))
+    pairOverlapFrame(state, buckets)
+      .join(exact, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"),
+        coalesce(col("n_exact_overlap"), lit(0L)).as("n_exact_overlap"),
+        col("occ_a"), col("occ_b"), col("n_shared"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_overlap"))
+      .withColumn("err",
+        when(col("est_overlap").isNotNull,
+          round(col("est_overlap") -
+            coalesce(col("n_exact_overlap"), lit(0L)), 4)))
+  }
+
+  /** Pairwise overlap estimates read off a (possibly merged / streamed
+    * / persisted) occupancy state with columns (`groupCol`, bucket) —
+    * [[lincountOverlapAudit]] minus the exact audit a state
+    * intentionally cannot provide. Because state(A) ⊕ state(B) ≡
+    * state(A ∪ B) (idempotent OR), the estimates off folded daily or
+    * micro-batch states are IDENTICAL to the one-shot audit's
+    * (spec-asserted in StreamingSpec).
+    */
+  def lincountOverlapEstimate(state: DataFrame, groupCol: String,
+      buckets: Int): DataFrame =
+    pairOverlapFrame(
+      state.select(col(groupCol).as("__g"), col("bucket")), buckets)
+
+  /** The shared pair-statistics core over a (__g, bucket) state frame:
+    * occupancies, shared bits, and the inclusion–exclusion estimate
+    * chain (each est rounded at 4 dp BEFORE the subtraction — the
+    * oracle-parity quantization discipline).
+    */
+  private def pairOverlapFrame(state: DataFrame, buckets: Int): DataFrame = {
+    val occ = state.groupBy("__g").agg(count(lit(1)).as("occ"))
+    // every unordered group pair, from the |G|-sized occupancy frame
+    val pairs = occ.select(col("__g").as("grp_a"), col("occ").as("occ_a"))
+      .join(occ.select(col("__g").as("grp_b"), col("occ").as("occ_b")),
+        col("grp_a") < col("grp_b"))
+    val shared = state.as("sa").join(state.as("sb"),
+        col("sa.bucket") === col("sb.bucket") && col("sa.__g") < col("sb.__g"))
+      .groupBy(col("sa.__g").as("grp_a"), col("sb.__g").as("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    def est(occCol: Column): Column =
+      when(occCol < buckets, round(lit(buckets.toDouble) *
+        log(lit(buckets.toDouble) / (lit(buckets) - occCol)), 4))
+    pairs
+      .join(shared, Seq("grp_a", "grp_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("est_a", est(col("occ_a")))
+      .withColumn("est_b", est(col("occ_b")))
+      .withColumn("est_union",
+        est(col("occ_a") + col("occ_b") - col("n_shared")))
+      .withColumn("est_overlap",
+        when(col("est_a").isNotNull && col("est_b").isNotNull
+            && col("est_union").isNotNull,
+          round(col("est_a") + col("est_b") - col("est_union"), 4)))
+  }
+
   /** JOIN-SIZE ESTIMATION from count sketches with exact audit — the
     * AMS/CMS inner-product statistic a query optimizer consults before
     * picking a join strategy: |A ⋈ B| on a key equals Σ_k cntA(k)·cntB(k),

@@ -1281,6 +1281,55 @@ object ExtQueries extends QueryGroup {
        JOIN sizes sa ON c.doc_a = sa.doc_id
        JOIN sizes sb ON c.doc_b = sb.doc_id"""
 
+  /** Estimate-threshold ladder for the PR curve, in matching-perm units
+    * (k/16): integer compares end to end.
+    */
+  private val PrCurveKs = Seq(6, 8, 10, 12, 14)
+
+  /** MinHash operating-point curve (Dedup.minhashPrCurve): P/R/F1 of
+    * {candidates with ≥ k matching perms} against the exact-Jaccard
+    * ≥ 0.8 truth, k swept over the ladder — recall includes the pairs
+    * banding never surfaced (the candidate-generation miss floor).
+    */
+  private def dedupPrCurve(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPrCurve(Tables.documents(s, d), "doc_id", "text",
+      MinhashPerms, MinhashRows, 80, PrCurveKs, Dedup.PolyHash)
+
+  private lazy val dedupPrCurveSql =
+    s"""WITH ${minhashCtesSql("documents")},
+       mm AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m
+         FROM sig a JOIN sig b
+           ON a.j = b.j AND a.minh = b.minh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       ti AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM edges a JOIN edges b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       tt AS (
+         SELECT ti.doc_a, ti.doc_b,
+                CASE WHEN i * 100 >= 80 * (sa.n_sh + sb.n_sh - i)
+                     THEN 1 ELSE 0 END AS is_truth
+         FROM ti JOIN sizes sa ON ti.doc_a = sa.doc_id
+                 JOIN sizes sb ON ti.doc_b = sb.doc_id),
+       tr AS (SELECT CAST(sum(is_truth) AS BIGINT) AS n_truth FROM tt),
+       ce AS (
+         SELECT c.doc_a, c.doc_b, coalesce(m, 0) AS m,
+                coalesce(is_truth, 0) AS is_truth
+         FROM cand c LEFT JOIN mm USING (doc_a, doc_b)
+                     LEFT JOIN tt USING (doc_a, doc_b)),
+       sw AS (
+         SELECT k, CAST(count(*) AS BIGINT) AS n_det,
+                CAST(sum(is_truth) AS BIGINT) AS n_hit
+         FROM ce, (SELECT unnest([${PrCurveKs.mkString(", ")}]) AS k) ks
+         WHERE m >= k GROUP BY k)
+       SELECT round(k / $MinhashPerms.0, 4) AS t, n_det, n_hit, n_truth,
+              round(n_hit / n_det, 6) AS prec,
+              round(n_hit / n_truth, 6) AS rec,
+              round(2 * n_hit / (n_det + n_truth), 6) AS f1
+       FROM sw CROSS JOIN tr"""
+
   /** One side of the bipartite incremental chain: edges → polyhash ids →
     * wide signatures → band buckets, all CTEs prefixed `$p`.
     */
@@ -1536,6 +1585,101 @@ object ExtQueries extends QueryGroup {
               round(sum(CASE WHEN n_sens < l THEN n ELSE 0 END) * 1.0 / sum(n), 6) AS viol_frac
        FROM e GROUP BY 1"""
 
+  /** t-CLOSENESS audit completing the k-anonymity / l-diversity
+    * battery: per quasi-id class, the TOTAL-VARIATION distance between
+    * the class's sensitive-band distribution and the GLOBAL one —
+    * l-diversity counts distinct bands but is blind to a class where
+    * 99% of rows share one band; t-closeness bounds how far any class's
+    * distribution may drift from the corpus-wide base rate.
+    *
+    * Scale shape: ONE corpus aggregate to the (quasi-id, band) count
+    * frame; the class margins, band margins, and total all RE-AGGREGATE
+    * that small frame (never the rows), the class×band grid is a cross
+    * join of two broadcast-sized margins, and the threshold sweep
+    * explodes literals over the |classes|-sized frame.
+    *
+    * Determinism: TV compares are EXACT — the violation predicate is
+    * cross-multiplied to BIGINTs (num·td > 2·tn·n_g·n, thresholds kept
+    * as rationals tn/td), so no float ever decides a count; the only
+    * float work is the reported max_tv / viol_frac, one division each,
+    * rounded. Overflow headroom: num ≤ bands·n_g·n, so the BIGINT grid
+    * holds to n_g·n ≈ 4e17 (≈ 6e8-row classes at a 6e8-row table);
+    * beyond that swap the cross-products to decimal(38,0).
+    */
+  private val TcloseTs = Seq((1L, 5L), (3L, 10L), (1L, 2L))
+
+  private def privacyTclose(s: SparkSession, d: String): DataFrame = {
+    val band = expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")
+    // the compact (quasi-id, band) count frame is the ONLY corpus-sized
+    // aggregate; localCheckpoint pins it so the four consumers below
+    // (class margin, band margin, total, grid attach) re-read the tiny
+    // frame instead of re-scanning customer per branch (ScaleSpec pins
+    // scans == 1 — the ext_sketch_joinsize discipline)
+    val gs = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+      .agg(count(lit(1)).as("cnt_gs"))
+      .localCheckpoint()
+    val g = gs.groupBy("c_nationkey", "c_mktsegment").agg(sum("cnt_gs").as("n_g"))
+    val sb = gs.groupBy("band").agg(sum("cnt_gs").as("cnt_s"))
+    val tot = gs.agg(sum("cnt_gs").as("n_tot"))
+    val grid = g.crossJoin(broadcast(sb)).crossJoin(broadcast(tot))
+      .join(gs, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("cnt_gs"))
+    val perGroup = grid
+      .groupBy("c_nationkey", "c_mktsegment", "n_g", "n_tot")
+      .agg(sum(abs(col("cnt_gs") * col("n_tot") - col("cnt_s") * col("n_g")))
+        .as("num"))
+    val viol = col("num") * col("td") >
+      lit(2L) * col("tn") * col("n_g") * col("n_tot")
+    perGroup
+      .withColumn("__t", explode(array(TcloseTs.map { case (tn, td) =>
+        struct(lit(tn).as("tn"), lit(td).as("td")) }: _*)))
+      .select(col("__t.tn").as("tn"), col("__t.td").as("td"),
+        col("n_g"), col("n_tot"), col("num"))
+      .groupBy("tn", "td")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(viol, 1).otherwise(0)).cast("long").as("n_viol_groups"),
+        sum(when(viol, col("n_g")).otherwise(0L)).as("n_viol_rows"),
+        sum(col("n_g")).as("n_rows"),
+        max(round(col("num") / (lit(2.0) * col("n_g") * col("n_tot")), 6))
+          .as("max_tv"))
+      .select(round(col("tn") / col("td"), 2).as("t"),
+        col("n_groups"), col("n_viol_groups"), col("n_viol_rows"),
+        round(col("n_viol_rows") / col("n_rows"), 6).as("viol_frac"),
+        col("max_tv"))
+  }
+
+  private val privacyTcloseSql = {
+    val violSql = "num * td > 2 * tn * n_g * n_tot"
+    val ts = TcloseTs.map { case (tn, td) => s"($tn, $td)" }.mkString(", ")
+    s"""WITH gs AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+                  CAST(count(*) AS BIGINT) AS cnt_gs
+                FROM customer GROUP BY 1, 2, 3),
+       g AS (SELECT c_nationkey, c_mktsegment, CAST(sum(cnt_gs) AS BIGINT) AS n_g
+             FROM gs GROUP BY 1, 2),
+       sb AS (SELECT band, CAST(sum(cnt_gs) AS BIGINT) AS cnt_s FROM gs GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt_gs) AS BIGINT) AS n_tot FROM gs),
+       grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g, t.n_tot,
+                       sb.band, sb.cnt_s, coalesce(gs.cnt_gs, 0) AS cnt_gs
+                FROM g CROSS JOIN sb CROSS JOIN tot t
+                LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+                            AND gs.c_mktsegment = g.c_mktsegment
+                            AND gs.band = sb.band),
+       pg AS (SELECT c_nationkey, c_mktsegment, n_g, n_tot,
+                     CAST(sum(abs(cnt_gs * n_tot - cnt_s * n_g)) AS BIGINT) AS num
+              FROM grid GROUP BY 1, 2, 3, 4),
+       e AS (SELECT pg.*, ts.tn, ts.td
+             FROM pg CROSS JOIN (VALUES $ts) ts(tn, td))
+       SELECT round(tn / td, 2) AS t,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN $violSql THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_groups,
+              CAST(sum(CASE WHEN $violSql THEN n_g ELSE 0 END) AS BIGINT) AS n_viol_rows,
+              round(sum(CASE WHEN $violSql THEN n_g ELSE 0 END) / sum(n_g), 6) AS viol_frac,
+              max(round(num / (2.0 * n_g * n_tot), 6)) AS max_tv
+       FROM e GROUP BY tn, td"""
+  }
+
   /** Per-source unigram ENTROPY + type-token ratio — the lexical
     * diversity telemetry a corpus-mixing job reads next to the TV-drift
     * monitor: low entropy flags templated/boilerplate sources, low TTR
@@ -1568,6 +1712,58 @@ object ExtQueries extends QueryGroup {
               round(ln(n_tokens) - clnc / n_tokens, 4) AS entropy,
               round(n_types / n_tokens, 6) AS type_token_ratio
        FROM agg"""
+
+  /** Per-source GINI CONCENTRATION of document lengths — the
+    * token-mass inequality telemetry next to the entropy monitor: a
+    * Gini near 1 says a handful of giant documents carry most of a
+    * source's mass (sequence packing degrades, per-doc sampling quotas
+    * misrepresent token shares), near 0 says uniform lengths.
+    *
+    * Scale shape: the textbook formula sorts every row per source; this
+    * form aggregates to the (source, length, count) frame FIRST and
+    * runs the rank arithmetic over distinct lengths only — positions
+    * P+1..P+c of a c-sized tie all multiply the same length x, and
+    * Σ 2·i over them is 2·c·P + c·(c+1), so 2·Σ i·x_i needs just the
+    * running count P. The corpus-sized step is ONE map-side-combinable
+    * aggregate; the window sorts the bounded distinct-length frame.
+    *
+    * Determinism: tie positions collapse algebraically (no tiebreak
+    * column can matter), everything is BIGINT until the final
+    * division, rounded at 6 dp.
+    */
+  private def corpusGini(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt
+      .withColumn("p", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("n_chars") * col("c")).as("total_chars"),
+        sum(col("n_chars") *
+          (lit(2L) * col("c") * col("p") + col("c") * (col("c") + 1)))
+          .as("__t1"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        round((col("__t1") - (col("n_docs") + 1) * col("total_chars")) /
+          (col("n_docs") * col("total_chars")), 6).as("gini"))
+  }
+
+  private val corpusGiniSql =
+    """WITH vc AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+                 FROM documents GROUP BY 1, 2),
+       cum AS (SELECT source, n_chars, c,
+                 coalesce(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+               FROM vc),
+       g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars * c) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars * (2 * c * p + c * (c + 1))) AS BIGINT) AS t1
+             FROM cum GROUP BY 1)
+       SELECT source, n_docs, total_chars,
+              round((t1 - (n_docs + 1) * total_chars) /
+                    (n_docs * total_chars), 6) AS gini
+       FROM g"""
 
   /** DSIR-style hashed-unigram importance scores (Sampling.dsirScores):
     * target = the English slice, corpus = everything; log weight > 0
@@ -2338,6 +2534,75 @@ object ExtQueries extends QueryGroup {
 
   private lazy val annMatryoshkaSql =
     MatryoshkaDims.map(dim => recallRowSql(s"dim$dim", truncTopKSql(dim)))
+      .mkString("\nUNION ALL\n")
+
+  /** Johnson–Lindenstrauss RANDOM-PROJECTION retrieval evaluation:
+    * recall@k of brute-force search over sign-flip projections of the
+    * 64-d embedding to {8, 16, 32} dims against the full-dim truth —
+    * the matryoshka comparison for embeddings NOT trained with
+    * prefix-dim structure: a dense ±1 mixing matrix preserves pairwise
+    * cosines in expectation (JL), where a raw prefix slice only works
+    * if training arranged the information that way. At 100 TB the
+    * payoff is identical to matryoshka's (narrower vectors = propor-
+    * tionally less scan, ANN memory, and shuffle) but needs no special
+    * training — the projection is applied at INGEST in the same pass
+    * that writes the vectors.
+    *
+    * Determinism: the ±1 signs come from the LSH hyperplane LCG family
+    * (Similarity.planeCoef's constants) on the integer pair (j·D + i) —
+    * pure BIGINT arithmetic in both engines; each projected component
+    * is an ordered fold of ±v_i in DOUBLE (init 0.0 ≡ DuckDB's
+    * first-element seed under IEEE), so projected vectors, norms, and
+    * cosines are bit-equal and the whole recall chain is exact.
+    */
+  private val RandProjDims = Seq(8, 16, 32)
+
+  /** ±1-sign projection of the 64-d `embedding` column to p dims. */
+  private def randProjCol(p: Int): org.apache.spark.sql.Column =
+    expr(s"""transform(sequence(0, ${p - 1}), j ->
+      aggregate(sequence(0, ${EmbDim - 1}), CAST(0.0 AS DOUBLE), (acc, i) ->
+        acc + (CASE WHEN (CAST(1103515245 AS BIGINT) * (j * $EmbDim + i) + 12345) % 2048 < 1024
+                    THEN 1 ELSE -1 END)
+              * CAST(element_at(embedding, i + 1) AS DOUBLE)))""")
+
+  private def annRandProj(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+    val q = annQueries(s, d)
+    def proj(df: DataFrame, p: Int): DataFrame =
+      df.withColumn("embedding", randProjCol(p))
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", TopK),
+      RandProjDims.map(p => s"proj$p" ->
+        Similarity.bruteForceTopK(proj(corpus, p), proj(q, p),
+          "vec_id", "embedding", TopK)),
+      TopK)
+  }
+
+  /** annTopKSql over the ±1-projected vectors — the JL twin of
+    * truncTopKSql, identical sign arithmetic and fold order.
+    */
+  private def projTopKSql(p: Int): String =
+    s"""WITH pv AS (SELECT vec_id,
+          list_transform(range(0, $p), j -> list_reduce(
+            list_transform(range(0, $EmbDim), i ->
+              (CASE WHEN (CAST(1103515245 AS BIGINT) * (j * $EmbDim + i) + 12345) % 2048 < 1024
+                    THEN 1 ELSE -1 END)
+              * CAST(embedding[i + 1] AS DOUBLE)),
+            (a, b) -> a + b)) AS vec
+        FROM embeddings),
+       pn AS (SELECT vec_id, vec, ${listNormSq("vec")} AS nsq FROM pv),
+       scored AS (
+         SELECT a.vec_id AS q_id, b.vec_id AS vec_b,
+                ${dotOf("a.vec", "b.vec")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+         FROM pn a JOIN pn b ON a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+
+  private lazy val annRandProjSql =
+    RandProjDims.map(p => recallRowSql(s"proj$p", projTopKSql(p)))
       .mkString("\nUNION ALL\n")
 
   /** Embedding-quality probe: kNN label prediction accuracy per true
@@ -3269,6 +3534,287 @@ object ExtQueries extends QueryGroup {
               round(quantile_cont(value, 0.9), 6) AS p90
        FROM events GROUP BY event_type"""
 
+  /** WINSORIZATION — per-group outlier clipping at [p05, p95], the
+    * robust-stats preprocessing step a metrics/feature pipeline runs
+    * before means and regressions (a fat-finger value or bot burst
+    * otherwise owns the mean). Emitted per group: the bounds, how many
+    * rows clipped each side, and the mean before/after — the clipped
+    * mass and its effect as measured numbers.
+    *
+    * Scale shape: pass 1 is ONE per-group percentile aggregate
+    * (at 100 TB swap `percentile` for approx_percentile — the bounds
+    * frame and plan shape are unchanged); the |groups|-sized bounds
+    * frame BROADCASTS back onto the rows, and pass 2 is one map-side-
+    * combinable aggregate. The corpus is scanned exactly twice, never
+    * shuffled on a data key.
+    *
+    * Determinism: bounds are rounded at 6 dp BEFORE the compare, so
+    * both engines clip against identical doubles; clipped values are
+    * cent-quantized per row (the incrAgg discipline) and the means come
+    * from exact BIGINT cent sums with one float division at the end.
+    */
+  private def eventsWinsor(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.05)"), 6).as("p05"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"))
+    val w = when(col("value") < col("p05"), col("p05"))
+      .when(col("value") > col("p95"), col("p95"))
+      .otherwise(col("value"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy("event_type", "p05", "p95")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p05"), 1).otherwise(0)).cast("long")
+          .as("n_clip_lo"),
+        sum(when(col("value") > col("p95"), 1).otherwise(0)).cast("long")
+          .as("n_clip_hi"),
+        sum(round(col("value") * 100, 0).cast("long")).as("__rs"),
+        sum(round(w * 100, 0).cast("long")).as("__ws"))
+      .select(col("event_type"), col("n"), col("p05"), col("p95"),
+        col("n_clip_lo"), col("n_clip_hi"),
+        round(col("__rs") / 100.0 / col("n"), 6).as("mean_raw"),
+        round(col("__ws") / 100.0 / col("n"), 6).as("mean_winsor"))
+  }
+
+  private val eventsWinsorSql =
+    """WITH b AS (SELECT event_type,
+                round(quantile_cont(value, 0.05), 6) AS p05,
+                round(quantile_cont(value, 0.95), 6) AS p95
+              FROM events GROUP BY 1),
+       j AS (SELECT e.event_type, b.p05, b.p95, e.value,
+               CASE WHEN e.value < b.p05 THEN b.p05
+                    WHEN e.value > b.p95 THEN b.p95
+                    ELSE e.value END AS w
+             FROM events e JOIN b USING (event_type))
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n, p05, p95,
+              CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+              CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+              round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) AS mean_raw,
+              round(sum(CAST(round(w * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) AS mean_winsor
+       FROM j GROUP BY event_type, p05, p95"""
+
+  /** EVENT-TRANSITION MATRIX (first-order Markov): per-user
+    * consecutive event-type pairs → transition counts → row-normalized
+    * probabilities — the sequence telemetry behind funnel design,
+    * next-event prediction baselines, and bot detection (a scripted
+    * client shows near-deterministic rows). Complements ext_events_lift
+    * (set co-occurrence) with ORDER.
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lead() window (the
+    * sessionize discipline — per-user event counts are human-bounded,
+    * so no skew cliff); the transition frame is ≤ |types|² rows and the
+    * row normalization windows over it, never the events. Ordering ties
+    * break on event_id so the successor is deterministic at any
+    * partitioning; the single float op is the final probability
+    * division.
+    */
+  private def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+  }
+
+  private val eventsMarkovSql =
+    """WITH seq AS (
+         SELECT event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS next_type
+         FROM events),
+       tc AS (SELECT event_type AS from_type, next_type AS to_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              round(n / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+       FROM tc"""
+
+  /** LAST-TOUCH ATTRIBUTION: each purchase attributed to the user's
+    * most recent click within a 24 h lookback — the event-to-event
+    * as-of join every conversion pipeline runs (the dim-side as-of,
+    * ext_asof_join, joins a slowly-changing table; this one joins the
+    * event stream to itself). Daily rollup: purchases, attributed
+    * count, rate, and mean click→purchase latency.
+    *
+    * Scale shape: the UNION-AND-WINDOW as-of discipline — clicks and
+    * purchases interleave in ONE user_id-partitioned ordered pass
+    * (last-ignoreNulls carries the latest click forward), so there is
+    * no range join and no per-pair fan-out; ONE shuffle on user_id,
+    * then a |days|-sized rollup. Same-instant ties order the click
+    * BEFORE the purchase (is_click DESC, then event_id) so a same-ts
+    * click attributes — pinned identically in both engines.
+    *
+    * Determinism: ts is Long nanos, the lookback is an integer ns
+    * compare, latency sums are exact ns BIGINTs; the two float ops are
+    * the final rate and mean-minutes divisions.
+    */
+  private val AttribLookbackNs = 86400L * 1000000000L // 24 h
+
+  private def eventsAttrib(s: SparkSession, d: String): DataFrame = {
+    val isClick = col("event_type") === "click"
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("__c").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        isClick.cast("int").as("__c"))
+      .withColumn("__click_ts",
+        last(when(col("__c") === 1, col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("__attr",
+        (col("__click_ts").isNotNull &&
+          col("ts") - col("__click_ts") <= AttribLookbackNs).cast("int"))
+      .groupBy(expr(s"ts div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("__attr")).cast("long").as("n_attributed"),
+        sum(when(col("__attr") === 1, col("ts") - col("__click_ts"))
+          .otherwise(0L)).as("__lat_ns"))
+      .select(col("day"), col("n_purchases"), col("n_attributed"),
+        round(col("n_attributed") / col("n_purchases"), 6).as("attr_rate"),
+        when(col("n_attributed") > 0,
+          round(col("__lat_ns") / col("n_attributed") / 60000000000.0, 4))
+          .as("mean_latency_min"))
+  }
+
+  private val eventsAttribSql =
+    s"""WITH cp AS (
+         SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       lw AS (
+         SELECT *,
+                last_value(CASE WHEN c = 1 THEN tns END IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY tns, c DESC, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS click_ts
+         FROM cp),
+       p AS (
+         SELECT tns // $ZDayNs AS day,
+                CASE WHEN click_ts IS NOT NULL
+                          AND tns - click_ts <= $AttribLookbackNs
+                     THEN 1 ELSE 0 END AS attr,
+                CASE WHEN click_ts IS NOT NULL
+                          AND tns - click_ts <= $AttribLookbackNs
+                     THEN tns - click_ts ELSE 0 END AS lat
+         FROM lw WHERE event_type = 'purchase')
+       SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(sum(attr) AS BIGINT) AS n_attributed,
+              round(sum(attr) / count(*), 6) AS attr_rate,
+              CASE WHEN sum(attr) > 0
+                   THEN round(CAST(sum(lat) AS BIGINT) / CAST(sum(attr) AS BIGINT) / 60000000000.0, 4)
+              END AS mean_latency_min
+       FROM p GROUP BY 1"""
+
+  /** TRAILING-WINDOW ANOMALY FLAGS: per (event_type, day) arrival
+    * counts against the preceding 3-day trailing sum — spike when
+    * 3·cnt > 2·sum3 (today above 2× the trailing mean), drop when
+    * 6·cnt < sum3 (below half) — the volume monitor paged on ingest
+    * incidents. Flags are NULL for the warm-up days (< 3 preceding) so
+    * absence-of-history is distinguishable from normal.
+    *
+    * Scale shape: ONE corpus aggregate to the (type, day) frame; the
+    * trailing window runs over that ≤ types×days frame. Spike/drop
+    * decide on cross-multiplied BIGINTs — the mean never exists as a
+    * float, so there is nothing to round and nothing partition-order
+    * can perturb.
+    */
+  private def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, -1)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__n3", count(lit(1)).over(w))
+      .withColumn("sum3", sum(col("cnt")).over(w))
+      .select(col("event_type"), col("day"), col("cnt"),
+        when(col("__n3") === 3, col("sum3")).as("sum3"),
+        when(col("__n3") === 3, (col("cnt") * 3 > col("sum3") * 2).cast("int"))
+          .as("flag_spike"),
+        when(col("__n3") === 3, (col("cnt") * 6 < col("sum3")).cast("int"))
+          .as("flag_drop"))
+  }
+
+  private val eventsAnomalySql =
+    s"""WITH dc AS (
+         SELECT event_type, epoch_ns(ts) // $ZDayNs AS day,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       tw AS (
+         SELECT event_type, day, cnt,
+                count(*) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n3,
+                CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s3
+         FROM dc)
+       SELECT event_type, day, cnt,
+              CASE WHEN n3 = 3 THEN s3 END AS sum3,
+              CASE WHEN n3 = 3 THEN
+                CASE WHEN cnt * 3 > s3 * 2 THEN 1 ELSE 0 END END AS flag_spike,
+              CASE WHEN n3 = 3 THEN
+                CASE WHEN cnt * 6 < s3 THEN 1 ELSE 0 END END AS flag_drop
+       FROM tw"""
+
+  /** ANALYZE-style COLUMN STATISTICS collection — the per-column
+    * (count, nulls, NDV, min/max) frame a cost-based optimizer (and
+    * every data-quality dashboard) reads; the relational form of
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`.
+    *
+    * Scale shape: ONE orders scan computes every column's stats in a
+    * single aggregate (the fused-metrics discipline of
+    * ext_quality_contract); the multi-countDistinct plans as one
+    * Expand over the scan — map-side combinable, no per-column
+    * re-scan. The 1-row wide result unpivots to the per-column frame
+    * driver-side-free (explode of struct literals). At 100 TB the
+    * exact NDVs swap for approx_count_distinct / the lincount state
+    * with the same plan shape.
+    */
+  private val AnalyzeCols: Seq[(String, Boolean)] = Seq(
+    ("o_orderkey", true), ("o_custkey", true), ("o_totalprice", true),
+    ("o_orderstatus", false), ("o_orderpriority", false))
+
+  private def statsAnalyze(s: SparkSession, d: String): DataFrame = {
+    val aggs = AnalyzeCols.flatMap { case (c, num) =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c")) ++
+      (if (num)
+        Seq(round(min(col(c)).cast("double"), 6).as(s"__min_$c"),
+          round(max(col(c)).cast("double"), 6).as(s"__max_$c"))
+      else Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    } :+ count(lit(1)).as("__n_rows")
+    Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(AnalyzeCols.map { case (c, num) =>
+        struct(lit(c).as("col_name"), col("__n_rows").as("n_rows"),
+          (col("__n_rows") - col(s"__n_$c")).as("n_null"),
+          col(s"__ndv_$c").as("ndv"),
+          (if (num) col(s"__min_$c") else lit(null).cast("double")).as("min_num"),
+          (if (num) col(s"__max_$c") else lit(null).cast("double")).as("max_num"),
+          (if (num) lit(null).cast("string") else col(s"__min_$c")).as("min_str"),
+          (if (num) lit(null).cast("string") else col(s"__max_$c")).as("max_str"))
+      }: _*)).as("s"))
+      .select("s.*")
+  }
+
+  private val statsAnalyzeSql = AnalyzeCols.map { case (c, num) =>
+    val (minN, maxN) =
+      if (num) (s"round(CAST(min($c) AS DOUBLE), 6)", s"round(CAST(max($c) AS DOUBLE), 6)")
+      else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    val (minS, maxS) =
+      if (num) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      else (s"min($c)", s"max($c)")
+    s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count($c) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+              $minN AS min_num, $maxN AS max_num,
+              $minS AS min_str, $maxS AS max_str
+       FROM orders"""
+  }.mkString("\nUNION ALL\n")
+
   /** pandas `df.describe()` per group — the reference repo's analysis
     * idiom as one exact aggregate. mean and the SAMPLE std come from
     * cent-quantized integer sums (the ext_pricing_summary discipline:
@@ -4078,6 +4624,53 @@ object ExtQueries extends QueryGroup {
        FROM occ"""
   }
 
+  /** Pairwise audience overlap between event types from the SAME
+    * lincount states the daily loop persists (inclusion–exclusion, see
+    * Sketches.lincountOverlapAudit): the corpus is touched once for the
+    * state build; the exact all-pairs self-join rides only the audit.
+    */
+  private def sketchOverlap(s: SparkSession, d: String): DataFrame =
+    Sketches.lincountOverlapAudit(
+      Tables.events(s, d).select(col("event_type"), col("user_id")),
+      "user_id", "event_type", LinCountBuckets)
+
+  private val sketchOverlapSql = {
+    val b = LinCountBuckets
+    def est(occ: String) =
+      s"CASE WHEN $occ < $b THEN round($b * ln($b.0 / ($b - $occ)), 4) END"
+    s"""WITH ks AS (SELECT DISTINCT event_type AS g, user_id AS k FROM events),
+       st AS (SELECT DISTINCT g,
+                (((k % ${Sketches.Mod}) * ${Sketches.KnuthA} + 7) % ${Sketches.Mod}) % $b AS bucket
+              FROM ks),
+       occ AS (SELECT g, CAST(count(*) AS BIGINT) AS occ FROM st GROUP BY 1),
+       pairs AS (SELECT a.g AS grp_a, a.occ AS occ_a, b2.g AS grp_b, b2.occ AS occ_b
+                 FROM occ a JOIN occ b2 ON a.g < b2.g),
+       sh AS (SELECT sa.g AS grp_a, sb.g AS grp_b, CAST(count(*) AS BIGINT) AS n_shared
+              FROM st sa JOIN st sb ON sa.bucket = sb.bucket AND sa.g < sb.g
+              GROUP BY 1, 2),
+       ex AS (SELECT ka.g AS grp_a, kb.g AS grp_b, CAST(count(*) AS BIGINT) AS n_exact_overlap
+              FROM ks ka JOIN ks kb ON ka.k = kb.k AND ka.g < kb.g
+              GROUP BY 1, 2),
+       j AS (SELECT p.grp_a, p.grp_b,
+                    coalesce(ex.n_exact_overlap, 0) AS n_exact_overlap,
+                    p.occ_a, p.occ_b, coalesce(sh.n_shared, 0) AS n_shared
+             FROM pairs p LEFT JOIN sh USING (grp_a, grp_b)
+                          LEFT JOIN ex USING (grp_a, grp_b)),
+       e AS (SELECT *, ${est("occ_a")} AS est_a, ${est("occ_b")} AS est_b,
+                    ${est("(occ_a + occ_b - n_shared)")} AS est_union
+             FROM j),
+       o AS (SELECT *,
+                    CASE WHEN est_a IS NOT NULL AND est_b IS NOT NULL
+                              AND est_union IS NOT NULL
+                         THEN round(est_a + est_b - est_union, 4) END AS est_overlap
+             FROM e)
+       SELECT grp_a, grp_b, n_exact_overlap, occ_a, occ_b, n_shared,
+              est_a, est_b, est_union, est_overlap,
+              CASE WHEN est_overlap IS NOT NULL
+                   THEN round(est_overlap - n_exact_overlap, 4) END AS err
+       FROM o"""
+  }
+
   private val CmsWidth = 256
   private val CmsDepth = 3
   private val CmsTopK = 20
@@ -4446,6 +5039,79 @@ object ExtQueries extends QueryGroup {
        JOIN big ON o_orderkey = l_orderkey
        JOIN customer ON o_custkey = c_custkey
        ORDER BY o_totalprice DESC, o_orderkey LIMIT $Q18TopN"""
+
+  /** TPC-H Q5-shaped local-supplier-volume query — the canonical
+    * BROADCAST-CHAIN star join: region cuts nation (5 rows), nation
+    * cuts customer, the (custkey, nationkey) dim broadcasts onto
+    * date-filtered orders, and the ONLY fact-fact shuffle is
+    * lineitem ⇄ orders on the order key. The "local supplier"
+    * constraint (customer and supplier share a nation) rides the
+    * broadcast supplier join as a SECOND equi-condition — no extra
+    * exchange. Revenue is cent-exact (the Q3 discipline).
+    *
+    * At 100 TB: region/nation/supplier broadcast at any scale; the
+    * region-filtered customer key set is the one side that can outgrow
+    * the broadcast threshold (~1/5 of customers) — AQE then falls back
+    * to a custkey shuffle join and the plan gains the textbook second
+    * fact shuffle; everything downstream is unchanged. Date predicates
+    * push to the orders scan (ScaleSpec-pinned).
+    */
+  private val Q5Region = "ASIA"
+  private val Q5Lo = "1996-01-01 00:00:00"
+  private val Q5Hi = "1997-01-01 00:00:00"
+
+  private def pricingQ5(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === Q5Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= to_timestamp(lit(Q5Lo))
+        && col("o_orderdate") < to_timestamp(lit(Q5Hi)))
+      .select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("__rc")).as("rev_cents"))
+      .withColumn("revenue", round(col("rev_cents") / 100.0, 2))
+      .orderBy(col("rev_cents").desc, col("n_name"))
+  }
+
+  private val pricingQ5Sql =
+    s"""WITH nat AS (SELECT n_nationkey, n_name
+                   FROM nation JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = '$Q5Region'),
+       o AS (SELECT o_orderkey, c_nationkey
+             FROM orders
+             JOIN (SELECT c_custkey, c_nationkey FROM customer
+                   JOIN nat ON c_nationkey = n_nationkey) c
+               ON o_custkey = c_custkey
+             WHERE o_orderdate >= TIMESTAMP '$Q5Lo'
+               AND o_orderdate < TIMESTAMP '$Q5Hi'),
+       li AS (SELECT l_orderkey, l_suppkey,
+                     CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS rc
+              FROM lineitem)
+       SELECT n_name, CAST(sum(rc) AS BIGINT) AS rev_cents,
+              round(CAST(sum(rc) AS BIGINT) / 100.0, 2) AS revenue
+       FROM li
+       JOIN o ON li.l_orderkey = o.o_orderkey
+       JOIN supplier s ON li.l_suppkey = s.s_suppkey
+                      AND o.c_nationkey = s.s_nationkey
+       JOIN nat n ON s.s_nationkey = n.n_nationkey
+       GROUP BY n_name
+       ORDER BY rev_cents DESC, n_name"""
 
   /** HIERARCHICAL SKETCH ROLLUP: per-(event_type, day) linear-counting
     * occupancy states OR-merged up the time hierarchy to a per-type
@@ -5218,6 +5884,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_pplfilter", corpusPplFilter, Some(corpusPplFilterSql), "CCNet perplexity-band filter: bigram-LM deciles, keep-middle, mass telemetry"),
     GQuery("ext_corpus_dsir", corpusDsir, Some(corpusDsirSql), "DSIR hashed-unigram importance scores vs the target language slice"),
     GQuery("ext_corpus_entropy", corpusEntropy, Some(corpusEntropySql), "per-source unigram entropy + type-token ratio (lexical diversity telemetry)"),
+    GQuery("ext_corpus_gini", corpusGini, Some(corpusGiniSql), "per-source Gini concentration of document lengths (token-mass inequality)"),
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
@@ -5241,6 +5908,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_bandsweep", dedupBandSweep, Some(dedupBandSweepSql), "LSH band-sweep: candidate cost + pair recall at rows-per-band 1/2/4"),
     GQuery("ext_dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql), "MinHash estimator-error audit: est vs exact Jaccard per candidate pair"),
+    GQuery("ext_dedup_prcurve", dedupPrCurve, Some(dedupPrCurveSql), "MinHash P/R/F1 operating-point curve over the matching-perm threshold ladder"),
     GQuery("ext_dedup_incr2", dedupIncr2, Some(dedupIncr2Sql), "two-day index lifecycle: write, append day-1 admissions, probe day-2 batch"),
     GQuery("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql), "SimHash banded near-dup"),
     GQuery("ext_dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql), "embedding-cosine near-dup"),
@@ -5263,6 +5931,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_int8recall", annInt8Recall, Some(annInt8RecallSql), "recall@k of asymmetric search over int8-reconstructed corpus vectors"),
     GQuery("ext_ann_ivf_probes", annIvfProbes, Some(annIvfProbesSql), "recall-vs-nprobe curve: IVF at 1/2/4/8 probes vs brute-force truth"),
     GQuery("ext_ann_matryoshka", annMatryoshka, Some(annMatryoshkaSql), "recall@k of prefix-dim (matryoshka) search vs full-dim truth"),
+    GQuery("ext_ann_randproj", annRandProj, Some(annRandProjSql), "recall@k of JL sign-flip random projection vs full-dim truth"),
     GQuery("ext_ann_knnclass", annKnnClass, Some(annKnnClassSql), "kNN majority-vote label accuracy per class (embedding-quality probe)"),
     GQuery("ext_ann_firstrel", annFirstRel, Some(annFirstRelSql), "first same-label neighbor rank histogram (exact-integer MRR stand-in)"),
     GQuery("ext_ann_ndcg", annNdcg, Some(annNdcgSql), "micro-averaged nDCG@k per ANN method (integer-grid discounts, label relevance)"),
@@ -5284,6 +5953,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_prf", dedupPrf, Some(dedupPrfSql), "detector precision/recall/F1 vs exact truth (one shared edge build)"),
     GQuery("ext_privacy_kanon", privacyKanon, Some(privacyKanonSql), "k-anonymity audit: violating quasi-id classes and row fractions per threshold"),
     GQuery("ext_privacy_ldiv", privacyLdiv, Some(privacyLdivSql), "l-diversity audit: distinct sensitive bands per quasi-id class, violation sweep"),
+    GQuery("ext_privacy_tclose", privacyTclose, Some(privacyTcloseSql), "t-closeness audit: per-class total-variation drift vs global sensitive distribution"),
     GQuery("ext_events_describe", eventsDescribe, Some(eventsDescribeSql), "pandas describe() per group: exact-grid mean/std + order-stat quartiles"),
     GQuery("ext_cc_kcore", ccKcore, Some(ccKcoreSql), "k-core of the dup graph: iterative degree peel, unrolled oracle"),
     GQuery("ext_text_cdc", textCdc, Some(textCdcSql), "content-defined chunking: rolling-hash boundaries, chunk-dedup savings per source"),
@@ -5292,6 +5962,11 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
+    GQuery("ext_events_winsor", eventsWinsor, Some(eventsWinsorSql), "per-group winsorization at [p05,p95]: clipped mass and mean before/after"),
+    GQuery("ext_events_markov", eventsMarkov, Some(eventsMarkovSql), "first-order event-transition matrix: per-user consecutive pairs, row-normalized"),
+    GQuery("ext_events_attrib", eventsAttrib, Some(eventsAttribSql), "last-touch attribution: purchase -> latest click within 24h, daily rate + latency"),
+    GQuery("ext_events_anomaly", eventsAnomaly, Some(eventsAnomalySql), "trailing-3-day volume anomaly flags: integer spike/drop rules per type-day"),
+    GQuery("ext_stats_analyze", statsAnalyze, Some(statsAnalyzeSql), "ANALYZE-style per-column stats (count/nulls/ndv/min/max) in one fused scan"),
     GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),
     GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
@@ -5327,8 +6002,10 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_split_balance", splitBalance, Some(splitBalanceSql), "split distribution-balance audit: per-split language share vs corpus share"),
     GQuery("ext_corpus_snapdiff", corpusSnapdiff, Some(corpusSnapdiffSql), "snapshot diff by content hash: added/removed/changed/unchanged between corpus vintages"),
     GQuery("ext_sketch_lincount2", sketchLincount2, Some(sketchLincount2Sql), "persist-and-merge sketch lifecycle: day-1 bitmap written/re-read, OR-merged with day-2"),
+    GQuery("ext_sketch_overlap", sketchOverlap, Some(sketchOverlapSql), "pairwise audience overlap via lincount inclusion-exclusion, exact-overlap audit"),
     GQuery("ext_pricing_q3", pricingQ3, Some(pricingQ3Sql), "TPC-H Q3-shaped shipping-priority top-10: broadcast dim semi-join + one fact-fact shuffle, cent-exact revenue"),
     GQuery("ext_pricing_q18", pricingQ18, Some(pricingQ18Sql), "TPC-H Q18-shaped large-volume orders: aggregate-then-semi-reduce, exact BIGINT quantity sums"),
+    GQuery("ext_pricing_q5", pricingQ5, Some(pricingQ5Sql), "TPC-H Q5-shaped local-supplier volume: broadcast-chain star join, one fact-fact shuffle"),
     GQuery("ext_sketch_rollup", sketchRollup, Some(sketchRollupSql), "hierarchical sketch rollup: per-day lincount states OR-merged up the time hierarchy"),
     GQuery("ext_sketch_joinsize", sketchJoinsize, Some(sketchJoinsizeSql), "join-size estimation from count-min inner products vs exact sum(cntA*cntB)"),
     GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),

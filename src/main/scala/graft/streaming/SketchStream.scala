@@ -41,6 +41,15 @@ object SketchStream {
     /** Current estimate per group off the folded occupancy state. */
     def estimate(): DataFrame =
       Sketches.lincountEstimate(state, groupCol, buckets)
+
+    /** Pairwise overlap estimates off the SAME folded state — the
+      * audience-overlap readout costs nothing extra to maintain: the
+      * OR-merge makes the streamed state identical to the one-shot
+      * bitmap, so these match the batch audit's estimates exactly
+      * (spec-asserted).
+      */
+    def overlap(): DataFrame =
+      Sketches.lincountOverlapEstimate(state, groupCol, buckets)
   }
 
   /** ADDITIVE sketch state under redelivery — the fixed-edge histogram

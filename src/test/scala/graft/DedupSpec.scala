@@ -686,4 +686,28 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       "both sides of the df join must read ONE shingle-partitioned exchange")
   }
+
+  test("minhashPrCurve: exact duplicate survives every threshold, ladder monotone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"), // exact dup of 1: jaccard 1, m = 16
+      (3L, "x y z w q r s t")  // disjoint: never truth, never candidate with 1/2
+    ).toDF("doc_id", "text")
+    val ks = Seq(6, 8, 10, 12, 14)
+    val out = Dedup.minhashPrCurve(docs, "doc_id", "text", 16, 2, 80, ks,
+        Dedup.PolyHash)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == ks.map(_ / 16.0))
+    // the identical pair has all 16 perms matching -> detected at every
+    // k, and it is the only truth pair
+    out.foreach { case (_, nDet, nHit, nTruth, prec, rec, f1) =>
+      assert(nTruth == 1L && nHit == 1L)
+      assert(nDet >= 1L && prec <= 1.0 && rec == 1.0 && f1 <= 1.0)
+    }
+    // raising the threshold can only shrink the detector set
+    assert(out.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
 }

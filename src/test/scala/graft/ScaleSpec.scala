@@ -415,4 +415,55 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("levenshtein"),
       "sanity: the verify expression is in this plan")
   }
+
+  test("ext_pricing_q5: broadcast chain holds, date filters pushed to orders") {
+    val df = SparkEntry.queries("ext_pricing_q5")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "the star chain must broadcast at this scale — no fact-sized sort join")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      "both ends of the order-date window must reach the orders scan")
+  }
+
+  test("plan audit: winsor, gini, tclose, overlap shapes hold") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    def parquetScans(p: String): Int = "Scan parquet".r.findAllIn(p).size
+
+    // winsor: bounds frame broadcasts back; exactly two corpus scans
+    // (percentile pass + clip pass — at 100 TB approx_percentile keeps
+    // the same shape)
+    val wp = plan("ext_events_winsor")
+    assert(wp.contains("BroadcastHashJoin"),
+      "the per-group [p05,p95] bounds must attach as a broadcast")
+    assert(parquetScans(wp) == 2,
+      s"winsor is a two-pass algorithm, got ${parquetScans(wp)} scans")
+
+    // gini: ONE corpus scan; the length ranking runs AFTER the
+    // (source, length, count) aggregate, so the window sorts the
+    // bounded distinct-length frame, never the rows
+    val gp = plan("ext_corpus_gini")
+    assert(parquetScans(gp) == 1,
+      s"gini must ride one documents scan, got ${parquetScans(gp)}")
+    assert(gp.contains("Window"), "sanity: the rank window is in this plan")
+
+    // tclose: the compact (quasi-id, band) frame is checkpointed, so
+    // the four margin/grid consumers read the pinned frame — the final
+    // plan contains NO parquet scan (the single scan ran at pin time)
+    // and no fact-sized join strategy
+    val tp = plan("ext_privacy_tclose")
+    assert(parquetScans(tp) == 0 && tp.contains("Scan ExistingRDD"),
+      "tclose margins must re-read the checkpointed count frame")
+    assert(!tp.contains("SortMergeJoin"),
+      "every tclose join is margin-sized and must broadcast")
+
+    // overlap: keys + state frames are checkpointed — one corpus scan
+    // at pin time, every pair statistic reads bitmap-sized frames
+    val op = plan("ext_sketch_overlap")
+    assert(parquetScans(op) == 0 && op.contains("Scan ExistingRDD"),
+      "overlap branches must re-read the pinned keys/state frames")
+  }
 }

@@ -514,6 +514,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0, s"full-prefix recall must be 1.0, got $r")
   }
 
+  test("random-projection recall: all dims evaluated, recalls valid, every query scored") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ext_ann_randproj")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet == Set("proj8", "proj16", "proj32"))
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // the JL projection maps every vector to a dense p-dim point, so
+    // (unlike a bucketed method) each projected search still ranks the
+    // whole corpus and every query must contribute k scored neighbors
+    val nQ = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") % 50 === 0).count().toInt
+    assert(out.forall(_._2 == nQ), s"all queries must be scored: $nQ vs ${out.toSeq}")
+  }
+
   test("multimodal decode: real binary plumbing, deterministic stub") {
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
     val got = Multimodal.decodeFeatures(Multimodal.withPayload(df, "doc_id", "text"))

@@ -162,4 +162,48 @@ class SketchSpec extends SparkSpec {
     assert(rolled.getLong(1) == oneShot.getLong(2),
       "OR-merged day states must reproduce the one-shot occupancy")
   }
+
+  test("lincountOverlapAudit: exact overlaps, inclusion-exclusion off rounded ests") {
+    // a = {1..20}, b = {11..30}, c = {1000}: a∩b = 10, a∩c = b∩c = ∅
+    val rows = (1L to 20L).map(k => ("a", k)) ++
+      (11L to 30L).map(k => ("b", k)) ++ Seq(("c", 1000L))
+    val got = Sketches.lincountOverlapAudit(
+        rows.toDF("grp", "k"), "k", "grp", 4096)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      "every unordered group pair must appear, including zero-overlap ones")
+
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Long]("n_exact_overlap") == 10L)
+    // 31 keys into 4096 buckets: collision-free with this hash fixture,
+    // so occupancies are the set sizes and shared bits = exact overlap
+    assert(ab.getAs[Long]("occ_a") == 20L && ab.getAs[Long]("occ_b") == 20L)
+    assert(ab.getAs[Long]("n_shared") == 10L)
+    assert(math.abs(ab.getAs[Double]("est_overlap") - 10.0) < 1.0)
+    // the overlap estimate must be derived from the ROUNDED per-set
+    // estimates (the oracle-parity quantization chain)
+    val recomposed = BigDecimal(ab.getAs[Double]("est_a")
+        + ab.getAs[Double]("est_b") - ab.getAs[Double]("est_union"))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ab.getAs[Double]("est_overlap") == recomposed)
+
+    val ac = got(("a", "c"))
+    assert(ac.getAs[Long]("n_exact_overlap") == 0L)
+    assert(ac.getAs[Long]("n_shared") == 0L)
+    assert(math.abs(ac.getAs[Double]("est_overlap")) < 0.5)
+  }
+
+  test("lincountOverlapAudit: saturation nulls the estimate chain, never divides by zero") {
+    // 2 buckets, both groups saturate: est_a/est_b/est_union/est_overlap
+    // must all be NULL (the widen-B signal), with counts still exact
+    val rows = (1L to 64L).map(k => ("a", k)) ++ (33L to 96L).map(k => ("b", k))
+    val r = Sketches.lincountOverlapAudit(rows.toDF("grp", "k"), "k", "grp", 2)
+      .collect().head
+    assert(r.getAs[Long]("n_exact_overlap") == 32L)
+    assert(r.getAs[Long]("occ_a") == 2L && r.getAs[Long]("occ_b") == 2L)
+    assert(r.isNullAt(r.fieldIndex("est_a")))
+    assert(r.isNullAt(r.fieldIndex("est_union")))
+    assert(r.isNullAt(r.fieldIndex("est_overlap")))
+    assert(r.isNullAt(r.fieldIndex("err")))
+  }
 }

@@ -515,6 +515,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed overlap readout ≡ batch audit estimates off the same key universe") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("grp", "k")
+    val state = new graft.streaming.SketchStream.LincountState(
+      empty, "k", "grp", buckets = 1024)
+    // a∩b = {10..25} split across batches with replayed keys — the
+    // OR-merged state must serve the SAME pairwise estimates as the
+    // one-shot batch audit
+    val batches = Seq(
+      (1L to 25L).map(k => ("a", k)),
+      (10L to 40L).map(k => ("b", k)) ++ (20L to 25L).map(k => ("a", k)),
+      Seq(("c", 999L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      state.sink(b.toDF("grp", "k"), i.toLong)
+    }
+    val streamed = state.overlap()
+    val audit = graft.operators.Sketches.lincountOverlapAudit(
+        batches.flatten.toDF("grp", "k"), "k", "grp", 1024)
+      .select("grp_a", "grp_b", "occ_a", "occ_b", "n_shared",
+        "est_a", "est_b", "est_union", "est_overlap")
+    assert(streamed.exceptAll(audit).isEmpty && audit.exceptAll(streamed).isEmpty,
+      "folded state must be indistinguishable from the one-shot bitmap")
+    // sanity: the a-b estimate actually tracks the 16-key true overlap
+    val ab = streamed.where(col("grp_a") === "a" && col("grp_b") === "b")
+      .select("est_overlap").as[Double].collect().head
+    assert(math.abs(ab - 16.0) < 2.0)
+  }
+
   test("idempotent hist sink: batchId ledger turns a replayed epoch into a no-op") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("grp", "v")

@@ -145,4 +145,126 @@ class TimeSeriesSpec extends SparkSpec {
     assert(kappa <= po + 1e-6)
     assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-4)
   }
+
+  test("ext_events_winsor: clipped mass bounded by the percentile mass, mean inside bounds") {
+    val rows = SparkEntry.queries("ext_events_winsor")(spark, sf0001)
+      .as[(String, Long, Double, Double, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, p05, p95, clipLo, clipHi, _, meanW) =>
+      assert(p05 <= p95)
+      // interpolated p05/p95 bound the strictly-outside mass at 5% + 1
+      assert(clipLo <= n * 0.05 + 1, s"$clipLo of $n below p05")
+      assert(clipHi <= n * 0.05 + 1, s"$clipHi of $n above p95")
+      // every winsorized value lies in [p05, p95], so the mean must too
+      // (half-cent slack for the cent-grid quantization of the mean)
+      assert(meanW >= p05 - 0.005 && meanW <= p95 + 0.005)
+    }
+  }
+
+  test("ext_privacy_tclose: sweep monotone in t, tv bounded by 1, counts consistent") {
+    val rows = SparkEntry.queries("ext_privacy_tclose")(spark, sf0001)
+      .as[(Double, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.2, 0.3, 0.5))
+    // total-variation distance is bounded by 1 and shared across rows
+    assert(rows.map(_._6).distinct.size == 1)
+    assert(rows.forall(r => r._6 >= 0.0 && r._6 <= 1.0))
+    rows.foreach { case (_, nGroups, violG, violRows, violFrac, _) =>
+      assert(violG <= nGroups && violFrac >= 0.0 && violFrac <= 1.0)
+      assert((violG == 0) == (violRows == 0L))
+    }
+    // raising t can only shrink the violating set
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("ext_events_markov: transition mass conserves, rows normalize to 1") {
+    val rows = SparkEntry.queries("ext_events_markov")(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // every user with n events contributes exactly n-1 transitions
+    val ev = Tables.events(spark, sf0001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected,
+      s"transition mass must be N - U, got ${rows.map(_._3).sum} vs $expected")
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      val probSum = ts.map(_._4).sum
+      assert(math.abs(probSum - 1.0) < 1e-4, s"$from rows sum to $probSum")
+      ts.foreach(t => assert(t._4 > 0.0 && t._4 <= 1.0))
+    }
+  }
+
+  test("ext_events_attrib: attribution bounded by purchases, latency within lookback") {
+    val rows = SparkEntry.queries("ext_events_attrib")(spark, sf0001)
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    val totalPurch = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum == totalPurch,
+      "every purchase lands in exactly one day bucket")
+    rows.foreach { case (_, n, attr, rate, lat) =>
+      assert(attr <= n && rate >= 0.0 && rate <= 1.0)
+      // an attributed click is at most 24h back -> mean in (0, 1440] min
+      lat.foreach(m => assert(m > 0.0 && m <= 1440.0))
+      assert((attr == 0L) == lat.isEmpty)
+    }
+  }
+
+  test("ext_events_anomaly: warm-up days flagged NULL, integer rules consistent") {
+    val rows = SparkEntry.queries("ext_events_anomaly")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      val sorted = ts.sortBy(_._2)
+      // first three days per type have no 3-day history
+      sorted.take(3).foreach(r => assert(r._4.isEmpty && r._5.isEmpty && r._6.isEmpty))
+      sorted.drop(3).foreach { case (_, _, cnt, s3, spike, drop) =>
+        assert(s3.nonEmpty && spike.nonEmpty && drop.nonEmpty)
+        assert((spike.get == 1) == (cnt * 3 > s3.get * 2))
+        assert((drop.get == 1) == (cnt * 6 < s3.get))
+      }
+    }
+  }
+
+  test("ext_stats_analyze: one fused scan, stats agree with direct per-column queries") {
+    val df = SparkEntry.queries("ext_stats_analyze")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "every column's stats must ride ONE fused orders scan")
+    val got = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderstatus", "o_orderpriority"))
+    val ord = Tables.orders(spark, sf0001)
+    val n = ord.count()
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("ndv") <= n - r.getAs[Long]("n_null"))
+    }
+    assert(got("o_orderkey").getAs[Long]("ndv") ==
+      ord.select("o_orderkey").distinct().count())
+    assert(got("o_orderstatus").getAs[String]("min_str") != null &&
+      got("o_orderstatus").getAs[Any]("min_num") == null)
+  }
+
+  test("ext_corpus_gini: matches the direct sorted-rank formula per source") {
+    val got = SparkEntry.queries("ext_corpus_gini")(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (s, xs) =>
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val gini = BigDecimal((2L * s1 - (n + 1) * tot).toDouble / (n * tot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (_, gn, gt, gg) = got(s)
+      assert(gn == n && gt == tot)
+      assert(math.abs(gg - gini) < 2e-6, s"source $s: $gg vs $gini")
+      assert(gg >= 0.0 && gg < 1.0)
+    }
+  }
 }
