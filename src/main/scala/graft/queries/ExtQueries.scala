@@ -3004,6 +3004,258 @@ object ExtQueries extends QueryGroup {
               CAST(sum(n_events) AS BIGINT) AS total_events
        FROM per GROUP BY user_id"""
 
+  /** ZIPF SLOPE of the corpus vocabulary — the log-log regression of
+    * frequency on rank over the top-100 words: natural text sits near
+    * slope −1; templated/generated corpora drift flat (spam detection,
+    * synthetic-data screening next to the entropy monitor). A measured
+    * r² says how Zipfian the fit actually is.
+    *
+    * Determinism: the regression rides the events-decay integer-grid
+    * discipline — ln(rank) and ln(cnt) quantize PER ROW to a 1e6 grid
+    * (per-row rounding is bit-identical in both engines; libm's 1-ulp
+    * disagreement sits ~10 orders below the grid), so all five
+    * regression sums are order-free BIGINTs; slope is one division,
+    * rounded, and intercept/r² derive from the ROUNDED slope and exact
+    * sums with identical float trees. The corpus-sized step is ONE
+    * word-count aggregate; top-100 plans as TakeOrderedAndProject and
+    * the regression runs on 100 rows.
+    */
+  private val ZipfTopK = 100
+  private val ZipfGrid = 1000000L
+
+  private def textZipf(s: SparkSession, d: String): DataFrame = {
+    val byFreq = Window.orderBy(col("cnt").desc, col("w").asc)
+    Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(ZipfTopK)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .select(
+        expr(s"CAST(round(ln(CAST(rank AS DOUBLE)) * $ZipfGrid, 0) AS BIGINT)").as("x"),
+        expr(s"CAST(round(ln(CAST(cnt AS DOUBLE)) * $ZipfGrid, 0) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("a"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("b"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("c"))
+      .withColumn("slope", round(col("a") / col("b"), 6))
+      .select(col("n").as("n_top"), col("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n") / lit(1000000.0), 4)
+          .as("intercept"),
+        round((lit(1.0) * col("a") * col("a")) / (lit(1.0) * col("b") * col("c")), 6)
+          .as("r2"))
+  }
+
+  private val textZipfSql =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT $ZipfTopK),
+       rk AS (SELECT cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank
+              FROM top),
+       g AS (SELECT
+               CAST(round(ln(CAST(rank AS DOUBLE)) * $ZipfGrid, 0) AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * $ZipfGrid, 0) AS BIGINT) AS y
+             FROM rk),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(y * y) AS BIGINT) AS syy
+             FROM g),
+       ab AS (SELECT n, sx, sy,
+                     n * sxy - sx * sy AS a,
+                     n * sxx - sx * sx AS b,
+                     n * syy - sy * sy AS c
+              FROM s),
+       sl AS (SELECT *, round(a / b, 6) AS slope FROM ab)
+       SELECT n AS n_top, slope,
+              round((sy - slope * sx) / n / 1000000.0, 4) AS intercept,
+              round((1.0 * a * a) / (1.0 * b * c), 6) AS r2
+       FROM sl"""
+
+  /** MULTI-TOUCH PATH LENGTH distribution — the marketing-analytics
+    * complement of last-touch attribution (ext_events_attrib): how many
+    * clicks preceded each purchase within the 24 h lookback, rolled up
+    * per day as zero/one/multi-touch counts and the exact mean path
+    * length. Last-touch answers "which click gets credit"; this
+    * answers "how long is the path" — the input to choosing a
+    * multi-touch credit model at all.
+    *
+    * Scale shape: the 24 h count rides [[Relational.rangeJoinBinned]]
+    * — an equi-join on (user, time-bin), never a per-key nested loop,
+    * skew sheared by bin; purchases with zero clicks re-attach by a
+    * left join of the purchase frame. All counts integer; mean is one
+    * final division.
+    */
+  private def eventsTouchpoints(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val touches = graft.operators.Relational
+      .rangeJoinBinned(p, c, "user_id", "p_ts", "c_ts", -AttribLookbackNs, 0L)
+      .groupBy("event_id").agg(count(lit(1)).as("n_touch"))
+    p.join(touches, Seq("event_id"), "left")
+      .na.fill(0L, Seq("n_touch"))
+      .groupBy(expr(s"p_ts div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("n_touch") === 0, 1).otherwise(0)).cast("long").as("n_zero"),
+        sum(when(col("n_touch") === 1, 1).otherwise(0)).cast("long").as("n_one"),
+        sum(when(col("n_touch") >= 2, 1).otherwise(0)).cast("long").as("n_multi"),
+        sum(col("n_touch")).as("__touches"),
+        max(col("n_touch")).as("max_path"))
+      .select(col("day"), col("n_purchases"), col("n_zero"), col("n_one"),
+        col("n_multi"), col("max_path"),
+        round(col("__touches") / col("n_purchases"), 6).as("mean_path"))
+  }
+
+  // lazy: AttribLookbackNs is declared later in the object — an eager
+  // val would interpolate its pre-init 0 (caught by the oracle gate)
+  private lazy val eventsTouchpointsSql =
+    s"""WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS pts
+                 FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, epoch_ns(ts) AS cts
+             FROM events WHERE event_type = 'click'),
+       t AS (SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_touch
+             FROM p JOIN c ON p.user_id = c.user_id
+               AND c.cts BETWEEN p.pts - $AttribLookbackNs AND p.pts
+             GROUP BY 1),
+       j AS (SELECT p.pts // $ZDayNs AS day, coalesce(t.n_touch, 0) AS n_touch
+             FROM p LEFT JOIN t USING (event_id))
+       SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(sum(CASE WHEN n_touch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              CAST(sum(CASE WHEN n_touch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_one,
+              CAST(sum(CASE WHEN n_touch >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+              CAST(max(n_touch) AS BIGINT) AS max_path,
+              round(CAST(sum(n_touch) AS BIGINT) / count(*), 6) AS mean_path
+       FROM j GROUP BY 1"""
+
+  /** SESSION QUALITY ROLLUP per start-day — the product-analytics
+    * read off the sessionization pass: session counts, bounce rate
+    * (single-event sessions), events/session, and mean/median session
+    * duration. Complements ext_sessionize's per-user shape with the
+    * per-day health dashboard.
+    *
+    * Scale shape: the sessionize window is the ONE user_id shuffle;
+    * the per-session reduce is map-side combinable on (user, session),
+    * and the day rollup runs over the |sessions| frame. Durations are
+    * exact ns BIGINTs; the percentile rides the proven
+    * percentile/quantile_cont parity; bounce/means are integer sums
+    * with one final division each.
+    */
+  private def sessionStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational
+      .sessionize(Tables.events(s, d), "user_id", "ts", SessionGapNs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
+      .groupBy(expr(s"__t0 div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1).otherwise(0)).cast("long")
+          .as("n_bounce"),
+        sum(col("n_events")).as("__ev"),
+        sum(col("__t1") - col("__t0")).as("__dur_ns"),
+        round(expr("percentile(__t1 - __t0, 0.5)") / 60000000000.0, 4)
+          .as("p50_duration_min"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce") / col("n_sessions"), 6).as("bounce_rate"),
+        round(col("__ev") / col("n_sessions"), 6).as("avg_events"),
+        round(col("__dur_ns") / col("n_sessions") / 60000000000.0, 4)
+          .as("avg_duration_min"),
+        col("p50_duration_min"))
+
+  private val sessionStatsSql =
+    s"""WITH g AS (
+         SELECT user_id, epoch_ns(ts) AS tns,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                     > $SessionGapNs
+                THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (
+         SELECT user_id, tns,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY tns
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g),
+       per AS (SELECT user_id, session_id,
+                      CAST(count(*) AS BIGINT) AS n_events,
+                      min(tns) AS t0, max(tns) AS t1
+               FROM s GROUP BY 1, 2)
+       SELECT t0 // $ZDayNs AS day,
+              CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+              round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / count(*), 6) AS bounce_rate,
+              round(CAST(sum(n_events) AS BIGINT) / count(*), 6) AS avg_events,
+              round(CAST(sum(t1 - t0) AS BIGINT) / count(*) / 60000000000.0, 4) AS avg_duration_min,
+              round(quantile_cont(t1 - t0, 0.5) / 60000000000.0, 4) AS p50_duration_min
+       FROM per GROUP BY 1"""
+
+  /** WHALE CONCENTRATION (Pareto/Lorenz points): revenue share of the
+    * top-k% purchasers for k ∈ {1, 5, 10, 25, 50} — the "do whales
+    * carry the business" read, and the revenue twin of the corpus-side
+    * Gini. EXACT without any rank window over users: the per-user cent
+    * frame reduces to (cents, n_users) over DISTINCT revenue values,
+    * a window orders that bounded value frame desc, and each top-k cut
+    * takes whole values below the boundary plus the straddling value's
+    * partial mass (users at equal cents are interchangeable, so
+    * (n_top − cum_before)·cents is exact) — all BIGINT to the final
+    * share division. n_top = (N·k) div 100, pinned identically in
+    * both engines.
+    */
+  private val ParetoKs = Seq(1, 5, 10, 25, 50)
+
+  private def eventsPareto(s: SparkSession, d: String): DataFrame = {
+    val uv = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val vc = uv.groupBy("cents").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = uv.agg(count(lit(1)).as("n_users"),
+      sum(col("cents")).as("total_rev_cents"))
+    vc.withColumn("cb", coalesce(sum(col("m")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("k_pct", explode(array(ParetoKs.map(lit): _*)))
+      .withColumn("n_top", expr("n_users * k_pct div 100"))
+      .withColumn("__take",
+        greatest(lit(0L), least(col("m"), expr("n_top - cb"))))
+      .groupBy("k_pct", "n_users", "total_rev_cents")
+      .agg(max(expr("n_top")).as("n_top_users"),
+        sum(col("cents") * col("__take")).as("top_rev_cents"))
+      .select(col("k_pct"), col("n_top_users"), col("top_rev_cents"),
+        col("total_rev_cents"),
+        round(col("top_rev_cents") / col("total_rev_cents"), 6).as("share"))
+  }
+
+  private val eventsParetoSql = {
+    val ks = ParetoKs.mkString(", ")
+    s"""WITH uv AS (
+         SELECT user_id,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS m FROM uv GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                      CAST(sum(cents) AS BIGINT) AS total_rev_cents FROM uv),
+       cw AS (SELECT cents, m,
+                     CAST(coalesce(sum(m) OVER (ORDER BY cents DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+              FROM vc),
+       e AS (SELECT cw.*, t.n_users, t.total_rev_cents, ks.k_pct,
+                    t.n_users * ks.k_pct // 100 AS n_top
+             FROM cw CROSS JOIN tot t
+             CROSS JOIN (SELECT unnest([$ks]) AS k_pct) ks)
+       SELECT k_pct, max(n_top) AS n_top_users,
+              CAST(sum(cents * greatest(0, least(m, n_top - cb))) AS BIGINT) AS top_rev_cents,
+              total_rev_cents,
+              round(sum(cents * greatest(0, least(m, n_top - cb))) / total_rev_cents, 6) AS share
+       FROM e GROUP BY k_pct, n_users, total_rev_cents"""
+  }
+
   /** Binned range join: clicks in the hour before each purchase by the
     * same user. The Spark side is an equi-join on (user, time-bin); the
     * oracle states the plain inequality join — same result, but the
@@ -3710,6 +3962,62 @@ object ExtQueries extends QueryGroup {
                    THEN round(CAST(sum(lat) AS BIGINT) / CAST(sum(attr) AS BIGINT) / 60000000000.0, 4)
               END AS mean_latency_min
        FROM p GROUP BY 1"""
+
+  /** COHORT LTV TRIANGLE: users cohorted by first signup day, purchase
+    * value accumulated per (cohort, age) cell — the lifetime-value
+    * matrix growth/finance reads next to the retention triangle
+    * (ext_events_retention counts presence; this weighs it in cents).
+    *
+    * Scale shape: both event slices reach their scans with the
+    * event_type filter pushed; the cohort attach is the natural
+    * user_id equi-join (co-partitioned at scale — the per-user frame
+    * must NOT broadcast at 100 TB, only the |days|-sized cohort-size
+    * frame does); cells and the cumulative window are triangle-sized
+    * (≤ days²). Revenue rides exact cent BIGINTs; the single float op
+    * is the final per-user division.
+    */
+  private def eventsLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(expr(s"ts div $ZDayNs")).as("cohort"))
+    val sizes = cohort.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div $ZDayNs").as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .join(cohort, Seq("user_id"))
+      .where(col("day") >= col("cohort"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("rev_cents"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_users"), col("n_purchases"),
+        col("rev_cents"), col("cum_rev_cents"),
+        round(col("cum_rev_cents") / 100.0 / col("n_users"), 6).as("ltv_per_user"))
+  }
+
+  private val eventsLtvSql =
+    s"""WITH co AS (SELECT user_id, min(epoch_ns(ts) // $ZDayNs) AS cohort
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+       sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM co GROUP BY 1),
+       pu AS (SELECT user_id, epoch_ns(ts) // $ZDayNs AS day,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+       cells AS (
+         SELECT co.cohort, pu.day - co.cohort AS age,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(cents) AS BIGINT) AS rev_cents
+         FROM pu JOIN co USING (user_id)
+         WHERE pu.day >= co.cohort GROUP BY 1, 2),
+       cw AS (
+         SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_rev_cents
+         FROM cells)
+       SELECT cohort, age, n_users, n_purchases, rev_cents, cum_rev_cents,
+              round(cum_rev_cents / 100.0 / n_users, 6) AS ltv_per_user
+       FROM cw JOIN sz USING (cohort)"""
 
   /** TRAILING-WINDOW ANOMALY FLAGS: per (event_type, day) arrival
     * counts against the preceding 3-day trailing sum — spike when
@@ -5865,6 +6173,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_fingerprint", textFingerprint, Some(textFingerprintSql), "rolling-hash fingerprint"),
     GQuery("ext_text_tfidf", textTfidf, Some(textTfidfSql), "top-k TF-IDF terms per doc (round-then-rank)"),
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
+    GQuery("ext_text_zipf", textZipf, Some(textZipfSql), "Zipf slope + r2 of the top-100 vocabulary (integer-grid log-log regression)"),
     GQuery("ext_text_bpe_merges", textBpeMerges, Some(textBpeMergesSql), "BPE first-merge adjacent-char-pair frequencies over the distinct-word vocab"),
     GQuery("ext_text_bpe_train", textBpeTrain, Some(textBpeTrainSql), "iterated BPE merge training: K argmax-merge-recount rounds over the vocab"),
     GQuery("ext_text_bpe_apply", textBpeApply, Some(textBpeApplySql), "tokenizer application: per-source token budget under the K-merge trained vocab"),
@@ -5965,7 +6274,9 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_winsor", eventsWinsor, Some(eventsWinsorSql), "per-group winsorization at [p05,p95]: clipped mass and mean before/after"),
     GQuery("ext_events_markov", eventsMarkov, Some(eventsMarkovSql), "first-order event-transition matrix: per-user consecutive pairs, row-normalized"),
     GQuery("ext_events_attrib", eventsAttrib, Some(eventsAttribSql), "last-touch attribution: purchase -> latest click within 24h, daily rate + latency"),
+    GQuery("ext_events_touchpoints", eventsTouchpoints, Some(eventsTouchpointsSql), "multi-touch path-length distribution per day (binned range join, 24h lookback)"),
     GQuery("ext_events_anomaly", eventsAnomaly, Some(eventsAnomalySql), "trailing-3-day volume anomaly flags: integer spike/drop rules per type-day"),
+    GQuery("ext_events_ltv", eventsLtv, Some(eventsLtvSql), "cohort LTV triangle: signup cohorts x age, cumulative cent-exact revenue per user"),
     GQuery("ext_stats_analyze", statsAnalyze, Some(statsAnalyzeSql), "ANALYZE-style per-column stats (count/nulls/ndv/min/max) in one fused scan"),
     GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),
     GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),
@@ -5987,6 +6298,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_gsets", corpusGsets, Some(corpusGsetsSql), "explicit GROUPING SETS slices w/ grouping_id"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
+    GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),
+    GQuery("ext_events_pareto", eventsPareto, Some(eventsParetoSql), "whale concentration: exact top-k% revenue shares off the distinct-value frame"),
     GQuery("ext_sessionize_native", sessionNative, Some(sessionNativeSql), "native session_window sessions: per (user, session) count + start, exclusive-end gap semantics"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
     GQuery("ext_stream_sliding", streamSliding, Some(streamSlidingSql), "sliding-window agg (batch twin): 10-min windows every 5, each event in 2 windows"),

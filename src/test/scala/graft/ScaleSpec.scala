@@ -427,6 +427,39 @@ class ScaleSpec extends SparkSpec {
       "both ends of the order-date window must reach the orders scan")
   }
 
+  test("Catalyst injects a runtime bloom filter on a selective fact-fact join") {
+    // the engine-native semi-join reduction at 100 TB: when a fact-fact
+    // shuffle join has a selective filter on one side, InjectRuntimeFilter
+    // builds a bloom filter from the filtered side and probes it on the
+    // other side's scan — rows that cannot join never enter the exchange.
+    // Local thresholds are sized for clusters, so the test lowers them to
+    // make the tiny fixture eligible; the REWRITE is what's being pinned.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val ord = Tables.orders(spark, sf0001)
+        .where(col("o_totalprice") > 90000.0)
+      val j = Tables.lineitem(spark, sf0001)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a bloom-filter probe on the lineitem side:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("plan audit: winsor, gini, tclose, overlap shapes hold") {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sf0001)

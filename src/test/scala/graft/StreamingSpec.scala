@@ -543,6 +543,34 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(ab - 16.0) < 2.0)
   }
 
+  test("streaming attribution ≡ batch under ts-ordered replay; replayed epoch no-ops") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+    val minTs = ev.agg(min(col("ts"))).collect().head.getLong(0)
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getLong(0)
+    val cut1 = minTs + (maxTs - minTs) / 3
+    val cut2 = minTs + 2 * (maxTs - minTs) / 3
+    val empty = ev.where(lit(false))
+    val state = new graft.streaming.AttribStream.AttribState(
+      empty, 86400L * 1000000000L)
+    val batches = Seq(
+      ev.where(col("ts") < cut1),
+      ev.where(col("ts") >= cut1 && col("ts") < cut2),
+      ev.where(col("ts") >= cut2))
+    batches.zipWithIndex.foreach { case (b, i) => state.sink(b, i.toLong) }
+    // at-least-once: re-deliver epoch 1 — additive attribution rows
+    // must not duplicate
+    state.sink(batches(1), 1L)
+    val streamed = state.rollup(86400L * 1000000000L)
+    val batch = SparkEntry.queries("ext_events_attrib")(spark, sf0001)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed attribution must reproduce the batch rollup exactly")
+    // the state really is one row per clicking user
+    val users = ev.where(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(state.lastClick.count() == users)
+  }
+
   test("idempotent hist sink: batchId ledger turns a replayed epoch into a no-op") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("grp", "v")

@@ -263,4 +263,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got("s1") == ((2L, 1L, 1L, 2L, 1.0)))
     assert(got("s2") == ((3L, 2L, 2L, 3L, 1.0)))
   }
+
+  test("ext_text_zipf: slope matches a direct grid recompute, fit sane") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("ext_text_zipf")(spark, sf0001).collect().head
+    val (n, slope, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    assert(slope < 0.0, "word frequency must decay with rank")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // direct recompute on the same 1e6 grid from the raw word counts
+    // (the tiny fixture's vocabulary can be smaller than the top-100)
+    val counts = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }.take(100)
+    val k = counts.length.toLong
+    assert(n == k, s"n_top must be min(100, vocab) = $k")
+    val g = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val (sx, sy) = (g.map(_._1).sum, g.map(_._2).sum)
+    val sxy = g.map(p => p._1 * p._2).sum
+    val sxx = g.map(p => p._1 * p._1).sum
+    val a = k * sxy - sx * sy
+    val b = k * sxx - sx * sx
+    val expected = BigDecimal(a.toDouble / b.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(slope - expected) < 1e-9, s"$slope vs $expected")
+  }
 }

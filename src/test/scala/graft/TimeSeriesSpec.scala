@@ -248,6 +248,88 @@ class TimeSeriesSpec extends SparkSpec {
       got("o_orderstatus").getAs[Any]("min_num") == null)
   }
 
+  test("ext_events_ltv: triangle accumulates exactly, per-user value consistent") {
+    val rows = SparkEntry.queries("ext_events_ltv")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val sorted = cells.sortBy(_._2)
+      // one cohort size per cohort; cumulative = running sum of cells
+      assert(sorted.map(_._3).distinct.size == 1)
+      var run = 0L
+      sorted.foreach { case (_, _, nUsers, _, rev, cum, ltv) =>
+        run += rev
+        assert(cum == run, "cumulative revenue must prefix-sum the cells")
+        val expected = BigDecimal(cum / 100.0 / nUsers)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(ltv - expected) < 1e-9)
+      }
+    }
+    // attribution to cohorts never invents purchases
+    val totalPurch = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.map(_._4).sum <= totalPurch)
+  }
+
+  test("ext_events_pareto: shares match a direct sorted recompute, monotone in k") {
+    val rows = SparkEntry.queries("ext_events_pareto")(spark, sf0001)
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 5, 10, 25, 50))
+    // direct recompute: per-user cents desc, take floor(N*k/100)
+    val cents = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+      .select("c").as[Long].collect().sorted(Ordering[Long].reverse)
+    val total = cents.sum
+    rows.foreach { case (k, nTop, topRev, tot, share) =>
+      assert(tot == total)
+      val expTop = (cents.length.toLong * k) / 100
+      assert(nTop == expTop)
+      assert(topRev == cents.take(expTop.toInt).sum,
+        s"k=$k: partial-value arithmetic must equal the sorted take")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    assert(rows.map(_._5).sliding(2).forall(p => p.head <= p.last),
+      "a larger top slice can only carry more revenue share")
+  }
+
+  test("ext_sessions_stats: bounce bounded, averages consistent with sessionize") {
+    val rows = SparkEntry.queries("ext_sessions_stats")(spark, sf0001)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, bounce, rate, avgEv, avgDur, p50) =>
+      assert(bounce <= n && rate >= 0.0 && rate <= 1.0)
+      assert(avgEv >= 1.0)
+      assert(avgDur >= 0.0 && p50 >= 0.0)
+    }
+    // session mass conserves: events = sum over days of session events
+    val totalSessions = graft.operators.Relational
+      .sessionize(Tables.events(spark, sf0001), "user_id", "ts",
+        30L * 60 * 1000000000L)
+      .select("user_id", "session_id").distinct().count()
+    assert(rows.map(_._2).sum == totalSessions)
+  }
+
+  test("ext_events_touchpoints ≡ ext_events_attrib on attribution counts") {
+    val tp = SparkEntry.queries("ext_events_touchpoints")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val at = SparkEntry.queries("ext_events_attrib")(spark, sf0001)
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(tp.keySet == at.keySet)
+    tp.foreach { case (day, (_, n, zero, one, multi, maxPath, _)) =>
+      assert(zero + one + multi == n, "touch buckets must partition purchases")
+      // a purchase is ATTRIBUTED exactly when it has >= 1 touch in the
+      // same inclusive 24h window — two independent formulations (range
+      // join vs union-and-window) must agree per day
+      assert(at(day)._3 == n - zero,
+        s"day $day: attribution ($at) vs touchpoints disagree")
+      assert((maxPath == 0L) == (one + multi == 0L))
+    }
+  }
+
   test("ext_corpus_gini: matches the direct sorted-rank formula per source") {
     val got = SparkEntry.queries("ext_corpus_gini")(spark, sf0001)
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
