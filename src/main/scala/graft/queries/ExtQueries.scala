@@ -6167,6 +6167,290 @@ object ExtQueries extends QueryGroup {
        JOIN marg mb ON mb.event_type = type_b
        CROSS JOIN nu"""
 
+  /** AUTOCORRELATION of the daily arrival-count series at lags 1..7 —
+    * the seasonality detector behind capacity planning and the lag-7
+    * forecaster (ext_ts_forecast): a weekly-periodic corpus shows a
+    * spike at lag 7. EXACT, no floats until the final division: with
+    * mean S/n rational, the residual n·y_t − S is a BIGINT, the n²
+    * factors cancel between numerator and denominator, and
+    * acf_l = Σ r_t·r_{t+l} / Σ r_t² is one rounded division per lag.
+    *
+    * Scale shape: ONE events aggregate reduces the corpus to the
+    * |days| frame (zero-filled on the dense day spine — ACF needs a
+    * regular series); every join/window after that runs on ≤ |days|
+    * rows. At 100 TB residual products can exceed 64 bits
+    * (n·y ~ 1e13) — swap the sums to DECIMAL(38,0) there; the shape
+    * is unchanged.
+    */
+  private val AcfMaxLag = 7
+
+  private def tsAcf(s: SparkSession, d: String): DataFrame = {
+    val daily0 = Tables.events(s, d)
+      .groupBy(expr(s"ts div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val spine = daily0.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    val daily = spine.join(daily0, Seq("day"), "left").na.fill(0L, Seq("y"))
+      .localCheckpoint()
+    val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sm"))
+    val r = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("n") * col("y") - col("sm")).as("r"))
+      .localCheckpoint()
+    val den = r.agg(sum(col("r") * col("r")).as("den"))
+    val shifted = r.select((col("day")).as("sday"), col("r").as("r2"))
+    r.withColumn("lag", explode(array((1 to AcfMaxLag).map(l => lit(l.toLong)): _*)))
+      .join(shifted, col("day") + col("lag") === col("sday"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("r") * col("r2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("den") =!= 0, round(col("num") / col("den"), 6)).as("acf"))
+  }
+
+  private val tsAcfSql =
+    s"""WITH d0 AS (SELECT epoch_ns(ts) // $ZDayNs AS day,
+                         CAST(count(*) AS BIGINT) AS y
+                  FROM events GROUP BY 1),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+       daily AS (
+         SELECT s.day, CAST(coalesce(y, 0) AS BIGINT) AS y
+         FROM (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) s
+         LEFT JOIN d0 USING (day)),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS sm FROM daily),
+       r AS (SELECT day, CAST(n * y - sm AS BIGINT) AS r
+             FROM daily CROSS JOIN tot),
+       den AS (SELECT CAST(sum(r * r) AS BIGINT) AS den FROM r),
+       lags AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag),
+       num AS (
+         SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(a.r * b.r) AS BIGINT) AS num
+         FROM lags, r a, r b
+         WHERE b.day = a.day + lag
+         GROUP BY 1)
+       SELECT lag, n_pairs,
+              CASE WHEN den != 0 THEN round(num / den, 6) END AS acf
+       FROM num CROSS JOIN den"""
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST per event type: predict each
+    * day's arrival count by the count 7 days earlier (snaive) and by
+    * yesterday (naive-1), score both with MAE over the days where the
+    * lag-7 observation exists, and report the skill of snaive over
+    * naive-1 — the zero-parameter baseline every capacity forecast
+    * must beat before a model earns its keep.
+    *
+    * Scale shape: ONE events aggregate → the (type × days) zero-filled
+    * frame; lag windows partition by type over ≤ |days| rows each.
+    * Absolute errors are BIGINT sums; the two MAEs and the skill are
+    * final divisions (skill from the INTEGER sums, not the rounded
+    * MAEs — identical float trees in both engines).
+    */
+  private def tsForecast(s: SparkSession, d: String): DataFrame = {
+    val daily0 = Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = daily0.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    spine.join(daily0, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("y"))
+      .withColumn("p7", lag(col("y"), AcfMaxLag).over(w))
+      .withColumn("p1", lag(col("y"), 1).over(w))
+      .where(col("p7").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("y") - col("p7"))).as("__e7"),
+        sum(abs(col("y") - col("p1"))).as("__e1"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("__e7") / col("n_eval"), 6).as("mae_snaive"),
+        round(col("__e1") / col("n_eval"), 6).as("mae_naive"),
+        when(col("__e1") =!= 0,
+          round(lit(1.0) - col("__e7") / col("__e1"), 6)).as("skill"))
+  }
+
+  private val tsForecastSql =
+    s"""WITH d0 AS (SELECT event_type, epoch_ns(ts) // $ZDayNs AS day,
+                         CAST(count(*) AS BIGINT) AS y
+                  FROM events GROUP BY 1, 2),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+       spine AS (SELECT event_type, day
+                 FROM (SELECT DISTINCT event_type FROM d0),
+                      (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds)),
+       f AS (
+         SELECT s.event_type, s.day, CAST(coalesce(y, 0) AS BIGINT) AS y
+         FROM spine s LEFT JOIN d0 USING (event_type, day)),
+       p AS (
+         SELECT event_type, y,
+                lag(y, $AcfMaxLag) OVER (PARTITION BY event_type ORDER BY day) AS p7,
+                lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1
+         FROM f),
+       e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+                    CAST(sum(abs(y - p7)) AS BIGINT) AS e7,
+                    CAST(sum(abs(y - p1)) AS BIGINT) AS e1
+             FROM p WHERE p7 IS NOT NULL GROUP BY 1)
+       SELECT event_type, n_eval,
+              round(e7 / n_eval, 6) AS mae_snaive,
+              round(e1 / n_eval, 6) AS mae_naive,
+              CASE WHEN e1 != 0 THEN round(1.0 - e7 / e1, 6) END AS skill
+       FROM e"""
+
+  /** RFM SEGMENTATION: every purchaser scored 1..4 on Recency,
+    * Frequency, and Monetary value (1 = best on each axis), rolled up
+    * per (r, f, m) cell — the classic customer-base segmentation
+    * (champions = 111, at-risk = high-R low-F). Quartiles are
+    * TIE-COHERENT, not ntile: equal metric values always share a
+    * score (score of a value = quartile of its first position,
+    * (4·users_strictly_better) div n + 1), so the cut never depends
+    * on engine-internal tie order — the corpus-gini/pareto
+    * distinct-value discipline pointed at segmentation.
+    *
+    * Scale shape: ONE purchase aggregate → the per-user frame; each
+    * axis reduces to its DISTINCT-value frame (recency ≤ |days|,
+    * frequency ≤ max count, monetary ≤ distinct cent totals), the
+    * window orders that bounded frame, and scores re-attach by three
+    * value equi-joins (broadcast-sized). No rank window ever runs
+    * over the user universe.
+    */
+  private def eventsRfm(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(expr(s"ts div $ZDayNs")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .localCheckpoint()
+    val hi = u.agg(max("last_day").as("hi"), count(lit(1)).as("n_users"))
+    val base = u.crossJoin(broadcast(hi))
+      .select(col("user_id"), (col("hi") - col("last_day")).as("rec"),
+        col("freq"), col("cents"), col("n_users"))
+    // tie-coherent quartile over the metric's distinct-value frame;
+    // asc=true means smaller is better (recency), else larger is better
+    def scores(metric: String, asc: Boolean): DataFrame = {
+      val vals = base.groupBy(col(metric).as("v"), col("n_users"))
+        .agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(if (asc) col("v").asc else col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vals.withColumn("cb", coalesce(sum(col("m")).over(w), lit(0L)))
+        .select(col("v").as(metric),
+          (expr("cb * 4 div n_users") + 1).as(s"${metric}_score"))
+    }
+    base
+      .join(broadcast(scores("rec", asc = true)), Seq("rec"))
+      .join(broadcast(scores("freq", asc = false)), Seq("freq"))
+      .join(broadcast(scores("cents", asc = false)), Seq("cents"))
+      .groupBy(col("rec_score").as("r_score"),
+        col("freq_score").as("f_score"), col("cents_score").as("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum("cents").as("seg_cents"),
+        sum("freq").as("seg_purchases"))
+      .select(col("r_score"), col("f_score"), col("m_score"), col("n_users"),
+        col("seg_purchases"), col("seg_cents"),
+        // exact integer division first so the double is a ≤4-decimal grid
+        // point — round(x/100/n, 2) ties at the half-cent (309.585) and the
+        // engines break the tie differently (decimal HALF_UP vs binary)
+        round(expr("seg_cents * 100 div n_users") / 10000.0, 4)
+          .as("avg_monetary"))
+  }
+
+  private val eventsRfmSql = {
+    def sc(metric: String, dir: String) =
+      s"""SELECT v AS $metric,
+            CAST(cb * 4 // n_users AS BIGINT) + 1 AS ${metric}_score
+          FROM (SELECT v, n_users,
+                  CAST(coalesce(sum(m) OVER (ORDER BY v $dir
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cb
+                FROM (SELECT $metric AS v, n_users, CAST(count(*) AS BIGINT) AS m
+                      FROM base GROUP BY 1, 2) t)"""
+    s"""WITH u AS (
+         SELECT user_id, max(epoch_ns(ts) // $ZDayNs) AS last_day,
+                CAST(count(*) AS BIGINT) AS freq,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       hi AS (SELECT max(last_day) AS hi,
+                     CAST(count(*) AS BIGINT) AS n_users FROM u),
+       base AS (SELECT user_id, hi - last_day AS rec, freq, cents, n_users
+                FROM u CROSS JOIN hi),
+       rs AS (${sc("rec", "ASC")}),
+       fs AS (${sc("freq", "DESC")}),
+       ms AS (${sc("cents", "DESC")})
+       SELECT rec_score AS r_score, freq_score AS f_score,
+              cents_score AS m_score,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(freq) AS BIGINT) AS seg_purchases,
+              CAST(sum(cents) AS BIGINT) AS seg_cents,
+              round((CAST(sum(cents) AS BIGINT) * 100 // count(*)) / 10000.0, 4)
+                AS avg_monetary
+       FROM base JOIN rs USING (rec) JOIN fs USING (freq) JOIN ms USING (cents)
+       GROUP BY 1, 2, 3"""
+  }
+
+  /** PMI COLLOCATIONS: the top-50 adjacent word pairs by pointwise
+    * mutual information (min pair count 5) — the phrase-mining /
+    * tokenizer-seeding statistic that surfaces strongly-associated
+    * pairs a raw frequency ranking buries under stopword bigrams.
+    * Marginals come from the bigram frame itself (first-position and
+    * second-position counts), so PMI = ln(c_xy·N / (c1·c2)).
+    *
+    * Determinism: PMI quantizes PER ROW to the 1e6 grid
+    * (round(ln·1e6) as BIGINT — the zipf/decay discipline; no big
+    * integer products, so nothing can overflow at any SF), ranking
+    * orders (pmi_grid desc, w1, w2) and plans as
+    * TakeOrderedAndProject. The corpus-sized work is ONE bigram
+    * aggregate; marginals are two aggregates of the |pairs| frame.
+    */
+  private val CollocMinCount = 5
+  private val CollocTopK = 50
+
+  private def textColloc(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .select(TextAnalysis.tokens(col("text")).as("__w"))
+      .selectExpr(
+        """explode(CASE WHEN size(__w) >= 2
+             THEN transform(sequence(0, size(__w) - 2),
+                  i -> struct(__w[i] AS w1, __w[i+1] AS w2))
+             ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END) AS bg""")
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
+    val c1 = pairs.groupBy("w1").agg(sum("n_pair").as("c1"))
+    val c2 = pairs.groupBy("w2").agg(sum("n_pair").as("c2"))
+    val tot = pairs.agg(sum("n_pair").as("n_bi"))
+    pairs.where(col("n_pair") >= CollocMinCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_grid",
+        expr("CAST(round((ln(CAST(n_pair AS DOUBLE)) + ln(CAST(n_bi AS DOUBLE))" +
+          " - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE))) * 1000000, 0)" +
+          " AS BIGINT)"))
+      .orderBy(col("pmi_grid").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocTopK)
+      .select(col("w1"), col("w2"), col("n_pair"), col("c1"), col("c2"),
+        round(col("pmi_grid") / lit(1000000.0), 6).as("pmi"))
+  }
+
+  private val textCollocSql =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w) t),
+       pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+                 FROM bi GROUP BY 1, 2),
+       c1 AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+       c2 AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS c2 FROM pairs GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_bi FROM pairs),
+       g AS (
+         SELECT w1, w2, n_pair, c1, c2,
+                CAST(round((ln(CAST(n_pair AS DOUBLE)) + ln(CAST(n_bi AS DOUBLE))
+                  - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS pmi_grid
+         FROM pairs JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+         WHERE n_pair >= $CollocMinCount)
+       SELECT w1, w2, n_pair, c1, c2,
+              round(pmi_grid / 1000000.0, 6) AS pmi
+       FROM g ORDER BY pmi_grid DESC, w1, w2 LIMIT $CollocTopK"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -6174,6 +6458,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_tfidf", textTfidf, Some(textTfidfSql), "top-k TF-IDF terms per doc (round-then-rank)"),
     GQuery("ext_text_topterms", textTopTerms, Some(textTopTermsSql), "top terms per language"),
     GQuery("ext_text_zipf", textZipf, Some(textZipfSql), "Zipf slope + r2 of the top-100 vocabulary (integer-grid log-log regression)"),
+    GQuery("ext_text_colloc", textColloc, Some(textCollocSql), "PMI collocations: top-50 adjacent pairs on the 1e6 log grid, min count 5"),
     GQuery("ext_text_bpe_merges", textBpeMerges, Some(textBpeMergesSql), "BPE first-merge adjacent-char-pair frequencies over the distinct-word vocab"),
     GQuery("ext_text_bpe_train", textBpeTrain, Some(textBpeTrainSql), "iterated BPE merge training: K argmax-merge-recount rounds over the vocab"),
     GQuery("ext_text_bpe_apply", textBpeApply, Some(textBpeApplySql), "tokenizer application: per-source token budget under the K-merge trained vocab"),
@@ -6277,6 +6562,9 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_touchpoints", eventsTouchpoints, Some(eventsTouchpointsSql), "multi-touch path-length distribution per day (binned range join, 24h lookback)"),
     GQuery("ext_events_anomaly", eventsAnomaly, Some(eventsAnomalySql), "trailing-3-day volume anomaly flags: integer spike/drop rules per type-day"),
     GQuery("ext_events_ltv", eventsLtv, Some(eventsLtvSql), "cohort LTV triangle: signup cohorts x age, cumulative cent-exact revenue per user"),
+    GQuery("ext_events_rfm", eventsRfm, Some(eventsRfmSql), "RFM segmentation: tie-coherent quartile scores off distinct-value frames, per-cell rollup"),
+    GQuery("ext_ts_acf", tsAcf, Some(tsAcfSql), "daily-count autocorrelation at lags 1..7: exact cross-multiplied BIGINT residuals"),
+    GQuery("ext_ts_forecast", tsForecast, Some(tsForecastSql), "seasonal-naive lag-7 backtest vs naive-1: per-type MAE + skill from integer sums"),
     GQuery("ext_stats_analyze", statsAnalyze, Some(statsAnalyzeSql), "ANALYZE-style per-column stats (count/nulls/ndv/min/max) in one fused scan"),
     GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),
     GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),

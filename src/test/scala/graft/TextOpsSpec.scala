@@ -291,4 +291,38 @@ class TextOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(slope - expected) < 1e-9, s"$slope vs $expected")
   }
+
+  test("ext_text_colloc: PMI matches a driver recompute; min-count and top-k hold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("ext_text_colloc")(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // ground truth: adjacent pairs from the raw text
+    val pairs = Tables.documents(spark, sf0001)
+      .select(col("text")).as[String].collect()
+      .flatMap(_.split(" ").sliding(2).collect { case Array(a, b) => (a, b) })
+    val pc = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val c2 = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nBi = pairs.length.toLong
+    rows.foreach { case (w1, w2, nPair, gc1, gc2, pmi) =>
+      assert(nPair >= 5, "min-count floor")
+      assert(pc((w1, w2)) == nPair && c1(w1) == gc1 && c2(w2) == gc2)
+      val grid = math.round((math.log(nPair.toDouble) + math.log(nBi.toDouble)
+        - math.log(gc1.toDouble) - math.log(gc2.toDouble)) * 1e6)
+      val expected = BigDecimal(grid / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pmi - expected) < 1e-9, s"($w1,$w2): $pmi vs $expected")
+    }
+    // the ranking really is by PMI: every returned pair scores >= every
+    // eligible pair left out (when the fixture has more than top-k)
+    val minKept = rows.map(_._6).min
+    val leftOut = pc.filter { case (k, c) =>
+      c >= 5 && !rows.exists(r => (r._1, r._2) == k) }
+    leftOut.foreach { case ((a, b), c) =>
+      val p = math.round((math.log(c.toDouble) + math.log(nBi.toDouble)
+        - math.log(c1(a).toDouble) - math.log(c2(b).toDouble)) * 1e6) / 1e6
+      assert(p <= minKept + 1e-9, s"($a,$b) outside top-k outranks a kept pair")
+    }
+  }
 }

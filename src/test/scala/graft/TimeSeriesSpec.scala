@@ -349,4 +349,74 @@ class TimeSeriesSpec extends SparkSpec {
       assert(gg >= 0.0 && gg < 1.0)
     }
   }
+
+  test("ext_ts_acf: matches a driver-side exact recompute on the zero-filled series") {
+    val got = SparkEntry.queries("ext_ts_acf")(spark, sf0001)
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    val dayNs = 86400000000000L
+    val byDay = Tables.events(spark, sf0001)
+      .groupBy(expr(s"ts div $dayNs").as("d"))
+      .agg(count(lit(1)).as("y")).as[(Long, Long)].collect().toMap
+    val (lo, hi) = (byDay.keys.min, byDay.keys.max)
+    val y = (lo to hi).map(d => byDay.getOrElse(d, 0L)).toArray
+    val n = y.length.toLong
+    val s = y.sum
+    val r = y.map(v => n * v - s)
+    val den = r.map(v => v * v).sum
+    got.foreach { case (lag, (_, nPairs, acf)) =>
+      assert(nPairs == n - lag, "one pair per day with a lag-shifted partner")
+      val num = (0 until (n - lag).toInt).map(t => r(t) * r(t + lag.toInt)).sum
+      val expected = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(acf.get - expected) < 1e-9, s"lag $lag: $acf vs $expected")
+      assert(acf.get >= -1.0 - 1e-9 && acf.get <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ext_ts_forecast: skill consistent with the two MAEs, eval window sized right") {
+    val rows = SparkEntry.queries("ext_ts_forecast")(spark, sf0001)
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    val nDays = {
+      val d = Tables.events(spark, sf0001)
+        .select(expr("ts div 86400000000000").as("d"))
+        .agg(max("d") - min("d")).as[Long].collect().head
+      d + 1
+    }
+    rows.foreach { case (t, nEval, mae7, mae1, skill) =>
+      assert(nEval == nDays - 7, s"$t: eval window must be the spine minus warm-up")
+      assert(mae7 >= 0.0 && mae1 >= 0.0)
+      skill.foreach { sk =>
+        // skill = 1 − e7/e1 from the integer sums; recompute from the MAEs
+        // (same denominator cancels) within rounding slack
+        assert(math.abs(sk - (1.0 - mae7 / mae1)) < 1e-4, s"$t: $sk")
+        assert(sk <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("ext_events_rfm: scores in 1..4, tie-coherent, cells conserve users and cents") {
+    val rows = SparkEntry.queries("ext_events_rfm")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (rs, fs, ms, _, _, _, _) =>
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4)
+    }
+    val u = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._4).sum == u.length, "cells must partition the purchasers")
+    assert(rows.map(_._6).sum == u.map(_._2).sum, "cells must conserve revenue")
+    // tie-coherence on the monetary axis: equal cent totals can never land
+    // in different m_scores, so distinct m_scores <= distinct cent values
+    assert(rows.map(_._3).distinct.length <= u.map(_._2).distinct.length)
+    rows.foreach { case (_, _, _, nu, _, cents, avg) =>
+      val expected = (cents * 100 / nu) / 10000.0
+      assert(math.abs(avg - BigDecimal(expected).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }
