@@ -589,6 +589,50 @@ object Dedup {
     labels
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION (community detection): every node
+    * starts labeled with its own id; each round it adopts the MODE of
+    * its neighbors' previous-round labels, ties broken by the smallest
+    * label — the deterministic variant of classic LPA (random-order
+    * async LPA is irreproducible by design; the fixed round count plus
+    * total tiebreak makes this one oracle-unrollable, the CC/PageRank
+    * discipline). Unlike min-label components this converges to DENSE
+    * communities: a bridge edge between two clusters does not merge
+    * them, because the mode on each side stays local.
+    *
+    * Same scale shape as [[connectedComponents]]: the per-round work is
+    * ONE (node, label) count aggregate over the edge list plus a
+    * per-node top-1 window; with broadcastLabels the label attach never
+    * moves the edges. localCheckpoint keeps every round O(1) plan.
+    */
+  def labelPropagation(pairs: DataFrame, iterations: Int,
+      broadcastLabels: Boolean = false): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastLabels) broadcast(_) else identity
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(eager = false)
+    val top1 = Window.partitionBy("doc_id")
+      .orderBy(col("__c").desc, col("label").asc)
+    for (it <- 0 until iterations) {
+      // every node of the pair graph has >= 1 neighbor, so the inner
+      // join loses nobody and no keep-own-label fallback is needed
+      labels = edges
+        .join(hint(labels.select(col("doc_id").as("dst"), col("label"))),
+          Seq("dst"))
+        .groupBy(col("src").as("doc_id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(top1))
+        .where(col("__rn") === 1)
+        .select("doc_id", "label")
+        .localCheckpoint(eager = it == iterations - 1)
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Rank grid for the integer-exact PageRank: ranks live as BIGINT
     * multiples of 1e-9 (r_grid = r * 1e9), so every iteration is pure
     * integer arithmetic — order-free and bit-identical in any engine.

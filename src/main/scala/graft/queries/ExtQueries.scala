@@ -6451,6 +6451,243 @@ object ExtQueries extends QueryGroup {
               round(pmi_grid / 1000000.0, 6) AS pmi
        FROM g ORDER BY pmi_grid DESC, w1, w2 LIMIT $CollocTopK"""
 
+  /** CUSUM LEVEL-SHIFT DETECTION per event type: the cumulative-sum
+    * changepoint statistic over the zero-filled daily-count series —
+    * D_t = n·P_t − t·S (P_t the prefix sum, S the total) peaks in
+    * magnitude at the most likely mean-shift point. Complements
+    * ext_events_anomaly (one-day spikes) with the sustained-shift
+    * detector a pipeline-health monitor needs (a crawler source going
+    * quiet shifts the LEVEL; it may never spike). EXACT: D_t is a
+    * BIGINT (it is n² × the centered prefix), the argmax is a total
+    * order (|D| desc, day asc), and the before/after means plus the
+    * normalized drift are the only float ops — identical trees.
+    *
+    * Scale shape: ONE events aggregate → the (type × days) frame; both
+    * windows partition by type over ≤ |days| rows.
+    */
+  private def eventsCusum(s: SparkSession, d: String): DataFrame = {
+    val d0 = Tables.events(s, d)
+      .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = d0.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = d0.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
+    val f = spine.join(d0, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val tot = f.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("sm"))
+    val pre = f
+      .withColumn("p", sum(col("y")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("drift", col("n") * col("p") - col("t") * col("sm"))
+    val rank = Window.partitionBy("event_type")
+      .orderBy(abs(col("drift")).desc, col("day").asc)
+    pre.withColumn("rn", row_number().over(rank)).where(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("cp_day"), col("t").as("cp_index"), col("drift"),
+        when(col("sm") =!= 0,
+          round(col("drift") / (col("n") * col("sm")), 6)).as("drift_norm"),
+        round(col("p") / col("t"), 6).as("mean_before"),
+        when(col("t") < col("n"),
+          round((col("sm") - col("p")) / (col("n") - col("t")), 6))
+          .as("mean_after"))
+  }
+
+  private val eventsCusumSql =
+    s"""WITH d0 AS (SELECT event_type, epoch_ns(ts) // $ZDayNs AS day,
+                         CAST(count(*) AS BIGINT) AS y
+                  FROM events GROUP BY 1, 2),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+       spine AS (SELECT event_type, day
+                 FROM (SELECT DISTINCT event_type FROM d0),
+                      (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds)),
+       f AS (SELECT s.event_type, s.day, CAST(coalesce(y, 0) AS BIGINT) AS y
+             FROM spine s LEFT JOIN d0 USING (event_type, day)),
+       tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS sm
+               FROM f GROUP BY 1),
+       pre AS (
+         SELECT f.event_type, f.day,
+                CAST(sum(y) OVER (PARTITION BY f.event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+                CAST(row_number() OVER (PARTITION BY f.event_type ORDER BY day)
+                  AS BIGINT) AS t,
+                n, sm
+         FROM f JOIN tot USING (event_type)),
+       dr AS (SELECT *, CAST(n * p - t * sm AS BIGINT) AS drift FROM pre),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(drift) DESC, day) AS rn
+              FROM dr)
+       SELECT event_type, n AS n_days, day AS cp_day, t AS cp_index, drift,
+              CASE WHEN sm != 0 THEN round(drift / (n * sm), 6) END AS drift_norm,
+              round(p / t, 6) AS mean_before,
+              CASE WHEN t < n THEN round((sm - p) / (n - t), 6) END AS mean_after
+       FROM rk WHERE rn = 1"""
+
+  /** TPC-H Q2-SHAPED ARGMIN: for every part in a size slice, the
+    * supplier observed offering the lowest unit price (cents-per-unit
+    * on the exact integer grid), enriched with supplier and nation —
+    * the correlated-subquery pattern (min within group, then a second
+    * correlated min to break supplier ties) expressed Spark-side as a
+    * single top-1 window over (part). Top-100 by (unit_cents, part).
+    *
+    * Scale shape: the part slice broadcasts into the lineitem scan
+    * (the selective dimension filter reaches the fact scan as a
+    * semi-join before any aggregate); the (part, supplier) reduce is
+    * map-side combinable; the argmin window partitions by part over
+    * the reduced frame; supplier/nation attach after the top-1 cut.
+    */
+  private val Q2SizeMax = 5
+  private val Q2TopK = 100
+
+  private def pricingQ2(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.part(s, d).where(col("p_size") <= Q2SizeMax)
+      .select("p_partkey", "p_brand", "p_size")
+    val uc = Tables.lineitem(s, d)
+      .join(broadcast(ps), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)" +
+          " div CAST(round(l_quantity, 0) AS BIGINT)").as("uc"))
+      .groupBy("p_partkey", "p_brand", "p_size", "l_suppkey")
+      .agg(min("uc").as("unit_cents"))
+    val w = Window.partitionBy("p_partkey")
+      .orderBy(col("unit_cents").asc, col("l_suppkey").asc)
+    uc.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .orderBy(col("unit_cents").asc, col("p_partkey").asc)
+      .limit(Q2TopK)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("unit_cents"), col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  private val pricingQ2Sql =
+    s"""WITH ps AS (SELECT p_partkey, p_brand, p_size FROM part
+                  WHERE p_size <= $Q2SizeMax),
+       uc AS (
+         SELECT p_partkey, p_brand, p_size, l_suppkey,
+                min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    // CAST(round(l_quantity, 0) AS BIGINT)) AS unit_cents
+         FROM lineitem JOIN ps ON p_partkey = l_partkey
+         GROUP BY 1, 2, 3, 4),
+       best AS (
+         SELECT * FROM uc u
+         WHERE unit_cents = (SELECT min(unit_cents) FROM uc u2
+                             WHERE u2.p_partkey = u.p_partkey)
+           AND l_suppkey = (SELECT min(l_suppkey) FROM uc u3
+                            WHERE u3.p_partkey = u.p_partkey
+                              AND u3.unit_cents = u.unit_cents))
+       SELECT p_partkey, p_brand, p_size, unit_cents,
+              s_suppkey, s_name, n_name
+       FROM best
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON n_nationkey = s_nationkey
+       ORDER BY unit_cents, p_partkey LIMIT $Q2TopK"""
+
+  /** STRATIFIED K-FOLD ASSIGNMENT AUDIT: every document lands in one
+    * of K cross-validation folds by the salted content-free id hash
+    * (so membership survives re-crawls that change text), and the
+    * query reports the per-stratum balance — fold-count min/max and
+    * the imbalance in ppm of the stratum — the realized-balance check
+    * a CV harness runs before trusting fold variance. Content-hash
+    * splitting is corpus_split's job; id hashing here keeps a doc's
+    * fold stable under text edits (the CV contract).
+    *
+    * Scale shape: one hash per doc, one (lang, fold) aggregate, the
+    * audit runs over ≤ |langs|·K rows. No window ever touches the doc
+    * universe (round-robin ranking would exactly balance but costs a
+    * per-stratum global sort — the hash variant is the 100 TB shape).
+    */
+  private val KfoldK = 5
+  private val KfoldSalt = "|graft-kfold-7"
+
+  private def splitKfold(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fold = Dedup.polyHash(
+      concat(col("doc_id").cast("string"), lit(KfoldSalt))) % KfoldK
+    Tables.documents(s, d)
+      .select(col("lang"), fold.as("fold"))
+      .groupBy("lang", "fold").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_folds_used"),
+        min("c").as("__mn"), max("c").as("max_fold_n"))
+      .select(col("lang"), col("n_docs"), col("n_folds_used"),
+        // an unpopulated fold means the realized minimum is zero
+        when(col("n_folds_used") < KfoldK, lit(0L)).otherwise(col("__mn"))
+          .as("min_fold_n"),
+        col("max_fold_n"))
+      .withColumn("imbalance_ppm",
+        expr("(max_fold_n - min_fold_n) * 1000000 div n_docs"))
+  }
+
+  private val splitKfoldSql =
+    s"""WITH f AS (
+         SELECT lang,
+                ${polyHashSql(s"CAST(doc_id AS VARCHAR) || '$KfoldSalt'")}
+                  % $KfoldK AS fold
+         FROM documents),
+       c AS (SELECT lang, fold, CAST(count(*) AS BIGINT) AS c
+             FROM f GROUP BY 1, 2),
+       a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+                    CAST(count(*) AS BIGINT) AS n_folds_used,
+                    min(c) AS mn, max(c) AS max_fold_n
+             FROM c GROUP BY 1),
+       b AS (SELECT lang, n_docs, n_folds_used,
+                    CASE WHEN n_folds_used < $KfoldK
+                         THEN CAST(0 AS BIGINT) ELSE mn END AS min_fold_n,
+                    max_fold_n
+             FROM a)
+       SELECT lang, n_docs, n_folds_used, min_fold_n, max_fold_n,
+              CAST((max_fold_n - min_fold_n) * 1000000 // n_docs AS BIGINT)
+                AS imbalance_ppm
+       FROM b"""
+
+  /** COMMUNITY DETECTION by synchronous label propagation over the
+    * minhash near-dup pair graph ([[Dedup.labelPropagation]]): each
+    * node adopts the MODE of its neighbors' labels for a fixed 3
+    * rounds, ties to the smallest label. Where min-label components
+    * merge everything a bridge edge touches, LPA keeps DENSE duplicate
+    * families apart — the community histogram is the template-family
+    * census (a 500-node community = one boilerplate template, not 500
+    * independent near-dup pairs). Oracle unrolls the same 3 rounds as
+    * CTEs with the identical (count desc, label asc) tiebreak.
+    */
+  private val LpaRounds = 3
+
+  private def ccLabelprop(s: SparkSession, d: String): DataFrame =
+    Dedup.labelPropagation(
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+        .select("doc_a", "doc_b"),
+      LpaRounds, broadcastLabels = true)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  private lazy val ccLabelpropSql = {
+    val iters = (0 until LpaRounds).map { k =>
+      s"""l${k + 1} AS (
+           SELECT doc_id, label FROM (
+             SELECT e.s AS doc_id, ln.label,
+                    row_number() OVER (PARTITION BY e.s
+                      ORDER BY count(*) DESC, ln.label) AS rn
+             FROM e JOIN l$k ln ON e.d = ln.doc_id
+             GROUP BY e.s, ln.label) t
+           WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS ($dedupMinhashSql),
+       e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+       l0 AS (SELECT DISTINCT s AS doc_id, s AS label FROM e),
+       $iters
+       SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM l$LpaRounds GROUP BY 1"""
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -6470,6 +6707,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_text_bm25", textBm25, Some(textBm25Sql), "BM25 top-20 against a fixed term query (broadcast stats, TakeOrdered)"),
     GQuery("ext_corpus_cube", corpusCube, Some(corpusCubeSql), "CUBE grouping-set corpus stats"),
     GQuery("ext_corpus_split", corpusSplit, Some(corpusSplitSql), "deterministic hash-bucket train/val/test split"),
+    GQuery("ext_split_kfold", splitKfold, Some(splitKfoldSql), "stratified k-fold assignment audit: salted id-hash folds, per-stratum balance in ppm"),
     GQuery("ext_corpus_sample", corpusSample, Some(corpusSampleSql), "stratified weighted-quota sample (deterministic salted-hash draw)"),
     GQuery("ext_corpus_pack", corpusPack, Some(corpusPackSql), "sequence packing into fixed context budgets (per-pack occupancy)"),
     GQuery("ext_corpus_curate", corpusCurate, Some(corpusCurateSql), "clean -> sample -> pack: the full curation pipeline, one DAG"),
@@ -6498,6 +6736,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_incr_persist", dedupIncrPersist, Some(dedupIncrementalSql), "persist-and-probe incremental dedup: band index written to parquet, re-read, probed"),
     GQuery("ext_dedup_spans", dedupSpans, Some(dedupSpansSql), "verbatim-span detection: exact substring overlaps via positional-gram diagonals"),
     GQuery("ext_cc_triangles", ccTriangles, Some(ccTrianglesSql), "triangle participation on the dup graph (degree-ordered wedge join)"),
+    GQuery("ext_cc_labelprop", ccLabelprop, Some(ccLabelpropSql), "synchronous LPA communities on the dup graph: mode-of-neighbors, 3 unrolled rounds"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_bandsweep", dedupBandSweep, Some(dedupBandSweepSql), "LSH band-sweep: candidate cost + pair recall at rows-per-band 1/2/4"),
@@ -6561,6 +6800,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_attrib", eventsAttrib, Some(eventsAttribSql), "last-touch attribution: purchase -> latest click within 24h, daily rate + latency"),
     GQuery("ext_events_touchpoints", eventsTouchpoints, Some(eventsTouchpointsSql), "multi-touch path-length distribution per day (binned range join, 24h lookback)"),
     GQuery("ext_events_anomaly", eventsAnomaly, Some(eventsAnomalySql), "trailing-3-day volume anomaly flags: integer spike/drop rules per type-day"),
+    GQuery("ext_events_cusum", eventsCusum, Some(eventsCusumSql), "CUSUM level-shift changepoint per type: BIGINT drift argmax, before/after means"),
     GQuery("ext_events_ltv", eventsLtv, Some(eventsLtvSql), "cohort LTV triangle: signup cohorts x age, cumulative cent-exact revenue per user"),
     GQuery("ext_events_rfm", eventsRfm, Some(eventsRfmSql), "RFM segmentation: tie-coherent quartile scores off distinct-value frames, per-cell rollup"),
     GQuery("ext_ts_acf", tsAcf, Some(tsAcfSql), "daily-count autocorrelation at lags 1..7: exact cross-multiplied BIGINT residuals"),
@@ -6606,6 +6846,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_sketch_overlap", sketchOverlap, Some(sketchOverlapSql), "pairwise audience overlap via lincount inclusion-exclusion, exact-overlap audit"),
     GQuery("ext_pricing_q3", pricingQ3, Some(pricingQ3Sql), "TPC-H Q3-shaped shipping-priority top-10: broadcast dim semi-join + one fact-fact shuffle, cent-exact revenue"),
     GQuery("ext_pricing_q18", pricingQ18, Some(pricingQ18Sql), "TPC-H Q18-shaped large-volume orders: aggregate-then-semi-reduce, exact BIGINT quantity sums"),
+    GQuery("ext_pricing_q2", pricingQ2, Some(pricingQ2Sql), "TPC-H Q2-shaped cheapest-supplier argmin: window top-1 vs doubly-correlated subquery oracle"),
     GQuery("ext_pricing_q5", pricingQ5, Some(pricingQ5Sql), "TPC-H Q5-shaped local-supplier volume: broadcast-chain star join, one fact-fact shuffle"),
     GQuery("ext_sketch_rollup", sketchRollup, Some(sketchRollupSql), "hierarchical sketch rollup: per-day lincount states OR-merged up the time hierarchy"),
     GQuery("ext_sketch_joinsize", sketchJoinsize, Some(sketchJoinsizeSql), "join-size estimation from count-min inner products vs exact sum(cntA*cntB)"),

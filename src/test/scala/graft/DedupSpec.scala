@@ -164,6 +164,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("labelPropagation: dense communities survive the bridge edge components merge") {
+    // two triangles joined by one bridge (3-5): min-label CC collapses
+    // everything to one component; mode-label LPA keeps the two dense
+    // families apart because each side's mode stays local
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L), (5L, 7L),
+      (6L, 7L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val lpa = Dedup.labelPropagation(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 3L, 6L -> 3L, 7L -> 3L),
+      s"hand-simulated 3-round sync LPA with (count desc, label asc) ties: $lpa")
+    assert(lpa.values.toSet.size == 2, "the bridge must NOT merge the triangles")
+    val cc = Dedup.connectedComponents(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1, "components DO merge across the bridge")
+  }
+
   test("connectedComponentsStar: log-round convergence matches propagation") {
     // chain of 16 — propagation needs 15 rounds, star pairs need ~log2
     val chain = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -312,4 +312,28 @@ class SamplingSpec extends SparkSpec {
     assert(got == Map("removed" -> 1L, "unchanged" -> 1L,
       "changed" -> 1L, "added" -> 1L))
   }
+
+  test("ext_split_kfold: folds partition each stratum, audit matches the HOF hash twin") {
+    val got = SparkEntry.queries("ext_split_kfold")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent recompute through polyHashFold (the built-in-HOF twin of
+    // the native kernel the query uses) — same fold iff the hashes agree
+    val folds = docs
+      .select(col("lang"),
+        (graft.operators.Dedup.polyHashFold(
+          concat(col("doc_id").cast("string"), lit("|graft-kfold-7"))) % 5)
+          .as("fold"))
+      .groupBy("lang", "fold").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+    assert(got.keySet == folds.map(_._1).toSet)
+    folds.groupBy(_._1).foreach { case (lang, xs) =>
+      val cs = xs.map(_._3)
+      val (_, nDocs, used, mn, mx, ppm) = got(lang)
+      assert(nDocs == cs.sum, s"$lang: folds must partition the stratum")
+      assert(used == xs.length)
+      assert(mn == (if (xs.length < 5) 0L else cs.min) && mx == cs.max)
+      assert(ppm == (mx - mn) * 1000000L / nDocs)
+    }
+  }
 }

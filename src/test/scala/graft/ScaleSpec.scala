@@ -385,6 +385,17 @@ class ScaleSpec extends SparkSpec {
       "top-100 must plan as per-partition heaps, not a global sort")
   }
 
+  test("ext_pricing_q2: part slice broadcasts into the fact, size filter pushed, top-k heaps") {
+    val df = SparkEntry.queries("ext_pricing_q2")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the p_size slice must broadcast onto lineitem — never shuffle the fact for a dim filter")
+    assert(plan.contains("LessThanOrEqual(p_size"),
+      "the size predicate must reach the part parquet scan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must plan as per-partition heaps, not a global sort")
+  }
+
   test("ext_classify_calib: banding is arithmetic, never a rank window") {
     val df = SparkEntry.queries("ext_classify_calib")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

@@ -396,6 +396,46 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ext_events_cusum: argmax drift matches a driver recompute per type") {
+    val got = SparkEntry.queries("ext_events_cusum")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Option[Double], Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val dayNs = 86400000000000L
+    val raw = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, Long, Long)].collect()
+    val lo = raw.map(_._2).min
+    val hi = raw.map(_._2).max
+    assert(got.keySet == raw.map(_._1).toSet)
+    raw.groupBy(_._1).foreach { case (t, xs) =>
+      val byDay = xs.map(r => r._2 -> r._3).toMap
+      val y = (lo to hi).map(d => byDay.getOrElse(d, 0L)).toArray
+      val n = y.length.toLong
+      val s = y.sum
+      var p = 0L
+      val drifts = y.zipWithIndex.map { case (v, i) =>
+        p += v; (lo + i, (i + 1).toLong, n * p - (i + 1) * s)
+      }
+      val (cpDay, cpIdx, dMax) =
+        drifts.minBy { case (day, _, dr) => (-math.abs(dr), day) }
+      val (gN, gDay, gIdx, gDrift) =
+        (got(t)._2, got(t)._3, got(t)._4, got(t)._5)
+      assert(gN == n && gDay == cpDay && gIdx == cpIdx && gDrift == dMax,
+        s"$t: got (${gDay},${gIdx},${gDrift}) want ($cpDay,$cpIdx,$dMax)")
+      // mean before/after consistency with the integer prefix at the cut
+      val pAtCp = y.take(cpIdx.toInt).sum
+      val expBefore = BigDecimal(pAtCp.toDouble / cpIdx)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(t)._7 - expBefore) < 1e-9)
+      if (cpIdx < n) {
+        val expAfter = BigDecimal((s - pAtCp).toDouble / (n - cpIdx))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(t)._8.get - expAfter) < 1e-9)
+      }
+    }
+  }
+
   test("ext_events_rfm: scores in 1..4, tie-coherent, cells conserve users and cents") {
     val rows = SparkEntry.queries("ext_events_rfm")(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
