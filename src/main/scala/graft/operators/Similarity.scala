@@ -933,4 +933,84 @@ object Similarity {
     selected.select(col("q_id"), col("pick"),
       col("sel").as("selected_id"), round(col("score"), 6).as("mmr"))
   }
+
+  /** TOP PRINCIPAL COMPONENT by power iteration — ENTIRELY on integer
+    * grids, so both engines (and any partitioning) produce the
+    * bit-identical eigenvector:
+    *
+    *  1. components quantize to the 1e6 grid (q = round(x·1e6));
+    *  2. the centered Gram matrix is exact BIGINT arithmetic
+    *     (C_ij = n·Σq_i q_j − S_i·S_j — the n² factors are uniform and
+    *     cancel in the eigenproblem), then scales down by a fixed
+    *     truncating division so the matvec below can never overflow;
+    *  3. each of the fixed `rounds` iterations is an integer matvec
+    *     (order-free BIGINT sums — no float fold to stabilize) followed
+    *     by an integer renormalization to the 1e6 grid
+    *     (v' = m div (max|m| div 1e6), truncation sign-symmetric on
+    *     both engines via the explicit CASE).
+    *
+    * The only floats are the three reported statistics (unit-norm
+    * loading, Rayleigh quotient, explained-variance share) — fixed
+    * trees over the final integers; sqrt is IEEE-correctly-rounded so
+    * even the loading is bit-stable.
+    *
+    * Scale shape: the corpus-sized steps are the quantize explode
+    * (n·d rows) and the Gram aggregate (n·d² products, map-side
+    * combined — the shuffle carries ≤ partitions·d² rows); everything
+    * after runs on the d² matrix frame with the d-row vector broadcast
+    * into each round. At 100 TB you would fold per-partition Gramians
+    * first; the aggregate here IS that shape.
+    */
+  def pcaTopComponent(embeddings: DataFrame, idCol: String, vecCol: String,
+      rounds: Int, grid: Long, cDiv: Long): DataFrame = {
+    // sign-symmetric truncating division — Spark's `div` truncates toward
+    // zero but the oracle's `//` floors, so both sides spell it explicitly
+    def truncDiv(a: String, b: String) =
+      s"CASE WHEN ($a) < 0 THEN -CAST((-($a)) div ($b) AS BIGINT)" +
+        s" ELSE CAST(($a) div ($b) AS BIGINT) END"
+    val q = embeddings
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        expr(s"CAST(round(CAST(x AS DOUBLE) * $grid, 0) AS BIGINT)").as("q"))
+      .localCheckpoint()
+    val sums = q.groupBy("i").agg(sum("q").as("s"))
+    val nf = q.agg((count(lit(1)) / max("i").plus(1).cast("long"))
+      .cast("long").as("n"))
+    val c = q.as("a").join(q.as("b"), "vec_id")
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.q") * col("b.q")).as("sqq"))
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(nf))
+      .selectExpr("i", "j", truncDiv("n * sqq - si * sj", cDiv.toString) + " AS c")
+      .localCheckpoint()
+    var v = sums.select(col("i"), lit(grid).as("v")).localCheckpoint(eager = false)
+    def matvec(vk: DataFrame): DataFrame = c
+      .join(broadcast(vk.select(col("i").as("j"), col("v"))), Seq("j"))
+      .groupBy("i").agg(sum(col("c") * col("v")).as("m"))
+    for (k <- 1 to rounds) {
+      val m = matvec(v)
+      val dv = m.agg(greatest(expr(s"CAST(max(abs(m)) div $grid AS BIGINT)"),
+        lit(1L)).as("dv"))
+      v = m.crossJoin(broadcast(dv))
+        .selectExpr("i", truncDiv("m", "dv") + " AS v")
+        .localCheckpoint(eager = k == rounds)
+    }
+    // Rayleigh quotient and explained variance off one final matvec,
+    // reduced onto coarser grids so the products stay in 64 bits
+    val fin = matvec(v).join(v, Seq("i"))
+    val stats = fin
+      .selectExpr("i",
+        truncDiv("v", "1000") + " AS vs",
+        truncDiv("m", "1000000") + " AS ms",
+        "v * v AS v2")
+      .agg(sum(expr("vs * ms")).as("num"), sum(expr("vs * vs")).as("den"),
+        sum("v2").as("vv"))
+    val trace = c.where(col("i") === col("j")).agg(sum("c").as("tr"))
+    v.crossJoin(broadcast(stats)).crossJoin(broadcast(trace))
+      .select(col("i").as("dim"), col("v").as("v_grid"),
+        round(col("v") / sqrt(col("vv")), 6).as("loading"),
+        round(col("num") / col("den"), 6).as("rayleigh"),
+        round(col("num") * 1000.0 / col("den") / col("tr"), 6).as("ev_share"))
+  }
 }

@@ -6688,6 +6688,75 @@ object ExtQueries extends QueryGroup {
        FROM l$LpaRounds GROUP BY 1"""
   }
 
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus
+    * ([[Similarity.pcaTopComponent]]): the dimensionality-reduction /
+    * whitening primitive an embedding pipeline runs at ingest (drop
+    * the dominant direction to de-bias, or project onto it to rank
+    * variance). Power iteration runs ENTIRELY on integer grids —
+    * quantized components, exact BIGINT centered Gram matrix, integer
+    * matvec + integer renormalization per round — so the eigenvector
+    * is bit-identical across engines and partitionings; the oracle
+    * unrolls the same $PcaRounds rounds as CTEs with the identical
+    * sign-symmetric truncating divisions.
+    */
+  private val PcaGrid = 1000000L
+  private val PcaCDiv = 100000000L
+  private val PcaRounds = 8
+
+  private def embPca(s: SparkSession, d: String): DataFrame =
+    Similarity.pcaTopComponent(Tables.embeddings(s, d), "vec_id", "embedding",
+      PcaRounds, PcaGrid, PcaCDiv)
+
+  private def pcaTruncDiv(a: String, b: String) =
+    s"CASE WHEN ($a) < 0 THEN -CAST((-($a)) // ($b) AS BIGINT)" +
+      s" ELSE CAST(($a) // ($b) AS BIGINT) END"
+
+  private lazy val embPcaSql = {
+    // MATERIALIZED everywhere a CTE is referenced more than once: the
+    // unrolled chain re-references c and each round's m/v — inlined,
+    // the expression tree doubles per round and DuckDB plans 2^rounds
+    // copies of the Gram aggregate
+    val rounds = (1 to PcaRounds).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS m
+                FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1),
+         d$k AS (SELECT greatest(CAST(max(abs(m)) // $PcaGrid AS BIGINT),
+                   CAST(1 AS BIGINT)) AS dv FROM m$k),
+         v$k AS MATERIALIZED (SELECT i, ${pcaTruncDiv("m", "dv")} AS v
+                 FROM m$k CROSS JOIN d$k)"""
+    }.mkString(",\n")
+    s"""WITH q AS (
+         SELECT vec_id, i,
+                CAST(round(CAST(e[i + 1] AS DOUBLE) * $PcaGrid, 0) AS BIGINT) AS q
+         FROM (SELECT vec_id, embedding AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings) t),
+       s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1),
+       nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM q),
+       cp AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sqq
+              FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+       c AS MATERIALIZED (SELECT cp.i, cp.j,
+                    ${pcaTruncDiv("n * sqq - si.s * sj.s", PcaCDiv.toString)} AS c
+             FROM cp JOIN s si ON si.i = cp.i
+                     JOIN s sj ON sj.i = cp.j CROSS JOIN nn),
+       v0 AS (SELECT i, CAST($PcaGrid AS BIGINT) AS v FROM s),
+       $rounds,
+       mf AS (SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS m
+              FROM c JOIN v$PcaRounds v ON v.i = c.j GROUP BY 1),
+       fin AS (SELECT f.i, f.v, mf.m FROM v$PcaRounds f JOIN mf ON mf.i = f.i),
+       st AS (SELECT CAST(sum(vs * ms) AS BIGINT) AS num,
+                     CAST(sum(vs * vs) AS BIGINT) AS den,
+                     CAST(sum(v * v) AS BIGINT) AS vv
+              FROM (SELECT v, ${pcaTruncDiv("v", "1000")} AS vs,
+                           ${pcaTruncDiv("m", "1000000")} AS ms
+                    FROM fin) t),
+       tr AS (SELECT CAST(sum(c) AS BIGINT) AS tr FROM c WHERE i = j)
+       SELECT i AS dim, v AS v_grid,
+              round(v / sqrt(vv), 6) AS loading,
+              round(num / den, 6) AS rayleigh,
+              round(num * 1000.0 / den / tr, 6) AS ev_share
+       FROM v$PcaRounds CROSS JOIN st CROSS JOIN tr"""
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -6780,6 +6849,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_filtered", annFiltered, Some(annFilteredSql), "filtered vector search: pre-filter vs post-filter within the query's label"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_emb_silhouette", embSilhouette, Some(embSilhouetteSql), "per-vector simplified silhouette + assignment margin over the coarse quantizer"),
+    GQuery("ext_emb_pca", embPca, Some(embPcaSql), "top principal component: integer-grid power iteration, 8 unrolled rounds, exact BIGINT Gram"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_split_leakfree", splitLeakfree, Some(splitLeakfreeSql), "leakage-safe split: whole near-dup clusters per split, cross-split pairs audited"),
     GQuery("ext_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql), "quality-aware canonical selection: argmax-quality survivor per near-dup cluster"),

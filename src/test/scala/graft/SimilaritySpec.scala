@@ -561,4 +561,51 @@ class SimilaritySpec extends SparkSpec {
       .select("pick", "selected_id").as[(Int, Long)].collect().toSeq
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
   }
+
+  test("pcaTopComponent ≡ the same integer power iteration run sequentially") {
+    val got = SparkEntry.queries("ext_emb_pca")(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 64)
+    // invariants: unit-norm loading, positive explained variance <= 1
+    val norm = math.sqrt(got.map(r => r._3 * r._3).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loading norm $norm")
+    val share = got.head._5
+    assert(got.forall(r => r._5 == share))
+    assert(share > 0.0 && share <= 1.0 + 1e-9, s"ev_share $share")
+    // exact driver recompute of the identical integer algorithm
+    def truncDiv(a: Long, b: Long): Long =
+      if (a < 0) -((-a) / b) else a / b
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val d = vecs.head._2.length
+    val n = vecs.length.toLong
+    val q = vecs.map(_._2.map(x => math.round(x.toDouble * 1e6)))
+    val s = Array.tabulate(d)(i => q.map(_(i)).sum)
+    val c = Array.tabulate(d, d) { (i, j) =>
+      val sqq = q.map(row => row(i) * row(j)).sum
+      truncDiv(n * sqq - s(i) * s(j), 100000000L)
+    }
+    var v = Array.fill(d)(1000000L)
+    def matvec(vk: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * vk(j)).sum)
+    for (_ <- 1 to 8) {
+      val m = matvec(v)
+      val dv = math.max(m.map(math.abs).max / 1000000L, 1L)
+      v = m.map(truncDiv(_, dv))
+    }
+    val expected = v.zipWithIndex.map { case (x, i) => i.toLong -> x }.toMap
+    got.foreach { case (dim, vg, _, _, _) =>
+      assert(vg == expected(dim), s"dim $dim: $vg vs ${expected(dim)}")
+    }
+    // and it is genuinely the dominant direction: Rayleigh of the result
+    // strictly exceeds Rayleigh of the all-ones start
+    def ray(u: Array[Long]): Double = {
+      val m = matvec(u)
+      u.zip(m).map { case (a, b) => a.toDouble * b }.sum /
+        u.map(a => a.toDouble * a).sum
+    }
+    assert(ray(v) > ray(Array.fill(d)(1000000L)),
+      "power iteration must improve on the start vector")
+  }
 }
