@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance — the materialized-view pattern that
@@ -68,4 +69,39 @@ object Incremental {
   def withDerived(state: DataFrame): DataFrame =
     state.withColumn("avg_value",
       round(col("total_cents") / 100.0 / col("n_events"), 6))
+
+  /** Mergeable TOP-K state (leaderboard maintenance): per group, the K
+    * best (score, id) entries; merging two states is union + re-cut,
+    * and `mergeTopK(topK(A), topK(B)) ≡ topK(A ∪ B)` for any split —
+    * a bounded semilattice, so daily partial leaderboards fold into
+    * the global one without rescanning history.
+    *
+    * THE PRECONDITION IS IMMUTABLE PER-ITEM SCORES. Top-k over scores
+    * that themselves accumulate across batches (a user's running
+    * total) is NOT mergeable: an entity below the cut in every batch
+    * can be above it in the union (IncrementalSpec constructs the
+    * counterexample). The incremental form of that problem is
+    * [[eventState]] (keep the FULL per-key monoid state) followed by a
+    * final top-k over the merged state.
+    *
+    * Scale shape: the per-batch cut is a (group)-partitioned window
+    * over the batch only, and every merge runs on ≤ 2K rows per group.
+    */
+  def topKCut(state: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").desc, col("event_id").asc)
+    state.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select("event_type", "event_id", "cents")
+  }
+
+  /** Per-group top-K single events (exact cents, total (score, id)
+    * tiebreak) over one batch.
+    */
+  def topKState(events: DataFrame, k: Int): DataFrame =
+    topKCut(events.select(col("event_type"), col("event_id"),
+      cents.as("cents")), k)
+
+  /** Merge two top-K states: union then re-cut. */
+  def mergeTopK(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    topKCut(a.unionByName(b), k)
 }

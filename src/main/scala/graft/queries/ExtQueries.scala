@@ -3764,6 +3764,38 @@ object ExtQueries extends QueryGroup {
       Incremental.eventState(ev.where(col("ts") >= IncrCutoffNs))))
   }
 
+  /** INCREMENTAL TOP-K maintenance ([[Incremental.topKState]]): the
+    * per-type value leaderboard kept as a mergeable K-row-per-group
+    * state — the same state ⊕ delta ≡ full-recompute gate as
+    * ext_incr_agg (the split at IncrCutoffNs exists only Spark-side;
+    * the oracle computes the one-shot top-k directly, so the oracle
+    * PASS is the merge-correctness proof). Precondition documented at
+    * the operator: per-item scores must be immutable — accumulating
+    * scores are incr_agg's problem.
+    */
+  private val IncrTopK = 10
+
+  private def incrTopk(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val merged = Incremental.mergeTopK(
+      Incremental.topKState(ev.where(col("ts") < IncrCutoffNs), IncrTopK),
+      Incremental.topKState(ev.where(col("ts") >= IncrCutoffNs), IncrTopK),
+      IncrTopK)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").desc, col("event_id").asc)
+    merged.withColumn("rnk", row_number().over(w).cast("long"))
+      .select("event_type", "rnk", "event_id", "cents")
+  }
+
+  private val incrTopkSql =
+    s"""WITH c AS (SELECT event_type, event_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+       r AS (SELECT event_type, event_id, cents,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents DESC, event_id) AS BIGINT) AS rnk
+             FROM c)
+       SELECT event_type, rnk, event_id, cents FROM r WHERE rnk <= $IncrTopK"""
+
   private val incrAggSql =
     """WITH c AS (SELECT user_id,
            CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
@@ -6877,6 +6909,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ts_forecast", tsForecast, Some(tsForecastSql), "seasonal-naive lag-7 backtest vs naive-1: per-type MAE + skill from integer sums"),
     GQuery("ext_stats_analyze", statsAnalyze, Some(statsAnalyzeSql), "ANALYZE-style per-column stats (count/nulls/ndv/min/max) in one fused scan"),
     GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),
+    GQuery("ext_incr_topk", incrTopk, Some(incrTopkSql), "mergeable top-k leaderboard: split-batch states merge to the one-shot top-k"),
     GQuery("ext_pricing_summary", pricingSummary, Some(pricingSummarySql), "TPC-H Q1-shaped fact aggregate (cent-exact, map-side partials)"),
     GQuery("ext_events_retention", eventsRetention, Some(eventsRetentionSql), "cohort retention grid (first-week cohorts x week offset)"),
     GQuery("ext_events_novelty", eventsNovelty, Some(eventsNoveltySql), "per-day novelty-rate drift monitor (first-seen key fraction)"),
