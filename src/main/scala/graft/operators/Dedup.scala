@@ -589,6 +589,43 @@ object Dedup {
     labels
   }
 
+  /** MULTI-SOURCE BFS over the pair graph: exact hop distance from a
+    * seed set, `rounds` synchronous relaxations —
+    * dist' = min(dist, min over neighbors (dist_nbr + 1)). The
+    * dup-graph use is template-radius: how many hops every near-dup
+    * sits from a hub/canonical node (radius > rounds ⇒ unreached,
+    * reported as distance −1). Same per-round shape and lineage
+    * discipline as [[connectedComponents]]: one aggregate over the
+    * persisted edges + a broadcast-able distance attach per round.
+    */
+  def bfsDistance(pairs: DataFrame, seeds: DataFrame, rounds: Int,
+      broadcastDist: Boolean = false): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastDist) broadcast(_) else identity
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var dist = nodes
+      .join(seeds.select(col("doc_id"), lit(0L).as("__s")), Seq("doc_id"), "left")
+      .select(col("doc_id"), when(col("__s").isNotNull, 0L).as("dist"))
+      .localCheckpoint(eager = false)
+    for (it <- 0 until rounds) {
+      val nbr = edges
+        .join(hint(dist.select(col("doc_id").as("dst"), col("dist"))), Seq("dst"))
+        .where(col("dist").isNotNull)
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dist") + 1).as("__nd"))
+      dist = dist.join(hint(nbr), Seq("doc_id"), "left")
+        .select(col("doc_id"), least(
+          coalesce(col("dist"), col("__nd")),
+          coalesce(col("__nd"), col("dist"))).as("dist"))
+        .localCheckpoint(eager = it == rounds - 1)
+    }
+    edges.unpersist()
+    dist.select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   /** SYNCHRONOUS LABEL PROPAGATION (community detection): every node
     * starts labeled with its own id; each round it adopts the MODE of
     * its neighbors' previous-round labels, ties broken by the smallest

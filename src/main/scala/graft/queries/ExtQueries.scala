@@ -6789,6 +6789,110 @@ object ExtQueries extends QueryGroup {
        FROM v$PcaRounds CROSS JOIN st CROSS JOIN tr"""
   }
 
+  /** TEMPLATE-RADIUS HISTOGRAM: multi-source BFS distance from the
+    * dup graph's HUB nodes (degree ≥ $BfsHubDeg) — how many hops every
+    * near-dup sits from a template center ([[Dedup.bfsDistance]],
+    * $BfsRounds synchronous relaxations; unreached = −1). Hop-0 counts
+    * the hubs themselves; a heavy tail at −1 means the graph is
+    * drift-chains, not template families — the actionable split
+    * between "delete the template" and "cluster-then-keep-one".
+    */
+  private val BfsRounds = 4
+  private val BfsHubDeg = 2
+
+  private def ccBfs(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val seeds = deg.where(col("deg") >= BfsHubDeg).select("doc_id")
+    Dedup.bfsDistance(pairs, seeds, BfsRounds, broadcastDist = true)
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private lazy val ccBfsSql = {
+    val rounds = (0 until BfsRounds).map { k =>
+      s"""d${k + 1} AS MATERIALIZED (
+           SELECT d.doc_id,
+                  least(coalesce(d.dist, nm.nd), coalesce(nm.nd, d.dist)) AS dist
+           FROM d$k d LEFT JOIN (
+             SELECT e.s AS doc_id, min(dn.dist) + 1 AS nd
+             FROM e JOIN d$k dn ON e.d = dn.doc_id
+             WHERE dn.dist IS NOT NULL GROUP BY 1) nm USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($dedupMinhashSql),
+       e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT s AS doc_id, count(*) AS deg FROM e GROUP BY 1),
+       d0 AS MATERIALIZED (
+         SELECT doc_id, CASE WHEN deg >= $BfsHubDeg
+                             THEN CAST(0 AS BIGINT) END AS dist
+         FROM deg),
+       $rounds
+       SELECT coalesce(dist, CAST(-1 AS BIGINT)) AS dist,
+              CAST(count(*) AS BIGINT) AS n_nodes
+       FROM d$BfsRounds GROUP BY 1"""
+  }
+
+  /** DP-STYLE NOISED HISTOGRAM RELEASE: per-language doc counts with
+    * Laplace(sensitivity/ε) noise via inverse-CDF sampling — the
+    * fourth privacy lane (k-anon/l-div/t-close audit; this one
+    * RELEASES). The uniform draw is the salted polyHash of the group
+    * key mapped to (−1, 1) — a deterministic PRNG stand-in (the
+    * multimodal-codec discipline: a production release re-seeds per
+    * publication; the MECHANISM — inverse CDF, sensitivity/ε scale,
+    * integer noised counts — is what ships and is exactly testable).
+    * noise = −(1/ε)·sign(u)·ln(1 − |u|), quantized to the 1e6 grid
+    * per row; the noised count adds the sign-symmetric truncation of
+    * the grid noise.
+    */
+  private val DpSalt = "|graft-dp-eps"
+  private val DpScale = 2.0 // sensitivity 1 / epsilon 0.5
+
+  private def privacyDp(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val u = Dedup.polyHash(concat(col("lang"), lit(DpSalt))) % 2000001L -
+      lit(1000000L)
+    Tables.documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("__u", u)
+      .withColumn("__raw",
+        expr(s"ln(1.0 - CAST(abs(__u) AS DOUBLE) / 1000001.0)"))
+      .withColumn("noise_grid",
+        expr(s"CAST(round((CASE WHEN __u < 0 THEN $DpScale * __raw" +
+          s" ELSE -($DpScale) * __raw END) * 1000000, 0) AS BIGINT)"))
+      .select(col("lang"), col("n_docs"),
+        round(col("noise_grid") / 1000000.0, 6).as("noise"),
+        expr("n_docs + (CASE WHEN noise_grid < 0" +
+          " THEN -CAST((-noise_grid) div 1000000 AS BIGINT)" +
+          " ELSE CAST(noise_grid div 1000000 AS BIGINT) END)")
+          .as("noised_count"))
+  }
+
+  private val privacyDpSql =
+    s"""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+       u AS (SELECT lang, n_docs,
+               ${polyHashSql(s"lang || '$DpSalt'")} % 2000001 - 1000000 AS u
+             FROM g),
+       r AS (SELECT lang, n_docs, u,
+               ln(1.0 - CAST(abs(u) AS DOUBLE) / 1000001.0) AS raw
+             FROM u),
+       n AS (SELECT lang, n_docs,
+               CAST(round((CASE WHEN u < 0 THEN $DpScale * raw
+                           ELSE -($DpScale) * raw END) * 1000000, 0)
+                 AS BIGINT) AS noise_grid
+             FROM r)
+       SELECT lang, n_docs,
+              round(noise_grid / 1000000.0, 6) AS noise,
+              n_docs + (CASE WHEN noise_grid < 0
+                        THEN -CAST((-noise_grid) // 1000000 AS BIGINT)
+                        ELSE CAST(noise_grid // 1000000 AS BIGINT) END)
+                AS noised_count
+       FROM n"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -6838,6 +6942,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_spans", dedupSpans, Some(dedupSpansSql), "verbatim-span detection: exact substring overlaps via positional-gram diagonals"),
     GQuery("ext_cc_triangles", ccTriangles, Some(ccTrianglesSql), "triangle participation on the dup graph (degree-ordered wedge join)"),
     GQuery("ext_cc_labelprop", ccLabelprop, Some(ccLabelpropSql), "synchronous LPA communities on the dup graph: mode-of-neighbors, 3 unrolled rounds"),
+    GQuery("ext_cc_bfs", ccBfs, Some(ccBfsSql), "template-radius histogram: multi-source BFS from degree hubs, 4 unrolled rounds, unreached = -1"),
     GQuery("ext_dedup_jaccard_capped", dedupJaccardCapped, Some(dedupJaccardCappedSql), "Jaccard with hot-shingle DF cap (scale path, exact verify)"),
     GQuery("ext_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), "MinHash+LSH banding near-dup"),
     GQuery("ext_dedup_bandsweep", dedupBandSweep, Some(dedupBandSweepSql), "LSH band-sweep: candidate cost + pair recall at rows-per-band 1/2/4"),
@@ -6889,6 +6994,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_privacy_kanon", privacyKanon, Some(privacyKanonSql), "k-anonymity audit: violating quasi-id classes and row fractions per threshold"),
     GQuery("ext_privacy_ldiv", privacyLdiv, Some(privacyLdivSql), "l-diversity audit: distinct sensitive bands per quasi-id class, violation sweep"),
     GQuery("ext_privacy_tclose", privacyTclose, Some(privacyTcloseSql), "t-closeness audit: per-class total-variation drift vs global sensitive distribution"),
+    GQuery("ext_privacy_dp", privacyDp, Some(privacyDpSql), "Laplace-noised histogram release: inverse-CDF noise on the 1e6 grid, deterministic PRNG stand-in"),
     GQuery("ext_events_describe", eventsDescribe, Some(eventsDescribeSql), "pandas describe() per group: exact-grid mean/std + order-stat quartiles"),
     GQuery("ext_cc_kcore", ccKcore, Some(ccKcoreSql), "k-core of the dup graph: iterative degree peel, unrolled oracle"),
     GQuery("ext_text_cdc", textCdc, Some(textCdcSql), "content-defined chunking: rolling-hash boundaries, chunk-dedup savings per source"),

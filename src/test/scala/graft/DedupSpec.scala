@@ -181,6 +181,22 @@ class DedupSpec extends SparkSpec {
     assert(cc.values.toSet.size == 1, "components DO merge across the bridge")
   }
 
+  test("bfsDistance: exact hops from a multi-source seed set, unreached = -1") {
+    // path 1-2-3-4-5 plus island 8-9; seeds {1, 9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq(1L, 9L).toDF("doc_id")
+    val got = Dedup.bfsDistance(pairs, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, // 4 hops away, beyond the 3-round horizon
+      8L -> 1L, 9L -> 0L))
+    // one more round reaches node 5
+    val more = Dedup.bfsDistance(pairs, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(more(5L) == 4L)
+  }
+
   test("connectedComponentsStar: log-round convergence matches propagation") {
     // chain of 16 — propagation needs 15 rounds, star pairs need ~log2
     val chain = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

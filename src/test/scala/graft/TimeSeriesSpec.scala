@@ -436,6 +436,25 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ext_privacy_dp: noise matches the inverse-CDF recompute from the group hash") {
+    val got = SparkEntry.queries("ext_privacy_dp")(spark, sf0001)
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val mod = graft.operators.Dedup.MinhashMod
+    got.foreach { case (lang, n, noise, noised) =>
+      // scalar replay of the polyHash fold and the Laplace inverse CDF
+      val h = (lang + "|graft-dp-eps").foldLeft(0L)((a, c) => (a * 31 + c) % mod)
+      val u = h % 2000001L - 1000000L
+      val raw = math.log(1.0 - math.abs(u).toDouble / 1000001.0)
+      val grid = math.round((if (u < 0) 2.0 * raw else -2.0 * raw) * 1e6)
+      val expNoise = BigDecimal(grid / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(noise - expNoise) < 1e-9, s"$lang: $noise vs $expNoise")
+      val trunc = if (grid < 0) -((-grid) / 1000000L) else grid / 1000000L
+      assert(noised == n + trunc, s"$lang: noised count must add the grid noise")
+    }
+  }
+
   test("ext_events_rfm: scores in 1..4, tie-coherent, cells conserve users and cents") {
     val rows = SparkEntry.queries("ext_events_rfm")(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
