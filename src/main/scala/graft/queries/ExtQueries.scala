@@ -6893,6 +6893,85 @@ object ExtQueries extends QueryGroup {
                 AS noised_count
        FROM n"""
 
+  /** TPC-H Q4-SHAPED EXISTS: orders placed in one quarter having AT
+    * LEAST ONE late-shipped lineitem (shipped > 30 days after the
+    * order date), counted per priority — the canonical correlated
+    * EXISTS whose Spark form is a LEFT SEMI join with a compound
+    * condition (key equality + the cross-table date inequality). The
+    * semi join deduplicates by construction: an order with five late
+    * lines counts once, which a plain inner join + distinct would pay
+    * a fact-sized distinct for.
+    */
+  private val Q4Lo = "1997-01-01 00:00:00"
+  private val Q4Hi = "1997-04-01 00:00:00"
+
+  private def pricingQ4(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= to_timestamp(lit(Q4Lo)) &&
+        col("o_orderdate") < to_timestamp(lit(Q4Hi)))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  private val pricingQ4Sql =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+       FROM orders o
+       WHERE o_orderdate >= TIMESTAMP '$Q4Lo'
+         AND o_orderdate < TIMESTAMP '$Q4Hi'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+       GROUP BY 1"""
+
+  /** PHRASE SEARCH over a positional inverted index: exact "$PhraseA
+    * $PhraseB" matches found by self-joining the (term, doc, pos)
+    * postings on (doc, pos+1) — the IR primitive BM25/TF-IDF ranking
+    * cannot express (bag-of-words loses adjacency). Top-20 docs by
+    * occurrence count with doc_id tiebreak.
+    *
+    * Scale shape: the postings explode is the corpus-sized step; BOTH
+    * sides of the positional join are pre-filtered to their single
+    * term, so the join input is |postings(term)| rows, not the corpus
+    * — at 100 TB the index is materialized once and term-bucketed, and
+    * this query never rebuilds it (the persisted-index lifecycle of
+    * ext_ann_ivf_persist applies unchanged).
+    */
+  private val PhraseA = "table"
+  private val PhraseB = "hash"
+  private val PhraseTopK = 20
+
+  private def searchPhrase(s: SparkSession, d: String): DataFrame = {
+    val post = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "w")))
+    val a = post.where(col("w") === PhraseA)
+      .select(col("doc_id"), col("pos"))
+    val b = post.where(col("w") === PhraseB)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id").asc)
+      .limit(PhraseTopK)
+  }
+
+  private val searchPhraseSql =
+    s"""WITH post AS (
+         SELECT doc_id, i AS pos, ws[i + 1] AS w
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+              unnest(range(0, len(ws))) u(i)),
+       a AS (SELECT doc_id, pos FROM post WHERE w = '$PhraseA'),
+       b AS (SELECT doc_id, pos - 1 AS pos FROM post WHERE w = '$PhraseB')
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM a JOIN b USING (doc_id, pos)
+       GROUP BY 1
+       ORDER BY n_occurrences DESC, doc_id LIMIT $PhraseTopK"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -6982,6 +7061,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivfpq", annIvfPq, Some(annIvfPqSql), "IVF-PQ: cell-pruned candidates scored against code reconstructions"),
     GQuery("ext_ann_rerank", annRerank, Some(annRerankSql), "two-stage retrieval: IVF-PQ top-c candidates exact-cosine re-ranked to top-k"),
     GQuery("ext_search_mmr", searchMmr, Some(searchMmrSql), "MMR diversification: greedy relevance-vs-redundancy picks over the exact top-8"),
+    GQuery("ext_search_phrase", searchPhrase, Some(searchPhraseSql), "positional-index phrase search: (doc, pos+1) postings self-join, top-20 by occurrences"),
+    GQuery("ext_pricing_q4", pricingQ4, Some(pricingQ4Sql), "TPC-H Q4-shaped EXISTS: late-shipment orders per priority via compound-condition semi join"),
     GQuery("ext_search_hybrid", searchHybrid, Some(searchHybridSql), "hybrid retrieval: dense cosine + lexical Jaccard legs fused by reciprocal rank"),
     GQuery("ext_ann_filtered", annFiltered, Some(annFilteredSql), "filtered vector search: pre-filter vs post-filter within the query's label"),
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),

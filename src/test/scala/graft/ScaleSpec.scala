@@ -396,6 +396,16 @@ class ScaleSpec extends SparkSpec {
       "top-100 must plan as per-partition heaps, not a global sort")
   }
 
+  test("ext_pricing_q4: EXISTS plans as one semi join, date window pushed to orders") {
+    val df = SparkEntry.queries("ext_pricing_q4")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "EXISTS must be a semi join — an inner join + distinct pays a fact-sized dedup")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      "both ends of the quarter window must reach the orders scan")
+  }
+
   test("ext_classify_calib: banding is arithmetic, never a rank window") {
     val df = SparkEntry.queries("ext_classify_calib")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

@@ -292,6 +292,28 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(slope - expected) < 1e-9, s"$slope vs $expected")
   }
 
+  test("ext_search_phrase: occurrence counts match a direct substring scan") {
+    val got = SparkEntry.queries("ext_search_phrase")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    // ground truth: count adjacent ("table","hash") pairs per doc
+    val truth = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ").sliding(2)
+          .count(p => p.length == 2 && p(0) == "table" && p(1) == "hash").toLong
+      }.filter(_._2 > 0).toMap
+    got.foreach { case (id, n) =>
+      assert(truth.get(id).contains(n), s"doc $id: $n vs ${truth.get(id)}")
+    }
+    // top-k really keeps the best: every kept count >= every omitted count
+    if (truth.size > got.size) {
+      val minKept = got.values.min
+      val omitted = truth.filterNot { case (id, _) => got.contains(id) }
+      assert(omitted.values.forall(_ <= minKept))
+    }
+  }
+
   test("ext_text_colloc: PMI matches a driver recompute; min-count and top-k hold") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("ext_text_colloc")(spark, sf0001)
