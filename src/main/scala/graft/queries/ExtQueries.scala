@@ -6497,37 +6497,12 @@ object ExtQueries extends QueryGroup {
     * Scale shape: ONE events aggregate → the (type × days) frame; both
     * windows partition by type over ≤ |days| rows.
     */
-  private def eventsCusum(s: SparkSession, d: String): DataFrame = {
-    val d0 = Tables.events(s, d)
-      .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
-      .agg(count(lit(1)).as("y"))
-    val bounds = d0.agg(min("day").as("lo"), max("day").as("hi"))
-    val spine = d0.select("event_type").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
-    val f = spine.join(d0, Seq("event_type", "day"), "left")
-      .na.fill(0L, Seq("y"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-    val tot = f.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("y").as("sm"))
-    val pre = f
-      .withColumn("p", sum(col("y")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("t", row_number().over(w).cast("long"))
-      .join(broadcast(tot), Seq("event_type"))
-      .withColumn("drift", col("n") * col("p") - col("t") * col("sm"))
-    val rank = Window.partitionBy("event_type")
-      .orderBy(abs(col("drift")).desc, col("day").asc)
-    pre.withColumn("rn", row_number().over(rank)).where(col("rn") === 1)
-      .select(col("event_type"), col("n").as("n_days"),
-        col("day").as("cp_day"), col("t").as("cp_index"), col("drift"),
-        when(col("sm") =!= 0,
-          round(col("drift") / (col("n") * col("sm")), 6)).as("drift_norm"),
-        round(col("p") / col("t"), 6).as("mean_before"),
-        when(col("t") < col("n"),
-          round((col("sm") - col("p")) / (col("n") - col("t")), 6))
-          .as("mean_after"))
-  }
+  private def eventsCusum(s: SparkSession, d: String): DataFrame =
+    graft.operators.Monitoring.cusumFromDaily(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
+        .agg(count(lit(1)).as("y")),
+      "event_type")
 
   private val eventsCusumSql =
     s"""WITH d0 AS (SELECT event_type, epoch_ns(ts) // $ZDayNs AS day,

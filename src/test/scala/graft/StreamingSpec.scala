@@ -571,6 +571,29 @@ class StreamingSpec extends SparkSpec {
     assert(state.lastClick.count() == users)
   }
 
+  test("streaming CUSUM ≡ batch changepoints under any split; replayed epoch no-ops") {
+    val ev = Tables.events(spark, sf0001)
+    val dayNs = 86400000000000L
+    val empty = ev.where(lit(false))
+    val state = new graft.streaming.MonitorStream.CusumState(empty, dayNs)
+    // NOT ts-ordered on purpose: additive counts are a commutative
+    // monoid, so arrival order must not matter (unlike attribution)
+    val batches = Seq(
+      ev.where(col("event_id") % 3 === 1),
+      ev.where(col("event_id") % 3 === 2),
+      ev.where(col("event_id") % 3 === 0))
+    batches.zipWithIndex.foreach { case (b, i) => state.sink(b, i.toLong) }
+    state.sink(batches(0), 0L) // at-least-once re-delivery must no-op
+    val streamed = state.changepoints()
+    val batch = SparkEntry.queries("ext_events_cusum")(spark, sf0001)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "folded-state CUSUM must equal the one-shot batch changepoints")
+    // the state really is the compact daily frame, not event history
+    val days = ev.select(expr(s"ts div $dayNs")).distinct().count()
+    val types = ev.select("event_type").distinct().count()
+    assert(state.daily.count() <= days * types)
+  }
+
   test("idempotent hist sink: batchId ledger turns a replayed epoch into a no-op") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("grp", "v")
