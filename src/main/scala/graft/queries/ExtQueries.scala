@@ -6947,6 +6947,75 @@ object ExtQueries extends QueryGroup {
        GROUP BY 1
        ORDER BY n_occurrences DESC, doc_id LIMIT $PhraseTopK"""
 
+  /** DAY-OF-WEEK SEASONALITY STRENGTH: one-way variance decomposition
+    * of the zero-filled daily totals across the 7 epoch-day-mod-7
+    * groups — η² = SS_between / SS_total. ext_ts_acf detects the
+    * period, ext_ts_forecast exploits it; this measures how much of
+    * the variance the weekly cycle explains (the go/no-go for a
+    * seasonal model at all). EXACT: residuals on the n·y − S grid,
+    * SS_total an integer sum; each group's between-term
+    * (n·S_g − n_g·S)²/n_g lands on a 1e6 integer grid via truncating
+    * division, so the η² numerator is an order-free BIGINT and the
+    * statistic is ONE double division. At 100 TB swap the squared
+    * sums to DECIMAL(38,0); the shape (one corpus aggregate → |days|
+    * frame → 7-row decomposition) is unchanged.
+    */
+  private def tsDow(s: SparkSession, d: String): DataFrame = {
+    val daily0 = Tables.events(s, d)
+      .groupBy(expr(s"ts div $ZDayNs").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val spine = daily0.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    val daily = spine.join(daily0, Seq("day"), "left").na.fill(0L, Seq("y"))
+      .withColumn("dow", expr("day % 7")).localCheckpoint()
+    val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sm"))
+    val sst = daily.crossJoin(broadcast(tot))
+      .select(((col("n") * col("y") - col("sm")) *
+        (col("n") * col("y") - col("sm"))).as("r2"))
+      .agg(sum("r2").as("sst"))
+    val grp = daily.groupBy("dow")
+      .agg(count(lit(1)).as("n_g"), sum("y").as("s_g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("b",
+        (col("n") * col("s_g") - col("n_g") * col("sm")) *
+          (col("n") * col("s_g") - col("n_g") * col("sm")))
+      .withColumn("bg", expr("b * 1000000 div n_g"))
+    val eta = grp.agg(sum("bg").as("ssb_grid"))
+    grp.crossJoin(broadcast(sst)).crossJoin(broadcast(eta))
+      .select(col("dow"), col("n_g").as("n_days"),
+        col("s_g").as("n_events"),
+        round(col("s_g") / col("n_g"), 6).as("mean_per_day"),
+        when(col("sst") =!= 0,
+          round(col("ssb_grid") / 1000000.0 / col("sst"), 6)).as("eta2"))
+  }
+
+  private val tsDowSql =
+    s"""WITH d0 AS (SELECT epoch_ns(ts) // $ZDayNs AS day,
+                         CAST(count(*) AS BIGINT) AS y
+                  FROM events GROUP BY 1),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+       daily AS (
+         SELECT s.day, s.day % 7 AS dow, CAST(coalesce(y, 0) AS BIGINT) AS y
+         FROM (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) s
+         LEFT JOIN d0 USING (day)),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS sm FROM daily),
+       sst AS (SELECT CAST(sum((n * y - sm) * (n * y - sm)) AS BIGINT) AS sst
+               FROM daily CROSS JOIN tot),
+       grp AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+                      CAST(sum(y) AS BIGINT) AS s_g
+               FROM daily GROUP BY 1),
+       b AS (SELECT dow, n_g, s_g,
+                    CAST((n * s_g - n_g * sm) * (n * s_g - n_g * sm) * 1000000
+                         // n_g AS BIGINT) AS bg
+             FROM grp CROSS JOIN tot),
+       eta AS (SELECT CAST(sum(bg) AS BIGINT) AS ssb_grid FROM b)
+       SELECT dow, n_g AS n_days, s_g AS n_events,
+              round(s_g / n_g, 6) AS mean_per_day,
+              CASE WHEN sst != 0
+                   THEN round(ssb_grid / 1000000.0 / sst, 6) END AS eta2
+       FROM b CROSS JOIN sst CROSS JOIN eta"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -7068,6 +7137,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_ltv", eventsLtv, Some(eventsLtvSql), "cohort LTV triangle: signup cohorts x age, cumulative cent-exact revenue per user"),
     GQuery("ext_events_rfm", eventsRfm, Some(eventsRfmSql), "RFM segmentation: tie-coherent quartile scores off distinct-value frames, per-cell rollup"),
     GQuery("ext_ts_acf", tsAcf, Some(tsAcfSql), "daily-count autocorrelation at lags 1..7: exact cross-multiplied BIGINT residuals"),
+    GQuery("ext_ts_dow", tsDow, Some(tsDowSql), "day-of-week seasonality strength: eta2 variance decomposition on the integer grid"),
     GQuery("ext_ts_forecast", tsForecast, Some(tsForecastSql), "seasonal-naive lag-7 backtest vs naive-1: per-type MAE + skill from integer sums"),
     GQuery("ext_stats_analyze", statsAnalyze, Some(statsAnalyzeSql), "ANALYZE-style per-column stats (count/nulls/ndv/min/max) in one fused scan"),
     GQuery("ext_incr_agg", incrAgg, Some(incrAggSql), "incremental aggregate maintenance: state ⊕ delta ≡ full recompute"),

@@ -436,6 +436,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ext_ts_dow: eta2 matches a driver variance decomposition, bounded [0,1]") {
+    val got = SparkEntry.queries("ext_ts_dow")(spark, sf0001)
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+    assert(got.map(_._1).sorted.toSeq == (0L to 6L))
+    val dayNs = 86400000000000L
+    val byDay = Tables.events(spark, sf0001)
+      .groupBy(expr(s"ts div $dayNs").as("d"))
+      .agg(count(lit(1)).as("y")).as[(Long, Long)].collect().toMap
+    val (lo, hi) = (byDay.keys.min, byDay.keys.max)
+    val days = (lo to hi).map(d => (d % 7, byDay.getOrElse(d, 0L)))
+    val n = days.length.toLong
+    val sm = days.map(_._2).sum
+    val sst = days.map { case (_, y) => val r = n * y - sm; r * r }.sum
+    val ssbGrid = days.groupBy(_._1).map { case (_, xs) =>
+      val ng = xs.length.toLong
+      val sg = xs.map(_._2).sum
+      val b = n * sg - ng * sm
+      b * b * 1000000L / ng
+    }.sum
+    val expEta = BigDecimal(ssbGrid / 1e6 / sst)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (dow, nDays, nEv, mean, eta) =>
+      assert(nDays == days.count(_._1 == dow))
+      assert(nEv == days.filter(_._1 == dow).map(_._2).sum)
+      assert(math.abs(mean - BigDecimal(nEv.toDouble / nDays).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(eta.get - expEta) < 1e-9, s"dow $dow: $eta vs $expEta")
+      assert(eta.get >= 0.0 && eta.get <= 1.0 + 1e-9)
+    }
+  }
+
   test("ext_privacy_dp: noise matches the inverse-CDF recompute from the group hash") {
     val got = SparkEntry.queries("ext_privacy_dp")(spark, sf0001)
       .as[(String, Long, Double, Long)].collect()
