@@ -606,8 +606,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     val nodes = edges.select(col("src").as("doc_id")).distinct()
+    // distinct: duplicate seed ids would fan the left join out and
+    // double-count that node in every downstream histogram
     var dist = nodes
-      .join(seeds.select(col("doc_id"), lit(0L).as("__s")), Seq("doc_id"), "left")
+      .join(seeds.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(0L).as("__s")), Seq("doc_id"), "left")
       .select(col("doc_id"), when(col("__s").isNotNull, 0L).as("dist"))
       .localCheckpoint(eager = false)
     for (it <- 0 until rounds) {

@@ -4,11 +4,45 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Sign-symmetric truncating integer division, spelled explicitly for
+  * each engine: Spark's `div` truncates toward zero while DuckDB's `//`
+  * floors, so any grid arithmetic that can go negative (PCA matvec,
+  * noise grids) must pin ONE semantics on both sides. Non-negative
+  * operands need none of this (trunc ≡ floor).
+  */
+object IntMath {
+  def truncDivSpark(a: String, b: String): String =
+    s"CASE WHEN ($a) < 0 THEN -CAST((-($a)) div ($b) AS BIGINT)" +
+      s" ELSE CAST(($a) div ($b) AS BIGINT) END"
+
+  def truncDivDuck(a: String, b: String): String =
+    s"CASE WHEN ($a) < 0 THEN -CAST((-($a)) // ($b) AS BIGINT)" +
+      s" ELSE CAST(($a) // ($b) AS BIGINT) END"
+}
+
 /** Pipeline-health statistics shared by the batch queries and their
   * streaming twins (a monitor that can only run in the nightly batch is
   * not a monitor).
   */
 object Monitoring {
+
+  /** Zero-fill a (groupCols..., day, y) daily frame onto the dense
+    * [min, max] day spine — every day-series statistic (ACF, CUSUM,
+    * forecast backtest, seasonality) needs the regular series, and a
+    * missing day IS a zero, not an absent observation. Bounds are
+    * GLOBAL so groups share one spine (comparable windows).
+    */
+  def dailySpine(d0: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val bounds = d0.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine =
+      if (groupCols.isEmpty)
+        bounds.select(explode(expr("sequence(lo, hi)")).as("day"))
+      else d0.select(groupCols.map(col): _*).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(groupCols.map(col) :+
+          explode(expr("sequence(lo, hi)")).as("day"): _*)
+    spine.join(d0, groupCols :+ "day", "left").na.fill(0L, Seq("y"))
+  }
 
   /** CUSUM level-shift changepoint per group over a (group, day, y)
     * daily-count frame: zero-fill onto the dense [min, max] day spine,
@@ -19,12 +53,7 @@ object Monitoring {
     * rows; callers reduce the corpus to the daily frame first.
     */
   def cusumFromDaily(d0: DataFrame, groupCol: String): DataFrame = {
-    val bounds = d0.agg(min("day").as("lo"), max("day").as("hi"))
-    val spine = d0.select(groupCol).distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col(groupCol), explode(expr("sequence(lo, hi)")).as("day"))
-    val f = spine.join(d0, Seq(groupCol, "day"), "left")
-      .na.fill(0L, Seq("y"))
+    val f = dailySpine(d0, Seq(groupCol))
     val w = Window.partitionBy(groupCol).orderBy("day")
     val tot = f.groupBy(groupCol)
       .agg(count(lit(1)).as("n"), sum("y").as("sm"))

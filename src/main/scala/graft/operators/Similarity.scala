@@ -965,9 +965,7 @@ object Similarity {
       rounds: Int, grid: Long, cDiv: Long): DataFrame = {
     // sign-symmetric truncating division — Spark's `div` truncates toward
     // zero but the oracle's `//` floors, so both sides spell it explicitly
-    def truncDiv(a: String, b: String) =
-      s"CASE WHEN ($a) < 0 THEN -CAST((-($a)) div ($b) AS BIGINT)" +
-        s" ELSE CAST(($a) div ($b) AS BIGINT) END"
+    def truncDiv(a: String, b: String) = IntMath.truncDivSpark(a, b)
     val q = embeddings
       .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
       .select(col("vec_id"), col("i").cast("long").as("i"),

@@ -6217,13 +6217,11 @@ object ExtQueries extends QueryGroup {
   private val AcfMaxLag = 7
 
   private def tsAcf(s: SparkSession, d: String): DataFrame = {
-    val daily0 = Tables.events(s, d)
-      .groupBy(expr(s"ts div $ZDayNs").as("day"))
-      .agg(count(lit(1)).as("y"))
-    val spine = daily0.agg(min("day").as("lo"), max("day").as("hi"))
-      .select(explode(expr("sequence(lo, hi)")).as("day"))
-    val daily = spine.join(daily0, Seq("day"), "left").na.fill(0L, Seq("y"))
-      .localCheckpoint()
+    val daily = graft.operators.Monitoring.dailySpine(
+      Tables.events(s, d)
+        .groupBy(expr(s"ts div $ZDayNs").as("day"))
+        .agg(count(lit(1)).as("y")),
+      Seq.empty).localCheckpoint()
     val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sm"))
     val r = daily.crossJoin(broadcast(tot))
       .select(col("day"), (col("n") * col("y") - col("sm")).as("r"))
@@ -6278,16 +6276,12 @@ object ExtQueries extends QueryGroup {
     * MAEs — identical float trees in both engines).
     */
   private def tsForecast(s: SparkSession, d: String): DataFrame = {
-    val daily0 = Tables.events(s, d)
-      .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
-      .agg(count(lit(1)).as("y"))
-    val bounds = daily0.agg(min("day").as("lo"), max("day").as("hi"))
-    val spine = daily0.select("event_type").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
     val w = Window.partitionBy("event_type").orderBy("day")
-    spine.join(daily0, Seq("event_type", "day"), "left")
-      .na.fill(0L, Seq("y"))
+    graft.operators.Monitoring.dailySpine(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
+          .agg(count(lit(1)).as("y")),
+        Seq("event_type"))
       .withColumn("p7", lag(col("y"), AcfMaxLag).over(w))
       .withColumn("p1", lag(col("y"), 1).over(w))
       .where(col("p7").isNotNull)
@@ -6715,8 +6709,7 @@ object ExtQueries extends QueryGroup {
       PcaRounds, PcaGrid, PcaCDiv)
 
   private def pcaTruncDiv(a: String, b: String) =
-    s"CASE WHEN ($a) < 0 THEN -CAST((-($a)) // ($b) AS BIGINT)" +
-      s" ELSE CAST(($a) // ($b) AS BIGINT) END"
+    graft.operators.IntMath.truncDivDuck(a, b)
 
   private lazy val embPcaSql = {
     // MATERIALIZED everywhere a CTE is referenced more than once: the
@@ -6840,9 +6833,8 @@ object ExtQueries extends QueryGroup {
           s" ELSE -($DpScale) * __raw END) * 1000000, 0) AS BIGINT)"))
       .select(col("lang"), col("n_docs"),
         round(col("noise_grid") / 1000000.0, 6).as("noise"),
-        expr("n_docs + (CASE WHEN noise_grid < 0" +
-          " THEN -CAST((-noise_grid) div 1000000 AS BIGINT)" +
-          " ELSE CAST(noise_grid div 1000000 AS BIGINT) END)")
+        expr("n_docs + " +
+          graft.operators.IntMath.truncDivSpark("noise_grid", "1000000"))
           .as("noised_count"))
   }
 
@@ -6862,10 +6854,8 @@ object ExtQueries extends QueryGroup {
              FROM r)
        SELECT lang, n_docs,
               round(noise_grid / 1000000.0, 6) AS noise,
-              n_docs + (CASE WHEN noise_grid < 0
-                        THEN -CAST((-noise_grid) // 1000000 AS BIGINT)
-                        ELSE CAST(noise_grid // 1000000 AS BIGINT) END)
-                AS noised_count
+              n_docs + ${graft.operators.IntMath
+                .truncDivDuck("noise_grid", "1000000")} AS noised_count
        FROM n"""
 
   /** TPC-H Q4-SHAPED EXISTS: orders placed in one quarter having AT
@@ -6961,12 +6951,11 @@ object ExtQueries extends QueryGroup {
     * frame → 7-row decomposition) is unchanged.
     */
   private def tsDow(s: SparkSession, d: String): DataFrame = {
-    val daily0 = Tables.events(s, d)
-      .groupBy(expr(s"ts div $ZDayNs").as("day"))
-      .agg(count(lit(1)).as("y"))
-    val spine = daily0.agg(min("day").as("lo"), max("day").as("hi"))
-      .select(explode(expr("sequence(lo, hi)")).as("day"))
-    val daily = spine.join(daily0, Seq("day"), "left").na.fill(0L, Seq("y"))
+    val daily = graft.operators.Monitoring.dailySpine(
+        Tables.events(s, d)
+          .groupBy(expr(s"ts div $ZDayNs").as("day"))
+          .agg(count(lit(1)).as("y")),
+        Seq.empty)
       .withColumn("dow", expr("day % 7")).localCheckpoint()
     val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sm"))
     val sst = daily.crossJoin(broadcast(tot))

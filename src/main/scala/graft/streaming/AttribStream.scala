@@ -18,30 +18,40 @@ import org.apache.spark.sql.functions._
   * click behind a later one and mis-attribute purchases between them —
   * the classic streaming-attribution bug this class exists to avoid.
   *
-  * State is ≤ |users| rows (one ts per user) — the watermark story at
-  * 100 TB is dropping users whose last click is older than the
-  * lookback, which this state supports by construction (an expired
-  * click can never attribute again, so pruning `click_ts <
-  * batchMinTs - lookback` is semantics-free). The batchId ledger makes
-  * the APPEND of attributed purchases replay-safe (the HistState
-  * discipline: attribution rows are additive state).
+  * State is bounded on BOTH sides: the click state is ≤ |users| rows
+  * (one ts per user — prunable past the lookback by construction: an
+  * expired click can never attribute again), and the attribution
+  * side folds each batch's scored purchases into an ADDITIVE
+  * (day, counts, latency-sum) frame — ≤ |days| rows forever, never a
+  * growing per-purchase history. The batchId ledger makes the
+  * additive fold replay-safe (the HistState discipline).
+  *
+  * `initial` seeds the CLICK state only (the pre-stream picture a
+  * dimension load provides); attribution accounting starts at the
+  * first micro-batch — pre-stream purchases are history, not stream.
   */
 object AttribStream {
 
-  final class AttribState(initial: DataFrame, lookbackNs: Long) {
-    private val spark = initial.sparkSession
+  final class AttribState(initial: DataFrame, lookbackNs: Long,
+      dayNs: Long) {
     /** (user_id, click_ts): the latest click seen per user. */
     @volatile var lastClick: DataFrame = initial
       .where(col("event_type") === "click")
       .groupBy("user_id").agg(max(col("ts")).as("click_ts"))
       .localCheckpoint()
-    /** Accumulated per-purchase attribution rows. */
-    @volatile var attributed: DataFrame = spark.emptyDataFrame
-    private var empty = true
+    /** Additive per-day attribution state: purchases, attributed,
+      * exact latency-ns sum. Seeded schema-correct and empty so a
+      * probe before the first batch returns zero rows, not an error.
+      */
+    @volatile var daily: DataFrame =
+      dailyOf(scoreAgainst(initial.where(lit(false)), lastClick))
+        .localCheckpoint()
     private val applied = scala.collection.mutable.Set.empty[Long]
 
-    def sink(batch: DataFrame, batchId: Long): Unit = synchronized {
-      if (!applied.add(batchId)) return // replayed epoch (additive state)
+    /** The batch query's own union-and-window pass over batch ∪ the
+      * carried state as synthetic clicks → per-purchase attribution.
+      */
+    private def scoreAgainst(batch: DataFrame, clicks: DataFrame): DataFrame = {
       val rows = batch
         .where(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -50,13 +60,13 @@ object AttribStream {
       // carried state enters the batch window as synthetic click rows
       // (event_id -1 sorts any real same-ts click after it, which is
       // irrelevant: equal ts means equal attribution)
-      val pseudo = lastClick.select(col("user_id"),
+      val pseudo = clicks.select(col("user_id"),
         col("click_ts").as("ts"), lit(-1L).as("event_id"),
         lit("click").as("event_type"), lit(1).as("__c"))
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("__c").desc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val scored = rows.unionByName(pseudo)
+      rows.unionByName(pseudo)
         .withColumn("__click_ts",
           last(when(col("__c") === 1, col("ts")), ignoreNulls = true).over(w))
         .where(col("event_type") === "purchase")
@@ -65,35 +75,45 @@ object AttribStream {
             col("ts") - col("__click_ts") <= lookbackNs).cast("int")
             .as("__attr"),
           col("__click_ts"))
+    }
+
+    /** Reduce scored purchases to the additive daily monoid. */
+    private def dailyOf(scored: DataFrame): DataFrame = scored
+      .groupBy(expr(s"ts div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("__attr")).cast("long").as("n_attributed"),
+        sum(when(col("__attr") === 1, col("ts") - col("__click_ts"))
+          .otherwise(0L)).as("lat_ns"))
+
+    def sink(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!applied.add(batchId)) return // replayed epoch (additive state)
+      val scored = scoreAgainst(batch, lastClick)
+      val oldD = daily
+      daily = oldD.unionByName(dailyOf(scored))
+        .groupBy("day")
+        .agg(sum("n_purchases").as("n_purchases"),
+          sum("n_attributed").as("n_attributed"),
+          sum("lat_ns").as("lat_ns"))
         .localCheckpoint()
-      val oldA = attributed
-      attributed =
-        (if (empty) scored else oldA.unionByName(scored)).localCheckpoint()
-      if (!empty) Scd2Stream.releaseSnapshot(oldA)
-      empty = false
+      Scd2Stream.releaseSnapshot(oldD)
+      val clicks = batch
+        .where(col("event_type") === "click")
+        .groupBy("user_id").agg(max(col("ts")).as("click_ts"))
       val oldC = lastClick
-      lastClick = oldC
-        .unionByName(rows.where(col("__c") === 1)
-          .groupBy("user_id").agg(max(col("ts")).as("click_ts")))
+      lastClick = oldC.unionByName(clicks)
         .groupBy("user_id").agg(max(col("click_ts")).as("click_ts"))
         .localCheckpoint()
       Scd2Stream.releaseSnapshot(oldC)
     }
 
-    /** Daily rollup over the accumulated attributions — the same
-      * output columns as ext_events_attrib for the parity spec.
+    /** Daily rollup off the folded state — the same output columns as
+      * ext_events_attrib for the parity spec.
       */
-    def rollup(dayNs: Long): DataFrame =
-      attributed
-        .groupBy(expr(s"ts div $dayNs").as("day"))
-        .agg(count(lit(1)).as("n_purchases"),
-          sum(col("__attr")).cast("long").as("n_attributed"),
-          sum(when(col("__attr") === 1, col("ts") - col("__click_ts"))
-            .otherwise(0L)).as("__lat_ns"))
-        .select(col("day"), col("n_purchases"), col("n_attributed"),
-          round(col("n_attributed") / col("n_purchases"), 6).as("attr_rate"),
-          when(col("n_attributed") > 0,
-            round(col("__lat_ns") / col("n_attributed") / 60000000000.0, 4))
-            .as("mean_latency_min"))
+    def rollup(): DataFrame = daily
+      .select(col("day"), col("n_purchases"), col("n_attributed"),
+        round(col("n_attributed") / col("n_purchases"), 6).as("attr_rate"),
+        when(col("n_attributed") > 0,
+          round(col("lat_ns") / col("n_attributed") / 60000000000.0, 4))
+          .as("mean_latency_min"))
   }
 }

@@ -551,8 +551,11 @@ class StreamingSpec extends SparkSpec {
     val cut1 = minTs + (maxTs - minTs) / 3
     val cut2 = minTs + 2 * (maxTs - minTs) / 3
     val empty = ev.where(lit(false))
+    val dayNs = 86400L * 1000000000L
     val state = new graft.streaming.AttribStream.AttribState(
-      empty, 86400L * 1000000000L)
+      empty, 86400L * 1000000000L, dayNs)
+    assert(state.rollup().isEmpty,
+      "a probe before the first micro-batch must return zero rows, not throw")
     val batches = Seq(
       ev.where(col("ts") < cut1),
       ev.where(col("ts") >= cut1 && col("ts") < cut2),
@@ -561,7 +564,10 @@ class StreamingSpec extends SparkSpec {
     // at-least-once: re-deliver epoch 1 — additive attribution rows
     // must not duplicate
     state.sink(batches(1), 1L)
-    val streamed = state.rollup(86400L * 1000000000L)
+    // the carried state is the bounded daily frame, not purchase history
+    assert(state.daily.count() <=
+      ev.select(expr(s"ts div $dayNs")).distinct().count())
+    val streamed = state.rollup()
     val batch = SparkEntry.queries("ext_events_attrib")(spark, sf0001)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "streamed attribution must reproduce the batch rollup exactly")
