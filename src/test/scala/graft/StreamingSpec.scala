@@ -577,6 +577,27 @@ class StreamingSpec extends SparkSpec {
     assert(state.lastClick.count() == users)
   }
 
+  test("streaming leaderboard ≡ one-shot top-k under unordered batches + replay") {
+    val ev = Tables.events(spark, sf0001)
+    val k = 5
+    val state = new graft.streaming.LeaderboardStream.TopKState(
+      ev.where(lit(false)), k)
+    // unordered delivery: the semilattice makes batch boundaries irrelevant
+    val batches = Seq(
+      ev.where(col("event_id") % 3 === 2),
+      ev.where(col("event_id") % 3 === 0),
+      ev.where(col("event_id") % 3 === 1))
+    batches.zipWithIndex.foreach { case (b, i) => state.sink(b, i.toLong) }
+    state.sink(batches(2), 2L) // replayed epoch must no-op
+    val oneShot = graft.operators.Incremental.topKState(ev, k)
+    assert(state.state.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(state.state).isEmpty,
+      "folded leaderboard must equal the one-shot per-group top-k")
+    // state is K rows per group, never more
+    val groups = ev.select("event_type").distinct().count()
+    assert(state.state.count() <= k * groups)
+  }
+
   test("streaming CUSUM ≡ batch changepoints under any split; replayed epoch no-ops") {
     val ev = Tables.events(spark, sf0001)
     val dayNs = 86400000000000L
