@@ -489,6 +489,52 @@ object Similarity {
     * subquery on the scan, so only the probed cells' directories are
     * read. Same top-k contract as [[ivfTopK]].
     */
+  /** ERASURE from a persisted IVF index (the GDPR-deletion-from-serving
+    * lane): remove tombstoned vectors by rewriting ONLY the cell
+    * partitions that contain them — dynamic partition overwrite leaves
+    * every untouched cell's files alone, so deletion cost is
+    * O(touched cells), not O(index). The quantizer (centroids) is
+    * deliberately NOT retrained: a serving index keeps its cell
+    * geometry stable under deletes and retrains offline.
+    *
+    * The touched-cell id list is a driver-side collect of a
+    * distinct-cell frame — bounded by the number of cells, the same
+    * documented tiny-collect as Scd2Stream's touched-slice ids. The
+    * remaining rows are localCheckpointed BEFORE the overwrite (Spark
+    * refuses to overwrite a path its plan still reads). A cell fully
+    * emptied by the tombstones writes no partition under dynamic
+    * overwrite, so its directory is removed explicitly.
+    */
+  def deleteFromIvfIndex(path: String, tombstones: DataFrame): Unit = {
+    val s = tombstones.sparkSession
+    val corp = s.read.parquet(s"$path/cells")
+    val tomb = tombstones
+      .select(col(tombstones.columns.head).as("vec_b")).distinct()
+      .localCheckpoint()
+    val touched = corp.join(broadcast(tomb), Seq("vec_b"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val remain = corp.where(col("cell").isin(touched: _*))
+      .join(broadcast(tomb), Seq("vec_b"), "left_anti")
+      .localCheckpoint()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "dynamic")
+      remain.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/cells")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    val kept = remain.select("cell").distinct().collect().map(_.get(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(kept).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c"), true)
+    }
+  }
+
   def probeIvfIndex(path: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val s = queries.sparkSession

@@ -7005,6 +7005,68 @@ object ExtQueries extends QueryGroup {
                    THEN round(ssb_grid / 1000000.0 / sst, 6) END AS eta2
        FROM b CROSS JOIN sst CROSS JOIN eta"""
 
+  /** ERASURE FROM THE SERVING INDEX ([[Similarity.deleteFromIvfIndex]]):
+    * build the persisted IVF index, tombstone every vec_id ≡
+    * $IvfDeleteRem (mod $IvfDeleteMod), rewrite ONLY the touched cell
+    * partitions (dynamic overwrite), probe. The oracle recomputes the
+    * probe over the corpus minus tombstones with the ORIGINAL
+    * (pre-delete, full-corpus) quantizer — pinning the two semantic
+    * choices that matter: deleted vectors can never be returned, and
+    * the cell geometry does NOT retrain on delete. Closes the loop
+    * between ext_privacy_erasure (corpus side) and the ANN serving
+    * tier.
+    */
+  private val IvfDeleteMod = 7
+  private val IvfDeleteRem = 3
+
+  private def annIvfDelete(s: SparkSession, d: String): DataFrame = {
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_ivf_del_${math.abs(d.hashCode)}"
+    Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+      IvfCentroidEvery, path)
+    Similarity.deleteFromIvfIndex(path,
+      Tables.embeddings(s, d)
+        .where(col("vec_id") % IvfDeleteMod === IvfDeleteRem)
+        .select("vec_id"))
+    Similarity.probeIvfIndex(path, annQueries(s, d), "vec_id", "embedding",
+      TopK)
+  }
+
+  private lazy val annIvfDeleteSql = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    val qassignCos = s"${dotOf("q.vec", "c.cvec")} / (sqrt(q.nsq) * sqrt(c.cn))"
+    val searchCos = s"${dotOf("q.vec", "c.vec")} / (sqrt(q.nsq) * sqrt(c.nsq))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       corp AS (SELECT * FROM n
+                WHERE vec_id % $IvfDeleteMod <> $IvfDeleteRem),
+       cassign AS (
+         SELECT vid, vec, nsq, cell FROM (
+           SELECT n.vec_id AS vid, n.vec, n.nsq, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+           FROM corp n, cents c) t
+         WHERE rn = 1),
+       qassign AS (
+         SELECT vid, vec, nsq, cell FROM (
+           SELECT q.vec_id AS vid, q.vec, q.nsq, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY $qassignCos DESC, c.cent_id ASC) AS rn
+           FROM (SELECT * FROM n WHERE vec_id % $QueryMod = 0) q, cents c) t
+         WHERE rn = 1),
+       scored AS (
+         SELECT q.vid AS q_id, c.vid AS vec_b, $searchCos AS cosine
+         FROM qassign q JOIN cassign c
+           ON q.cell = c.cell AND q.vid <> c.vid)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -7076,6 +7138,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
+    GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),
     GQuery("ext_ann_recall", annRecall, Some(annRecallSql), "recall@k of each ANN method vs brute-force ground truth"),

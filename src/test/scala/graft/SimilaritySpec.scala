@@ -562,6 +562,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
   }
 
+  test("deleteFromIvfIndex: touched cells rewritten, emptied cell dir removed, rest untouched") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_delspec"
+    Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", centroidEvery = 25, path)
+    val before = spark.read.parquet(s"$path/cells")
+      .select("vec_b", "cell").as[(Long, Long)].collect()
+    val cells = before.map(_._2).distinct.sorted
+    val victim = cells.head
+    val untouched = cells.last
+    def files(cell: Long): Set[String] = {
+      val d = new java.io.File(s"$path/cells/cell=$cell")
+      if (!d.exists) Set.empty
+      else d.listFiles.map(f => f.getName + ":" + f.lastModified).toSet
+    }
+    val untouchedBefore = files(untouched)
+    // tombstone EVERY member of the victim cell plus one vector from
+    // the untouched... no — untouched must stay untouched; pick a second
+    // partial cell instead
+    val partial = cells(1)
+    val partialMembers = before.filter(_._2 == partial).map(_._1).sorted
+    val tomb = before.filter(_._2 == victim).map(_._1).toSeq :+
+      partialMembers.head
+    Similarity.deleteFromIvfIndex(path, tomb.toDF("vec_id"))
+    val after = spark.read.parquet(s"$path/cells")
+      .select("vec_b", "cell").as[(Long, Long)].collect()
+    assert(!after.exists(r => tomb.contains(r._1)),
+      "tombstoned vectors must be gone from the index")
+    assert(!after.exists(_._2 == victim) && files(victim).isEmpty,
+      "a fully-tombstoned cell's directory must be removed")
+    assert(after.count(_._2 == partial) == partialMembers.length - 1,
+      "a partially-tombstoned cell keeps its other members")
+    assert(files(untouched) == untouchedBefore,
+      "untouched cell partitions must not be rewritten (O(touched) deletes)")
+    assert(after.length == before.length - tomb.length)
+  }
+
   test("pcaTopComponent ≡ the same integer power iteration run sequentially") {
     val got = SparkEntry.queries("ext_emb_pca")(spark, sf0001)
       .as[(Long, Long, Double, Double, Double)].collect()
