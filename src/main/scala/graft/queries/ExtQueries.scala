@@ -6711,11 +6711,14 @@ object ExtQueries extends QueryGroup {
   private def pcaTruncDiv(a: String, b: String) =
     graft.operators.IntMath.truncDivDuck(a, b)
 
-  private lazy val embPcaSql = {
-    // MATERIALIZED everywhere a CTE is referenced more than once: the
-    // unrolled chain re-references c and each round's m/v — inlined,
-    // the expression tree doubles per round and DuckDB plans 2^rounds
-    // copies of the Gram aggregate
+  /** The shared CTE chain (quantize → Gram → unrolled power rounds) up
+    * to the converged eigenvector v$PcaRounds — reused verbatim by the
+    * PCA query and the projection query so they can never diverge on
+    * the iteration. MATERIALIZED everywhere a CTE is referenced more
+    * than once: inlined, the expression tree doubles per round and
+    * DuckDB plans 2^rounds copies of the Gram aggregate.
+    */
+  private lazy val pcaChainSql = {
     val rounds = (1 to PcaRounds).map { k =>
       s"""m$k AS MATERIALIZED (SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS m
                 FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1),
@@ -6724,7 +6727,7 @@ object ExtQueries extends QueryGroup {
          v$k AS MATERIALIZED (SELECT i, ${pcaTruncDiv("m", "dv")} AS v
                  FROM m$k CROSS JOIN d$k)"""
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS MATERIALIZED (
          SELECT vec_id, i,
                 CAST(round(CAST(e[i + 1] AS DOUBLE) * $PcaGrid, 0) AS BIGINT) AS q
          FROM (SELECT vec_id, embedding AS e,
@@ -6739,7 +6742,11 @@ object ExtQueries extends QueryGroup {
              FROM cp JOIN s si ON si.i = cp.i
                      JOIN s sj ON sj.i = cp.j CROSS JOIN nn),
        v0 AS (SELECT i, CAST($PcaGrid AS BIGINT) AS v FROM s),
-       $rounds,
+       $rounds"""
+  }
+
+  private lazy val embPcaSql =
+    s"""WITH $pcaChainSql,
        mf AS (SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS m
               FROM c JOIN v$PcaRounds v ON v.i = c.j GROUP BY 1),
        fin AS (SELECT f.i, f.v, mf.m FROM v$PcaRounds f JOIN mf ON mf.i = f.i),
@@ -6755,7 +6762,49 @@ object ExtQueries extends QueryGroup {
               round(num / den, 6) AS rayleigh,
               round(num * 1000.0 / den / tr, 6) AS ev_share
        FROM v$PcaRounds CROSS JOIN st CROSS JOIN tr"""
+
+  /** PER-LABEL PROJECTION onto the learned top component — the
+    * downstream half of PCA: if label means separate along the
+    * dominant direction, the corpus's main variance axis IS the label
+    * signal (and dropping it de-biases; keeping it makes a 1-D
+    * classifier). Projections p = Σ q_j·v_j are exact BIGINTs on the
+    * composed grids; per-label mean/min/max divide and rescale at the
+    * end (1e12 = component grid × vector grid).
+    */
+  private def embPcaProject(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val v = Similarity.pcaTopComponent(emb, "vec_id", "embedding",
+      PcaRounds, PcaGrid, PcaCDiv).select(col("dim"), col("v_grid"))
+    val proj = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
+        expr(s"CAST(round(CAST(x AS DOUBLE) * $PcaGrid, 0) AS BIGINT)").as("q"))
+      .join(broadcast(v), Seq("dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("q") * col("v_grid")).as("p"))
+    proj.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("p").as("__sp"), min("p").as("__mn"), max("p").as("__mx"))
+      .select(col("label"), col("n_vecs"),
+        round(col("__sp") / col("n_vecs") / 1e12, 6).as("mean_proj"),
+        round(col("__mn") / 1e12, 6).as("min_proj"),
+        round(col("__mx") / 1e12, 6).as("max_proj"))
   }
+
+  private lazy val embPcaProjectSql =
+    s"""WITH $pcaChainSql,
+       proj AS (
+         SELECT q.vec_id, CAST(sum(q.q * v.v) AS BIGINT) AS p
+         FROM q JOIN v$PcaRounds v ON v.i = q.i
+         GROUP BY 1),
+       lab AS (SELECT vec_id, label FROM embeddings)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+              round(CAST(sum(p) AS BIGINT) / count(*) / 1e12, 6) AS mean_proj,
+              round(min(p) / 1e12, 6) AS min_proj,
+              round(max(p) / 1e12, 6) AS max_proj
+       FROM proj JOIN lab USING (vec_id)
+       GROUP BY 1"""
 
   /** TEMPLATE-RADIUS HISTOGRAM: multi-source BFS distance from the
     * dup graph's HUB nodes (degree ≥ $BfsHubDeg) — how many hops every
@@ -7164,6 +7213,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_emb_quant", embQuant, Some(embQuantSql), "per-vector int8 quantization audit (scale, max reconstruction error, saturation)"),
     GQuery("ext_emb_silhouette", embSilhouette, Some(embSilhouetteSql), "per-vector simplified silhouette + assignment margin over the coarse quantizer"),
     GQuery("ext_emb_pca", embPca, Some(embPcaSql), "top principal component: integer-grid power iteration, 8 unrolled rounds, exact BIGINT Gram"),
+    GQuery("ext_emb_pca_project", embPcaProject, Some(embPcaProjectSql), "per-label projection onto the top component: exact BIGINT dot on composed grids"),
     GQuery("ext_cc_components", ccComponents, Some(ccComponentsSql), "transitive near-dup clusters (min-label propagation, unrolled oracle)"),
     GQuery("ext_split_leakfree", splitLeakfree, Some(splitLeakfreeSql), "leakage-safe split: whole near-dup clusters per split, cross-split pairs audited"),
     GQuery("ext_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql), "quality-aware canonical selection: argmax-quality survivor per near-dup cluster"),

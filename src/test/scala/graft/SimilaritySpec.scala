@@ -598,6 +598,17 @@ class SimilaritySpec extends SparkSpec {
     assert(after.length == before.length - tomb.length)
   }
 
+  test("ext_emb_pca_project: labels partition the corpus, bounds bracket the mean") {
+    val got = SparkEntry.queries("ext_emb_pca_project")(spark, sf0001)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got.map(_._2).sum == Tables.embeddings(spark, sf0001).count(),
+      "per-label projections must partition the corpus")
+    got.foreach { case (label, _, mean, lo, hi) =>
+      assert(lo <= mean + 1e-9 && mean <= hi + 1e-9,
+        s"label $label: mean must sit within [min, max]")
+    }
+  }
+
   test("pcaTopComponent ≡ the same integer power iteration run sequentially") {
     val got = SparkEntry.queries("ext_emb_pca")(spark, sf0001)
       .as[(Long, Long, Double, Double, Double)].collect()
