@@ -7116,6 +7116,45 @@ object ExtQueries extends QueryGroup {
        WHERE rnk <= $TopK"""
   }
 
+  /** TOP USER JOURNEYS: the 20 most common consecutive event-type
+    * TRIGRAMS across users — where ext_events_markov gives one-step
+    * transition probabilities, this surfaces the actual multi-step
+    * paths (browse→cart→purchase vs browse→cart→abandon is THE
+    * product question a first-order matrix cannot answer). Per-user
+    * ordering is total ((ts, event_id) — same-instant events cannot
+    * reorder across engines); the corpus-sized step is ONE user_id
+    * window pass, the trigram rollup is ≤ |types|³ rows, top-20 is
+    * TakeOrderedAndProject.
+    */
+  private val PathTopK = 20
+
+  private def eventsPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("e1").asc, col("e2").asc,
+        col("e3").asc)
+      .limit(PathTopK)
+  }
+
+  private val eventsPathsSql =
+    s"""WITH p AS (
+         SELECT event_type AS e1,
+                lead(event_type, 1) OVER w AS e2,
+                lead(event_type, 2) OVER w AS e3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+       FROM p WHERE e3 IS NOT NULL
+       GROUP BY 1, 2, 3
+       ORDER BY n_paths DESC, e1, e2, e3 LIMIT $PathTopK"""
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -7232,6 +7271,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
     GQuery("ext_events_winsor", eventsWinsor, Some(eventsWinsorSql), "per-group winsorization at [p05,p95]: clipped mass and mean before/after"),
     GQuery("ext_events_markov", eventsMarkov, Some(eventsMarkovSql), "first-order event-transition matrix: per-user consecutive pairs, row-normalized"),
+    GQuery("ext_events_paths", eventsPaths, Some(eventsPathsSql), "top-20 consecutive event trigrams: the multi-step journeys a first-order matrix can't see"),
     GQuery("ext_events_attrib", eventsAttrib, Some(eventsAttribSql), "last-touch attribution: purchase -> latest click within 24h, daily rate + latency"),
     GQuery("ext_events_touchpoints", eventsTouchpoints, Some(eventsTouchpointsSql), "multi-touch path-length distribution per day (binned range join, 24h lookback)"),
     GQuery("ext_events_anomaly", eventsAnomaly, Some(eventsAnomalySql), "trailing-3-day volume anomaly flags: integer spike/drop rules per type-day"),
