@@ -30,6 +30,68 @@ object Layout {
        (acc, i) -> acc + shiftleft(shiftright($aCol, i) & 1, 2 * i)
                        + shiftleft(shiftright($bCol, i) & 1, 2 * i + 1))""")
 
+  /** HILBERT index of two non-negative integer columns — the
+    * locality-better alternative to the Morton interleave: consecutive
+    * Hilbert values are ALWAYS grid neighbors (Morton jumps across the
+    * plane at power-of-two boundaries), so equal-width value blocks
+    * cover tighter rectangles and footer-stats pruning skips more
+    * files. Standard quadrant-rotation recurrence, unrolled to `bits`
+    * fixed steps of pure integer CASE arithmetic on appended columns —
+    * codegen'd, shuffle-free, and repeated verbatim by the oracle.
+    * Each step strips the consumed bit BEFORE the rotation, so every
+    * intermediate stays in [0, s) and no engine-specific negative-
+    * number bit semantics is ever exercised.
+    *
+    * Returns the input frame plus `hv`. The defining property
+    * (spec-pinned on the full 8×8 grid): hv is a bijection onto
+    * [0, 4^bits) and consecutive hv values are Manhattan-distance-1
+    * neighbors.
+    */
+  def withHilbert(df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 16): DataFrame = {
+    val n = 1L << bits
+    var cur = df
+      .withColumn("__hx", expr(s"$aCol & ${n - 1}"))
+      .withColumn("__hy", expr(s"$bCol & ${n - 1}"))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = s"(__hx & $s) > 0"
+      val ry = s"(__hy & $s) > 0"
+      cur = cur
+        .withColumn("__hd", expr(
+          s"""__hd + $s * $s * (CASE WHEN NOT ($rx) AND NOT ($ry) THEN 0
+                                     WHEN NOT ($rx) THEN 1
+                                     WHEN NOT ($ry) THEN 3
+                                     ELSE 2 END)"""))
+        .withColumn("__nx", expr(
+          s"""CASE WHEN NOT ($ry)
+                   THEN (CASE WHEN $rx THEN $s - 1 - (__hy & ${s - 1})
+                              ELSE __hy & ${s - 1} END)
+                   ELSE __hx & ${s - 1} END"""))
+        .withColumn("__ny", expr(
+          s"""CASE WHEN NOT ($ry)
+                   THEN (CASE WHEN $rx THEN $s - 1 - (__hx & ${s - 1})
+                              ELSE __hx & ${s - 1} END)
+                   ELSE __hy & ${s - 1} END"""))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny")
+    }
+    cur.withColumn("hv", col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /** Per-Hilbert-bucket layout audit — same shape as [[zOrderAudit]]
+    * so the two curves' per-file rectangles compare row for row.
+    */
+  def hilbertAudit(df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 16, bucketBits: Int = 10): DataFrame =
+    withHilbert(df, aCol, bCol, bits)
+      .withColumn("hbucket", expr(s"hv div ${1L << bucketBits}"))
+      .groupBy("hbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(aCol).as("a_min"), max(aCol).as("a_max"),
+        min(bCol).as("b_min"), max(bCol).as("b_max"))
+
   /** Per-z-bucket layout audit: bucket = z div 2^`bucketBits`, with both
     * dimensions' spans per bucket — the numbers a table-maintenance job
     * reports to show the clustering is working (each file/bucket covers

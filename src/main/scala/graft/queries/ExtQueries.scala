@@ -7155,6 +7155,56 @@ object ExtQueries extends QueryGroup {
        GROUP BY 1, 2, 3
        ORDER BY n_paths DESC, e1, e2, e3 LIMIT $PathTopK"""
 
+  /** HILBERT layout audit over the same (user, day) dims as
+    * ext_layout_zorder — the curve-quality comparison a table-
+    * maintenance job runs before choosing its clustering key:
+    * consecutive Hilbert values are always grid neighbors, so
+    * equal-width buckets cover tighter rectangles than Morton's
+    * power-of-two jumps. Same output shape as the z-order audit, so
+    * the per-file rectangles compare row for row; 16 unrolled
+    * integer-CASE steps, repeated verbatim in the oracle.
+    */
+  private def layoutHilbert(s: SparkSession, d: String): DataFrame =
+    Layout.hilbertAudit(
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $ZDayNs").as("day")),
+      "user_id", "day")
+
+  private lazy val layoutHilbertSql = {
+    val steps = ((16 - 1) to 0 by -1).map { i =>
+      val sVal = 1L << i
+      val rx = s"(x & $sVal) > 0"
+      val ry = s"(y & $sVal) > 0"
+      s"""h$i AS (
+           SELECT user_id, day,
+             CASE WHEN NOT ($ry)
+                  THEN (CASE WHEN $rx THEN $sVal - 1 - (y & ${sVal - 1})
+                             ELSE y & ${sVal - 1} END)
+                  ELSE x & ${sVal - 1} END AS x,
+             CASE WHEN NOT ($ry)
+                  THEN (CASE WHEN $rx THEN $sVal - 1 - (x & ${sVal - 1})
+                             ELSE x & ${sVal - 1} END)
+                  ELSE y & ${sVal - 1} END AS y,
+             d + $sVal * $sVal *
+               (CASE WHEN NOT ($rx) AND NOT ($ry) THEN 0
+                     WHEN NOT ($rx) THEN 1
+                     WHEN NOT ($ry) THEN 3
+                     ELSE 2 END) AS d
+           FROM h${i + 1})"""
+    }.mkString(",\n")
+    s"""WITH h16 AS (
+         SELECT user_id, epoch_ns(ts) // $ZDayNs AS day,
+                user_id & 65535 AS x,
+                (epoch_ns(ts) // $ZDayNs) & 65535 AS y,
+                CAST(0 AS BIGINT) AS d
+         FROM events),
+       $steps
+       SELECT d // 1024 AS hbucket, CAST(count(*) AS BIGINT) AS n_rows,
+              min(user_id) AS a_min, max(user_id) AS a_max,
+              min(day) AS b_min, max(day) AS b_max
+       FROM h0 GROUP BY 1"""
+  }
+
   override val queries: Seq[GQuery] = Seq(
     GQuery("ext_text_stats", textStats, Some(textStatsSql), "token/type/BPE-ish counts + quality score"),
     GQuery("ext_text_langid", textLangId, Some(textLangIdSql), "n-gram-heuristic language ID"),
@@ -7187,6 +7237,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_mix", corpusMix, Some(corpusMixSql), "temperature-scaled domain mixture weights (sqrt flatten, integer-grid normalizer)"),
     GQuery("ext_corpus_chunk", corpusChunk, Some(corpusChunkSql), "sliding-window chunking into overlapping context windows (zero-shuffle explode)"),
     GQuery("ext_layout_zorder", layoutZorder, Some(layoutZorderSql), "Z-order layout audit: Morton-bucket rectangles over (user, day)"),
+    GQuery("ext_layout_hilbert", layoutHilbert, Some(layoutHilbertSql), "Hilbert layout audit: neighbor-continuous curve buckets over (user, day), 16 unrolled steps"),
     GQuery("ext_layout_manifest", layoutManifest, Some(layoutManifestSql), "zone-map manifest: per-file footer stats + skippable flag, z-order vs natural layout"),
     GQuery("ext_layout_shards", layoutShards, Some(layoutShardsSql), "export shard-balance audit: content-hashed shards, doc/mass balance ratios"),
     GQuery("ext_layout_compact", layoutCompact, Some(layoutCompactSql), "compaction planner: next-fit packing of partition cells into target-size files"),

@@ -79,6 +79,32 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("withHilbert: a true Hilbert curve — bijection + unit-step adjacency on the full grid") {
+    import graft.operators.Layout
+    // every (x, y) of the 8x8 grid (bits = 3)
+    val grid = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("a", "b")
+    val got = Layout.withHilbert(grid, "a", "b", bits = 3)
+      .select("hv", "a", "b").as[(Long, Long, Long)].collect()
+    // bijection onto [0, 64)
+    assert(got.map(_._1).sorted.toSeq == (0L until 64L))
+    // THE Hilbert property Morton lacks: consecutive curve values are
+    // always Manhattan-distance-1 grid neighbors
+    val byD = got.map(r => r._1 -> (r._2, r._3)).toMap
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d)
+      val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d=$d: ($x1,$y1) -> ($x2,$y2) is not a unit step")
+    }
+    // curve start pinned (canonical orientation)
+    assert(byD(0L) == (0L, 0L))
+    // zero-exchange projection, like zValue
+    val plan = Layout.withHilbert(grid, "a", "b", bits = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("zoneManifest: both layouts conserve rows; skippable ≡ stats-rectangle miss") {
     import graft.operators.Layout
     val ev = Tables.events(spark, sf0001)
