@@ -1036,6 +1036,110 @@ object ExtQueries extends QueryGroup {
        WHERE n_hit / n_sh >= $ContamTau"""
   }
 
+  /** MEASURED FALSE-POSITIVE RATE of the bloom decontamination filter —
+    * the audit that turns "bloom FP ≈ 0.2% (sizing comment)" into a
+    * measured number: every DISTINCT train shingle is probed against
+    * the eval bitset AND exactly checked against the eval shingle set;
+    * fpr = bloom-hits among true non-members / non-members. Also emits
+    * the realized fill and fill^k, the standard FPR estimate off the
+    * measured fill (a polyHash collision counts as a hit — correctly:
+    * it IS part of the filter's error). One row; the filter's `lanes`
+    * knob is tuned against exactly this number at 100 TB.
+    */
+  private def dedupBloomFpr(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val m = BloomLanes.toLong * 63L
+    val k = BloomProbes
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val docs = Tables.documents(s, d)
+    def sh(df: DataFrame): DataFrame =
+      Dedup.shingleEdges(df, "doc_id", "text").select("shingle").distinct()
+    val trainSh = sh(docs.where(bucket < 80))
+      .withColumn("sid", Dedup.polyHash(col("shingle"))).localCheckpoint()
+    val evalSh = sh(docs.where(bucket >= 90))
+      .withColumn("sid", Dedup.polyHash(col("shingle"))).localCheckpoint()
+    def probes(df: DataFrame): DataFrame = df
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__pos",
+        (col("sid") % m + col("__i") * (col("sid") % (m - 1) + lit(1L))) % m)
+      .withColumn("lane", expr("__pos div 63"))
+      .withColumn("mask",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))"))
+    val bloom = probes(evalSh).groupBy("lane")
+      .agg(expr("bit_or(mask)").as("bits"))
+    val hit = probes(trainSh)
+      .join(broadcast(bloom), Seq("lane"))
+      .where(col("bits").bitwiseAND(col("mask")) === col("mask"))
+      .groupBy("shingle").agg(count(lit(1)).as("__h"))
+      .where(col("__h") === k).select("shingle")
+    val fill = bloom.agg(sum(expr("bit_count(bits)")).as("n_bits_set"))
+    trainSh
+      .join(hit.withColumn("__hit", lit(1)), Seq("shingle"), "left")
+      .join(evalSh.select(col("shingle"), lit(1).as("__mem")),
+        Seq("shingle"), "left")
+      .agg(count(lit(1)).as("n_probed"),
+        sum(coalesce(col("__mem"), lit(0))).cast("long").as("n_member"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+        sum(when(col("__hit") === 1 && col("__mem").isNull, 1).otherwise(0))
+          .cast("long").as("n_fp"))
+      .crossJoin(broadcast(fill))
+      .select(col("n_probed"), col("n_member"), col("n_hit"), col("n_fp"),
+        round(col("n_fp") / (col("n_probed") - col("n_member")), 6)
+          .as("fpr"),
+        col("n_bits_set"),
+        round(pow(col("n_bits_set") / lit(m.toDouble), k), 6)
+          .as("fpr_est"))
+  }
+
+  private lazy val dedupBloomFprSql = {
+    val m = BloomLanes.toLong * 63L
+    val k = BloomProbes
+    def posOf(sid: String) = s"(($sid % $m) + r.i * (1 + $sid % ${m - 1})) % $m"
+    s"""WITH b AS (SELECT doc_id, text,
+            ${polyHashSql(s"text || '$SplitSalt'")} % 100 AS bk
+          FROM documents),
+       ${edgesSqlFrom("(SELECT doc_id, text FROM b WHERE bk < 80)", "te")},
+       ${edgesSqlFrom("(SELECT doc_id, text FROM b WHERE bk >= 90)", "ee")},
+       tsh AS (SELECT shingle, ${polyHashSql("shingle")} AS sid
+               FROM (SELECT DISTINCT shingle FROM te)),
+       esh AS (SELECT shingle, ${polyHashSql("shingle")} AS sid
+               FROM (SELECT DISTINCT shingle FROM ee)),
+       ep AS (SELECT ${posOf("sid")} AS pos
+              FROM esh CROSS JOIN range(0, $k) r(i)),
+       bloom AS (SELECT pos // 63 AS lane,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+                 FROM ep GROUP BY 1),
+       fill AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set
+                FROM bloom),
+       tp AS (SELECT shingle, ${posOf("sid")} AS pos
+              FROM tsh CROSS JOIN range(0, $k) r(i)),
+       hit AS (SELECT shingle FROM (
+                 SELECT t.shingle, count(*) AS h
+                 FROM (SELECT shingle, pos // 63 AS lane,
+                         CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER) AS mask
+                       FROM tp) t
+                 JOIN bloom USING (lane)
+                 WHERE (t.mask & bloom.bits) = t.mask
+                 GROUP BY 1) g
+               WHERE h = $k),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_probed,
+                CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_member,
+                CAST(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit,
+                CAST(sum(CASE WHEN h.shingle IS NOT NULL AND e.shingle IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+         FROM tsh t
+         LEFT JOIN hit h ON h.shingle = t.shingle
+         LEFT JOIN esh e ON e.shingle = t.shingle)
+       SELECT n_probed, n_member, n_hit, n_fp,
+              round(n_fp / (n_probed - n_member), 6) AS fpr,
+              n_bits_set,
+              round(pow(n_bits_set / ${m.toDouble}, $k), 6) AS fpr_est
+       FROM agg CROSS JOIN fill"""
+  }
+
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
@@ -7250,6 +7354,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_tfidfcos", dedupTfidfCos, Some(dedupTfidfCosSql), "top-k TF-IDF signature cosine pairs (integer-grid exact sums)"),
     GQuery("ext_dedup_contaminate", dedupContaminate, Some(dedupContaminateSql), "cross-corpus benchmark decontamination (train x test shingle coverage)"),
     GQuery("ext_dedup_bloom", dedupBloom, Some(dedupBloomSql), "bloom-filter decontamination (broadcast eval bitset, map-side probes, FP-exact oracle)"),
+    GQuery("ext_dedup_bloom_fpr", dedupBloomFpr, Some(dedupBloomFprSql), "measured bloom FPR: probed vs exact membership per distinct train shingle, fill^k estimate"),
     GQuery("ext_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql), "incremental MinHash dedup: new batch probed against the stored corpus index"),
     GQuery("ext_dedup_incr_persist", dedupIncrPersist, Some(dedupIncrementalSql), "persist-and-probe incremental dedup: band index written to parquet, re-read, probed"),
     GQuery("ext_dedup_spans", dedupSpans, Some(dedupSpansSql), "verbatim-span detection: exact substring overlaps via positional-gram diagonals"),
