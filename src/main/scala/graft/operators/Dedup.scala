@@ -1093,7 +1093,14 @@ object Dedup {
           greatest(length(col("__ta")), length(col("__tb"))), 6))
       .where(col("edit_sim") >= simTau)
       .select("doc_a", "doc_b", "lev_dist", "edit_sim")
-    if (!materialize) return verified // plan-inspection path (ScaleSpec)
+    if (!materialize) {
+      // Plan-inspection path (ScaleSpec): release the cached edge list and
+      // vocab NOW — the returned plan stays executable (it just recomputes)
+      // and nothing stays pinned in executor memory for the session.
+      releaseVocab()
+      edges.unpersist()
+      return verified
+    }
     val out = materializePairs(verified, edges)
     releaseVocab()
     out
@@ -1365,7 +1372,8 @@ object Dedup {
     */
   private def incrementalFromIndex(exBands: DataFrame, exEdges: DataFrame,
       incoming: DataFrame, idCol: String, textCol: String, numPerm: Int,
-      rowsPerBand: Int, tau: Double, mode: HashMode): DataFrame = {
+      rowsPerBand: Int, tau: Double, mode: HashMode,
+      materialize: Boolean = true): DataFrame = {
     val inEdges = shingleEdges(incoming, idCol, textCol).persist()
     val (inWide, _) = minhashWideReleasable(inEdges, numPerm, mode)
     val keyCols = bandKeyCols(rowsPerBand)
@@ -1386,6 +1394,13 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= tau)
       .select("new_id", "old_id", "jaccard")
+    if (!materialize) {
+      // plan-inspection path (ScaleSpec's bucketed zero-exchange pin):
+      // release the batch edge cache now — the returned plan stays
+      // executable, it just recomputes
+      inEdges.unpersist()
+      return inter
+    }
     materializePairs(inter, inEdges)
   }
 
@@ -1413,6 +1428,57 @@ object Dedup {
     exEdges.write.mode("overwrite").parquet(s"$path/edges")
     release()
     exEdges.unpersist()
+  }
+
+  /** BUCKETED variant of [[writeMinhashIndex]]: the band table is saved
+    * `bucketBy(buckets, band, k0..k{r-1})` — exactly the probe join's
+    * keys — so every daily probe reads the stored side pre-partitioned
+    * and the candidate join plans with ZERO Exchange on the index side
+    * (ScaleSpec pins this): the plain-parquet form re-shuffles the
+    * ENTIRE stored index on every probe, which at 100 TB means the
+    * accumulated corpus index moves every day to meet an O(batch)
+    * incoming frame. Bucketing inverts that: only the small incoming
+    * side shuffles (into the bucket count). `sortBy` the same keys so
+    * a one-file-per-bucket index also skips the stored-side sort.
+    *
+    * Spark's bucketing metadata lives in the session catalog, so the
+    * index is addressed by TABLE NAME (data at `path`); the band
+    * schema/semantics are identical to the path-based form —
+    * DedupSpec proves bucketed-probe ≡ plain-probe ≡ in-plan.
+    */
+  def writeMinhashIndexBucketed(existing: DataFrame, idCol: String,
+      textCol: String, numPerm: Int, rowsPerBand: Int, mode: HashMode,
+      table: String, path: String, buckets: Int): Unit = {
+    require(mode != DenseId,
+      "DenseId signatures are vocabulary-relative and cannot be stored across increments")
+    val exEdges = shingleEdges(existing, idCol, textCol).persist()
+    val (exWide, release) = minhashWideReleasable(exEdges, numPerm, mode)
+    val bandCols = "band" +: bandKeyCols(rowsPerBand)
+    bandBuckets(exWide, numPerm, rowsPerBand)
+      .write.mode("overwrite")
+      .bucketBy(buckets, bandCols.head, bandCols.tail: _*)
+      .sortBy(bandCols.head, bandCols.tail: _*)
+      .option("path", s"$path/bands")
+      .format("parquet")
+      .saveAsTable(s"${table}_bands")
+    exEdges.write.mode("overwrite").parquet(s"$path/edges")
+    release()
+    exEdges.unpersist()
+  }
+
+  /** Probe against a [[writeMinhashIndexBucketed]] index — identical
+    * semantics to [[probeMinhashIndex]]; the bands side arrives
+    * pre-bucketed on the join keys. */
+  def probeMinhashIndexBucketed(table: String, path: String,
+      incoming: DataFrame, idCol: String, textCol: String, numPerm: Int,
+      rowsPerBand: Int, tau: Double, mode: HashMode = XxHash,
+      materialize: Boolean = true): DataFrame = {
+    val spark = incoming.sparkSession
+    incrementalFromIndex(
+      spark.table(s"${table}_bands"),
+      spark.read.parquet(s"$path/edges"),
+      incoming, idCol, textCol, numPerm, rowsPerBand, tau, mode,
+      materialize)
   }
 
   /** APPEND a new batch to a [[writeMinhashIndex]]-persisted index —

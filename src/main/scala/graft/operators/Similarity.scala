@@ -125,6 +125,111 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
 
+  /** GRAPH-BASED ANN (HNSW-lite) — the third member of the ANN family
+    * triad next to the partition (IVF) and quantization (PQ) paths, and
+    * the deterministic stand-in for the highest-recall serving structure
+    * in production vector search. Classic HNSW is inherently sequential
+    * (randomized level draws, one-at-a-time greedy inserts); this
+    * variant keeps its two load-bearing ideas — a navigable neighbor
+    * graph and a coarse entry level above it — in a form that is
+    * data-parallel, insertion-order-free, and CTE-unrollable for the
+    * DuckDB oracle (the CC/PageRank discipline):
+    *
+    *  - LEVELS by arithmetic, not coin flips: the entry level is every
+    *    `entryEvery`-th id (the centroidEvery idiom) — the depth-2
+    *    analog of HNSW's geometric level assignment.
+    *  - GRAPH by bounded candidates, not sequential insert: each node
+    *    keeps its `m` best neighbors (cos desc, id asc) among nodes
+    *    sharing any of its TWO nearest coarse cells — the 2-cell
+    *    assignment makes edges cross cell borders, which is exactly
+    *    what lets beam search escape the entry cell and beat
+    *    single-probe IVF on border queries.
+    *  - SEARCH as fixed-round beam expansion: entry = top-`beam` of the
+    *    entry level per query; each of `rounds` rounds scores the
+    *    out-neighbors of the current frontier, pools them with
+    *    everything visited, and re-cuts the global top-`beam`; the
+    *    final top-k reads the visited pool. Fixed rounds (not
+    *    convergence) keep the oracle a finite CTE chain.
+    *
+    * Scale shape: the edge build is the bucketed self-join the dedup
+    * family already scales (per-cell pairs, top-m window per src —
+    * never all-pairs); each search round is one broadcast join of the
+    * |Q|·beam frontier against the edge list and one broadcast join
+    * against the corpus vectors — the corpus never shuffles, per-round
+    * state is ≤ |Q|·beam·m rows. The entry scan is |Q| × n/entryEvery
+    * brute force — the depth-2 ceiling; production depth-3 repeats the
+    * level trick on the entry set itself.
+    *
+    * Determinism: every cut is a (cosine desc, id asc) total order on
+    * identical IEEE expression trees in both engines; pairs dedup on
+    * (q_id, vec_b, cosine) where cosine is a pure function of the pair.
+    */
+  def graphTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidEvery: Int, entryEvery: Int,
+      m: Int, beam: Int, rounds: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = corpus.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
+        VectorOps.normSq(col(vecCol)).as("cn"))
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      VectorOps.normSq(col(vecCol)).as("nsq"))
+    // 2-nearest-cell assignment (rn <= 2): border-crossing edge candidates
+    val aw = Window.partitionBy("vid")
+      .orderBy(col("__ccos").desc, col("cent_id").asc)
+    val ranked2 = base.crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+      .withColumn("__rn", row_number().over(aw))
+      .where(col("__rn") <= 2)
+      .select(col("vid"), col("vec"), col("nsq"), col("cent_id").as("cell"))
+    val aSide = ranked2.select(col("vid").as("src"), col("vec").as("sv"),
+      col("nsq").as("sn"), col("cell"))
+    val bSide = ranked2.select(col("vid").as("dst"), col("vec").as("dv"),
+      col("nsq").as("dn"), col("cell"))
+    val ew = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst").asc)
+    val edges = aSide.join(bSide, Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VectorOps.cosine(col("sv"), col("dv"), col("sn"), col("dn")).as("ecos"))
+      .distinct() // a pair sharing both cells appears twice, same ecos
+      .withColumn("ern", row_number().over(ew))
+      .where(col("ern") <= m)
+      .select("src", "dst")
+      .localCheckpoint() // one build, read once per round
+    val qF = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      VectorOps.normSq(col(vecCol)).as("qn"))
+    val cvecs = base.select(col("vid").as("vec_b"), col("vec").as("vb"),
+      col("nsq").as("nb"))
+    def topB(pool: DataFrame, n: Int): DataFrame =
+      pool.withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)))
+        .where(col("rnk") <= n)
+    val entry = broadcast(qF)
+      .crossJoin(cvecs.where(col("vec_b") % entryEvery === 0))
+      .where(col("q_id") =!= col("vec_b"))
+      .withColumn("cosine",
+        VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
+      .select("q_id", "vec_b", "cosine")
+    // visited pool starts as the entry frontier (the descent result),
+    // not the whole entry level — matching HNSW, where upper-layer
+    // nodes only seed layer 0, they don't pad the result candidates
+    var pool = topB(entry, beam).drop("rnk").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val frontier = topB(pool, beam).drop("rnk")
+      val cand = frontier.select(col("q_id"), col("vec_b").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("q_id"), col("dst").as("vec_b")).distinct()
+        .where(col("q_id") =!= col("vec_b"))
+      val nb = broadcast(cand.join(qF, Seq("q_id")))
+        .join(cvecs, Seq("vec_b"))
+        .withColumn("cosine",
+          VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
+        .select("q_id", "vec_b", "cosine")
+      pool = pool.unionByName(nb).distinct().localCheckpoint()
+    }
+    topB(pool, k).select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
   /** Integer grid for cross-engine-exact centroid means: 2^20. A float
     * times a power of two is EXACT in double (exponent shift only), so
     * `round(vec[d] * Grid)` is the same integer in any IEEE engine, and
@@ -528,10 +633,18 @@ object Similarity {
       case None => s.conf.unset(key)
     }
     val kept = remain.select("cell").distinct().collect().map(_.get(0)).toSet
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(s.sparkContext.hadoopConfiguration)
+    // Resolve the filesystem OF THE INDEX PATH, not fs.defaultFS: with an
+    // s3a:// or hdfs:// index under a file:// default, FileSystem.get would
+    // target the wrong FS and the emptied-cell cleanup would silently no-op,
+    // leaving deleted vectors servable — the exact failure this erasure lane
+    // exists to prevent.
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = cellsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     touched.filterNot(kept).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells/cell=$c"), true)
+      val dir = new org.apache.hadoop.fs.Path(cellsRoot, s"cell=$c")
+      fs.delete(dir, true)
+      require(!fs.exists(dir),
+        s"IVF erasure failed to remove emptied cell directory $dir")
     }
   }
 

@@ -236,8 +236,17 @@ object Sketches {
         .selectExpr(cntCol, s"stack($depth, $stackExpr) AS (r, bucket)")
         .groupBy("r", "bucket").agg(sum(col(cntCol)).as(outCol))
     }
-    val ip = grid("ca", "cntA").join(grid("cb", "cntB"), Seq("r", "bucket"))
+    // Per-depth-row inner products, LEFT-joined from a depth spine: a row
+    // whose two grids share no bucket has inner product 0 (not an absent
+    // row) — without the spine a fully-disjoint pair of sketches would
+    // leave the min() over an empty frame (NULL n_est, and a 1-row-vs-0-row
+    // divergence against the oracle's GROUP BY form).
+    val perRow = grid("ca", "cntA").join(grid("cb", "cntB"), Seq("r", "bucket"))
       .groupBy("r").agg(sum(col("cntA") * col("cntB")).as("__est"))
+    val spine = rows.sparkSession.range(depth)
+      .select(col("id").cast("int").as("r"))
+    val ip = spine.join(perRow, Seq("r"), "left")
+      .na.fill(0L, Seq("__est"))
       .agg(min(col("__est")).as("n_est"))
     val exact = kc.agg(sum(col("ca") * col("cb")).as("n_exact"))
     exact.crossJoin(broadcast(ip))

@@ -731,6 +731,18 @@ object ExtQueries extends QueryGroup {
     */
   private val ZDayNs = 86400000000000L
 
+  /** Per-run-unique scratch path for the persisted-state queries
+    * (minhash/IVF index lifecycles, mergeable sketch states): keyed by
+    * the dataset dir AND the SparkSession's applicationId so two
+    * concurrent harness runs over the same dataset never overwrite each
+    * other's durable state mid-query (overwrite during another run's
+    * read = wrong or failed results). Unsigned rendering avoids the
+    * '-' path component `math.abs(Int.MinValue)` would produce.
+    */
+  private def scratchPath(s: SparkSession, tag: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"${Integer.toUnsignedString(d.hashCode)}_${s.sparkContext.applicationId}"
+
   private def layoutZorder(s: SparkSession, d: String): DataFrame =
     Layout.zOrderAudit(
       Tables.events(s, d)
@@ -1469,11 +1481,31 @@ object ExtQueries extends QueryGroup {
     graft.functions.GraftFunctions.register(s)
     val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
     val docs = Tables.documents(s, d)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_minhash_idx_${math.abs(d.hashCode)}"
+    val path = scratchPath(s, "minhash_idx", d)
     Dedup.writeMinhashIndex(docs.where(bucket < 80), "doc_id", "text",
       MinhashPerms, MinhashRows, Dedup.PolyHash, path)
     Dedup.probeMinhashIndex(path, docs.where(bucket >= 80 && bucket < 90),
       "doc_id", "text", MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
+  }
+
+  /** BUCKETED persist-and-probe round (Dedup.writeMinhashIndexBucketed):
+    * the band index saved bucketBy(band, k0..) — the probe join's exact
+    * keys — so the daily probe plans with ZERO Exchange on the stored
+    * side (ScaleSpec pins it; the plain-parquet form re-shuffles the
+    * whole accumulated index every day). Results ≡ ext_dedup_incr_persist,
+    * so the same oracle gates it.
+    */
+  private def dedupIncrBucketed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
+    val docs = Tables.documents(s, d)
+    val path = scratchPath(s, "minhash_bidx", d)
+    val table = "graft_minhash_bidx_" + Integer.toUnsignedString(d.hashCode)
+    Dedup.writeMinhashIndexBucketed(docs.where(bucket < 80), "doc_id", "text",
+      MinhashPerms, MinhashRows, Dedup.PolyHash, table, path, 8)
+    Dedup.probeMinhashIndexBucketed(table, path,
+      docs.where(bucket >= 80 && bucket < 90), "doc_id", "text",
+      MinhashPerms, MinhashRows, MinhashTau, Dedup.PolyHash)
   }
 
   /** TWO-DAY index lifecycle: write(train) → append(day-1 batch) →
@@ -1485,7 +1517,7 @@ object ExtQueries extends QueryGroup {
     graft.functions.GraftFunctions.register(s)
     val bucket = Dedup.polyHash(concat(col("text"), lit(SplitSalt))) % 100
     val docs = Tables.documents(s, d)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_minhash_idx2_${math.abs(d.hashCode)}"
+    val path = scratchPath(s, "minhash_idx2", d)
     Dedup.writeMinhashIndex(docs.where(bucket < 80), "doc_id", "text",
       MinhashPerms, MinhashRows, Dedup.PolyHash, path)
     Dedup.appendMinhashIndex(docs.where(bucket >= 80 && bucket < 90),
@@ -2187,6 +2219,113 @@ object ExtQueries extends QueryGroup {
     IvfProbeLadder.map(p => recallRowSql(s"p$p", annIvfProbeSql(p)))
       .mkString("\nUNION ALL\n")
 
+  /** GRAPH-BASED ANN, HNSW-lite (Similarity.graphTopK): deterministic
+    * depth-2 navigable-graph search — entry level by id arithmetic,
+    * border-crossing m-NN edges from a 2-cell bucketed build, fixed
+    * beam-expansion rounds. Completes the ANN triad
+    * (partition/quantize/graph).
+    */
+  private val HnswEntryEvery = 8
+  private val HnswM = 8
+  private val HnswBeam = 8
+  private val HnswRounds = 3
+
+  private def annHnsw(s: SparkSession, d: String): DataFrame =
+    Similarity.graphTopK(Tables.embeddings(s, d), annQueries(s, d),
+      "vec_id", "embedding", TopK, IvfCentroidEvery, HnswEntryEvery,
+      HnswM, HnswBeam, HnswRounds)
+
+  /** CTE-unrolled twin of Similarity.graphTopK (the CC/PageRank
+    * discipline): edge build once, then per round f (frontier cut) →
+    * nb (neighbor expand) → s (score) → p (visited pool, MATERIALIZED —
+    * each p is referenced by both the next frontier and the next pool;
+    * inlined, the chain re-plans 2^rounds edge builds — the PCA lesson).
+    */
+  private def annHnswSqlBeam(beam: Int): String = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    val edgeCos = s"${dotOf("sa.vec", "sb.vec")} / (sqrt(sa.nsq) * sqrt(sb.nsq))"
+    val entryCos = s"${dotOf("q.qv", "e.vec")} / (sqrt(q.qn) * sqrt(e.nsq))"
+    val roundCos = s"${dotOf("q.qv", "b.vec")} / (sqrt(q.qn) * sqrt(b.nsq))"
+    val rounds = (1 to HnswRounds).map { r =>
+      s"""f$r AS (SELECT q_id, vec_b FROM (
+             SELECT q_id, vec_b, row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_b ASC) AS rnk
+             FROM p${r - 1}) t WHERE rnk <= $beam),
+         nb$r AS (SELECT DISTINCT f.q_id, e.dst AS vec_b
+                  FROM f$r f JOIN edges e ON f.vec_b = e.src
+                  WHERE e.dst <> f.q_id),
+         s$r AS (SELECT nb.q_id, nb.vec_b, $roundCos AS cosine
+                 FROM nb$r nb JOIN q USING (q_id)
+                 JOIN n b ON b.vec_id = nb.vec_b),
+         p$r AS MATERIALIZED (
+           SELECT DISTINCT q_id, vec_b, cosine FROM (
+             SELECT * FROM p${r - 1} UNION ALL SELECT * FROM s$r) u)"""
+    }.mkString(",\n")
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       rk2 AS MATERIALIZED (
+         SELECT vid, vec, nsq, cell FROM (
+           SELECT n.vec_id AS vid, n.vec, n.nsq, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+           FROM n, cents c) t
+         WHERE rn <= 2),
+       ec AS (SELECT DISTINCT a.vid AS src, b.vid AS dst
+              FROM rk2 a JOIN rk2 b ON a.cell = b.cell AND a.vid <> b.vid),
+       es AS (SELECT src, dst, $edgeCos AS ecos
+              FROM ec JOIN n sa ON sa.vec_id = ec.src
+              JOIN n sb ON sb.vec_id = ec.dst),
+       edges AS MATERIALIZED (
+         SELECT src, dst FROM (
+           SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY ecos DESC, dst ASC) AS rn
+           FROM es) t WHERE rn <= $HnswM),
+       q AS MATERIALIZED (SELECT vec_id AS q_id, vec AS qv, nsq AS qn
+                          FROM n WHERE vec_id % $QueryMod = 0),
+       ent AS (SELECT q.q_id, e.vec_id AS vec_b, $entryCos AS cosine
+               FROM q, n e
+               WHERE e.vec_id % $HnswEntryEvery = 0 AND e.vec_id <> q.q_id),
+       p0 AS MATERIALIZED (
+         SELECT q_id, vec_b, cosine FROM (
+           SELECT q_id, vec_b, cosine, row_number() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, vec_b ASC) AS rnk
+           FROM ent) t WHERE rnk <= $beam),
+       $rounds
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM p$HnswRounds) r
+       WHERE rnk <= $TopK"""
+  }
+
+  private lazy val annHnswSql = annHnswSqlBeam(HnswBeam)
+
+  /** Recall-vs-BEAM curve for the graph path (the ivf_probes dial for
+    * HNSW-lite): recall@k at beam 2/4/8 vs brute truth. Unlike nprobe
+    * (whose candidate set grows monotonically), beam recall is only
+    * EMPIRICALLY increasing — a wider cut changes which frontier gets
+    * expanded, so no superset guarantee exists; the curve is the
+    * operating-point table, not a proof object. (Rounds monotonicity,
+    * which IS provable, is spec-pinned in SimilaritySpec.)
+    */
+  private val HnswBeamLadder = Seq(2, 4, 8)
+
+  private def annHnswSweep(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.embeddings(s, d)
+    val q = annQueries(s, d)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", TopK),
+      HnswBeamLadder.map(b => f"b$b%02d" ->
+        Similarity.graphTopK(corpus, q, "vec_id", "embedding", TopK,
+          IvfCentroidEvery, HnswEntryEvery, HnswM, b, HnswRounds)),
+      TopK)
+  }
+
+  private lazy val annHnswSweepSql =
+    HnswBeamLadder.map(b => recallRowSql(f"b$b%02d", annHnswSqlBeam(b)))
+      .mkString("\nUNION ALL\n")
+
   /** Product quantization: 2 subspaces of 32 dims, corpus-seeded
     * codebooks (same every-25th pick as IVF). Small M on purpose — the
     * oracle mirrors each subspace as its own CTE chain.
@@ -2294,7 +2433,7 @@ object ExtQueries extends QueryGroup {
     * in-plan IVF, so the same oracle gates both.
     */
   private def annIvfPersist(s: SparkSession, d: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_${math.abs(d.hashCode)}"
+    val path = scratchPath(s, "ivf_idx", d)
     Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
       IvfCentroidEvery, path)
     Similarity.probeIvfIndex(path, annQueries(s, d), "vec_id", "embedding", TopK)
@@ -2566,7 +2705,10 @@ object ExtQueries extends QueryGroup {
         "ivf2" -> Similarity.ivfTopK(corpus, q, "vec_id", "embedding", TopK,
           IvfCentroidEvery, nprobe = 2),
         "lsh" -> Similarity.lshTopK(corpus, q, "vec_id", "embedding", TopK,
-          LshBands, LshPlanesPerBand, EmbDim)),
+          LshBands, LshPlanesPerBand, EmbDim),
+        "hnsw" -> Similarity.graphTopK(corpus, q, "vec_id", "embedding",
+          TopK, IvfCentroidEvery, HnswEntryEvery, HnswM, HnswBeam,
+          HnswRounds)),
       TopK)
   }
 
@@ -2585,7 +2727,8 @@ object ExtQueries extends QueryGroup {
          ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id"""
 
   private lazy val annRecallSql =
-    Seq("ivf" -> annIvfSql, "ivf2" -> annIvf2Sql, "lsh" -> annLshSql)
+    Seq("ivf" -> annIvfSql, "ivf2" -> annIvf2Sql, "lsh" -> annLshSql,
+        "hnsw" -> annHnswSql)
       .map { case (m, sql) => recallRowSql(m, sql) }
       .mkString("\nUNION ALL\n")
 
@@ -3312,41 +3455,44 @@ object ExtQueries extends QueryGroup {
     */
   private val ParetoKs = Seq(1, 5, 10, 25, 50)
 
-  private def eventsPareto(s: SparkSession, d: String): DataFrame = {
+  private def eventsPareto(s: SparkSession, d: String): DataFrame =
+    eventsParetoGrid(s, d, 1L)
+
+  /** Pareto with the ValueGrid coarsening knob (see eventsRfmGrid):
+    * `gridCents` bounds the ordered distinct-value frame; totals stay
+    * the TRUE revenue sums (the grid coarsens only the ordering) and the
+    * straddling cell's take is mass-proportional exact BIGINT.
+    * gridCents = 1 reproduces the per-value exact form bit-for-bit.
+    */
+  private def eventsParetoGrid(s: SparkSession, d: String,
+      gridCents: Long): DataFrame = {
     val uv = Tables.events(s, d)
       .where(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-    val vc = uv.groupBy("cents").agg(count(lit(1)).as("m"))
-    val w = Window.orderBy(col("cents").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = uv.agg(count(lit(1)).as("n_users"),
-      sum(col("cents")).as("total_rev_cents"))
-    vc.withColumn("cb", coalesce(sum(col("m")).over(w), lit(0L)))
-      .crossJoin(broadcast(tot))
-      .withColumn("k_pct", explode(array(ParetoKs.map(lit): _*)))
-      .withColumn("n_top", expr("n_users * k_pct div 100"))
-      .withColumn("__take",
-        greatest(lit(0L), least(col("m"), expr("n_top - cb"))))
-      .groupBy("k_pct", "n_users", "total_rev_cents")
-      .agg(max(expr("n_top")).as("n_top_users"),
-        sum(col("cents") * col("__take")).as("top_rev_cents"))
-      .select(col("k_pct"), col("n_top_users"), col("top_rev_cents"),
-        col("total_rev_cents"),
-        round(col("top_rev_cents") / col("total_rev_cents"), 6).as("share"))
+    graft.operators.ValueGrid.paretoShares(uv, ParetoKs, gridCents)
   }
 
-  private val eventsParetoSql = {
+  /** Pareto oracle, step-parameterized: the grid key snaps cents, the
+    * per-cell mass is the TRUE cent sum, and the straddling cell takes
+    * (mass · take) // m — the exact mass-proportional integer the Spark
+    * side computes. step = 1 makes vg = cents and mass = cents·m, so the
+    * expression collapses to the per-value exact form.
+    */
+  private def eventsParetoSqlGrid(step: Long): String = {
     val ks = ParetoKs.mkString(", ")
+    val vg = if (step <= 1L) "cents" else s"cents - (cents % $step)"
     s"""WITH uv AS (
          SELECT user_id,
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
          FROM events WHERE event_type = 'purchase' GROUP BY 1),
-       vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS m FROM uv GROUP BY 1),
+       vc AS (SELECT $vg AS vg, CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(cents) AS BIGINT) AS mass
+              FROM uv GROUP BY 1),
        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
                       CAST(sum(cents) AS BIGINT) AS total_rev_cents FROM uv),
-       cw AS (SELECT cents, m,
-                     CAST(coalesce(sum(m) OVER (ORDER BY cents DESC
+       cw AS (SELECT vg, m, mass,
+                     CAST(coalesce(sum(m) OVER (ORDER BY vg DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
               FROM vc),
        e AS (SELECT cw.*, t.n_users, t.total_rev_cents, ks.k_pct,
@@ -3354,11 +3500,22 @@ object ExtQueries extends QueryGroup {
              FROM cw CROSS JOIN tot t
              CROSS JOIN (SELECT unnest([$ks]) AS k_pct) ks)
        SELECT k_pct, max(n_top) AS n_top_users,
-              CAST(sum(cents * greatest(0, least(m, n_top - cb))) AS BIGINT) AS top_rev_cents,
+              CAST(sum((mass * greatest(0, least(m, n_top - cb))) // m) AS BIGINT) AS top_rev_cents,
               total_rev_cents,
-              round(sum(cents * greatest(0, least(m, n_top - cb))) / total_rev_cents, 6) AS share
+              round(sum((mass * greatest(0, least(m, n_top - cb))) // m) / total_rev_cents, 6) AS share
        FROM e GROUP BY k_pct, n_users, total_rev_cents"""
   }
+
+  private val eventsParetoSql = eventsParetoSqlGrid(1L)
+
+  /** The ValueGrid coarsening knob exercised end-to-end: $5-wide cent
+    * cells bound the ordered frame regardless of revenue uniqueness. */
+  private val GridCentsStep = 500L
+
+  private def eventsParetoGridQ(s: SparkSession, d: String): DataFrame =
+    eventsParetoGrid(s, d, GridCentsStep)
+
+  private val eventsParetoGridSql = eventsParetoSqlGrid(GridCentsStep)
 
   /** Binned range join: clicks in the hour before each purchase by the
     * same user. The Spark side is an equi-join on (user, time-bin); the
@@ -4162,25 +4319,33 @@ object ExtQueries extends QueryGroup {
     * incidents. Flags are NULL for the warm-up days (< 3 preceding) so
     * absence-of-history is distinguishable from normal.
     *
+    * Daily counts are ZERO-FILLED onto the dense [min, max] day spine
+    * (Monitoring.dailySpine) before the trailing window: a day with no
+    * events at all is the loudest drop signal there is, and without
+    * the fill it produces no row — the monitor could never page on a
+    * complete outage, and the "trailing 3 days" would silently mean
+    * "trailing 3 PRESENT days". The oracle builds the same spine.
+    *
     * Scale shape: ONE corpus aggregate to the (type, day) frame; the
-    * trailing window runs over that ≤ types×days frame. Spike/drop
-    * decide on cross-multiplied BIGINTs — the mean never exists as a
-    * float, so there is nothing to round and nothing partition-order
-    * can perturb.
+    * spine join and trailing window run over that ≤ types×days frame.
+    * Spike/drop decide on cross-multiplied BIGINTs — the mean never
+    * exists as a float, so there is nothing to round and nothing
+    * partition-order can perturb.
     */
   private def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-3, -1)
-    Tables.events(s, d)
+    val daily = Tables.events(s, d)
       .groupBy(col("event_type"), expr(s"ts div $ZDayNs").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("y"))
+    graft.operators.Monitoring.dailySpine(daily, Seq("event_type"))
       .withColumn("__n3", count(lit(1)).over(w))
-      .withColumn("sum3", sum(col("cnt")).over(w))
-      .select(col("event_type"), col("day"), col("cnt"),
+      .withColumn("sum3", sum(col("y")).over(w))
+      .select(col("event_type"), col("day"), col("y").as("cnt"),
         when(col("__n3") === 3, col("sum3")).as("sum3"),
-        when(col("__n3") === 3, (col("cnt") * 3 > col("sum3") * 2).cast("int"))
+        when(col("__n3") === 3, (col("y") * 3 > col("sum3") * 2).cast("int"))
           .as("flag_spike"),
-        when(col("__n3") === 3, (col("cnt") * 6 < col("sum3")).cast("int"))
+        when(col("__n3") === 3, (col("y") * 6 < col("sum3")).cast("int"))
           .as("flag_drop"))
   }
 
@@ -4189,13 +4354,19 @@ object ExtQueries extends QueryGroup {
          SELECT event_type, epoch_ns(ts) // $ZDayNs AS day,
                 CAST(count(*) AS BIGINT) AS cnt
          FROM events GROUP BY 1, 2),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM dc),
+       spine AS (SELECT event_type, day
+                 FROM (SELECT DISTINCT event_type FROM dc),
+                      (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds)),
+       f AS (SELECT s.event_type, s.day, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+             FROM spine s LEFT JOIN dc USING (event_type, day)),
        tw AS (
          SELECT event_type, day, cnt,
                 count(*) OVER (PARTITION BY event_type ORDER BY day
                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n3,
                 CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s3
-         FROM dc)
+         FROM f)
        SELECT event_type, day, cnt,
               CASE WHEN n3 = 3 THEN s3 END AS sum3,
               CASE WHEN n3 = 3 THEN
@@ -5042,7 +5213,7 @@ object ExtQueries extends QueryGroup {
   private def sketchLincount2(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
       col("ts"))
-    val path = s"${sys.props("java.io.tmpdir")}/graft_lincount_${math.abs(d.hashCode)}"
+    val path = scratchPath(s, "lincount", d)
     Sketches.lincountState(ev.where(col("ts") < IncrCutoffNs),
         "user_id", "event_type", LinCountBuckets)
       .write.mode("overwrite").parquet(path)
@@ -5633,9 +5804,11 @@ object ExtQueries extends QueryGroup {
        gb AS (SELECT r, ((sid * (2 * r + 3) + (5 * r + 1)) % $m) % $w AS bucket,
                      CAST(sum(cb) AS BIGINT) AS cnt_b
               FROM kc, range($dep) t(r) WHERE cb > 0 GROUP BY 1, 2),
-       ip AS (SELECT ga.r, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS est
-              FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
-              GROUP BY 1),
+       ipr AS (SELECT ga.r AS r, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS est
+               FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
+               GROUP BY 1),
+       ip AS (SELECT t.r, CAST(coalesce(est, 0) AS BIGINT) AS est
+              FROM range($dep) t(r) LEFT JOIN ipr ON t.r = ipr.r),
        ex AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS n_exact FROM kc)
        SELECT n_exact, CAST(min(est) AS BIGINT) AS n_est,
               CAST(min(est) AS BIGINT) - n_exact AS overcount
@@ -5755,6 +5928,34 @@ object ExtQueries extends QueryGroup {
        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
               CAST(sum(CAST(1 AS BIGINT) << CAST($DecayScaleBits - k AS INTEGER)) AS BIGINT) AS decay_scaled,
               round(sum(CAST(1 AS BIGINT) << CAST($DecayScaleBits - k AS INTEGER)) / ${1L << DecayScaleBits}.0, 6) AS decayed_mass
+       FROM k GROUP BY 1"""
+
+  /** The 64-bit headroom form of ext_events_decay
+    * (Monitoring.decayMass wide = DECIMAL(38,0) sum — BIGINT holds only
+    * ~2^63/2^scaleBits rows per group, 8·10^9 at 30 bits): identical
+    * decayed_mass, scaled integer kept internal (it no longer fits a
+    * BIGINT column by construction). Oracle sums in DuckDB's native
+    * HUGEINT; both engines divide exact-integer → nearest-double.
+    * TimeSeriesSpec pins the overflow magnitudes the narrow form
+    * cannot carry.
+    */
+  private def eventsDecayWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.Monitoring.decayMass(
+      Tables.events(s, d)
+        .select(col("event_type"),
+          least(expr(s"($DecayRefNs - ts) div $ZDayNs div $DecayHalfLifeDays"),
+            lit(DecayScaleBits.toLong)).as("k")),
+      "event_type", DecayScaleBits, wide = true)
+
+  private val eventsDecayWideSql =
+    s"""WITH k AS (
+         SELECT event_type,
+                least(($DecayRefNs - epoch_ns(ts)) // $ZDayNs // $DecayHalfLifeDays,
+                      $DecayScaleBits) AS k
+         FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              round(CAST(sum(CAST(1 AS BIGINT) << CAST($DecayScaleBits - k AS INTEGER)) AS DOUBLE)
+                    / ${1L << DecayScaleBits}.0, 6) AS decayed_mass
        FROM k GROUP BY 1"""
 
   /** INTER-LABELER AGREEMENT (Cohen's kappa): the freshly-trained
@@ -6016,8 +6217,7 @@ object ExtQueries extends QueryGroup {
   private def sketchQuantile2(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"), col("value"),
       col("ts"))
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_qhist_${math.abs(d.hashCode)}"
+    val path = scratchPath(s, "qhist", d)
     Sketches.fixedHistState(ev.where(col("ts") < IncrCutoffNs), "value",
         "event_type", QHistLo, QHistHi, QHistBins)
       .write.mode("overwrite").parquet(path)
@@ -6314,32 +6514,23 @@ object ExtQueries extends QueryGroup {
     * Scale shape: ONE events aggregate reduces the corpus to the
     * |days| frame (zero-filled on the dense day spine — ACF needs a
     * regular series); every join/window after that runs on ≤ |days|
-    * rows. At 100 TB residual products can exceed 64 bits
-    * (n·y ~ 1e13) — swap the sums to DECIMAL(38,0) there; the shape
-    * is unchanged.
+    * rows. The residual products run WIDE (DECIMAL(38,0) Spark-side,
+    * HUGEINT in the oracle — Monitoring.acfFromDaily's documented
+    * 64-bit headroom swap, landed round 8): daily counts of n·y ~ 1e13
+    * square past BIGINT at 100 TB. The quotient is exact-integer →
+    * nearest-double in both engines, so wide ≡ narrow wherever narrow
+    * doesn't overflow; TimeSeriesSpec pins the overflow magnitudes.
     */
   private val AcfMaxLag = 7
 
-  private def tsAcf(s: SparkSession, d: String): DataFrame = {
-    val daily = graft.operators.Monitoring.dailySpine(
-      Tables.events(s, d)
-        .groupBy(expr(s"ts div $ZDayNs").as("day"))
-        .agg(count(lit(1)).as("y")),
-      Seq.empty).localCheckpoint()
-    val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("sm"))
-    val r = daily.crossJoin(broadcast(tot))
-      .select(col("day"), (col("n") * col("y") - col("sm")).as("r"))
-      .localCheckpoint()
-    val den = r.agg(sum(col("r") * col("r")).as("den"))
-    val shifted = r.select((col("day")).as("sday"), col("r").as("r2"))
-    r.withColumn("lag", explode(array((1 to AcfMaxLag).map(l => lit(l.toLong)): _*)))
-      .join(shifted, col("day") + col("lag") === col("sday"))
-      .groupBy("lag")
-      .agg(count(lit(1)).as("n_pairs"), sum(col("r") * col("r2")).as("num"))
-      .crossJoin(broadcast(den))
-      .select(col("lag"), col("n_pairs"),
-        when(col("den") =!= 0, round(col("num") / col("den"), 6)).as("acf"))
-  }
+  private def tsAcf(s: SparkSession, d: String): DataFrame =
+    graft.operators.Monitoring.acfFromDaily(
+      graft.operators.Monitoring.dailySpine(
+        Tables.events(s, d)
+          .groupBy(expr(s"ts div $ZDayNs").as("day"))
+          .agg(count(lit(1)).as("y")),
+        Seq.empty),
+      AcfMaxLag, wide = true)
 
   private val tsAcfSql =
     s"""WITH d0 AS (SELECT epoch_ns(ts) // $ZDayNs AS day,
@@ -6354,16 +6545,17 @@ object ExtQueries extends QueryGroup {
                       CAST(sum(y) AS BIGINT) AS sm FROM daily),
        r AS (SELECT day, CAST(n * y - sm AS BIGINT) AS r
              FROM daily CROSS JOIN tot),
-       den AS (SELECT CAST(sum(r * r) AS BIGINT) AS den FROM r),
+       den AS (SELECT sum(CAST(r AS HUGEINT) * r) AS den FROM r),
        lags AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag),
        num AS (
          SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-                CAST(sum(a.r * b.r) AS BIGINT) AS num
+                sum(CAST(a.r AS HUGEINT) * b.r) AS num
          FROM lags, r a, r b
          WHERE b.day = a.day + lag
          GROUP BY 1)
        SELECT lag, n_pairs,
-              CASE WHEN den != 0 THEN round(num / den, 6) END AS acf
+              CASE WHEN den != 0
+                THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
        FROM num CROSS JOIN den"""
 
   /** SEASONAL-NAIVE FORECAST BACKTEST per event type: predict each
@@ -6443,7 +6635,21 @@ object ExtQueries extends QueryGroup {
     * value equi-joins (broadcast-sized). No rank window ever runs
     * over the user universe.
     */
-  private def eventsRfm(s: SparkSession, d: String): DataFrame = {
+  private def eventsRfm(s: SparkSession, d: String): DataFrame =
+    eventsRfmGrid(s, d, 1L)
+
+  /** RFM with the ValueGrid coarsening knob: `gridCents` snaps the
+    * monetary axis onto an equal-width cent grid BEFORE the
+    * distinct-value score frame is built, bounding the ordered frame to
+    * ≤ max_cents/grid rows at ANY revenue distribution (near-unique
+    * cents would otherwise make it user-sized — the 100 TB adversarial
+    * case). gridCents = 1 is the exact form (ext_events_rfm);
+    * ext_events_rfm_grid registers the coarsened form with its own
+    * oracle, so the knob's semantics are gated, not asserted.
+    */
+  private def eventsRfmGrid(s: SparkSession, d: String,
+      gridCents: Long): DataFrame = {
+    import graft.operators.ValueGrid
     val u = Tables.events(s, d)
       .where(col("event_type") === "purchase")
       .groupBy("user_id")
@@ -6455,21 +6661,19 @@ object ExtQueries extends QueryGroup {
     val base = u.crossJoin(broadcast(hi))
       .select(col("user_id"), (col("hi") - col("last_day")).as("rec"),
         col("freq"), col("cents"), col("n_users"))
-    // tie-coherent quartile over the metric's distinct-value frame;
-    // asc=true means smaller is better (recency), else larger is better
-    def scores(metric: String, asc: Boolean): DataFrame = {
-      val vals = base.groupBy(col(metric).as("v"), col("n_users"))
-        .agg(count(lit(1)).as("m"))
-      val w = Window.orderBy(if (asc) col("v").asc else col("v").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      vals.withColumn("cb", coalesce(sum(col("m")).over(w), lit(0L)))
-        .select(col("v").as(metric),
-          (expr("cb * 4 div n_users") + 1).as(s"${metric}_score"))
-    }
-    base
-      .join(broadcast(scores("rec", asc = true)), Seq("rec"))
-      .join(broadcast(scores("freq", asc = false)), Seq("freq"))
-      .join(broadcast(scores("cents", asc = false)), Seq("cents"))
+    // tie-coherent quartile over the metric's distinct-(grid-)value frame;
+    // asc=true means smaller is better (recency), else larger is better.
+    // Recency/frequency are naturally bounded (≤ |days| / max count); only
+    // the monetary axis takes the grid.
+    def attach(df: DataFrame, metric: String, asc: Boolean,
+        step: Long): DataFrame =
+      df.withColumn(s"__k_$metric", ValueGrid.snap(col(metric), step))
+        .join(broadcast(
+          ValueGrid.quantileScores(base, metric, 4, asc, step)),
+          Seq(s"__k_$metric"))
+    attach(attach(attach(base, "rec", asc = true, 1L),
+        "freq", asc = false, 1L),
+        "cents", asc = false, gridCents)
       .groupBy(col("rec_score").as("r_score"),
         col("freq_score").as("f_score"), col("cents_score").as("m_score"))
       .agg(count(lit(1)).as("n_users"),
@@ -6484,7 +6688,10 @@ object ExtQueries extends QueryGroup {
           .as("avg_monetary"))
   }
 
-  private val eventsRfmSql = {
+  /** RFM oracle, step-parameterized like eventsParetoSqlGrid: the
+    * monetary score CTE groups by the snapped cent value; step = 1
+    * makes cents_k = cents and reproduces the exact form. */
+  private def eventsRfmSqlGrid(step: Long): String = {
     def sc(metric: String, dir: String) =
       s"""SELECT v AS $metric,
             CAST(cb * 4 // n_users AS BIGINT) + 1 AS ${metric}_score
@@ -6494,6 +6701,7 @@ object ExtQueries extends QueryGroup {
                     AS BIGINT) AS cb
                 FROM (SELECT $metric AS v, n_users, CAST(count(*) AS BIGINT) AS m
                       FROM base GROUP BY 1, 2) t)"""
+    val centsK = if (step <= 1L) "cents" else s"cents - (cents % $step)"
     s"""WITH u AS (
          SELECT user_id, max(epoch_ns(ts) // $ZDayNs) AS last_day,
                 CAST(count(*) AS BIGINT) AS freq,
@@ -6501,21 +6709,29 @@ object ExtQueries extends QueryGroup {
          FROM events WHERE event_type = 'purchase' GROUP BY 1),
        hi AS (SELECT max(last_day) AS hi,
                      CAST(count(*) AS BIGINT) AS n_users FROM u),
-       base AS (SELECT user_id, hi - last_day AS rec, freq, cents, n_users
+       base AS (SELECT user_id, hi - last_day AS rec, freq, cents,
+                       $centsK AS cents_k, n_users
                 FROM u CROSS JOIN hi),
        rs AS (${sc("rec", "ASC")}),
        fs AS (${sc("freq", "DESC")}),
-       ms AS (${sc("cents", "DESC")})
+       ms AS (${sc("cents_k", "DESC")})
        SELECT rec_score AS r_score, freq_score AS f_score,
-              cents_score AS m_score,
+              cents_k_score AS m_score,
               CAST(count(*) AS BIGINT) AS n_users,
               CAST(sum(freq) AS BIGINT) AS seg_purchases,
               CAST(sum(cents) AS BIGINT) AS seg_cents,
               round((CAST(sum(cents) AS BIGINT) * 100 // count(*)) / 10000.0, 4)
                 AS avg_monetary
-       FROM base JOIN rs USING (rec) JOIN fs USING (freq) JOIN ms USING (cents)
+       FROM base JOIN rs USING (rec) JOIN fs USING (freq) JOIN ms USING (cents_k)
        GROUP BY 1, 2, 3"""
   }
+
+  private val eventsRfmSql = eventsRfmSqlGrid(1L)
+
+  private def eventsRfmGridQ(s: SparkSession, d: String): DataFrame =
+    eventsRfmGrid(s, d, GridCentsStep)
+
+  private val eventsRfmGridSql = eventsRfmSqlGrid(GridCentsStep)
 
   /** PMI COLLOCATIONS: the top-50 adjacent word pairs by pointwise
     * mutual information (min pair count 5) — the phrase-mining /
@@ -7173,8 +7389,7 @@ object ExtQueries extends QueryGroup {
   private val IvfDeleteRem = 3
 
   private def annIvfDelete(s: SparkSession, d: String): DataFrame = {
-    val path =
-      s"${sys.props("java.io.tmpdir")}/graft_ivf_del_${math.abs(d.hashCode)}"
+    val path = scratchPath(s, "ivf_del", d)
     Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
       IvfCentroidEvery, path)
     Similarity.deleteFromIvfIndex(path,
@@ -7357,6 +7572,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_bloom_fpr", dedupBloomFpr, Some(dedupBloomFprSql), "measured bloom FPR: probed vs exact membership per distinct train shingle, fill^k estimate"),
     GQuery("ext_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql), "incremental MinHash dedup: new batch probed against the stored corpus index"),
     GQuery("ext_dedup_incr_persist", dedupIncrPersist, Some(dedupIncrementalSql), "persist-and-probe incremental dedup: band index written to parquet, re-read, probed"),
+    GQuery("ext_dedup_incr_bucketed", dedupIncrBucketed, Some(dedupIncrementalSql), "bucketed persisted band index: probe join exchange-free on the stored side"),
     GQuery("ext_dedup_spans", dedupSpans, Some(dedupSpansSql), "verbatim-span detection: exact substring overlaps via positional-gram diagonals"),
     GQuery("ext_cc_triangles", ccTriangles, Some(ccTrianglesSql), "triangle participation on the dup graph (degree-ordered wedge join)"),
     GQuery("ext_cc_labelprop", ccLabelprop, Some(ccLabelpropSql), "synchronous LPA communities on the dup graph: mode-of-neighbors, 3 unrolled rounds"),
@@ -7381,6 +7597,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
+    GQuery("ext_ann_hnsw", annHnsw, Some(annHnswSql), "graph ANN (HNSW-lite): entry level + border-crossing m-NN edges + fixed-round beam search"),
+    GQuery("ext_ann_hnsw_sweep", annHnswSweep, Some(annHnswSweepSql), "recall-vs-beam curve for the graph path: the HNSW operating-point dial"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
@@ -7434,6 +7652,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_cusum", eventsCusum, Some(eventsCusumSql), "CUSUM level-shift changepoint per type: BIGINT drift argmax, before/after means"),
     GQuery("ext_events_ltv", eventsLtv, Some(eventsLtvSql), "cohort LTV triangle: signup cohorts x age, cumulative cent-exact revenue per user"),
     GQuery("ext_events_rfm", eventsRfm, Some(eventsRfmSql), "RFM segmentation: tie-coherent quartile scores off distinct-value frames, per-cell rollup"),
+    GQuery("ext_events_rfm_grid", eventsRfmGridQ, Some(eventsRfmGridSql), "RFM with the ValueGrid coarsening knob: $5 cent-grid bounds the monetary score frame at any revenue distribution"),
     GQuery("ext_ts_acf", tsAcf, Some(tsAcfSql), "daily-count autocorrelation at lags 1..7: exact cross-multiplied BIGINT residuals"),
     GQuery("ext_ts_dow", tsDow, Some(tsDowSql), "day-of-week seasonality strength: eta2 variance decomposition on the integer grid"),
     GQuery("ext_ts_forecast", tsForecast, Some(tsForecastSql), "seasonal-naive lag-7 backtest vs naive-1: per-type MAE + skill from integer sums"),
@@ -7461,6 +7680,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),
     GQuery("ext_events_pareto", eventsPareto, Some(eventsParetoSql), "whale concentration: exact top-k% revenue shares off the distinct-value frame"),
+    GQuery("ext_events_pareto_grid", eventsParetoGridQ, Some(eventsParetoGridSql), "Pareto with the ValueGrid coarsening knob: grid-bounded ordering over true revenue mass"),
     GQuery("ext_sessionize_native", sessionNative, Some(sessionNativeSql), "native session_window sessions: per (user, session) count + start, exclusive-end gap semantics"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
     GQuery("ext_stream_sliding", streamSliding, Some(streamSlidingSql), "sliding-window agg (batch twin): 10-min windows every 5, each event in 2 windows"),
@@ -7486,6 +7706,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),
     GQuery("ext_skew_profile", skewProfile, Some(skewProfileSql), "join-key skew profile: max/mean load ratio + top-k heavy-hitter mass share"),
     GQuery("ext_events_decay", eventsDecay, Some(eventsDecaySql), "time-decayed activity mass: exact scaled-BIGINT half-life weighting, one division at the end"),
+    GQuery("ext_events_decay_wide", eventsDecayWide, Some(eventsDecayWideSql), "decay mass in the DECIMAL(38,0) headroom form: same mass, sum survives past 8e9 rows/group"),
     GQuery("ext_events_trend", eventsTrend, Some(eventsTrendSql), "per-type least-squares daily-count slope: exact BIGINT sums, one division"),
     GQuery("ext_events_lift", eventsLift, Some(eventsLiftSql), "event-type co-occurrence lift over the user universe (association-rule telemetry)"),
     GQuery("ext_label_kappa", labelKappa, Some(labelKappaSql), "inter-labeler agreement: Cohen's kappa of heuristic langid vs ground truth"),

@@ -83,6 +83,34 @@ class BenchLineSpec extends AnyFunSuite {
       s"q_shuffle_mb key $k not present in queries map — keys must match") }
   }
 
+  test("q_isolated ladder: isolated re-measures survive on the line at full registry size, keyed like queries") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, 102.34, 2.34 + i * 0.01, true)
+    }
+    val qShuffle = names.map(_ -> 12345.67).toMap
+    // the 8 slowest get an isolated number (the Bench main's contract)
+    val slow8 = results.sortBy(r => (-r._3, r._1)).take(8).map(_._1)
+    val qIso = slow8.map(_ -> 3.21).toMap
+    val line = Bench.canonicalLine(results, "/root/testdata/sf0.1",
+      shuffleMb = Some(123456.78), qShuffleMb = qShuffle, qIsolated = qIso)
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+    val root = mapper.readTree(line)
+    val iso = root.get("q_isolated")
+    assert(iso != null && iso.size() == 8,
+      s"expected 8 q_isolated entries, got ${if (iso == null) "none" else iso.size()}")
+    // keys must match the queries map keying (full or abbreviated alike)
+    val qs = root.get("queries")
+    val it = iso.fieldNames()
+    while (it.hasNext) { val k = it.next(); assert(qs.has(k),
+      s"q_isolated key $k not present in queries map — keys must match") }
+    // isolated values are the stamped numbers (fmt2 grain)
+    assert(iso.elements().next().asDouble() == 3.21)
+    // and without isolated data the field is absent, not an empty object
+    val bare = Bench.canonicalLine(results, "x")
+    assert(mapper.readTree(bare).get("q_isolated") == null)
+  }
+
   test("pathological failure: every query errored still yields a short, parseable line") {
     val results = names80.map(n => (n, 2.0, 1.0, false))
     val line = Bench.canonicalLine(results, "/root/testdata/sf0.1")

@@ -424,6 +424,55 @@ class ScaleSpec extends SparkSpec {
       "the RI probe must ride the same pass via a broadcast key-set join")
   }
 
+  test("bucketed minhash index: probe join has ZERO Exchange on the stored side") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("DROP TABLE IF EXISTS scalespec_bidx_bands")
+    val docs = Tables.documents(spark, sf0001)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_scalespec_bidx"
+    Dedup.writeMinhashIndexBucketed(docs.where(col("doc_id") % 10 < 8),
+      "doc_id", "text", 16, 2, Dedup.PolyHash, "scalespec_bidx", path, 8)
+    // materialize=false keeps the live join plan (the default
+    // localCheckpoints, leaving only an RDD scan to inspect)
+    val probe = Dedup.probeMinhashIndexBucketed("scalespec_bidx", path,
+      docs.where(col("doc_id") % 10 >= 8), "doc_id", "text", 16, 2, 0.8,
+      Dedup.PolyHash, materialize = false)
+    // unwrap AQE: collect() does not traverse into AdaptiveSparkPlanExec,
+    // so inspect the pre-adaptive physical plan (EnsureRequirements has
+    // already placed every Exchange there)
+    val plan = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val bucketedScans = plan.collect {
+      case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+    }
+    assert(bucketedScans.nonEmpty, "the stored band table must scan bucketed")
+    // the daily-probe contract: the accumulated index NEVER re-shuffles —
+    // no ShuffleExchange subtree may contain the bucketed scan (only the
+    // O(batch) incoming side moves, into the bucket count)
+    val shufflesOverStored = plan.collect {
+      case s: ShuffleExchangeExec if s.collectLeaves().exists {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        } => s
+    }
+    assert(shufflesOverStored.isEmpty,
+      s"stored index re-shuffled: ${shufflesOverStored.size} exchanges above the bucketed scan")
+    // and the bucketed probe returns the same pairs as the plain-parquet probe
+    val plainPath = s"${sys.props("java.io.tmpdir")}/graft_scalespec_pidx"
+    Dedup.writeMinhashIndex(docs.where(col("doc_id") % 10 < 8),
+      "doc_id", "text", 16, 2, Dedup.PolyHash, plainPath)
+    val plain = Dedup.probeMinhashIndex(plainPath,
+      docs.where(col("doc_id") % 10 >= 8), "doc_id", "text", 16, 2, 0.8,
+      Dedup.PolyHash)
+    assert(probe.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(probe).count() == 0,
+      "bucketed probe must be result-identical to the plain probe")
+  }
+
   test("editVerifiedPairs: text attachment never shuffles the corpus") {
     val df = graft.operators.Dedup.editVerifiedPairs(
       Tables.documents(spark, sf0001), "doc_id", "text",

@@ -118,6 +118,17 @@ class SketchSpec extends SparkSpec {
       .collect().head
     assert(tight.getLong(0) == 12L)
     assert(tight.getLong(1) >= 12L && tight.getLong(2) == tight.getLong(1) - 12L)
+
+    // Disjoint grids (one side empty -> the per-row inner-product join is
+    // empty for EVERY depth row): the depth spine must coalesce each row's
+    // estimate to 0 — one result row, n_est = 0, overcount = 0 — not a NULL
+    // n_est (and not a 0-row divergence against the oracle's GROUP BY form).
+    val empty = Sketches.joinSizeAudit(df, "k",
+      col("side") === "a", col("side") === "z", width = 16, depth = 3)
+      .collect()
+    assert(empty.length == 1)
+    assert(!empty.head.isNullAt(1) && empty.head.getLong(1) == 0L)
+    assert(empty.head.getLong(0) == 0L && empty.head.getLong(2) == 0L)
   }
 
   test("fixedHistState: disjoint-split ADD-merge ≡ one-shot; replay double-counts") {

@@ -270,6 +270,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation composite ≡ batch curate + lineage under ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // ordered replay: ascending-id batches (the documented parity
+    // precondition — the arriving doc is always a pair's removable side)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(docs.length >= 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cur_stream").toString
+    try {
+      // constants mirror ext_corpus_curate/ext_corpus_lineage exactly
+      val state = new graft.streaming.CurationStream.CurationState(
+        path, "doc_id", "text", 0.7, Seq("sqlish", "streamish"),
+        16, 2, 0.8, operators.Dedup.PolyHash,
+        25, "|graft-curate-s", "n_chars", 2048L, "|graft-curate-p")
+      val input = MemoryStream[(Long, String, Long)]
+      val q = input.toDF().toDF("doc_id", "text", "n_chars").writeStream
+        .foreachBatch(state.sink _).outputMode("append").start()
+      try {
+        val batches = docs.grouped(math.max(1, docs.length / 4)).toSeq
+        for (b <- batches) { input.addData(b.toSeq); q.processAllAvailable() }
+        val batchCurate = SparkEntry.queries("ext_corpus_curate")(spark, sf0001)
+        val streamCurate = state.curated
+          .select(batchCurate.columns.map(col): _*)
+        assert(streamCurate.exceptAll(batchCurate).count() == 0 &&
+          batchCurate.exceptAll(streamCurate).count() == 0,
+          "stream-curated packs diverge from the one-shot batch composite")
+        assert(batchCurate.count() > 0, "vacuous: batch composite empty")
+        val batchLin = SparkEntry.queries("ext_corpus_lineage")(spark, sf0001)
+        val streamLin = state.lineageRollup
+          .select(batchLin.columns.map(col): _*)
+        assert(streamLin.exceptAll(batchLin).count() == 0 &&
+          batchLin.exceptAll(streamLin).count() == 0,
+          "per-stage lineage counts diverge from the batch audit")
+        // at-least-once delivery: the SAME epoch re-arrives after a
+        // "failure" (same batchId — the ledger's contract; without it the
+        // funnel masses would double-count and every replayed doc would
+        // self-match against its own stored signature)
+        state.sink(batches.head.toSeq.toDF("doc_id", "text", "n_chars"), 0L)
+        val replayed = state.curated.select(batchCurate.columns.map(col): _*)
+        assert(replayed.exceptAll(batchCurate).count() == 0 &&
+          batchCurate.exceptAll(replayed).count() == 0,
+          "replayed epoch must fold to a no-op")
+        val replayedLin = state.lineageRollup
+          .select(batchLin.columns.map(col): _*)
+        assert(replayedLin.exceptAll(batchLin).count() == 0 &&
+          batchLin.exceptAll(replayedLin).count() == 0,
+          "replayed epoch must not perturb the lineage funnel")
+      } finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("streaming SCD2 on the keyed backend: live foreachBatch, same dimension") {
     // the production backend under a REAL streaming query (the batch-wise
     // equivalence test below covers the slice mechanics; this covers the

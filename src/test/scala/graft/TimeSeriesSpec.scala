@@ -509,4 +509,59 @@ class TimeSeriesSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
   }
+
+  test("acfFromDaily wide: correct at residual magnitudes where BIGINT products overflow") {
+    import graft.operators.Monitoring
+    // daily counts ~4e9: residual r = n*y - S ~ 1e10-4e10, so r*r ~ 1e20-1e21
+    // >> Long.MaxValue (9.2e18) — the 100 TB telemetry magnitude the
+    // DECIMAL(38,0) swap exists for
+    val ys = Seq(4000000000L, 100L, 3900000000L, 200L, 4100000000L,
+      50L, 4000000123L, 7L, 3999999999L, 42L)
+    val daily = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
+      .toDF("day", "y")
+    val got = Monitoring.acfFromDaily(daily, maxLag = 2, wide = true)
+      .orderBy("lag").collect()
+    // exact expectation via BigInt
+    val n = BigInt(ys.size); val sm = ys.map(BigInt(_)).sum
+    val r = ys.map(y => n * y - sm)
+    val den = r.map(x => x * x).sum
+    def acf(l: Int): Double = {
+      val num = (0 until ys.size - l).map(i => r(i) * r(i + l)).sum
+      (BigDecimal(num) / BigDecimal(den)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.length == 2)
+    got.foreach { row =>
+      val l = row.getLong(0).toInt
+      assert(row.getLong(1) == ys.size - l)
+      // strongly alternating series: the value is far from 0, so a silent
+      // BIGINT wraparound could not accidentally land near the right answer
+      assert(math.abs(row.getDouble(2) - acf(l)) < 2e-6,
+        s"lag $l: got ${row.getDouble(2)}, want ${acf(l)}")
+    }
+    assert(math.abs(got.head.getDouble(2) - (-0.9)) < 0.2,
+      "lag-1 ACF of an alternating series must be strongly negative")
+  }
+
+  test("decayMass wide: exact where the BIGINT sum would overflow (scaleBits=62)") {
+    import graft.operators.Monitoring
+    // 4 rows at k=0 with 62-bit scale: sum = 4 * 2^62 = 2^64 — two rows
+    // already exceed Long.MaxValue; DECIMAL(38,0) carries it exactly
+    val k = Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 0L),
+      ("b", 1L), ("b", 62L)).toDF("g", "k")
+    val got = Monitoring.decayMass(k, "g", scaleBits = 62, wide = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") == ((4L, 4.0)), s"got ${got("a")}")
+    // b: 2^61/2^62 + 2^0/2^62 = 0.5 + ~2e-19 -> rounds to 0.5
+    assert(got("b") == ((2L, 0.5)))
+    // and the narrow form at the default 30 bits agrees with wide on
+    // non-overflowing input (bit-identical where both are exact)
+    val small = Seq(("x", 0L), ("x", 3L), ("y", 30L)).toDF("g", "k")
+    val wideR = Monitoring.decayMass(small, "g", 30, wide = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val narrowR = Monitoring.decayMass(small, "g", 30, wide = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(wideR == narrowR)
+    assert(wideR("x") == 1.125)
+  }
 }
