@@ -198,7 +198,18 @@ object Similarity {
       .localCheckpoint() // one build, read once per round
     val qF = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       VectorOps.normSq(col(vecCol)).as("qn"))
-    val cvecs = base.select(col("vid").as("vec_b"), col("vec").as("vb"),
+    beamSearch(base, edges, qF, entryEvery, k, beam, rounds)
+  }
+
+  /** The fixed-round beam-expansion search core shared by [[graphTopK]]
+    * (in-plan build) and [[probeGraphIndex]] (persisted build): entry =
+    * top-`beam` of the entry level per query, then `rounds` rounds of
+    * expand-score-pool-recut. `vecs` is (vid, vec, nsq); `edges` is
+    * (src, dst); `qF` is (q_id, qv, qn).
+    */
+  private def beamSearch(vecs: DataFrame, edges: DataFrame, qF: DataFrame,
+      entryEvery: Int, k: Int, beam: Int, rounds: Int): DataFrame = {
+    val cvecs = vecs.select(col("vid").as("vec_b"), col("vec").as("vb"),
       col("nsq").as("nb"))
     def topB(pool: DataFrame, n: Int): DataFrame =
       pool.withColumn("rnk", row_number().over(
@@ -228,6 +239,85 @@ object Similarity {
       pool = pool.unionByName(nb).distinct().localCheckpoint()
     }
     topB(pool, k).select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
+  }
+
+  /** PERSIST the graph-ANN serving structure ([[graphTopK]]'s build
+    * half): the vector table and the m-NN edge list written to parquet —
+    * the graph twin of [[writeIvfIndex]]. The entry level needs no
+    * stored state (it is id arithmetic); the edge build is the same
+    * 2-nearest-cell bucketed candidate join. Build once per corpus
+    * version, probe per query batch via [[probeGraphIndex]].
+    */
+  def writeGraphIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, m: Int, path: String): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = corpus.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
+        VectorOps.normSq(col(vecCol)).as("cn"))
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      VectorOps.normSq(col(vecCol)).as("nsq"))
+    val aw = Window.partitionBy("vid")
+      .orderBy(col("__ccos").desc, col("cent_id").asc)
+    val ranked2 = base.crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+      .withColumn("__rn", row_number().over(aw))
+      .where(col("__rn") <= 2)
+      .select(col("vid"), col("vec"), col("nsq"), col("cent_id").as("cell"))
+    val aSide = ranked2.select(col("vid").as("src"), col("vec").as("sv"),
+      col("nsq").as("sn"), col("cell"))
+    val bSide = ranked2.select(col("vid").as("dst"), col("vec").as("dv"),
+      col("nsq").as("dn"), col("cell"))
+    val ew = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst").asc)
+    aSide.join(bSide, Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        VectorOps.cosine(col("sv"), col("dv"), col("sn"), col("dn")).as("ecos"))
+      .distinct()
+      .withColumn("ern", row_number().over(ew))
+      .where(col("ern") <= m)
+      .select("src", "dst")
+      .write.mode("overwrite").parquet(s"$path/edges")
+    base.write.mode("overwrite").parquet(s"$path/vecs")
+  }
+
+  /** PROBE a [[writeGraphIndex]]-persisted graph index — identical
+    * results to the in-plan [[graphTopK]] (the build round-trips
+    * losslessly; SimilaritySpec pins it), plus the TOMBSTONE MASK that
+    * serves erasure on a graph structure: masked ids are removed from
+    * the entry level, the edge list (BOTH endpoints), the expansion
+    * targets, and the result pool — a deleted vector is neither
+    * returned NOR scored (scoring would read its embedding, which is
+    * exactly what erasure forbids). Masking is probe-time filtering of
+    * the stored frames, the standard serving-tier move: unlike the IVF
+    * cell rewrite ([[deleteFromIvfIndex]]) it costs nothing at delete
+    * time, at the price of stored-but-masked bytes until the next
+    * offline rebuild — and strict edge removal can orphan graph
+    * regions, which the rebuild (production HNSW repair) also heals.
+    * The recall the mask costs is measured, not guessed: the delete
+    * query's oracle computes truth over the SURVIVING corpus.
+    */
+  def probeGraphIndex(path: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, entryEvery: Int, beam: Int, rounds: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val s = queries.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val vecs0 = s.read.parquet(s"$path/vecs")
+    val edges0 = s.read.parquet(s"$path/edges")
+    val qF0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      VectorOps.normSq(col(vecCol)).as("qn"))
+    val (vecs, edges, qF) = tombstones match {
+      case None => (vecs0, edges0, qF0)
+      case Some(t) =>
+        val tomb = t.select(col(t.columns.head).as("__tid")).distinct()
+          .localCheckpoint()
+        (vecs0.join(broadcast(tomb), col("vid") === col("__tid"), "left_anti"),
+          edges0
+            .join(broadcast(tomb), col("src") === col("__tid"), "left_anti")
+            .join(broadcast(tomb), col("dst") === col("__tid"), "left_anti"),
+          qF0.join(broadcast(tomb), col("q_id") === col("__tid"), "left_anti"))
+    }
+    beamSearch(vecs, edges.localCheckpoint(), qF, entryEvery, k, beam, rounds)
   }
 
   /** Integer grid for cross-engine-exact centroid means: 2^20. A float

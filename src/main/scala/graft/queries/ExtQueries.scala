@@ -2241,7 +2241,13 @@ object ExtQueries extends QueryGroup {
     * each p is referenced by both the next frontier and the next pool;
     * inlined, the chain re-plans 2^rounds edge builds — the PCA lesson).
     */
-  private def annHnswSqlBeam(beam: Int): String = {
+  private def annHnswSqlBeam(beam: Int, masked: Boolean = false): String = {
+    // masked = the probe-time tombstone filter of ext_ann_hnsw_delete:
+    // edges were built on the FULL corpus (the stored structure), so the
+    // mask applies AFTER the per-src rank cut — ef filters the stored
+    // edge list, never rebuilds it on the surviving corpus
+    def keep(c: String) =
+      if (masked) s"$c % $IvfDeleteMod <> $IvfDeleteRem" else "TRUE"
     val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
     val edgeCos = s"${dotOf("sa.vec", "sb.vec")} / (sqrt(sa.nsq) * sqrt(sb.nsq))"
     val entryCos = s"${dotOf("q.qv", "e.vec")} / (sqrt(q.qn) * sqrt(e.nsq))"
@@ -2252,7 +2258,7 @@ object ExtQueries extends QueryGroup {
                ORDER BY cosine DESC, vec_b ASC) AS rnk
              FROM p${r - 1}) t WHERE rnk <= $beam),
          nb$r AS (SELECT DISTINCT f.q_id, e.dst AS vec_b
-                  FROM f$r f JOIN edges e ON f.vec_b = e.src
+                  FROM f$r f JOIN ef e ON f.vec_b = e.src
                   WHERE e.dst <> f.q_id),
          s$r AS (SELECT nb.q_id, nb.vec_b, $roundCos AS cosine
                  FROM nb$r nb JOIN q USING (q_id)
@@ -2281,11 +2287,15 @@ object ExtQueries extends QueryGroup {
            SELECT src, dst, row_number() OVER (PARTITION BY src
              ORDER BY ecos DESC, dst ASC) AS rn
            FROM es) t WHERE rn <= $HnswM),
+       ef AS (SELECT src, dst FROM edges
+              WHERE ${keep("src")} AND ${keep("dst")}),
        q AS MATERIALIZED (SELECT vec_id AS q_id, vec AS qv, nsq AS qn
-                          FROM n WHERE vec_id % $QueryMod = 0),
+                          FROM n WHERE vec_id % $QueryMod = 0
+                            AND ${keep("vec_id")}),
        ent AS (SELECT q.q_id, e.vec_id AS vec_b, $entryCos AS cosine
                FROM q, n e
-               WHERE e.vec_id % $HnswEntryEvery = 0 AND e.vec_id <> q.q_id),
+               WHERE e.vec_id % $HnswEntryEvery = 0 AND e.vec_id <> q.q_id
+                 AND ${keep("e.vec_id")}),
        p0 AS MATERIALIZED (
          SELECT q_id, vec_b, cosine FROM (
            SELECT q_id, vec_b, cosine, row_number() OVER (PARTITION BY q_id
@@ -2314,17 +2324,60 @@ object ExtQueries extends QueryGroup {
   private def annHnswSweep(s: SparkSession, d: String): DataFrame = {
     val corpus = Tables.embeddings(s, d)
     val q = annQueries(s, d)
+    // ONE persisted edge build shared across the whole ladder (the
+    // bandsweep discipline): each beam point probes the same stored
+    // index — probe ≡ in-plan, so the oracle chains are unchanged,
+    // but the graph builds once instead of |ladder| times
+    val path = scratchPath(s, "hnsw_sweep", d)
+    Similarity.writeGraphIndex(corpus, "vec_id", "embedding",
+      IvfCentroidEvery, HnswM, path)
     Similarity.recallAtK(
       Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", TopK),
       HnswBeamLadder.map(b => f"b$b%02d" ->
-        Similarity.graphTopK(corpus, q, "vec_id", "embedding", TopK,
-          IvfCentroidEvery, HnswEntryEvery, HnswM, b, HnswRounds)),
+        Similarity.probeGraphIndex(path, q, "vec_id", "embedding", TopK,
+          HnswEntryEvery, b, HnswRounds)),
       TopK)
   }
 
   private lazy val annHnswSweepSql =
     HnswBeamLadder.map(b => recallRowSql(f"b$b%02d", annHnswSqlBeam(b)))
       .mkString("\nUNION ALL\n")
+
+  /** Persisted graph-index round-trip (Similarity.writeGraphIndex /
+    * probeGraphIndex): vectors + m-NN edge list written to parquet and
+    * probed — the graph twin of ext_ann_ivf_persist. Results ≡ the
+    * in-plan graph search, so the same oracle gates both.
+    */
+  private def annHnswPersist(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "hnsw_idx", d)
+    Similarity.writeGraphIndex(Tables.embeddings(s, d), "vec_id",
+      "embedding", IvfCentroidEvery, HnswM, path)
+    Similarity.probeGraphIndex(path, annQueries(s, d), "vec_id", "embedding",
+      TopK, HnswEntryEvery, HnswBeam, HnswRounds)
+  }
+
+  /** TOMBSTONE-MASKED probe of the persisted graph index — erasure on a
+    * graph serving structure: masked ids vanish from the entry level,
+    * both edge endpoints, and the pool (never returned, never scored).
+    * The mask applies AFTER the stored per-src rank cut (edges were
+    * built on the full corpus); the oracle mirrors exactly that, and
+    * computes over the surviving corpus — so the recall cost of
+    * masking (vs rebuilding) is measured by the existing recall tier,
+    * not guessed. Same tombstone slice as ext_ann_ivf_delete.
+    */
+  private def annHnswDelete(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "hnsw_del", d)
+    val emb = Tables.embeddings(s, d)
+    Similarity.writeGraphIndex(emb, "vec_id", "embedding",
+      IvfCentroidEvery, HnswM, path)
+    Similarity.probeGraphIndex(path, annQueries(s, d), "vec_id", "embedding",
+      TopK, HnswEntryEvery, HnswBeam, HnswRounds,
+      tombstones = Some(emb
+        .where(col("vec_id") % IvfDeleteMod === IvfDeleteRem)
+        .select("vec_id")))
+  }
+
+  private lazy val annHnswDeleteSql = annHnswSqlBeam(HnswBeam, masked = true)
 
   /** Product quantization: 2 subspaces of 32 dims, corpus-seeded
     * codebooks (same every-25th pick as IVF). Small M on purpose — the
@@ -3175,6 +3228,88 @@ object ExtQueries extends QueryGroup {
                      (a, b) -> a + b)
                    % 1000000007 AS BIGINT) AS checksum
        FROM documents"""
+
+  /** CDC FOLD WITH DELETES over real tables (Scd2Stream.applyCdc): the
+    * customer dimension (all rows current from epoch 0, value =
+    * mktsegment) folded with one changefeed batch derived from orders —
+    * each customer's latest order (ts = epoch day; (ts, op, v) total
+    * order collapses in-batch duplicates), op = D when the order status
+    * is final ('F'), else U carrying the order priority. Exercises
+    * every lane at once on real data: expirations without a successor
+    * (deletes), value-change expire+open, no-op suppression
+    * (customers whose latest priority equals... none here — mktsegment
+    * ≠ priority, so every U is a change), and untouched keys
+    * (customers with no orders). The oracle restates the fold verbatim
+    * — latest window, null-safe change guard, closing union,
+    * NOT EXISTS untouched.
+    *
+    * Scale shape: one orders aggregate (the latest-per-key window over
+    * the changefeed — at 100 TB the feed is a day's delta, not
+    * history), then key-equi joins against the current slice only;
+    * history rows pass through untouched.
+    */
+  private def scd2Cdc(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("v"),
+      lit(0L).as("effective_from"),
+      lit(null).cast("long").as("effective_to"),
+      lit(1).as("is_current"))
+    val changes = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderpriority").as("v"),
+      // o_orderdate ships as TIMESTAMP_NTZ; the session is pinned UTC, so
+      // NTZ -> TIMESTAMP keeps the instant and the long cast is epoch
+      // seconds — same day number as the oracle's epoch_ns // dayNs
+      expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400").as("ts"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+    graft.streaming.Scd2Stream.applyCdc(dim, changes, "k", "v", "ts", "op")
+  }
+
+  private val scd2CdcSql =
+    s"""WITH dim AS (
+         SELECT c_custkey AS k, c_mktsegment AS v,
+                CAST(0 AS BIGINT) AS effective_from,
+                CAST(NULL AS BIGINT) AS effective_to, 1 AS is_current
+         FROM customer),
+       ch AS (
+         SELECT o_custkey AS k, o_orderpriority AS v,
+                CAST(epoch_ns(o_orderdate) // $ZDayNs AS BIGINT) AS ts,
+                CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+         FROM orders),
+       latest AS (
+         SELECT k, v, ts, op FROM (
+           SELECT ch.*, row_number() OVER (PARTITION BY k
+             ORDER BY ts DESC, op DESC, v DESC) AS rn
+           FROM ch WHERE k IS NOT NULL) t
+         WHERE rn = 1),
+       cur AS (SELECT * FROM dim WHERE is_current = 1),
+       hist AS (SELECT * FROM dim WHERE is_current = 0),
+       j AS (SELECT l.k, l.v, l.ts, l.op, c.v AS cur_v,
+                    c.effective_from AS cur_from,
+                    CASE WHEN c.k IS NOT NULL THEN 1 END AS has_cur
+             FROM latest l LEFT JOIN cur c USING (k)),
+       dels AS (SELECT k, ts FROM j
+                WHERE op = 'D' AND has_cur = 1 AND ts > cur_from),
+       ups AS (SELECT k, v, ts FROM j
+               WHERE op <> 'D'
+                 AND (has_cur IS NULL OR NOT (cur_v IS NOT DISTINCT FROM v))
+                 AND (cur_from IS NULL OR ts > cur_from)),
+       closing AS (SELECT k, ts AS new_from FROM ups
+                   UNION ALL SELECT k, ts FROM dels),
+       expired AS (SELECT c.k, c.v, c.effective_from,
+                          cl.new_from AS effective_to, 0 AS is_current
+                   FROM cur c JOIN closing cl USING (k)),
+       untouched AS (SELECT c.* FROM cur c
+                     WHERE NOT EXISTS (SELECT 1 FROM closing cl
+                                       WHERE cl.k = c.k)),
+       newcur AS (SELECT k, v, ts AS effective_from,
+                         CAST(NULL AS BIGINT) AS effective_to, 1 AS is_current
+                  FROM ups)
+       SELECT k, v, CAST(effective_from AS BIGINT) AS effective_from,
+              CAST(effective_to AS BIGINT) AS effective_to,
+              CAST(is_current AS INTEGER) AS is_current
+       FROM (SELECT * FROM hist UNION ALL SELECT * FROM expired
+             UNION ALL SELECT * FROM untouched
+             UNION ALL SELECT * FROM newcur)"""
 
   // ------------------------------------------------------------ time series
 
@@ -7599,6 +7734,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
     GQuery("ext_ann_hnsw", annHnsw, Some(annHnswSql), "graph ANN (HNSW-lite): entry level + border-crossing m-NN edges + fixed-round beam search"),
     GQuery("ext_ann_hnsw_sweep", annHnswSweep, Some(annHnswSweepSql), "recall-vs-beam curve for the graph path: the HNSW operating-point dial"),
+    GQuery("ext_ann_hnsw_persist", annHnswPersist, Some(annHnswSql), "persisted graph index: vectors + edge list round-trip parquet, probe ≡ in-plan"),
+    GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
@@ -7677,6 +7814,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ts_rolling", tsRolling, Some(tsRollingSql), "window frames: running sum, trailing avg, lag gap per user"),
     GQuery("ext_corpus_gsets", corpusGsets, Some(corpusGsetsSql), "explicit GROUPING SETS slices w/ grouping_id"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
+    GQuery("ext_scd2_cdc", scd2Cdc, Some(scd2CdcSql), "CDC fold with the delete lane: I/U/D changefeed into the SCD2 dimension, soft-delete expirations"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),
     GQuery("ext_events_pareto", eventsPareto, Some(eventsParetoSql), "whale concentration: exact top-k% revenue shares off the distinct-value frame"),

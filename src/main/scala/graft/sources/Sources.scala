@@ -66,6 +66,52 @@ object Sources {
     }
   }
 
+  /** INCREMENTAL JDBC pull since a watermark — the daily-delta read the
+    * reference's full-table `read_sql_table` scans
+    * (dmCustomerProc.py:18-22) grow into at warehouse scale: instead of
+    * re-materializing the staging table every run, pull only rows whose
+    * monotone watermark column (an update timestamp or sequence id)
+    * advanced past the last processed mark, and feed the delta to the
+    * SCD2 upsert (Scd2.keyedUpsert / Scd2Stream) — the standard
+    * watermark-CDC ETL loop.
+    *
+    * The predicate is applied via a pushdown subquery in the `dbtable`
+    * option, so the DATABASE serves only the delta — with an index on
+    * the watermark column the pull is O(delta), and the wire carries
+    * delta rows, never the table. The bound is EXCLUSIVE (rows AT the
+    * stored mark were processed last run); callers persist
+    * `max(watermark)` of each pull as the next mark. Rows whose
+    * watermark is NULL never match a > bound — quarantine them
+    * upstream or coalesce to a sentinel; silently dropping them is the
+    * classic incremental-load bug, so it is named here.
+    *
+    * `lowerExclusive` is rendered as a SQL literal by the caller (a
+    * quoted timestamp or a bare number) — the two forms the watermark
+    * pattern uses.
+    */
+  def readJdbcIncrement(spark: SparkSession, url: String, schema: String,
+      table: String, user: String, password: String,
+      watermarkCol: String, lowerExclusive: String,
+      partition: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("fetchsize", "10000")
+    // quote via the url's dialect: Spark's JDBC writer quotes identifiers,
+    // so a case-folding database (Derby/Postgres fold unquoted names UP/
+    // down) would otherwise not resolve the exact-case column it stored
+    val wmQ = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(watermarkCol)
+    val sub = s"(SELECT * FROM $schema.$table " +
+      s"WHERE $wmQ > $lowerExclusive) graft_incr"
+    partition match {
+      case Some((column, lower, upper, n)) =>
+        spark.read.jdbc(url, sub, column, lower, upper, n, props)
+      case None =>
+        spark.read.jdbc(url, sub, props)
+    }
+  }
+
   /** `to_sql` analog. pandas `if_exists="replace"` -> Overwrite,
     * `"append"` -> Append (dm:47-48: replace; dm:164: append).
     */

@@ -81,6 +81,75 @@ object Scd2Stream {
     hist.unionByName(expired).unionByName(untouched).unionByName(newCurrent)
   }
 
+  /** CDC fold WITH THE DELETE LANE — [[applyBatch]] generalized to a
+    * changefeed carrying an op column (I/U/D; I ≡ U, upsert semantics):
+    * the shape a Debezium/warehouse CDC stream actually delivers, and
+    * the one lane the reference's SCD2 proc never exercises (warehouses
+    * rarely hard-delete; CDC feeds do).
+    *
+    *  - several changes for a key in one batch collapse to the latest
+    *    by (ts desc, op desc, value desc) — a total order; at one ts an
+    *    update outranks a delete ('U' > 'D'), a deterministic documented
+    *    policy rather than an engine accident;
+    *  - a winning DELETE expires the key's open row at its ts (soft
+    *    delete: history keeps every closed interval — the SCD2 reading
+    *    of deletion; GDPR hard erasure is ext_privacy_erasure's job,
+    *    not a dimension fold) and opens nothing. A delete for a key
+    *    with no open row, or not strictly newer than the open row's
+    *    effective_from, is dropped — the same late-data watermark as
+    *    updates, and what makes replaying a batch a no-op (after the
+    *    delete lands there is no current row to expire);
+    *  - a winning UPDATE follows applyBatch exactly (late drop, no-op
+    *    suppression, expire + open);
+    *  - a re-insert after a delete is just a newer update: it opens a
+    *    fresh current row; the deleted interval stays closed history.
+    */
+  def applyCdc(dim: DataFrame, changes: DataFrame, keyCol: String,
+      valueCol: String, tsCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(opCol).desc, col(valueCol).desc)
+    val latest = changes
+      .where(col(keyCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val cur = dim.where(col("is_current") === 1)
+    val hist = dim.where(col("is_current") === 0)
+    val j = latest.join(cur.select(col(keyCol), col(valueCol).as("__cur_v"),
+        col("effective_from").as("__cur_from"), lit(1).as("__has_cur")),
+      Seq(keyCol), "left")
+    val dels = j.where(col(opCol) === "D" && col("__has_cur") === 1
+        && col(tsCol) > col("__cur_from"))
+      .select(col(keyCol), col(tsCol))
+    val ups = j.where(col(opCol) =!= "D"
+        && (col("__has_cur").isNull || !(col("__cur_v") <=> col(valueCol)))
+        && (col("__cur_from").isNull || col(tsCol) > col("__cur_from")))
+      .select(col(keyCol), col(valueCol), col(tsCol))
+    val newCurrent = ups.select(col(keyCol), col(valueCol),
+      col(tsCol).as("effective_from"),
+      lit(null).cast("long").as("effective_to"),
+      lit(1).as("is_current"))
+    val closing = ups.select(col(keyCol), col(tsCol).as("__new_from"))
+      .unionByName(dels.select(col(keyCol), col(tsCol).as("__new_from")))
+    val expired = cur.join(closing, Seq(keyCol))
+      .select(col(keyCol), col(valueCol), col("effective_from"),
+        col("__new_from").as("effective_to"), lit(0).as("is_current"))
+    val untouched = cur.join(closing.select(keyCol), Seq(keyCol), "left_anti")
+    hist.unionByName(expired).unionByName(untouched).unionByName(newCurrent)
+  }
+
+  /** foreachBatch fold state over [[applyCdc]] — the delete-capable twin
+    * of [[DimState]], same snapshot/release discipline. */
+  final class CdcState(initial: DataFrame, keyCol: String,
+      valueCol: String, tsCol: String, opCol: String) {
+    @volatile var dim: DataFrame = initial.localCheckpoint()
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val old = dim
+      dim = applyCdc(old, batch, keyCol, valueCol, tsCol, opCol)
+        .localCheckpoint()
+      releaseSnapshot(old)
+    }
+  }
+
   /** Release the block set behind a localCheckpoint'd snapshot. Dataset
     * .unpersist only knows cache() entries, so reach the checkpoint RDD
     * through the LogicalRDD node — without this, every superseded

@@ -87,6 +87,44 @@ class SimilaritySpec extends SparkSpec {
     assert(rg >= r0, "beam expansion may never lose recall vs the entry cut")
   }
 
+  test("persisted graph index: probe ≡ in-plan graphTopK; tombstone mask never returns nor scores deleted ids") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_idx").toString
+    try {
+      Similarity.writeGraphIndex(corpus, "vec_id", "embedding", 25, 8, path)
+      val probed = Similarity.probeGraphIndex(path, queries, "vec_id",
+        "embedding", 5, 8, 8, 3)
+      val inPlan = Similarity.graphTopK(corpus, queries, "vec_id",
+        "embedding", 5, 25, 8, 8, 8, 3)
+      assert(probed.exceptAll(inPlan).count() == 0 &&
+        inPlan.exceptAll(probed).count() == 0,
+        "persisted-index probe must round-trip losslessly")
+      // erasure mask: vec_id % 7 == 3 tombstoned
+      val tomb = corpus.where(col("vec_id") % 7 === 3).select("vec_id")
+      val masked = Similarity.probeGraphIndex(path, queries, "vec_id",
+        "embedding", 5, 8, 8, 3, tombstones = Some(tomb))
+      val got = masked.collect()
+      assert(got.nonEmpty)
+      assert(got.forall(_.getLong(2) % 7 != 3),
+        "a tombstoned id must never be returned")
+      assert(got.forall(_.getLong(0) % 7 != 3),
+        "a tombstoned query must not be served")
+      // the mask costs recall but not collapse: compare against brute
+      // truth over the SURVIVING corpus
+      val truth = Similarity.bruteForceTopK(corpus.where(col("vec_id") % 7 =!= 3),
+        queries.where(col("vec_id") % 7 =!= 3), "vec_id", "embedding", 5)
+        .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (gotSet & truth).size.toDouble / truth.size
+      info(f"masked recall@5 vs surviving-corpus truth = $recall%.3f")
+      assert(recall >= 0.5, f"masked graph recall collapsed: $recall%.3f")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("rerankTopK: subset of candidates, recall >= plain IVF-PQ") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)

@@ -414,6 +414,91 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "b", 40L, None, 1)))
   }
 
+  test("SCD2 applyCdc: delete lane expires without opening; re-insert; replay no-op; U-only ≡ applyBatch") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    val dim = Seq(
+      (1L, Option("a"), 10L, Option.empty[Long], 1),
+      (2L, Option("b"), 10L, Option.empty[Long], 1))
+      .toDF("k", "v", "effective_from", "effective_to", "is_current")
+    // delete key 1, update key 2, insert key 3 — one batch
+    val b1 = Seq((1L, Option.empty[String], 20L, "D"),
+      (2L, Option("b2"), 20L, "U"),
+      (3L, Option("c"), 20L, "I")).toDF("k", "v", "ts", "op")
+    // localCheckpoint per fold: applyCdc references its input dim four
+    // times (cur/hist/expired/untouched), so an unchecked 5-fold chain
+    // grows the plan 4^n — the CdcState per-batch checkpoint discipline
+    val d1 = Scd2Stream.applyCdc(dim, b1, "k", "v", "ts", "op").localCheckpoint()
+    // key 1: expired at 20, NO current row; key 2: expired + new; key 3: new
+    val cur1 = d1.where(col("is_current") === 1)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(cur1 == Set((2L, "b2"), (3L, "c")))
+    assert(d1.where(col("k") === 1 && col("is_current") === 0 &&
+      col("effective_to") === 20L).count() == 1)
+    assert(d1.where(col("k") === 1 && col("is_current") === 1).count() == 0,
+      "a delete must not open a current row")
+    // replaying the same batch folds to a no-op (late guards + no open
+    // row left to expire for the deleted key)
+    val d1r = Scd2Stream.applyCdc(d1, b1, "k", "v", "ts", "op").localCheckpoint()
+    assert(d1r.exceptAll(d1).count() == 0 && d1.exceptAll(d1r).count() == 0,
+      "replayed CDC batch must be a no-op")
+    // a delete for an absent key is a no-op; a late delete is dropped
+    val b2 = Seq((9L, Option.empty[String], 30L, "D"),
+      (2L, Option.empty[String], 20L, "D")).toDF("k", "v", "ts", "op")
+    val d2 = Scd2Stream.applyCdc(d1, b2, "k", "v", "ts", "op").localCheckpoint()
+    assert(d2.exceptAll(d1).count() == 0 && d1.exceptAll(d2).count() == 0)
+    // re-insert after delete: a fresh current row; history keeps the
+    // closed interval
+    val b3 = Seq((1L, Option("a9"), 40L, "I")).toDF("k", "v", "ts", "op")
+    val d3 = Scd2Stream.applyCdc(d2, b3, "k", "v", "ts", "op").localCheckpoint()
+    assert(d3.where(col("k") === 1 && col("is_current") === 1)
+      .select("v", "effective_from").as[(String, Long)].collect().toSeq ==
+      Seq(("a9", 40L)))
+    assert(d3.where(col("k") === 1).count() == 2)
+    // same-ts U + D for one key: the update wins (documented policy)
+    val b4 = Seq((3L, Option("c2"), 50L, "D"),
+      (3L, Option("c3"), 50L, "U")).toDF("k", "v", "ts", "op")
+    val d4 = Scd2Stream.applyCdc(d3, b4, "k", "v", "ts", "op").localCheckpoint()
+    assert(d4.where(col("k") === 3 && col("is_current") === 1)
+      .select("v").as[String].collect().toSeq == Seq("c3"))
+    // a U-only feed degenerates to applyBatch exactly
+    val ups = Seq((2L, Option("b3"), 60L, "U"), (4L, Option("d"), 60L, "U"))
+      .toDF("k", "v", "ts", "op")
+    val viaCdc = Scd2Stream.applyCdc(d4, ups, "k", "v", "ts", "op")
+    val viaBatch = Scd2Stream.applyBatch(d4, ups.drop("op"), "k", "v", "ts")
+    assert(viaCdc.exceptAll(viaBatch).count() == 0 &&
+      viaBatch.exceptAll(viaCdc).count() == 0,
+      "U-only CDC must equal applyBatch")
+  }
+
+  test("streaming CDC fold: live foreachBatch with deletes ≡ sequential applyCdc") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Scd2Stream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val empty = Seq.empty[(Long, Option[String], Long, Option[Long], Int)]
+      .toDF("k", "v", "effective_from", "effective_to", "is_current")
+    val state = new Scd2Stream.CdcState(empty, "k", "v", "ts", "op")
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = input.toDF().toDF("k", "v", "ts", "op").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "a", 10L, "I"), (2L, "b", 10L, "I")))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "x", 20L, "D"), (2L, "b2", 20L, "U")))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "a2", 30L, "I")))
+      q.processAllAvailable()
+      val cur = state.dim.where(col("is_current") === 1)
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(cur == Set((1L, "a2"), (2L, "b2")))
+      // full history: k=1 has two closed epochs' rows + current
+      assert(state.dim.where(col("k") === 1).count() == 2, // a@10-20, a2@30-
+        "delete must close the interval without a ghost current row")
+      assert(state.dim.count() == 4)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions: timeout emits completed sessions") {
     import spark.implicits._
     graft.streaming.SessionState.runSessions(spark, sf0001, "ev_sessions",
