@@ -5863,6 +5863,256 @@ object ExtQueries extends QueryGroup {
        GROUP BY n_name
        ORDER BY rev_cents DESC, n_name"""
 
+  /** TPC-H Q10-SHAPED RETURNED-ITEM REPORTING: revenue lost to returns
+    * per customer over a half-year order window, top-20 — the
+    * "who should we call" churn report. Plan discipline: the
+    * returned-lineitem × window-orders join is the ONLY fact-fact
+    * shuffle, the per-custkey aggregate runs BEFORE any dimension
+    * attaches (group-then-enrich — the customer and nation tables join
+    * onto the aggregated frame, never the line stream), and the top-20
+    * is a total order (rev_cents desc, custkey) planned as a heap.
+    */
+  private val Q10Lo = "1997-01-01 00:00:00"
+  private val Q10Hi = "1997-07-01 00:00:00"
+  private val Q10TopK = 20
+
+  private def pricingQ10(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= to_timestamp(lit(Q10Lo))
+        && col("o_orderdate") < to_timestamp(lit(Q10Hi)))
+      .select("o_orderkey", "o_custkey")
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("__rc")).as("rev_cents"))
+    rev.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("rev_cents"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+      .limit(Q10TopK)
+  }
+
+  private val pricingQ10Sql =
+    s"""WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '$Q10Lo'
+                   AND o_orderdate < TIMESTAMP '$Q10Hi'),
+       r AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+             FROM lineitem JOIN o ON l_orderkey = o_orderkey
+             WHERE l_returnflag = 'R'
+             GROUP BY 1)
+       SELECT c_custkey, c_name, n_name, c_acctbal, rev_cents,
+              round(rev_cents / 100.0, 2) AS revenue
+       FROM r JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       ORDER BY rev_cents DESC, c_custkey LIMIT $Q10TopK"""
+
+  /** TPC-H Q14-SHAPED PROMO REVENUE SHARE: the fraction of a month's
+    * lineitem revenue carried by promo-type parts — conditional
+    * aggregation over ONE join, the classic campaign-effect number.
+    * Exact: both revenue sums are BIGINT cents off the same rows; the
+    * share is one rounded division (never a float sum of per-row
+    * percentages, whose value depends on reduction order).
+    */
+  private val Q14Lo = "1997-07-01 00:00:00"
+  private val Q14Hi = "1997-08-01 00:00:00"
+
+  private def pricingQ14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= to_timestamp(lit(Q14Lo))
+        && col("l_shipdate") < to_timestamp(lit(Q14Hi)))
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", col("__rc")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("__rc")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        round(col("promo_cents") * lit(100.0) / col("total_cents"), 6)
+          .as("promo_share_pct"))
+
+  private val pricingQ14Sql =
+    s"""SELECT promo_cents, total_cents,
+              round(promo_cents * 100.0 / total_cents, 6) AS promo_share_pct
+       FROM (
+         SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '$Q14Lo'
+           AND l_shipdate < TIMESTAMP '$Q14Hi') t"""
+
+  /** TPC-H Q19-SHAPED DISJUNCTIVE-PREDICATE REVENUE: an OR of three
+    * (brand, size-range, quantity-range) triples across the
+    * lineitem × part join — the query shape Catalyst's partial
+    * predicate extraction exists for: the part-side residue of the
+    * disjunction ((b1∧s≤10) ∨ (b2∧s≤20) ∨ (b3∧s≤30)) is derived and
+    * PUSHED to the part scan even though each disjunct also references
+    * lineitem columns (ScaleSpec pins the pushed part filter) — without
+    * that, every part row survives to the join and the disjunction
+    * filters post-join only.
+    */
+  private val Q19Triples = Seq(
+    ("Brand#13", 10, 1L, 11L), ("Brand#19", 20, 10L, 20L),
+    ("Brand#23", 30, 20L, 30L))
+
+  private def pricingQ19(s: SparkSession, d: String): DataFrame = {
+    val cond = Q19Triples.map { case (b, sz, qLo, qHi) =>
+      col("p_brand") === b && col("p_size").between(1, sz) &&
+        col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey") && cond)
+      .agg(count(lit(1)).as("n_lines"), sum(col("__rc")).as("rev_cents"))
+      .withColumn("revenue", round(col("rev_cents") / 100.0, 2))
+  }
+
+  private val pricingQ19Sql = {
+    val ors = Q19Triples.map { case (b, sz, qLo, qHi) =>
+      s"(p_brand = '$b' AND p_size BETWEEN 1 AND $sz" +
+        s" AND l_quantity BETWEEN $qLo AND $qHi)"
+    }.mkString(" OR ")
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+              round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE $ors"""
+  }
+
+  /** TPC-H Q21-SHAPED WAITING-SUPPLIERS report, adapted to the fixture
+    * (no commit/receipt dates): in finalized ('F') multi-supplier
+    * orders, the suppliers who were the SOLE late shipper (ship > order
+    * date + 60 days), counted per supplier, top-10. The classic
+    * EXISTS ∧ NOT-EXISTS double correlation — the oracle states exactly
+    * that subquery form — rewritten Spark-side as ONE
+    * (orderkey, suppkey) aggregate feeding both the per-order supplier/
+    * late counts and the qualifying-supplier filter (semantically
+    * equal: EXISTS other-supplier ⟺ n_supp ≥ 2; NOT EXISTS other late
+    * ⟺ n_late = 1 given this supplier is late). Two independent
+    * derivations of one answer — that is the point of the gate.
+    *
+    * Scale shape: one lineitem × F-orders equi-join (the only
+    * fact-fact shuffle), one map-side-combinable aggregate, and the
+    * per-order rollup + filter reuse the SAME (orderkey, suppkey)
+    * exchange (ReusedExchange, spec-pinned); supplier names broadcast
+    * onto the 10-row result.
+    */
+  private val Q21LateDays = 60
+  private val Q21TopK = 10
+
+  private def pricingQ21(s: SparkSession, d: String): DataFrame = {
+    val ordF = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perOS = Tables.lineitem(s, d)
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $Q21LateDays DAYS"))
+        .cast("int")).as("is_late"))
+    val perO = perOS.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"))
+    perOS.where(col("is_late") === 1)
+      .join(perO.where(col("n_supp") >= 2 && col("n_late") === 1),
+        Seq("l_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(Q21TopK)
+  }
+
+  private val pricingQ21Sql =
+    s"""WITH l AS (
+         SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F')
+       SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM (
+         SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+         FROM l l1
+         WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL $Q21LateDays DAY
+           AND EXISTS (SELECT 1 FROM l l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > l3.o_orderdate + INTERVAL $Q21LateDays DAY)) w
+       JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY 1, 2
+       ORDER BY numwait DESC, s_suppkey LIMIT $Q21TopK"""
+
+  /** TPC-H Q22-SHAPED DORMANT-RICH-CUSTOMER report: customers whose
+    * balance exceeds the positive-balance average but who placed NO
+    * order since the dormancy cutoff, rolled up per nation — the
+    * "global aggregate as a filter threshold" + anti-join composite
+    * (the fixture gives every customer SOME order, so the anti-join
+    * runs against the recent-window key set — same shape, non-vacuous
+    * gate). The average compare is
+    * CROSS-MULTIPLIED exact integers (cents·n_pos > sum_pos_cents):
+    * the float average never exists, so the boundary customer lands on
+    * the same side in both engines at any partitioning.
+    *
+    * Scale shape: the threshold is a 1-row aggregate broadcast onto
+    * the customer scan (no second pass); the no-orders check is one
+    * left-anti join against the orders key projection; the rollup is
+    * per-nation.
+    */
+  private val Q22Since = "2000-01-01 00:00:00"
+
+  private def pricingQ22(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("__bc"))
+    val thresh = cust.where(col("__bc") > 0)
+      .agg(count(lit(1)).as("__n_pos"), sum(col("__bc")).as("__sum_pos"))
+    cust.crossJoin(broadcast(thresh))
+      .where(col("__bc") * col("__n_pos") > col("__sum_pos"))
+      .join(Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit(Q22Since)))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"), sum(col("__bc")).as("bal_cents"))
+      .withColumn("total_acctbal", round(col("bal_cents") / 100.0, 2))
+  }
+
+  private val pricingQ22Sql =
+    s"""WITH c AS (SELECT c_custkey, c_nationkey,
+                        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bc
+               FROM customer),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                    CAST(sum(bc) AS BIGINT) AS sum_pos
+             FROM c WHERE bc > 0)
+       SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+              CAST(sum(bc) AS BIGINT) AS bal_cents,
+              round(CAST(sum(bc) AS BIGINT) / 100.0, 2) AS total_acctbal
+       FROM c CROSS JOIN t
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE bc * n_pos > sum_pos
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '$Q22Since')
+       GROUP BY 1"""
+
   /** HIERARCHICAL SKETCH ROLLUP: per-(event_type, day) linear-counting
     * occupancy states OR-merged up the time hierarchy to a per-type
     * distinct-user estimate — the data-cube story for mergeable
@@ -7839,6 +8089,11 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_pricing_q18", pricingQ18, Some(pricingQ18Sql), "TPC-H Q18-shaped large-volume orders: aggregate-then-semi-reduce, exact BIGINT quantity sums"),
     GQuery("ext_pricing_q2", pricingQ2, Some(pricingQ2Sql), "TPC-H Q2-shaped cheapest-supplier argmin: window top-1 vs doubly-correlated subquery oracle"),
     GQuery("ext_pricing_q5", pricingQ5, Some(pricingQ5Sql), "TPC-H Q5-shaped local-supplier volume: broadcast-chain star join, one fact-fact shuffle"),
+    GQuery("ext_pricing_q10", pricingQ10, Some(pricingQ10Sql), "TPC-H Q10-shaped returned-item reporting: group-then-enrich, top-20 heap"),
+    GQuery("ext_pricing_q14", pricingQ14, Some(pricingQ14Sql), "TPC-H Q14-shaped promo revenue share: conditional aggregation, one rounded division"),
+    GQuery("ext_pricing_q19", pricingQ19, Some(pricingQ19Sql), "TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs with part-side residue pushed to the scan"),
+    GQuery("ext_pricing_q21", pricingQ21, Some(pricingQ21Sql), "TPC-H Q21-shaped sole-late-supplier count: EXISTS+NOT-EXISTS oracle vs one-aggregate rewrite"),
+    GQuery("ext_pricing_q22", pricingQ22, Some(pricingQ22Sql), "TPC-H Q22-shaped dormant-rich customers: cross-multiplied integer avg threshold + anti-join"),
     GQuery("ext_sketch_rollup", sketchRollup, Some(sketchRollupSql), "hierarchical sketch rollup: per-day lincount states OR-merged up the time hierarchy"),
     GQuery("ext_sketch_joinsize", sketchJoinsize, Some(sketchJoinsizeSql), "join-size estimation from count-min inner products vs exact sum(cntA*cntB)"),
     GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),

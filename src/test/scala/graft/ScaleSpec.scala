@@ -359,6 +359,37 @@ class ScaleSpec extends SparkSpec {
         "at 100 TB the audit scan is dropped and ONE remains")
   }
 
+  test("ext_pricing_q19: the part-side residue of the OR-of-ANDs is pushed to the part scan") {
+    val df = SparkEntry.queries("ext_pricing_q19")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst's partial predicate extraction derives
+    // ((b13∧size≤10)∨(b19∧size≤20)∨(b23∧size≤30)) — part columns only —
+    // from the mixed-table disjunction and pushes it into the part scan;
+    // without it every part row survives to the join
+    assert(plan.contains("Or(And(") && plan.contains("p_brand"),
+      "the disjunctive part-side residue must reach the part scan's pushed filters")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the pruned part side must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ext_pricing_q21: one lineitem pass feeds both per-order counts (ReusedExchange), top-k heaps") {
+    val df = SparkEntry.queries("ext_pricing_q21")(spark, sf0001)
+    // AQE applies exchange reuse at stage materialization — execute
+    // first, then read the FINAL adaptive plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the (orderkey, suppkey) aggregate is computed ONCE and its exchange
+    // reused by both consumers (the per-order rollup and the late-supplier
+    // filter side) — the EXISTS/NOT-EXISTS double correlation costs one
+    // fact pass, not three
+    assert(plan.contains("ReusedExchange"),
+      "the per-(order,supplier) exchange must be built once and reused")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must plan as per-partition heaps")
+  }
+
   test("ext_pricing_q3: broadcast dim semi-join, date filters pushed to both scans") {
     val df = SparkEntry.queries("ext_pricing_q3")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
