@@ -301,4 +301,52 @@ object InvariantProps extends Properties("graft.invariants") {
           .as[(String, Long, Double)].collect()
         tv.forall(r => r._3 >= 0.0 && r._3 <= 1.0) && lone.forall(_._3 == 0.0)
     }
+
+  property("paretoShares: true totals, exact cut sizes, monotone shares, step=1 ≡ sequential") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 3000L)),
+        Gen.oneOf(1L, 7L, 100L)) { (cents, step) =>
+      import spark.implicits._
+      val ks = Seq(10, 25, 50)
+      val uv = cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("user_id", "cents")
+      val got = graft.operators.ValueGrid.paretoShares(uv, ks, step)
+        .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+      val total = cents.sum
+      val sortedDesc = cents.sorted.reverse
+      got.forall(_._4 == total) && // grid coarsens ordering, never totals
+        ks.zip(got).forall { case (k, r) =>
+          r._2 == cents.size.toLong * k / 100 } &&
+        got.forall(r => r._3 >= 0 && r._3 <= total) &&
+        got.map(_._5).toSeq.sliding(2).forall {
+          case Seq(a, b) => a <= b; case _ => true } &&
+        // step=1: the whole-value + straddling-partial arithmetic equals
+        // a plain sorted prefix sum
+        (step != 1L || ks.zip(got).forall { case (k, r) =>
+          r._3 == sortedDesc.take(cents.size * k / 100).sum })
+    }
+
+  property("applyCdc: replay is a no-op; at most one current row per key; intervals ordered") =
+    forAll(
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 4L), Gen.oneOf("a", "b", "c"))),
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 5L), Gen.oneOf("a", "b", "x"),
+        Gen.chooseNum(5L, 20L), Gen.oneOf("I", "U", "D")))) { (dimRows, chRows) =>
+      import spark.implicits._
+      val S = graft.streaming.Scd2Stream
+      val dim = dimRows.distinctBy(_._1)
+        .map { case (k, v) => (k, Option(v), 1L, Option.empty[Long], 1) }
+        .toDF("k", "v", "effective_from", "effective_to", "is_current")
+      val ch = chRows.map { case (k, v, ts, op) => (k, Option(v), ts, op) }
+        .toDF("k", "v", "ts", "op")
+      val d1 = S.applyCdc(dim, ch, "k", "v", "ts", "op").localCheckpoint()
+      val d2 = S.applyCdc(d1, ch, "k", "v", "ts", "op").localCheckpoint()
+      val rows = d1.as[(Long, Option[String], Long, Option[Long], Int)]
+        .collect()
+      val replayNoop = d2.exceptAll(d1).isEmpty && d1.exceptAll(d2).isEmpty
+      val oneCurrent = rows.filter(_._5 == 1).groupBy(_._1)
+        .forall(_._2.length == 1)
+      val ordered = rows.forall { case (_, _, from, to, cur) =>
+        (cur == 1 && to.isEmpty) || (cur == 0 && to.exists(_ > from))
+      }
+      replayNoop && oneCurrent && ordered
+    }
 }

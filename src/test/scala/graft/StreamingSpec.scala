@@ -582,6 +582,24 @@ class StreamingSpec extends SparkSpec {
       assert(state.state.exceptAll(oneShot).isEmpty &&
         oneShot.exceptAll(state.state).isEmpty,
         "micro-batch boundaries leaked into the folded metrics state")
+      // STREAMED PARETO READOUT off the same folded state: per-user cents
+      // accumulate across batches (so a per-VALUE frame could never fold
+      // additively — a user's total moves between cells), but the per-USER
+      // monoid state can, and the whale-concentration readout is a pure
+      // function of it. ValueGrid.paretoShares over the state ≡ the
+      // one-shot computation — the served number never sees the batch
+      // boundaries, at both the exact and the grid-bounded operating point.
+      for (step <- Seq(1L, 50L)) {
+        val streamedPareto = graft.operators.ValueGrid.paretoShares(
+          state.state.select(col("user_id"), col("total_cents").as("cents")),
+          Seq(10, 50), step)
+        val batchPareto = graft.operators.ValueGrid.paretoShares(
+          oneShot.select(col("user_id"), col("total_cents").as("cents")),
+          Seq(10, 50), step)
+        assert(streamedPareto.exceptAll(batchPareto).isEmpty &&
+          batchPareto.exceptAll(streamedPareto).isEmpty,
+          s"streamed Pareto readout diverged at grid step $step")
+      }
     } finally q.stop()
   }
 
