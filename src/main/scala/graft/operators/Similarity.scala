@@ -677,6 +677,32 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$path/cents")
   }
 
+  /** ADMIT a new batch into a [[writeIvfIndex]]-persisted index — the
+    * missing half of the ANN daily loop (the minhash index has the same
+    * pair in appendMinhashIndex): new vectors are assigned to their
+    * cell with the STORED centroids — the quantizer does NOT retrain on
+    * admission, so serving geometry stays stable and the append is a
+    * pure partitioned parquet append touching only the cells the batch
+    * lands in — O(batch), not O(index). Probing after an append finds
+    * old and new vectors through exactly the same dynamic-partition-
+    * pruned scan ([[probeIvfIndex]]). Retraining (re-picking centroids
+    * over the grown corpus) is the offline rebuild, the same split as
+    * the delete lane's no-retrain policy.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val s = newVecs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val cents = s.read.parquet(s"$path/cents")
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    newVecs.select(col(idCol).as("vec_b"), vecD.as("vb"),
+        VectorOps.normSq(vecD).as("nb"))
+      .crossJoin(broadcast(centArray(cents)))
+      .withColumn("cell", argmaxCell(col("vb"), col("nb")))
+      .drop("__cents")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** PROBE the persisted IVF index ([[writeIvfIndex]]): queries assign
     * to their cell via the broadcast centroid table (the shuffle-free
     * argmax fold), then join the partitioned corpus on the PARTITION

@@ -2492,6 +2492,54 @@ object ExtQueries extends QueryGroup {
     Similarity.probeIvfIndex(path, annQueries(s, d), "vec_id", "embedding", TopK)
   }
 
+  /** ADMISSION into the persisted IVF index (Similarity.appendToIvfIndex):
+    * write two-thirds of the corpus, append the rest with the STORED
+    * centroids (no retrain — serving geometry stays stable; the append
+    * touches only the cells the batch lands in, O(batch)), probe the
+    * grown index. The oracle picks centroids from the WRITE subset only
+    * and assigns the full corpus to them — exactly the no-retrain
+    * semantics, so a sneaky re-pick over the grown corpus would
+    * hash-mismatch. Completes the IVF lifecycle:
+    * write / append / probe / delete.
+    */
+  private val IvfAppendMod = 3
+
+  private def annIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "ivf_app", d)
+    val emb = Tables.embeddings(s, d)
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % IvfAppendMod =!= 0),
+      "vec_id", "embedding", IvfCentroidEvery, path)
+    Similarity.appendToIvfIndex(emb.where(col("vec_id") % IvfAppendMod === 0),
+      "vec_id", "embedding", path)
+    Similarity.probeIvfIndex(path, annQueries(s, d), "vec_id", "embedding",
+      TopK)
+  }
+
+  private val annIvfAppendSql = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    val searchCos = s"${dotOf("q.vec", "c.vec")} / (sqrt(q.nsq) * sqrt(c.nsq))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0
+                   AND vec_id % $IvfAppendMod <> 0),
+       assign AS (
+         SELECT vid, vec, nsq, cell FROM (
+           SELECT n.vec_id AS vid, n.vec, n.nsq, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+           FROM n, cents c) t
+         WHERE rn = 1),
+       scored AS (
+         SELECT q.vid AS q_id, c.vid AS vec_b, $searchCos AS cosine
+         FROM assign q JOIN assign c
+           ON q.cell = c.cell AND q.vid % $QueryMod = 0 AND q.vid <> c.vid)
+       SELECT q_id, rnk, vec_b AS neighbor_id
+       FROM (SELECT q_id, vec_b,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_b) AS INTEGER) AS rnk
+             FROM scored) r
+       WHERE rnk <= $TopK"""
+  }
+
   /** Per-vector simplified silhouette over the seeded coarse quantizer
     * (Similarity.silhouette): cluster-quality and assignment-confidence
     * audit of the embedding space.
@@ -7987,6 +8035,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_hnsw_persist", annHnswPersist, Some(annHnswSql), "persisted graph index: vectors + edge list round-trip parquet, probe ≡ in-plan"),
     GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
+    GQuery("ext_ann_ivf_append", annIvfAppend, Some(annIvfAppendSql), "IVF admission: append with stored centroids (no retrain), probe the grown index"),
     GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),
     GQuery("ext_ann_ivf_kmeans", annIvfKmeans, Some(annIvfKmeansSql), "k-means-refined IVF ANN (2 Lloyd rounds on the exact integer grid)"),

@@ -244,4 +244,50 @@ object Scd2Stream {
     /** The full dimension: lazy union of the slices. */
     def dim: DataFrame = parts.reduce(_ unionByName _)
   }
+
+  /** [[KeyedDimState]] with the DELETE lane — [[applyCdc]] folded over
+    * ONLY the touched slices. The slice decomposition carries over
+    * unchanged because applyCdc, like applyBatch, is per-key throughout
+    * (latest-per-key window, key-equi joins, key anti-join): every
+    * key's rows — dimension and changefeed alike — live in exactly one
+    * hash slice, so folding slice-by-slice is the same computation as
+    * folding whole frames. StreamingSpec asserts keyed-CDC ≡ the
+    * full-rewrite [[CdcState]] and pins the untouched-slice guarantee
+    * via the per-slice version counters.
+    */
+  final class KeyedCdcState(initial: DataFrame, keyCol: String,
+      valueCol: String, tsCol: String, opCol: String,
+      numPartitions: Int = 16) {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    private def pidExpr = pmod(hash(col(keyCol)), lit(numPartitions))
+    private val parts: Array[DataFrame] = {
+      val keyed = initial.withColumn("__pid", pidExpr)
+      Array.tabulate(numPartitions) { p =>
+        keyed.where(col("__pid") === p).drop("__pid").localCheckpoint()
+      }
+    }
+    private val versions = Array.fill(numPartitions)(0L)
+
+    def partitionVersions: Seq[Long] = versions.toSeq
+
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val keyedBatch = batch.where(col(keyCol).isNotNull)
+        .withColumn("__pid", pidExpr)
+        .localCheckpoint()
+      val touched = keyedBatch.select("__pid").distinct()
+        .collect().map(_.getInt(0)).sorted
+      touched.foreach { p =>
+        val old = parts(p)
+        parts(p) = applyCdc(old,
+          keyedBatch.where(col("__pid") === p).drop("__pid"),
+          keyCol, valueCol, tsCol, opCol).localCheckpoint()
+        versions(p) += 1
+        releaseSnapshot(old)
+      }
+      releaseSnapshot(keyedBatch)
+    }
+
+    /** The full dimension: lazy union of the slices. */
+    def dim: DataFrame = parts.reduce(_ unionByName _)
+  }
 }

@@ -391,6 +391,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists { case (k, _, _, to, cur) => k == 1L && cur == 0 && to.contains(20L) })
   }
 
+  test("KeyedCdcState: sliced CDC folds with deletes ≡ full-rewrite CdcState, untouched slices pinned") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    val empty = Seq.empty[(Long, Option[String], Long, Option[Long], Int)]
+      .toDF("k", "v", "effective_from", "effective_to", "is_current")
+    val keyed = new Scd2Stream.KeyedCdcState(empty, "k", "v", "ts", "op",
+      numPartitions = 4)
+    val full = new Scd2Stream.CdcState(empty, "k", "v", "ts", "op")
+    val b1 = (1L to 8L).map(k => (k, s"v$k", 10L, "I")).toDF("k", "v", "ts", "op")
+    // a single-key DELETE batch must rewrite exactly one slice
+    val b2 = Seq((3L, "x", 20L, "D")).toDF("k", "v", "ts", "op")
+    // mixed ops: update, delete, re-insert of the deleted key, new key
+    val b3 = Seq((1L, "v1b", 30L, "U"), (5L, "x", 30L, "D"),
+      (3L, "v3b", 30L, "I"), (9L, "v9", 30L, "I")).toDF("k", "v", "ts", "op")
+    keyed.sink(b1, 0L); full.sink(b1, 0L)
+    val afterSeed = keyed.partitionVersions
+    keyed.sink(b2, 1L); full.sink(b2, 1L)
+    val rewritten = afterSeed.zip(keyed.partitionVersions)
+      .count { case (a, b) => b > a }
+    assert(rewritten == 1,
+      s"single-key delete must rewrite exactly 1 of 4 slices, rewrote $rewritten")
+    keyed.sink(b3, 2L); full.sink(b3, 2L)
+    val got = keyed.dim.as[(Long, Option[String], Long, Option[Long], Int)]
+      .collect().toSet
+    val want = full.dim.as[(Long, Option[String], Long, Option[Long], Int)]
+      .collect().toSet
+    assert(got == want, "sliced CDC backend diverged from full-rewrite CDC")
+    // deleted-then-reinserted key 3: closed interval + fresh current
+    assert(got.exists { case (k, _, _, to, cur) => k == 3L && cur == 0 && to.contains(20L) })
+    assert(got.exists { case (k, v, from, _, cur) =>
+      k == 3L && cur == 1 && v.contains("v3b") && from == 30L })
+    // deleted key 5: closed, no current row
+    assert(!got.exists { case (k, _, _, _, cur) => k == 5L && cur == 1 })
+    assert(got.exists { case (k, _, _, to, cur) => k == 5L && cur == 0 && to.contains(30L) })
+  }
+
   test("SCD2 applyBatch: null values transition null-safely, null keys drop") {
     import spark.implicits._
     import graft.streaming.Scd2Stream
