@@ -131,6 +131,28 @@ object Sources {
   def readParquetTable(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Read a parquet corpus whose schema EVOLVED across vintages — the
+    * 100 TB crawl reality: month N's writer adds a column (a new quality
+    * score, a license tag) and the corpus directory now holds both
+    * footers. `mergeSchema` unions the per-file schemas at planning time
+    * (old files serve null for columns they predate); it is opt-in
+    * because the union costs a footer read per file — pay it once at the
+    * ingest boundary, then write the NORMALIZED schema forward, never on
+    * every downstream scan. Pushdown survives: predicates on columns
+    * present in all vintages still prune row groups per file
+    * (spec-pinned).
+    *
+    * The hazard this API deliberately does NOT paper over: parquet has
+    * no rename — a renamed column is a drop + add, old rows read null
+    * under the new name. Renames need an explicit
+    * `withColumnRenamed`-at-read compatibility view, not schema merge;
+    * silently merging a renamed column into two half-null columns is
+    * the classic evolved-corpus bug, so it is named here.
+    */
+  def readParquetEvolved(spark: SparkSession, dir: String,
+      table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/$table")
+
   /** Harness sink with the same replace/append split as the JDBC one. */
   def writeParquetTable(df: DataFrame, dir: String, table: String,
       replace: Boolean): Unit =

@@ -600,4 +600,109 @@ class ScaleSpec extends SparkSpec {
     assert(parquetScans(op) == 0 && op.contains("Scan ExistingRDD"),
       "overlap branches must re-read the pinned keys/state frames")
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the static PartitionFilters pin above needs the literal ON the
+    // fact's partition column; at 100 TB the selective predicate usually
+    // lives on a DIMENSION attribute the fact only reaches through a
+    // join. DPP closes that gap: the broadcast dim's surviving join keys
+    // become a runtime PartitionFilter on the fact scan, so non-matching
+    // partition directories are never opened — and because the dim is
+    // broadcast anyway, the pruning subquery reuses that exchange for
+    // free. The dim filter must be on a NON-key attribute: a filter on
+    // the join key itself would transit statically and never exercise
+    // the runtime path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      Tables.events(spark, sf0001)
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/fact")
+      // the dim must be FILE-BACKED and the predicate a comparison shape:
+      // ConvertToLocalRelation folds a Filter over an in-memory Seq away
+      // before the pruning rule ever sees it, and Catalyst's
+      // isLikelySelective gate doesn't count a bare boolean attribute
+      Seq(("purchase", "revenue"), ("click", "engage"),
+        ("view", "engage"), ("signup", "acquire"), ("error", "ops"))
+        .toDF("event_type", "category")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val dim = spark.read.parquet(s"$dir/dim")
+      val j = spark.read.parquet(s"$dir/fact")
+        .join(dim.where(col("category") === "revenue"), Seq("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a dynamicpruning PartitionFilter on the fact scan in:\n$plan")
+      val expected = Tables.events(spark, sf0001)
+        .where(col("event_type") === "purchase").count()
+      val rows = j.collect()
+      assert(rows.length == 1 && rows.head.getLong(1) == expected)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("CBO: ANALYZE statistics give exact plan cardinalities and reorder the join chain") {
+    // the statistics half of ext_stats_analyze's story: once the catalog
+    // carries ANALYZE'd row counts + column histograms, (a) the optimizer
+    // plans with EXACT cardinalities instead of size-in-bytes guesses,
+    // and (b) CostBasedJoinReorder rewrites a badly-written inner-join
+    // chain (fact ⋈ fact first, selective dim last) into the selective
+    // order — the 100 TB failure mode this kills is a petabyte
+    // intermediate that a human wrote casually and a cost model refuses.
+    for (t <- Seq("s_orders", "s_customer", "s_nation")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete())
+        loc.delete()
+      }
+    }
+    Tables.orders(spark, sf0001).write.saveAsTable("s_orders")
+    Tables.customer(spark, sf0001).write.saveAsTable("s_customer")
+    Tables.nation(spark, sf0001).write.saveAsTable("s_nation")
+    for (t <- Seq("s_orders", "s_customer", "s_nation"))
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // exact cardinality from the catalog, not a bytes-based guess
+      val stats = spark.table("s_orders").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1500)),
+        s"ANALYZE row count must reach the plan: ${stats.rowCount}")
+      // written order: (orders ⋈ customer) ⋈ σ(nation) — the selective
+      // single-nation cut joins LAST as written
+      def chain() = spark.table("s_orders")
+        .join(spark.table("s_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(spark.table("s_nation").where(col("n_name") === "NATION_7"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"))
+      def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+          .map(s => Seq("s_orders", "s_customer", "s_nation")
+            .find(s.contains).getOrElse("?"))
+      val reordered = leafOrder(chain())
+      assert(reordered.indexOf("s_nation") < reordered.indexOf("s_orders"),
+        s"cost model should join the filtered nation before the fact: $reordered")
+      val without = {
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        try leafOrder(chain())
+        finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      }
+      assert(without.indexOf("s_nation") > without.indexOf("s_orders"),
+        s"without reorder the written (bad) order must survive: $without")
+      // semantics unchanged by the reorder
+      val expected = Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(spark, sf0001).where(col("n_name") === "NATION_7"),
+          col("c_nationkey") === col("n_nationkey"))
+        .count()
+      val got = chain().collect()
+      assert(got.length == 1 && got.head.getLong(1) == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -71,6 +71,37 @@ class SourcesStateSpec extends SparkSpec {
     assert(p2part.select("id").as[Long].collect().toSet == (11L to 15L).toSet)
   }
 
+  test("schema-evolved parquet corpus: mergeSchema unions vintages, old rows null-fill, pushdown survives") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    try {
+      // vintage 1: (doc_id, text); vintage 2 adds quality
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$dir/docs")
+      Seq((3L, "c", 0.9), (4L, "d", 0.2)).toDF("doc_id", "text", "quality")
+        .write.mode("append").parquet(s"$dir/docs")
+      val evolved = Sources.readParquetEvolved(spark, dir, "docs")
+      assert(evolved.columns.sorted.toSeq == Seq("doc_id", "quality", "text"))
+      val rows = evolved.select("doc_id", "quality")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(rows(1L).isEmpty && rows(2L).isEmpty,
+        "pre-evolution rows must serve null for the new column")
+      assert(rows(3L).contains(0.9) && rows(4L).contains(0.2))
+      // a plain read without mergeSchema picks ONE footer — the trap the
+      // evolved reader exists to avoid (which footer wins is nondeterministic,
+      // so only pin that the union width is what mergeSchema adds)
+      assert(evolved.columns.length == 3)
+      // pushdown on an all-vintage column still prunes per file
+      val filtered = evolved.where(col("doc_id") === 3L)
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,3)"),
+        "predicates on common columns must keep reaching the scan")
+      assert(filtered.count() == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("JDBC second dialect (DuckDB, Postgres-flavored): replace/append/partitioned round-trip") {
     // the driver jar is attached as an unmanaged test jar only when the
     // local cache has it — cancel (don't fail) when it's absent
