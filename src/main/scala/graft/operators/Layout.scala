@@ -231,4 +231,60 @@ object Layout {
         round(when(totalMass === 0L, lit(0.0d))
           .otherwise(col("mass") * numShards / totalMass), 6).as("mass_balance"))
   }
+
+  /** Distributed parquet FOOTER harvest: the physical row-group
+    * statistics (min/max/row count per column chunk) that footer-stats
+    * pruning actually reads at scan time. [[zoneManifest]] PREDICTS
+    * zones from the data; this reads the zones a writer PRODUCED — the
+    * job every stats-table builder (Delta's stats collection, Iceberg's
+    * manifests) runs after a layout rewrite, and the ground truth a
+    * clustering claim must be audited against.
+    *
+    * Scale shape: one footer open per file, executed on the EXECUTORS
+    * over a file-list dataset — a 100 TB table has millions of files
+    * and a driver loop over them is the classic metadata bottleneck.
+    * (The driver-side directory LISTING here is fine at any scale that
+    * fits a filesystem `listFiles` call; past that, the file list comes
+    * from the table format's manifest and feeds the same mapPartitions.)
+    * Emits one row per (file, row group): `file`, `rg` ordinal, `rows`,
+    * and the chunk's `zmin`/`zmax` for the given INT64 column.
+    */
+  def harvestZones(spark: org.apache.spark.sql.SparkSession, dir: String,
+      column: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val paths = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(_.toString).toSeq.sorted
+    val serConf = new org.apache.spark.SerializableWritable(conf)
+    spark.createDataset(paths)
+      .repartition(math.min(math.max(paths.size, 1), 32))
+      .mapPartitions { ps =>
+        ps.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            rdr.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+              case (b, i) =>
+                val chunk = b.getColumns.asScala
+                  .find(_.getPath.toDotString == column)
+                  .getOrElse(sys.error(
+                    s"column $column has no chunk in $p row group $i"))
+                val st = chunk.getStatistics
+                (p, i, b.getRowCount,
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+          } finally rdr.close()
+        }
+      }
+      .toDF("file", "rg", "rows", "zmin", "zmax")
+  }
 }

@@ -850,6 +850,57 @@ object ExtQueries extends QueryGroup {
               round(sum(cmass) * 1.0 / $CompactTarget, 6) AS fill
        FROM seqd GROUP BY 1"""
 
+  /** PHYSICAL zone-map harvest: range-cluster events into 4 zbucket
+    * files (bucket = user_id·4 div (max+1), the max attached by
+    * broadcast — no driver scalar), then read the REAL parquet footers
+    * back distributed (Layout.harvestZones) and roll them up per zone
+    * with a pairwise-disjointness flag. The oracle computes the same
+    * zones LOGICALLY from the table rows, so the gate pins physical
+    * footer statistics ≡ logical zone bounds — exactly the claim a
+    * layout rewrite must prove before a scanner is allowed to skip on
+    * its files, and a cross-engine check of the footer reader itself
+    * (DuckDB never opens the scratch files; a harvest that read the
+    * wrong chunk or a write that broke clustering hash-mismatches).
+    */
+  private def layoutZonemap(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "zonemap", d)
+    val ev = Tables.events(s, d).select("event_id", "user_id")
+    val mxF = ev.agg((max("user_id") + lit(1L)).as("__m"))
+    ev.crossJoin(broadcast(mxF))
+      .withColumn("zbucket", expr("user_id * 4 div __m"))
+      .drop("__m")
+      .repartition(4, col("zbucket"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    val zones = Layout.harvestZones(s, path, "user_id")
+      .withColumn("zbucket",
+        regexp_extract(col("file"), "zbucket=(\\d+)", 1).cast("long"))
+      .groupBy("zbucket")
+      .agg(min("zmin").as("zone_min"), max("zmax").as("zone_max"),
+        sum("rows").as("zone_rows"))
+    val w = Window.orderBy("zbucket")
+    zones.select(col("zbucket"), col("zone_min"), col("zone_max"),
+      col("zone_rows"),
+      // first zone has no predecessor — trivially disjoint (coalesced,
+      // not NULL: engines stringify NULL booleans differently)
+      coalesce(col("zone_min") > lag("zone_max", 1).over(w), lit(true))
+        .as("zone_disjoint"))
+  }
+
+  /** Twin of layoutZonemap: the logical zones — same bucket rule, same
+    * rollup, same lag-disjointness (first zone coalesced TRUE in both).
+    */
+  private val layoutZonemapSql =
+    s"""WITH m AS (SELECT max(user_id) + 1 AS mm FROM events),
+       z AS (SELECT user_id * 4 // mm AS zbucket, user_id FROM events, m),
+       g AS (SELECT zbucket, min(user_id) AS zone_min,
+               max(user_id) AS zone_max,
+               CAST(count(*) AS BIGINT) AS zone_rows
+             FROM z GROUP BY 1)
+       SELECT zbucket, zone_min, zone_max, zone_rows,
+              coalesce(zone_min > lag(zone_max) OVER (ORDER BY zbucket),
+                       TRUE) AS zone_disjoint
+       FROM g"""
+
   private val EpochBudgetFactor = 2
 
   /** Epoch/repetition schedule from the temperature mixture (see
@@ -7993,6 +8044,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_layout_manifest", layoutManifest, Some(layoutManifestSql), "zone-map manifest: per-file footer stats + skippable flag, z-order vs natural layout"),
     GQuery("ext_layout_shards", layoutShards, Some(layoutShardsSql), "export shard-balance audit: content-hashed shards, doc/mass balance ratios"),
     GQuery("ext_layout_compact", layoutCompact, Some(layoutCompactSql), "compaction planner: next-fit packing of partition cells into target-size files"),
+    GQuery("ext_layout_zonemap", layoutZonemap, Some(layoutZonemapSql), "physical zone-map harvest: distributed parquet footer stats of a range-clustered write ≡ logical zone bounds"),
     GQuery("ext_corpus_epochs", corpusEpochs, Some(corpusEpochsSql), "epoch/repetition schedule from the temperature mixture (exact-integer budgets)"),
     GQuery("ext_corpus_drift", corpusDrift, Some(corpusDriftSql), "per-source unigram TV distance from the corpus mix (exact-integer drift)"),
     GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),

@@ -601,6 +601,49 @@ class ScaleSpec extends SparkSpec {
       "overlap branches must re-read the pinned keys/state frames")
   }
 
+  test("harvestZones: footers are the physical truth — range write disjoint, hash write straddles") {
+    // the contrast ext_layout_zonemap's oracle can't see: the SAME rows
+    // written hash-bucketed produce zones that all straddle the domain
+    // (footer pruning skips nothing), while the range write's zones are
+    // pairwise disjoint; and the footer row counts answer count(*)
+    // without touching data — the stats-only fast path
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_zones").toString
+    try {
+      val ev = Tables.events(spark, sf0001).select("event_id", "user_id")
+      val mx = ev.agg(max("user_id")).head.getLong(0)
+      ev.withColumn("zb", expr(s"user_id * 4 div ${mx + 1}L"))
+        .repartition(4, col("zb"))
+        .write.mode("overwrite").partitionBy("zb").parquet(s"$dir/range")
+      ev.withColumn("zb", expr("user_id % 4"))
+        .repartition(4, col("zb"))
+        .write.mode("overwrite").partitionBy("zb").parquet(s"$dir/hash")
+      def zones(sub: String) = Layout.harvestZones(spark, s"$dir/$sub", "user_id")
+        .withColumn("zb", regexp_extract(col("file"), "zb=(\\d+)", 1).cast("long"))
+        .groupBy("zb").agg(min("zmin").as("lo"), max("zmax").as("hi"),
+          sum("rows").as("n"))
+        .collect().sortBy(_.getLong(0))
+      val range = zones("range")
+      val hash = zones("hash")
+      // stats-only count: footer row counts sum to count(*), both layouts
+      val total = ev.count()
+      assert(range.map(_.getLong(3)).sum == total)
+      assert(hash.map(_.getLong(3)).sum == total)
+      // range zones pairwise disjoint (consecutive in bucket order)
+      range.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(2) < b.getLong(1),
+          s"range zones must be disjoint: $a vs $b")
+      }
+      // hash zones ALL straddle ~the full domain: every zone's span
+      // covers more than half of it (user_id % 4 interleaves)
+      hash.foreach { z =>
+        assert(z.getLong(2) - z.getLong(1) > mx / 2,
+          s"hash zone should straddle the domain: $z (max=$mx)")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     // the static PartitionFilters pin above needs the literal ON the
     // fact's partition column; at 100 TB the selective predicate usually
