@@ -30,6 +30,102 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query resumes offsets AND aggregation state") {
+    // the fault-tolerance contract the foreachBatch ledgers re-implement
+    // at the APPLICATION level, pinned here at the ENGINE level: stop a
+    // checkpointed query, add data, restart from the same checkpoint —
+    // the file-source offsets recover (the restart reads ONLY the new
+    // file) and the state store recovers (a key untouched by the new
+    // data still carries its pre-restart total)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val src = s"$dir/in"
+      new java.io.File(src).mkdirs()
+      def addFile(name: String, rows: Seq[(String, Long)]): Unit = {
+        val stage = s"$dir/stage_$name"
+        rows.toDF("user", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+      def start(sink: String) = spark.readStream
+        .schema("user STRING, v BIGINT").parquet(src)
+        .groupBy("user").agg(sum("v").as("total"))
+        .writeStream.outputMode("complete").format("memory")
+        .option("checkpointLocation", s"$dir/ckpt").queryName(sink).start()
+
+      addFile("f1", Seq(("u1", 1L), ("u2", 2L)))
+      val q1 = start("ckpt_run1")
+      try q1.processAllAvailable() finally q1.stop()
+      assert(spark.table("ckpt_run1").as[(String, Long)].collect().toMap ==
+        Map("u1" -> 1L, "u2" -> 2L))
+
+      addFile("f2", Seq(("u1", 10L)))
+      val q2 = start("ckpt_run2")
+      try {
+        q2.processAllAvailable()
+        // state recovered: u2's total survives though f1 is never re-read
+        assert(spark.table("ckpt_run2").as[(String, Long)].collect().toMap ==
+          Map("u1" -> 11L, "u2" -> 2L))
+        // offsets recovered: the restart consumed ONLY f2's single row
+        val replayed = q2.recentProgress.map(_.numInputRows).sum
+        assert(replayed == 1L, s"restart must not re-read f1, got $replayed rows")
+      } finally q2.stop()
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("RocksDB state store: the off-heap provider recovers state across a restart") {
+    // the 100 TB streaming-state lever: HDFSBackedStateStore keeps every
+    // key on the executor HEAP (state size caps at memory); RocksDB
+    // spills to local disk with incremental checkpointing, so keyed
+    // state scales past heap. Pin that the provider swap is purely
+    // config — same query, same recovery contract as the default-store
+    // test above
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = s"$dir/in"
+      new java.io.File(src).mkdirs()
+      def addFile(name: String, rows: Seq[(String, Long)]): Unit = {
+        val stage = s"$dir/stage_$name"
+        rows.toDF("user", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+      def start(sink: String) = spark.readStream
+        .schema("user STRING, v BIGINT").parquet(src)
+        .groupBy("user").agg(sum("v").as("total"))
+        .writeStream.outputMode("complete").format("memory")
+        .option("checkpointLocation", s"$dir/ckpt").queryName(sink).start()
+      addFile("f1", Seq(("u1", 5L), ("u2", 7L)))
+      val q1 = start("rocks_run1")
+      try q1.processAllAvailable() finally q1.stop()
+      addFile("f2", Seq(("u2", 100L)))
+      val q2 = start("rocks_run2")
+      try {
+        q2.processAllAvailable()
+        assert(spark.table("rocks_run2").as[(String, Long)].collect().toMap ==
+          Map("u1" -> 5L, "u2" -> 107L))
+        assert(q2.recentProgress.map(_.numInputRows).sum == 1L)
+      } finally q2.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streaming SLIDING windows match the batch explode twin") {
     val q = EventsStream.runSlidingOnce(spark, sf0001, "ev_slide")
     try {
