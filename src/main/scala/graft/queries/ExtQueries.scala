@@ -4676,6 +4676,38 @@ object ExtQueries extends QueryGroup {
     * aggregate; the percentile sort is per (group, column), never
     * global.
     */
+  /** Semi-structured property extraction through Spark's VARIANT type:
+    * `try_parse_json` once into the binary variant encoding, typed
+    * `variant_get` paths out of it — the modern at-scale JSON lane
+    * (parse-once binary access + shreddable storage, vs re-parsing the
+    * string per path the way repeated get_json_object calls do). The
+    * TOTAL forms throughout — try_parse_json nulls a malformed row,
+    * try_variant_get nulls a type surprise (strict variant_get throws;
+    * SqlSurfaceSpec pins the split) — one bad row in a 100 TB props
+    * column must never kill a stage. Integer-exact rollup per event
+    * type: rows-with-property count, min/max/sum of the extracted
+    * BIGINT. The oracle walks the same paths with DuckDB's JSON
+    * operators (TRY_CAST as the total typing) — two engines' JSON
+    * parsers agreeing on extraction + typing is the gate.
+    */
+  private def eventsProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k",
+        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"))
+
+  private val eventsPropsSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_with_k,
+              min(TRY_CAST(props->>'k' AS BIGINT)) AS k_min,
+              max(TRY_CAST(props->>'k' AS BIGINT)) AS k_max,
+              CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
+       FROM events GROUP BY 1"""
+
   private def eventsDescribe(s: SparkSession, d: String): DataFrame = {
     val cents = round(col("value") * 100, 0).cast("long")
     Tables.events(s, d)
@@ -8124,6 +8156,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_privacy_tclose", privacyTclose, Some(privacyTcloseSql), "t-closeness audit: per-class total-variation drift vs global sensitive distribution"),
     GQuery("ext_privacy_dp", privacyDp, Some(privacyDpSql), "Laplace-noised histogram release: inverse-CDF noise on the 1e6 grid, deterministic PRNG stand-in"),
     GQuery("ext_events_describe", eventsDescribe, Some(eventsDescribeSql), "pandas describe() per group: exact-grid mean/std + order-stat quartiles"),
+    GQuery("ext_events_props", eventsProps, Some(eventsPropsSql), "semi-structured props through VARIANT: try_parse_json once, typed variant_get paths, integer-exact rollup"),
     GQuery("ext_cc_kcore", ccKcore, Some(ccKcoreSql), "k-core of the dup graph: iterative degree peel, unrolled oracle"),
     GQuery("ext_text_cdc", textCdc, Some(textCdcSql), "content-defined chunking: rolling-hash boundaries, chunk-dedup savings per source"),
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),

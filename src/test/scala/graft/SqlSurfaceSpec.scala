@@ -10,6 +10,46 @@ import org.apache.spark.sql.functions._
   */
 class SqlSurfaceSpec extends SparkSpec {
 
+  test("VARIANT lane: typed extraction, malformed → NULL, parity with string-path JSON") {
+    import spark.implicits._
+    // a malformed row, a missing key, a type surprise, and a clean row —
+    // the shapes a 100 TB props column actually contains
+    val df = Seq(
+      ("a", """{"k": 7, "tag": "x"}"""),
+      ("b", """{"tag": "y"}"""),
+      ("c", """not json at all"""),
+      ("d", """{"k": "not a number"}"""))
+      .toDF("id", "props")
+      .withColumn("v", expr("try_parse_json(props)"))
+    val got = df.select(col("id"),
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.tag', 'string')").as("tag"))
+      .as[(String, Option[Long], Option[String])].collect()
+      .map { case (id, k, t) => id -> ((k, t)) }.toMap
+    assert(got("a") == ((Some(7L), Some("x"))),   "clean row extracts typed")
+    assert(got("b") == ((None, Some("y"))),       "missing key is NULL, row survives")
+    assert(got("c") == ((None, None)),            "malformed parses to NULL, never a task failure")
+    assert(got("d") == ((None, None)),            "type surprise nulls, never a task failure")
+    // the STRICT form variant_get throws on the type surprise — the
+    // ANSI split try_variant_get exists for (pinned so nobody swaps it
+    // back into a 100 TB job where one bad row kills the stage)
+    val strict = intercept[Exception] {
+      df.where(col("id") === "d")
+        .select(expr("variant_get(v, '$.k', 'bigint')")).collect()
+    }
+    assert(strict.getMessage.contains("INVALID_VARIANT_CAST"),
+      s"strict variant_get must raise the variant-cast error: $strict")
+    // parity with the string-path lane on well-formed rows: the VARIANT
+    // answer equals get_json_object re-parsing the string per path
+    val ev = Tables.events(spark, sf0001)
+    val viaVariant = ev.select(
+      expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
+    val viaString = ev.select(
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    assert(viaVariant.exceptAll(viaString).count() == 0 &&
+      viaString.exceptAll(viaVariant).count() == 0)
+  }
+
   test("temp views + SQL restatement match the DataFrame operator") {
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders_v")
     val sql = spark.sql(
