@@ -261,15 +261,16 @@ object Similarity {
     val ranked2 = base.crossJoin(broadcast(cents))
       .withColumn("__ccos",
         VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
-      .withColumn("__rn", row_number().over(aw))
-      .where(col("__rn") <= 2)
-      .select(col("vid"), col("vec"), col("nsq"), col("cent_id").as("cell"))
+      .withColumn("rn", row_number().over(aw))
+      .where(col("rn") <= 2)
+      .select(col("vid"), col("vec"), col("nsq"),
+        col("cent_id").as("cell"), col("rn"))
     val aSide = ranked2.select(col("vid").as("src"), col("vec").as("sv"),
       col("nsq").as("sn"), col("cell"))
     val bSide = ranked2.select(col("vid").as("dst"), col("vec").as("dv"),
       col("nsq").as("dn"), col("cell"))
     val ew = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst").asc)
-    aSide.join(bSide, Seq("cell"))
+    val edges = aSide.join(bSide, Seq("cell"))
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         VectorOps.cosine(col("sv"), col("dv"), col("sn"), col("dn")).as("ecos"))
@@ -277,8 +278,20 @@ object Similarity {
       .withColumn("ern", row_number().over(ew))
       .where(col("ern") <= m)
       .select("src", "dst")
-      .write.mode("overwrite").parquet(s"$path/edges")
+    // edges land in the src's PRIMARY cell partition: admission
+    // ([[appendToGraphIndex]]) then rewrites only the partitions whose
+    // srcs gained candidates — the dynamic-overwrite discipline of the
+    // IVF lane, on the graph structure
+    val prim = ranked2.where(col("rn") === 1)
+      .select(col("vid").as("src"), col("cell").as("pcell"))
+    edges.join(prim, Seq("src"))
+      .write.mode("overwrite").partitionBy("pcell").parquet(s"$path/edges")
     base.write.mode("overwrite").parquet(s"$path/vecs")
+    // cell assignments + centroids persist so admission never re-ranks
+    // the stored corpus (and never retrains the quantizer)
+    ranked2.select("vid", "cell", "rn")
+      .write.mode("overwrite").parquet(s"$path/cells")
+    cents.write.mode("overwrite").parquet(s"$path/cents")
   }
 
   /** PROBE a [[writeGraphIndex]]-persisted graph index — identical
@@ -303,7 +316,7 @@ object Similarity {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
     val vecs0 = s.read.parquet(s"$path/vecs")
-    val edges0 = s.read.parquet(s"$path/edges")
+    val edges0 = s.read.parquet(s"$path/edges").select("src", "dst")
     val qF0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       VectorOps.normSq(col(vecCol)).as("qn"))
     val (vecs, edges, qF) = tombstones match {
@@ -318,6 +331,114 @@ object Similarity {
           qF0.join(broadcast(tomb), col("q_id") === col("__tid"), "left_anti"))
     }
     beamSearch(vecs, edges.localCheckpoint(), qF, entryEvery, k, beam, rounds)
+  }
+
+  /** ADMIT a new batch into a [[writeGraphIndex]]-persisted graph index —
+    * the graph twin of [[appendToIvfIndex]], completing the lifecycle
+    * write / append / probe / delete on the navigable-graph structure.
+    *
+    * No-retrain contract: new nodes are assigned to their ≤2 nearest
+    * STORED centroids (read from `$path/cents` — the quantizer never
+    * re-picks on admission, so serving geometry stays stable), exactly
+    * the IVF admission policy. Edge maintenance is the LEADERBOARD
+    * MERGE: a src's edge list is its top-m co-bucket candidates by
+    * (cosine desc, dst asc), and because admission never changes an
+    * existing pair's score, top-m(old ∪ new) = top-m(top-m(old) ∪ new)
+    * — so the result is EXACTLY the edge set a full rebuild with the
+    * stored centroid set would produce (the append query's oracle
+    * restates that rebuild and hash-gates it), while touching only:
+    *   - new srcs (full candidate ranking over their co-bucket), and
+    *   - stored srcs sharing a cell with a new node (their stored top-m
+    *     re-cut against the new candidates).
+    * Cost is O(batch + touched), not O(index): vecs/cells are pure
+    * parquet APPENDS, and the partitioned edge file rewrites only the
+    * primary-cell partitions containing a rewritten src (dynamic
+    * overwrite — untouched partitions' files stay byte-identical,
+    * spec-pinned).
+    */
+  def appendToGraphIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, path: String): Unit = {
+    val s = newVecs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val cents = s.read.parquet(s"$path/cents")
+    val storedVecs = s.read.parquet(s"$path/vecs")
+    val storedCells = s.read.parquet(s"$path/cells")
+    val edges0 = s.read.parquet(s"$path/edges")
+    val newBase = newVecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      VectorOps.normSq(col(vecCol)).as("nsq")).localCheckpoint()
+    val aw = Window.partitionBy("vid")
+      .orderBy(col("__ccos").desc, col("cent_id").asc)
+    val newCells = newBase.crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+      .withColumn("rn", row_number().over(aw))
+      .where(col("rn") <= 2)
+      .select(col("vid"), col("cent_id").as("cell"), col("rn"))
+      .localCheckpoint()
+    val allVecs = storedVecs.unionByName(newBase)
+    val allCells = storedCells.select("vid", "cell")
+      .unionByName(newCells.select("vid", "cell"))
+    // new srcs rank their FULL co-bucket (stored + batch neighbors)
+    val newPairs = newCells.select(col("vid").as("src"), col("cell"))
+      .join(allCells.select(col("vid").as("dst"), col("cell")), Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    // stored srcs sharing a cell with the batch merge: stored top-m ∪
+    // the new co-bucket candidates, re-cut
+    val landed = newCells.select("cell").distinct()
+    val touchedSrc = storedCells
+      .join(broadcast(landed), Seq("cell"), "left_semi")
+      .select("vid").distinct().localCheckpoint()
+    val touchedNewPairs = storedCells
+      .join(broadcast(landed), Seq("cell"), "left_semi")
+      .select(col("vid").as("src"), col("cell"))
+      .join(newCells.select(col("vid").as("dst"), col("cell")), Seq("cell"))
+      .select("src", "dst").distinct()
+    val touchedOld = edges0.select("src", "dst")
+      .join(touchedSrc.withColumnRenamed("vid", "src"), Seq("src"),
+        "left_semi")
+    val candidates = newPairs
+      .unionByName(touchedOld.unionByName(touchedNewPairs).distinct())
+    val sa = allVecs.select(col("vid").as("src"), col("vec").as("sv"),
+      col("nsq").as("sn"))
+    val sb = allVecs.select(col("vid").as("dst"), col("vec").as("dv"),
+      col("nsq").as("dn"))
+    val ew = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst").asc)
+    val recut = candidates.join(sa, Seq("src")).join(sb, Seq("dst"))
+      .withColumn("ecos",
+        VectorOps.cosine(col("sv"), col("dv"), col("sn"), col("dn")))
+      .withColumn("ern", row_number().over(ew))
+      .where(col("ern") <= m)
+      .select("src", "dst")
+    // rewrite only the primary-cell partitions that contain a rewritten
+    // src — every OTHER src in those partitions keeps its rows verbatim
+    val allPrim = storedCells.where(col("rn") === 1)
+      .unionByName(newCells.where(col("rn") === 1))
+      .select(col("vid").as("src"), col("cell").as("pcell"))
+    val rewrittenSrc = touchedSrc.unionByName(newBase.select("vid"))
+      .distinct().withColumnRenamed("vid", "src")
+    val parts = allPrim.join(rewrittenSrc, Seq("src"), "left_semi")
+      .select("pcell").distinct()
+    val keepRows = edges0
+      .join(broadcast(parts), Seq("pcell"), "left_semi")
+      .join(rewrittenSrc, Seq("src"), "left_anti")
+      .select("src", "dst", "pcell")
+    val out = keepRows
+      .unionByName(recut.join(allPrim, Seq("src"))
+        .select("src", "dst", "pcell"))
+      .localCheckpoint() // the overwrite target is still in this plan
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "dynamic")
+      out.write.mode("overwrite").partitionBy("pcell")
+        .parquet(s"$path/edges")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    newBase.write.mode("append").parquet(s"$path/vecs")
+    newCells.write.mode("append").parquet(s"$path/cells")
   }
 
   /** Integer grid for cross-engine-exact centroid means: 2^20. A float

@@ -2292,11 +2292,16 @@ object ExtQueries extends QueryGroup {
     * each p is referenced by both the next frontier and the next pool;
     * inlined, the chain re-plans 2^rounds edge builds — the PCA lesson).
     */
-  private def annHnswSqlBeam(beam: Int, masked: Boolean = false): String = {
+  private def annHnswSqlBeam(beam: Int, masked: Boolean = false,
+      centsFilter: String = "TRUE"): String = {
     // masked = the probe-time tombstone filter of ext_ann_hnsw_delete:
     // edges were built on the FULL corpus (the stored structure), so the
     // mask applies AFTER the per-src rank cut — ef filters the stored
-    // edge list, never rebuilds it on the surviving corpus
+    // edge list, never rebuilds it on the surviving corpus.
+    // centsFilter = ext_ann_hnsw_append's no-retrain pin: admission keeps
+    // the STORED centroid set, so the oracle's rebuild restricts cents to
+    // the write subset — a sneaky re-pick over the grown corpus would
+    // hash-mismatch (the annIvfAppend discipline on the graph build).
     def keep(c: String) =
       if (masked) s"$c % $IvfDeleteMod <> $IvfDeleteRem" else "TRUE"
     val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
@@ -2320,7 +2325,8 @@ object ExtQueries extends QueryGroup {
     }.mkString(",\n")
     s"""WITH $vecsSql,
        cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
-                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0
+                   AND $centsFilter),
        rk2 AS MATERIALIZED (
          SELECT vid, vec, nsq, cell FROM (
            SELECT n.vec_id AS vid, n.vec, n.nsq, c.cent_id AS cell,
@@ -2429,6 +2435,34 @@ object ExtQueries extends QueryGroup {
   }
 
   private lazy val annHnswDeleteSql = annHnswSqlBeam(HnswBeam, masked = true)
+
+  /** ADMISSION into the persisted graph index
+    * (Similarity.appendToGraphIndex): write two-thirds of the corpus,
+    * append the rest against the STORED centroids — new srcs rank their
+    * full co-bucket, touched stored srcs leaderboard-merge their stored
+    * top-m with the new candidates (valid because admission never
+    * changes an existing pair's score), untouched edge partitions'
+    * files never move. The oracle rebuilds the WHOLE graph with cents
+    * restricted to the write subset — by the merge identity that
+    * rebuild equals the admitted index exactly, and a quantizer re-pick
+    * over the grown corpus (ids %3==0 include %75==0 centroid-eligible
+    * ones) would hash-mismatch. Completes the graph lifecycle:
+    * write / append / probe / delete.
+    */
+  private def annHnswAppend(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "hnsw_app", d)
+    val emb = Tables.embeddings(s, d)
+    Similarity.writeGraphIndex(emb.where(col("vec_id") % IvfAppendMod =!= 0),
+      "vec_id", "embedding", IvfCentroidEvery, HnswM, path)
+    Similarity.appendToGraphIndex(
+      emb.where(col("vec_id") % IvfAppendMod === 0),
+      "vec_id", "embedding", HnswM, path)
+    Similarity.probeGraphIndex(path, annQueries(s, d), "vec_id", "embedding",
+      TopK, HnswEntryEvery, HnswBeam, HnswRounds)
+  }
+
+  private lazy val annHnswAppendSql = annHnswSqlBeam(HnswBeam,
+    centsFilter = s"vec_id % $IvfAppendMod <> 0")
 
   /** Product quantization: 2 subspaces of 32 dims, corpus-seeded
     * codebooks (same every-25th pick as IVF). Small M on purpose — the
@@ -8117,6 +8151,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_hnsw", annHnsw, Some(annHnswSql), "graph ANN (HNSW-lite): entry level + border-crossing m-NN edges + fixed-round beam search"),
     GQuery("ext_ann_hnsw_sweep", annHnswSweep, Some(annHnswSweepSql), "recall-vs-beam curve for the graph path: the HNSW operating-point dial"),
     GQuery("ext_ann_hnsw_persist", annHnswPersist, Some(annHnswSql), "persisted graph index: vectors + edge list round-trip parquet, probe ≡ in-plan"),
+    GQuery("ext_ann_hnsw_append", annHnswAppend, Some(annHnswAppendSql), "graph-index admission: stored-centroid assignment + leaderboard edge merge ≡ rebuild, surgical partition rewrite"),
     GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_append", annIvfAppend, Some(annIvfAppendSql), "IVF admission: append with stored centroids (no retrain), probe the grown index"),

@@ -87,6 +87,52 @@ class SimilaritySpec extends SparkSpec {
     assert(rg >= r0, "beam expansion may never lose recall vs the entry cut")
   }
 
+  test("graph admission ≡ rebuild; untouched edge partitions byte-identical") {
+    // batch ids %1000==3 are never %25==0, so the stored centroid set
+    // equals the union's — writeGraphIndex on the union IS the
+    // rebuild-with-stored-centroids the merge identity promises, and
+    // the two indexes must agree EDGE FOR EDGE (stronger than probe
+    // agreement). The tiny batch also lands in few cells, leaving
+    // most primary-cell partitions untouched — those files never move.
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val batch = corpus.where(col("vec_id") % 1000 === 3) // tiny: few landed cells
+    val rest = corpus.exceptAll(batch)
+    val pathA = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_app").toString
+    val pathB = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_reb").toString
+    try {
+      Similarity.writeGraphIndex(rest, "vec_id", "embedding", 25, 8, pathA)
+      def files() = new java.io.File(s"$pathA/edges").listFiles()
+        .filter(_.getName.startsWith("pcell="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => f.getPath ->
+          ((f.length(), f.lastModified()))).toMap
+      val before = files()
+      Similarity.appendToGraphIndex(batch, "vec_id", "embedding", 8, pathA)
+      val after = files()
+      Similarity.writeGraphIndex(corpus, "vec_id", "embedding", 25, 8, pathB)
+      val ea = spark.read.parquet(s"$pathA/edges").select("src", "dst")
+      val eb = spark.read.parquet(s"$pathB/edges").select("src", "dst")
+      assert(ea.exceptAll(eb).count() == 0 && eb.exceptAll(ea).count() == 0,
+        "admitted edge set must equal the rebuild's, edge for edge")
+      // untouched partitions: files that survived kept length AND mtime
+      val untouched = before.keySet & after.keySet
+      assert(untouched.nonEmpty, "a small batch must leave partitions alone")
+      untouched.foreach { f =>
+        assert(before(f) == after(f), s"untouched partition file moved: $f")
+      }
+      assert(before.keySet != after.keySet,
+        "the landed partitions must actually rewrite")
+      // vecs grew by exactly the batch
+      assert(spark.read.parquet(s"$pathA/vecs").count() ==
+        rest.count() + batch.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pathA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pathB))
+    }
+  }
+
   test("persisted graph index: probe ≡ in-plan graphTopK; tombstone mask never returns nor scores deleted ids") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)
