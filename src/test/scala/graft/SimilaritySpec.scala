@@ -133,6 +133,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graph admission is batch-split invariant: any append order lands the same index") {
+    // the daily-ingest contract: because every append ranks against the
+    // SAME stored quantizer and the edge merge is a semilattice fold
+    // (top-m under fixed scores), splitting the ingest into different
+    // batch sequences must land the IDENTICAL final index — one append
+    // of {B1 ∪ B2} ≡ appending B1 then B2
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = corpus.where(col("vec_id") % 3 =!= 0)
+    val b1 = corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val b2 = corpus.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1)
+    val pathA = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_one").toString
+    val pathB = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_two").toString
+    try {
+      Similarity.writeGraphIndex(base, "vec_id", "embedding", 25, 8, pathA)
+      Similarity.appendToGraphIndex(b1.unionByName(b2), "vec_id",
+        "embedding", 8, pathA)
+      Similarity.writeGraphIndex(base, "vec_id", "embedding", 25, 8, pathB)
+      Similarity.appendToGraphIndex(b1, "vec_id", "embedding", 8, pathB)
+      Similarity.appendToGraphIndex(b2, "vec_id", "embedding", 8, pathB)
+      for (f <- Seq("edges", "vecs", "cells")) {
+        val a = spark.read.parquet(s"$pathA/$f")
+        val b = spark.read.parquet(s"$pathB/$f")
+          .select(a.columns.map(col): _*)
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+          s"$f diverged between one-shot and two-batch admission")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pathA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pathB))
+    }
+  }
+
   test("persisted graph index: probe ≡ in-plan graphTopK; tombstone mask never returns nor scores deleted ids") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)
