@@ -250,7 +250,19 @@ object Layout {
     * and the chunk's `zmin`/`zmax` for the given INT64 column.
     */
   def harvestZones(spark: org.apache.spark.sql.SparkSession, dir: String,
-      column: String): DataFrame = {
+      column: String): DataFrame =
+    harvestZonesCols(spark, dir, Seq(column))
+      .drop("column")
+
+  /** Multi-column form of [[harvestZones]]: ONE footer open per file
+    * serves every requested INT64 column — one row per
+    * (file, row group, column). The multi-dimensional audit path: a
+    * Z-/Hilbert-clustered layout's defining claim is that EVERY curve
+    * dimension has bounded per-file ranges, which takes all the
+    * columns' chunk stats from the same footer.
+    */
+  def harvestZonesCols(spark: org.apache.spark.sql.SparkSession,
+      dir: String, columns: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -263,6 +275,7 @@ object Layout {
         !p.getName.startsWith("_") && !p.getName.startsWith("."))
       .map(_.toString).toSeq.sorted
     val serConf = new org.apache.spark.SerializableWritable(conf)
+    val cols = columns
     spark.createDataset(paths)
       .repartition(math.min(math.max(paths.size, 1), 32))
       .mapPartitions { ps =>
@@ -271,20 +284,22 @@ object Layout {
             .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
-            rdr.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+            rdr.getFooter.getBlocks.asScala.toList.zipWithIndex.flatMap {
               case (b, i) =>
-                val chunk = b.getColumns.asScala
-                  .find(_.getPath.toDotString == column)
-                  .getOrElse(sys.error(
-                    s"column $column has no chunk in $p row group $i"))
-                val st = chunk.getStatistics
-                (p, i, b.getRowCount,
-                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                cols.map { column =>
+                  val chunk = b.getColumns.asScala
+                    .find(_.getPath.toDotString == column)
+                    .getOrElse(sys.error(
+                      s"column $column has no chunk in $p row group $i"))
+                  val st = chunk.getStatistics
+                  (p, i, b.getRowCount, column,
+                    st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                }
             }
           } finally rdr.close()
         }
       }
-      .toDF("file", "rg", "rows", "zmin", "zmax")
+      .toDF("file", "rg", "rows", "column", "zmin", "zmax")
   }
 }

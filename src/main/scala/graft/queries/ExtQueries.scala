@@ -901,6 +901,70 @@ object ExtQueries extends QueryGroup {
                        TRUE) AS zone_disjoint
        FROM g"""
 
+  /** PHYSICAL Z-order audit — the footer-truth proof of what
+    * ext_layout_zorder predicts: events written in equal-width Z-value
+    * buckets (Morton interleave of (user, day); bounds attach by
+    * broadcast, so the bucket rule is value-based and scale-free, never
+    * a rank), then ONE footer read per file serves the chunk stats of
+    * ALL THREE columns (Layout.harvestZonesCols) — the defining
+    * Z-order claim is that BOTH dimensions have bounded per-file
+    * ranges, so a one-column audit can't state it. Emits per bucket the
+    * physical z/user/day ranges + z-disjointness; the oracle recomputes
+    * every number logically from rows.
+    */
+  private def layoutZorderPhys(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "zophys", d)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $ZDayNs").as("day"))
+      .withColumn("z", Layout.zValue("user_id", "day", 16))
+    val mm = ev.agg(min("z").as("__z0"), (max("z") + lit(1L)).as("__z1"))
+    ev.crossJoin(broadcast(mm))
+      .withColumn("zbucket", expr("(z - __z0) * 8 div (__z1 - __z0)"))
+      .select("user_id", "day", "z", "zbucket")
+      .repartition(8, col("zbucket"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    val zones = Layout.harvestZonesCols(s, path, Seq("z", "user_id", "day"))
+      .withColumn("zbucket",
+        regexp_extract(col("file"), "zbucket=(\\d+)", 1).cast("long"))
+      .groupBy("zbucket")
+      .agg(
+        min(when(col("column") === "z", col("zmin"))).as("zv_min"),
+        max(when(col("column") === "z", col("zmax"))).as("zv_max"),
+        min(when(col("column") === "user_id", col("zmin"))).as("a_min"),
+        max(when(col("column") === "user_id", col("zmax"))).as("a_max"),
+        min(when(col("column") === "day", col("zmin"))).as("b_min"),
+        max(when(col("column") === "day", col("zmax"))).as("b_max"),
+        sum(when(col("column") === "z", col("rows"))).as("n_rows"))
+    val w = Window.orderBy("zbucket")
+    zones.select(col("zbucket"), col("zv_min"), col("zv_max"),
+      col("a_min"), col("a_max"), col("b_min"), col("b_max"), col("n_rows"),
+      coalesce(col("zv_min") > lag("zv_max", 1).over(w), lit(true))
+        .as("z_disjoint"))
+  }
+
+  /** Twin of layoutZorderPhys: the logical zones off the same Morton
+    * fold, equal-width bucket rule, and lag-disjointness.
+    */
+  private val layoutZorderPhysSql = {
+    val z = (0 until 16).map(i =>
+      s"(((user_id >> $i) & 1) << ${2 * i}) + (((day >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $ZDayNs AS day FROM events),
+       zv AS (SELECT user_id, day, CAST($z AS BIGINT) AS z FROM e),
+       mm AS (SELECT min(z) AS z0, max(z) + 1 AS z1 FROM zv),
+       b AS (SELECT user_id, day, z,
+               (z - z0) * 8 // (z1 - z0) AS zbucket FROM zv, mm),
+       g AS (SELECT zbucket, min(z) AS zv_min, max(z) AS zv_max,
+               min(user_id) AS a_min, max(user_id) AS a_max,
+               min(day) AS b_min, max(day) AS b_max,
+               CAST(count(*) AS BIGINT) AS n_rows
+             FROM b GROUP BY 1)
+       SELECT zbucket, zv_min, zv_max, a_min, a_max, b_min, b_max, n_rows,
+              coalesce(zv_min > lag(zv_max) OVER (ORDER BY zbucket),
+                       TRUE) AS z_disjoint
+       FROM g"""
+  }
+
   private val EpochBudgetFactor = 2
 
   /** Epoch/repetition schedule from the temperature mixture (see
@@ -8111,6 +8175,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_layout_shards", layoutShards, Some(layoutShardsSql), "export shard-balance audit: content-hashed shards, doc/mass balance ratios"),
     GQuery("ext_layout_compact", layoutCompact, Some(layoutCompactSql), "compaction planner: next-fit packing of partition cells into target-size files"),
     GQuery("ext_layout_zonemap", layoutZonemap, Some(layoutZonemapSql), "physical zone-map harvest: distributed parquet footer stats of a range-clustered write ≡ logical zone bounds"),
+    GQuery("ext_layout_zorder_phys", layoutZorderPhys, Some(layoutZorderPhysSql), "physical Z-order audit: one footer read serves all three columns' chunk stats, both dims bounded per file"),
     GQuery("ext_corpus_epochs", corpusEpochs, Some(corpusEpochsSql), "epoch/repetition schedule from the temperature mixture (exact-integer budgets)"),
     GQuery("ext_corpus_drift", corpusDrift, Some(corpusDriftSql), "per-source unigram TV distance from the corpus mix (exact-integer drift)"),
     GQuery("ext_corpus_fences", corpusFences, Some(corpusFencesSql), "per-language Tukey outlier fences (exact quartiles off the histogram)"),
