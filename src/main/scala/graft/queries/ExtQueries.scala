@@ -6342,6 +6342,263 @@ object ExtQueries extends QueryGroup {
                            AND o_orderdate >= TIMESTAMP '$Q22Since')
        GROUP BY 1"""
 
+  /** TPC-H Q7-SHAPED VOLUME SHIPPING: bilateral revenue between two
+    * nations (supplier side vs customer side, BOTH directions) per ship
+    * year. Plan discipline: the two-nation cut broadcasts down both dim
+    * chains (supplier directly; customer through orders), the
+    * direction disjunction filters AFTER both chains attach — so
+    * lineitem ⋈ orders stays the ONLY fact-fact shuffle; the year comes
+    * off l_shipdate inside the fact projection (no post-join recompute).
+    */
+  private val Q7NationA = "NATION_13"
+  private val Q7NationB = "NATION_19"
+  private val Q7Lo = "1996-01-01 00:00:00"
+  private val Q7Hi = "1998-01-01 00:00:00"
+
+  private def pricingQ7(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .where(col("n_name").isin(Q7NationA, Q7NationB))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= to_timestamp(lit(Q7Lo))
+        && col("l_shipdate") < to_timestamp(lit(Q7Hi)))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB)
+        || (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("__rc")).as("rev_cents"))
+      .withColumn("revenue", round(col("rev_cents") / 100.0, 2))
+  }
+
+  private val pricingQ7Sql =
+    s"""WITH nat AS (SELECT n_nationkey, n_name FROM nation
+                   WHERE n_name IN ('$Q7NationA', '$Q7NationB')),
+       sp AS (SELECT s_suppkey, n_name AS supp_nation
+              FROM supplier JOIN nat ON s_nationkey = n_nationkey),
+       cu AS (SELECT c_custkey, n_name AS cust_nation
+              FROM customer JOIN nat ON c_nationkey = n_nationkey),
+       o AS (SELECT o_orderkey, cust_nation
+             FROM orders JOIN cu ON o_custkey = c_custkey),
+       li AS (SELECT l_orderkey, l_suppkey,
+                     CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+                     CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS rc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '$Q7Lo'
+                AND l_shipdate < TIMESTAMP '$Q7Hi')
+       SELECT supp_nation, cust_nation, l_year,
+              CAST(sum(rc) AS BIGINT) AS rev_cents,
+              round(CAST(sum(rc) AS BIGINT) / 100.0, 2) AS revenue
+       FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+       JOIN sp ON li.l_suppkey = sp.s_suppkey
+       WHERE (supp_nation = '$Q7NationA' AND cust_nation = '$Q7NationB')
+          OR (supp_nation = '$Q7NationB' AND cust_nation = '$Q7NationA')
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q8-SHAPED MARKET SHARE: of the revenue EUROPE customers
+    * spent on LARGE-type parts per order year, the fraction served by
+    * the target nation's suppliers — numerator and denominator are the
+    * SAME conditional aggregate over one joined frame (never two
+    * scans), both BIGINT cents, share one rounded division per year
+    * (the Q14 discipline under a grouping).
+    */
+  private val Q8Region = "EUROPE"
+  private val Q8Nation = "NATION_8"
+  private val Q8PType = "LARGE"
+  private val Q8Lo = "1996-01-01 00:00:00"
+  private val Q8Hi = "1998-01-01 00:00:00"
+
+  private def pricingQ8(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === Q8Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= to_timestamp(lit(Q8Lo))
+        && col("o_orderdate") < to_timestamp(lit(Q8Hi)))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_year")
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).where(col("p_type") === Q8PType)
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === Q8Nation, col("__rc"))
+          .otherwise(0L)).as("nation_cents"),
+        sum(col("__rc")).as("total_cents"))
+      .withColumn("mkt_share",
+        round(col("nation_cents") * lit(1.0) / col("total_cents"), 6))
+  }
+
+  private val pricingQ8Sql =
+    s"""WITH nat AS (SELECT n_nationkey FROM nation
+                   JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = '$Q8Region'),
+       cu AS (SELECT c_custkey FROM customer
+              JOIN nat ON c_nationkey = n_nationkey),
+       o AS (SELECT o_orderkey,
+                    CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year
+             FROM orders JOIN cu ON o_custkey = c_custkey
+             WHERE o_orderdate >= TIMESTAMP '$Q8Lo'
+               AND o_orderdate < TIMESTAMP '$Q8Hi'),
+       sp AS (SELECT s_suppkey, n_name AS supp_nation
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       li AS (SELECT l_orderkey, l_suppkey,
+                     CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS rc
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = '$Q8PType')
+       SELECT o_year,
+              CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN rc ELSE 0 END) AS BIGINT) AS nation_cents,
+              CAST(sum(rc) AS BIGINT) AS total_cents,
+              round(sum(CASE WHEN supp_nation = '$Q8Nation' THEN rc ELSE 0 END) * 1.0
+                    / sum(rc), 6) AS mkt_share
+       FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+       JOIN sp ON li.l_suppkey = sp.s_suppkey
+       GROUP BY 1"""
+
+  /** TPC-H Q13-SHAPED ORDER-COUNT DISTRIBUTION: how many customers
+    * placed exactly k qualifying orders — including k = 0, which is the
+    * whole point: the LEFT join keeps order-less customers and
+    * count(o_custkey) (nulls don't count) scores them zero; an inner
+    * join would silently drop the most interesting bucket. Two-level
+    * aggregate: per-customer counts (fact-sized shuffle) roll up to the
+    * ≤ max-orders-per-customer histogram frame.
+    */
+  private val Q13Excl = "4-NOT SPECIFIED"
+
+  private def pricingQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+          .where(col("o_orderpriority") =!= Q13Excl).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  private val pricingQ13Sql =
+    s"""WITH co AS (
+         SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+         FROM customer
+         LEFT JOIN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority <> '$Q13Excl') o
+           ON c_custkey = o_custkey
+         GROUP BY 1)
+       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM co GROUP BY 1"""
+
+  /** TPC-H Q15-SHAPED TOP SUPPLIER: the supplier(s) with the maximum
+    * quarter revenue — the classic view + scalar-max-subquery shape.
+    * The max attaches by broadcast crossJoin (never a driver collect),
+    * the comparison is exact BIGINT cents so ties survive identically
+    * in both engines (the reason Q15 is specified with = max and not
+    * LIMIT 1), and the supplier dim joins the one-or-few winner rows,
+    * not the revenue frame.
+    */
+  private val Q15Lo = "1997-07-01 00:00:00"
+  private val Q15Hi = "1997-10-01 00:00:00"
+
+  private def pricingQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= to_timestamp(lit(Q15Lo))
+        && col("l_shipdate") < to_timestamp(lit(Q15Hi)))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("__rc"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("__rc")).as("total_cents"))
+    val mx = rev.agg(max(col("total_cents")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_cents") === col("__mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"),
+        round(col("total_cents") / 100.0, 2).as("total_revenue"))
+  }
+
+  private val pricingQ15Sql =
+    s"""WITH rev AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '$Q15Lo'
+           AND l_shipdate < TIMESTAMP '$Q15Hi'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name, total_cents,
+              round(total_cents / 100.0, 2) AS total_revenue
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE total_cents = (SELECT max(total_cents) FROM rev)"""
+
+  /** TPC-H Q17-SHAPED SMALL-QUANTITY REVENUE: the average yearly
+    * revenue lost if sub-20%-of-average-quantity line items of one
+    * brand+type slice stopped shipping. The correlated per-part average
+    * is ONE window over the slice (the part cut broadcasts into the
+    * fact scan first, so the window frame is slice-sized, never
+    * fact-sized), and the threshold q < avg/5 is decided as
+    * 5·q·n < sum_q — exact integers, no float average ever exists
+    * (quantities are integral; the boundary line lands identically in
+    * both engines).
+    */
+  private val Q17Brand = "Brand#13"
+  private val Q17PType = "SMALL"
+
+  private def pricingQ17(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .where(col("p_brand") === Q17Brand && col("p_type") === Q17PType)
+          .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("__q"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("__ec"))
+      .withColumn("__sum_q", sum(col("__q")).over(w))
+      .withColumn("__n_q", count(lit(1)).over(w))
+      .where(lit(5L) * col("__q") * col("__n_q") < col("__sum_q"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("__ec")).as("loss_cents"))
+      .withColumn("avg_yearly", round(col("loss_cents") / 700.0, 2))
+  }
+
+  private val pricingQ17Sql =
+    s"""WITH sl AS (
+         SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ec
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = '$Q17Brand' AND p_type = '$Q17PType'),
+       wn AS (SELECT q, ec,
+                CAST(sum(q) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_q,
+                CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_q
+              FROM sl)
+       SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(ec) AS BIGINT) AS loss_cents,
+              round(CAST(sum(ec) AS BIGINT) / 700.0, 2) AS avg_yearly
+       FROM wn WHERE 5 * q * n_q < sum_q"""
+
   /** HIERARCHICAL SKETCH ROLLUP: per-(event_type, day) linear-counting
     * occupancy states OR-merged up the time hierarchy to a per-type
     * distinct-user estimate — the data-cube story for mergeable
@@ -8328,6 +8585,11 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_pricing_q19", pricingQ19, Some(pricingQ19Sql), "TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs with part-side residue pushed to the scan"),
     GQuery("ext_pricing_q21", pricingQ21, Some(pricingQ21Sql), "TPC-H Q21-shaped sole-late-supplier count: EXISTS+NOT-EXISTS oracle vs one-aggregate rewrite"),
     GQuery("ext_pricing_q22", pricingQ22, Some(pricingQ22Sql), "TPC-H Q22-shaped dormant-rich customers: cross-multiplied integer avg threshold + anti-join"),
+    GQuery("ext_pricing_q7", pricingQ7, Some(pricingQ7Sql), "TPC-H Q7-shaped volume shipping: bilateral nation revenue per ship year, one fact-fact shuffle"),
+    GQuery("ext_pricing_q8", pricingQ8, Some(pricingQ8Sql), "TPC-H Q8-shaped market share: conditional num/denominator off one joined frame, per-year rounded division"),
+    GQuery("ext_pricing_q13", pricingQ13, Some(pricingQ13Sql), "TPC-H Q13-shaped order-count distribution: LEFT join keeps the zero-order bucket, two-level aggregate"),
+    GQuery("ext_pricing_q15", pricingQ15, Some(pricingQ15Sql), "TPC-H Q15-shaped top supplier: broadcast scalar-max attach, exact-cents ties survive"),
+    GQuery("ext_pricing_q17", pricingQ17, Some(pricingQ17Sql), "TPC-H Q17-shaped small-quantity loss: slice-sized window, 5·q·n < sum_q integer threshold"),
     GQuery("ext_sketch_rollup", sketchRollup, Some(sketchRollupSql), "hierarchical sketch rollup: per-day lincount states OR-merged up the time hierarchy"),
     GQuery("ext_sketch_joinsize", sketchJoinsize, Some(sketchJoinsizeSql), "join-size estimation from count-min inner products vs exact sum(cntA*cntB)"),
     GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),

@@ -517,6 +517,38 @@ class ScaleSpec extends SparkSpec {
       "sanity: the verify expression is in this plan")
   }
 
+  test("ext_pricing_q7/q8/q17: dim chains broadcast, windows pushed, slice-sized frames") {
+    def plan(name: String) = SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // q7: the two-nation cut broadcasts down both chains; the ship-date
+    // window reaches the lineitem scan; at most the lineitem ⋈ orders
+    // pair sort-merges (AQE may broadcast even that at this scale)
+    val p7 = plan("ext_pricing_q7")
+    assert(p7.contains("BroadcastHashJoin"))
+    assert("SortMergeJoin".r.findAllIn(p7).size <= 1,
+      "only lineitem ⋈ orders may be a fact-fact shuffle join in q7")
+    assert(p7.contains("GreaterThanOrEqual(l_shipdate") &&
+      p7.contains("LessThan(l_shipdate"),
+      "the ship-date window must reach the lineitem scan")
+    // q8: the LARGE-part cut is pushed to the part scan and broadcasts
+    // into lineitem — the fact never meets an uncut part table
+    val p8 = plan("ext_pricing_q8")
+    assert(p8.contains("EqualTo(p_type,LARGE)"),
+      "the part-type cut must reach the part scan")
+    assert("SortMergeJoin".r.findAllIn(p8).size <= 1,
+      "only lineitem ⋈ orders may be a fact-fact shuffle join in q8")
+    // q17: the brand+type slice is pushed to the part scan, and the
+    // per-part window runs AFTER the broadcast cut — slice-sized frame
+    val p17 = plan("ext_pricing_q17")
+    assert(p17.contains("EqualTo(p_brand,Brand#13)") &&
+      p17.contains("EqualTo(p_type,SMALL)"),
+      "the brand+type slice must reach the part scan")
+    assert(!p17.contains("SortMergeJoin"),
+      "the part slice must broadcast into the fact — q17 has no shuffle join")
+    assert(p17.contains("Window"),
+      "the per-part average must be a window over the slice")
+  }
+
   test("ext_pricing_q5: broadcast chain holds, date filters pushed to orders") {
     val df = SparkEntry.queries("ext_pricing_q5")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
