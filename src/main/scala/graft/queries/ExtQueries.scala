@@ -6599,6 +6599,125 @@ object ExtQueries extends QueryGroup {
               round(CAST(sum(ec) AS BIGINT) / 700.0, 2) AS avg_yearly
        FROM wn WHERE 5 * q * n_q < sum_q"""
 
+  /** TPC-H Q6-SHAPED FORECASTING REVENUE CHANGE: one filter + one
+    * global aggregate, no join at all — the query every engine should
+    * reduce to a single scan with every predicate pushed (ScaleSpec-
+    * style discipline carried by the oracle gate: the discount band is
+    * decided on the integer percent grid, so the band edges land
+    * identically in both engines).
+    */
+  private val Q6Lo = "1997-01-01 00:00:00"
+  private val Q6Hi = "1998-01-01 00:00:00"
+
+  private def pricingQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= to_timestamp(lit(Q6Lo))
+        && col("l_shipdate") < to_timestamp(lit(Q6Hi))
+        && col("l_quantity") < 24.0)
+      .select(round(col("l_discount") * 100, 0).cast("long").as("__dpct"),
+        round(col("l_extendedprice") * col("l_discount") * 100, 0)
+          .cast("long").as("__rc"))
+      .where(col("__dpct").between(5L, 7L))
+      .agg(count(lit(1)).as("n_lines"), sum(col("__rc")).as("rev_cents"))
+      .withColumn("revenue", round(col("rev_cents") / 100.0, 2))
+
+  private val pricingQ6Sql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+              round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '$Q6Lo'
+         AND l_shipdate < TIMESTAMP '$Q6Hi'
+         AND l_quantity < 24.0
+         AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7"""
+
+  /** TPC-H Q9-SHAPED PRODUCT-TYPE PROFIT: per (supplier nation, ship
+    * year) profit of one part-name slice — the fixture has no partsupp,
+    * so supply cost is proxied by p_retailprice·quantity (the shape is
+    * what's exercised: two broadcast dim chains onto the fact, profit
+    * possibly NEGATIVE, cent-exact signed sums). The part cut rides a
+    * LIKE, pushed as a StartsWith to the part scan.
+    */
+  private val Q9PartPrefix = "blue"
+
+  private def pricingQ9(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d)
+      .where(col("p_name").startsWith(Q9PartPrefix))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("__cost_c"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")
+          - col("__cost_c") * col("l_quantity").cast("long")).as("__pc"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), col("l_year"))
+      .agg(sum(col("__pc")).as("profit_cents"))
+      .withColumn("profit", round(col("profit_cents") / 100.0, 2))
+  }
+
+  private val pricingQ9Sql =
+    s"""WITH pt AS (SELECT p_partkey,
+                        CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cost_c
+               FROM part WHERE p_name LIKE '$Q9PartPrefix%'),
+       sp AS (SELECT s_suppkey, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+       SELECT n_name AS nation,
+              CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+              CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)
+                       - cost_c * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents,
+              round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)
+                             - cost_c * CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0, 2) AS profit
+       FROM lineitem
+       JOIN pt ON l_partkey = p_partkey
+       JOIN sp ON l_suppkey = s_suppkey
+       GROUP BY 1, 2"""
+
+  /** TPC-H Q16-SHAPED SUPPLIER-COUNT DISTRIBUTION: distinct suppliers
+    * able to serve each (brand, type, size) combination of a size
+    * slice, EXCLUDING flagged suppliers — the fixture has no partsupp,
+    * so the observed part–supplier pairs come off lineitem (distinct
+    * BEFORE the rollup: the same supplier shipping a part twice counts
+    * once). The exclusion is an anti-join with the flagged supplier
+    * set (low account balance — Q16's complaint-supplier stand-in).
+    */
+  private val Q16Sizes = Seq(1, 7, 14, 23, 36, 45)
+
+  private def pricingQ16(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d)
+      .where(col("p_size").isin(Q16Sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = Tables.supplier(s, d)
+      .where(col("s_acctbal") < 1500.0).select("s_suppkey")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .select("p_brand", "p_type", "p_size", "l_suppkey")
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  private val pricingQ16Sql =
+    s"""WITH pt AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+                  WHERE p_size IN (${Q16Sizes.mkString(", ")})),
+       ps AS (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+              FROM lineitem JOIN pt ON l_partkey = p_partkey
+              WHERE NOT EXISTS (SELECT 1 FROM supplier
+                                WHERE s_suppkey = l_suppkey
+                                  AND s_acctbal < 1500.0))
+       SELECT p_brand, p_type, p_size,
+              CAST(count(*) AS BIGINT) AS supplier_cnt
+       FROM ps GROUP BY 1, 2, 3"""
+
   /** HIERARCHICAL SKETCH ROLLUP: per-(event_type, day) linear-counting
     * occupancy states OR-merged up the time hierarchy to a per-type
     * distinct-user estimate — the data-cube story for mergeable
@@ -8590,6 +8709,9 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_pricing_q13", pricingQ13, Some(pricingQ13Sql), "TPC-H Q13-shaped order-count distribution: LEFT join keeps the zero-order bucket, two-level aggregate"),
     GQuery("ext_pricing_q15", pricingQ15, Some(pricingQ15Sql), "TPC-H Q15-shaped top supplier: broadcast scalar-max attach, exact-cents ties survive"),
     GQuery("ext_pricing_q17", pricingQ17, Some(pricingQ17Sql), "TPC-H Q17-shaped small-quantity loss: slice-sized window, 5·q·n < sum_q integer threshold"),
+    GQuery("ext_pricing_q6", pricingQ6, Some(pricingQ6Sql), "TPC-H Q6-shaped forecasting revenue: single pushed-predicate scan, integer-grid discount band"),
+    GQuery("ext_pricing_q9", pricingQ9, Some(pricingQ9Sql), "TPC-H Q9-shaped product profit: two broadcast dim chains, signed cent-exact sums, LIKE pushed as StartsWith"),
+    GQuery("ext_pricing_q16", pricingQ16, Some(pricingQ16Sql), "TPC-H Q16-shaped supplier-count distribution: distinct-before-rollup pairs, anti-join exclusion"),
     GQuery("ext_sketch_rollup", sketchRollup, Some(sketchRollupSql), "hierarchical sketch rollup: per-day lincount states OR-merged up the time hierarchy"),
     GQuery("ext_sketch_joinsize", sketchJoinsize, Some(sketchJoinsizeSql), "join-size estimation from count-min inner products vs exact sum(cntA*cntB)"),
     GQuery("ext_classify_calib", classifyCalib, Some(classifyCalibSql), "classifier calibration audit: margin bands vs empirical positive rate (reliability diagram)"),

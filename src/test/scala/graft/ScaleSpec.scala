@@ -547,6 +547,27 @@ class ScaleSpec extends SparkSpec {
       "the part slice must broadcast into the fact — q17 has no shuffle join")
     assert(p17.contains("Window"),
       "the per-part average must be a window over the slice")
+    // q6: no join at all — one scan with the date window pushed (read
+    // off the scan node's metadata: the plan string truncates long
+    // filter lists with "...")
+    val q6df = SparkEntry.queries("ext_pricing_q6")(spark, sf0001)
+    assert(!q6df.queryExecution.executedPlan.toString.contains("Join"),
+      "q6 must plan join-free")
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec has no children
+    // until execution, so collect() over the adaptive wrapper sees nothing
+    val q6Pushed = q6df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(q6Pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      q6Pushed.contains("LessThan(l_shipdate"),
+      s"the ship-date window must reach the lineitem scan in q6: $q6Pushed")
+    // q9: the part-name LIKE 'prefix%' pushes as StartsWith
+    val p9 = plan("ext_pricing_q9")
+    assert(p9.contains("StringStartsWith(p_name,blue)"),
+      "the part-name prefix must reach the part scan as StartsWith")
+    assert(!p9.contains("SortMergeJoin"),
+      "q9's dim chains must broadcast — no fact-sized sort join")
   }
 
   test("ext_pricing_q5: broadcast chain holds, date filters pushed to orders") {
