@@ -891,6 +891,43 @@ class StreamingSpec extends SparkSpec {
     assert(state.state.count() <= k * groups)
   }
 
+  test("streaming graph admission ≡ one-shot index; replayed epoch no-ops") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gis").toString
+    try {
+      val state = new graft.streaming.GraphIngestStream.GraphState(
+        "vec_id", "embedding", 25, 8, s"$dir/stream")
+      // the first batch is the historical load (it defines the quantizer);
+      // the next two are admission batches
+      val batches = Seq(
+        emb.where(col("vec_id") % 3 =!= 0),
+        emb.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1))
+      batches.zipWithIndex.foreach { case (b, i) => state.sink(b, i.toLong) }
+      // at-least-once delivery: a re-run admission epoch must not
+      // double-append its vectors (the ledger, not luck)
+      state.sink(batches(1), 1L)
+      // one-shot reference: same load, rest admitted in ONE batch —
+      // equal by the batch-split invariance
+      Similarity.writeGraphIndex(batches(0), "vec_id", "embedding",
+        25, 8, s"$dir/ref")
+      Similarity.appendToGraphIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", 8, s"$dir/ref")
+      for (f <- Seq("edges", "vecs", "cells")) {
+        val a = spark.read.parquet(s"$dir/stream/$f")
+        val b = spark.read.parquet(s"$dir/ref/$f")
+          .select(a.columns.map(col): _*)
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"streamed $f diverged from the one-shot index")
+      }
+      // the serve path works off the folded on-disk state
+      val served = state.probe(emb.where(col("vec_id") % 50 === 0), 5, 8, 8, 3)
+      assert(served.count() > 0)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("streaming CUSUM ≡ batch changepoints under any split; replayed epoch no-ops") {
     val ev = Tables.events(spark, sf0001)
     val dayNs = 86400000000000L
