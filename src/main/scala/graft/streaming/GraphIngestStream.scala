@@ -25,16 +25,29 @@ object GraphIngestStream {
   final class GraphState(idCol: String, vecCol: String,
       centroidEvery: Int, m: Int, val path: String) {
     private val applied = scala.collection.mutable.Set.empty[Long]
+    // resume-aware: after a driver restart a FRESH GraphState must not
+    // rebuild-and-overwrite (that would re-pick the quantizer from one
+    // arbitrary batch and drop everything admitted so far) — an index
+    // already on disk means every future batch is an admission. The
+    // in-memory ledger is per-incarnation; across restarts the sink's
+    // own streaming checkpoint is what prevents epoch re-delivery.
     @volatile private var built = false
+
+    private def indexOnDisk(batch: DataFrame): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/cents")
+      p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        .exists(p)
+    }
 
     def sink(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!applied.add(batchId)) return // replayed epoch: already admitted
       if (batch.isEmpty) return
-      if (!built) {
+      if (!built && !indexOnDisk(batch)) {
         Similarity.writeGraphIndex(batch, idCol, vecCol,
           centroidEvery, m, path)
         built = true
       } else {
+        built = true
         Similarity.appendToGraphIndex(batch, idCol, vecCol, m, path)
       }
     }

@@ -904,10 +904,17 @@ class StreamingSpec extends SparkSpec {
         emb.where(col("vec_id") % 3 =!= 0),
         emb.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0),
         emb.where(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 1))
-      batches.zipWithIndex.foreach { case (b, i) => state.sink(b, i.toLong) }
+      state.sink(batches(0), 0L)
+      state.sink(batches(1), 1L)
       // at-least-once delivery: a re-run admission epoch must not
       // double-append its vectors (the ledger, not luck)
       state.sink(batches(1), 1L)
+      // driver restart: a FRESH incarnation over the same path must
+      // resume by ADMITTING (an index is on disk), never rebuild-and-
+      // overwrite from its first batch
+      val restarted = new graft.streaming.GraphIngestStream.GraphState(
+        "vec_id", "embedding", 25, 8, s"$dir/stream")
+      restarted.sink(batches(2), 0L)
       // one-shot reference: same load, rest admitted in ONE batch —
       // equal by the batch-split invariance
       Similarity.writeGraphIndex(batches(0), "vec_id", "embedding",
