@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WHOLE-OPERATOR as-of join — the full custom-operator ladder the
+  * engine's extension tier is for: a logical node ([[AsofJoinPlan]]), a
+  * planner strategy ([[AsofJoinStrategy]], injected by
+  * [[GraftExtensions]]), and a physical merge operator ([[AsofJoinExec]]).
+  *
+  * Semantics (identical to `Relational.asofJoin`, the union+window
+  * composition, and to the reference's latest-at-or-before lookup shape):
+  * every left row picks the LAST right row of the same key with
+  * `right.ts <= left.ts` (inclusive; ties on ts broken by the largest
+  * `tiebreak`), or null payload when no such row exists. Keys compare
+  * like a window partition (nulls group together), matching the
+  * composed form and its SQL oracle.
+  *
+  * Why a physical operator when the composition already passes: the
+  * union+window form SHUFFLES AND SORTS THE UNION of both tables inside
+  * one window, carries every payload column through
+  * `last(_, ignoreNulls)` frames, and then filters half the rows back
+  * out. The merge exec declares `ClusteredDistribution` per side and a
+  * per-side local sort, then streams BOTH sorted partitions through a
+  * single-pass merge — O(|L|+|R|) per partition with ONE retained
+  * candidate row, no window state, no post-filter, and each side's
+  * exchange carries only its own columns. At 100 TB the right side is
+  * typically the small slowly-changing one: it sorts independently
+  * instead of riding inside the event-table's window sort.
+  *
+  * Timestamps and tiebreaks are LongType by contract — the engine's
+  * ns-since-epoch convention (`Tables.tsToNanos`); the builder rejects
+  * anything else rather than silently comparing mixed types.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Expression,
+    rightPayload: Seq[Attribute]) extends BinaryNode {
+  // payload is nullable in the output: an unmatched left row emits nulls
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]; injected via
+  * `GraftExtensions.injectPlannerStrategy`.
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, payload) =>
+      AsofJoinExec(lk, rk, lts, rts, tie, payload,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-merge as-of join. Requirements do the distributed heavy
+  * lifting declaratively — EnsureRequirements (and AQE's re-validation)
+  * plant one hash exchange per side on the keys plus a LOCAL sort per
+  * side, so the merge below runs on co-partitioned, (key, ts)-sorted
+  * iterators. The merge itself retains exactly one candidate (key,
+  * payload) pair, so memory is O(1) per partition regardless of key
+  * cardinality or skew — there is no grouped buffer to spill.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Expression,
+    rightPayload: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // local (per-partition) sorts; ts ascending so the last consumed
+  // candidate is the latest at-or-before, tiebreak ascending so equal
+  // timestamps resolve to the largest tiebreak — byte-for-byte the
+  // composed window's (ts asc, tiebreak asc, last wins) semantics
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs :+ rightTie).map(SortOrder(_, Ascending)))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val payload = rightPayload
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val lTsEval = BindReferences.bindReference(lTsExpr, leftOutput)
+      val rTsEval = BindReferences.bindReference(rTsExpr, rightOutput)
+      val payloadProj = UnsafeProjection.create(payload, rightOutput)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullPayload = new GenericInternalRow(payload.size)
+
+      new Iterator[InternalRow] {
+        // rh is the right lookahead: valid until the next rIter.next()
+        // (advancing the LEFT iterator never invalidates it). The
+        // candidate key/payload are .copy()'d because projections reuse
+        // their buffers and the sorter reuses row memory on advance.
+        private var rh: InternalRow = advanceRight()
+        private var candKey: UnsafeRow = null
+        private var candPayload: UnsafeRow = null
+
+        private def advanceRight(): InternalRow =
+          if (rIter.hasNext) rIter.next() else null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val ltsBoxed = lTsEval.eval(l)
+          if (ltsBoxed == null) {
+            // null event time: matches nothing (and sorted first, so the
+            // right cursor has not moved past anything it still needs)
+            numOutputRows += 1
+            return resultProj(joined(l, nullPayload))
+          }
+          val lts = ltsBoxed.asInstanceOf[Long]
+          var scan = true
+          while (scan && rh != null) {
+            val rk = rKeyProj(rh)
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0) {
+              rh = advanceRight() // earlier key: can never match again
+            } else if (c == 0) {
+              val rtsBoxed = rTsEval.eval(rh)
+              if (rtsBoxed == null) {
+                rh = advanceRight() // null right ts: matches nothing
+              } else if (rtsBoxed.asInstanceOf[Long] <= lts) {
+                candKey = rk.copy()
+                candPayload = payloadProj(rh).copy()
+                rh = advanceRight()
+              } else scan = false // future row: stop, keep for next left
+            } else scan = false // later key: stop, keep for next left
+          }
+          val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
+          numOutputRows += 1
+          if (matched) {
+            numMatched += 1
+            resultProj(joined(l, candPayload))
+          } else resultProj(joined(l, nullPayload))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+  /** DataFrame face of the physical as-of join — the drop-in peer of
+    * `Relational.asofJoin(left, right, key, tsCol, tiebreak, payloadCols)`
+    * with the same contract: right payload names must not collide with
+    * left columns; `tiebreak` must totally order right rows within
+    * (key, ts) for determinism.
+    *
+    * The right side is re-projected through fresh aliases before the
+    * node is built, so a self-as-of (both sides carved from one scan,
+    * the common case for event streams) can never alias-collide
+    * attribute ids between the children.
+    */
+  def asofJoinExec(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, tiebreak: String, payloadCols: Seq[String]): DataFrame = {
+    val dup = payloadCols.toSet.intersect(left.columns.toSet)
+    require(dup.isEmpty,
+      s"asofJoinExec: payload columns collide with left columns: ${dup.mkString(", ")}")
+    val rCols = (Seq(key, tsCol, tiebreak) ++ payloadCols).distinct
+    val rProj = right.select(rCols.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rProj.queryExecution.analyzed
+    def attrOf(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asofJoinExec: no column '$n' on the $side side"))
+    val lTs = attrOf(lPlan.output, tsCol, "left")
+    val rTs = attrOf(rPlan.output, tsCol, "right")
+    val rTie = attrOf(rPlan.output, tiebreak, "right")
+    Seq("left ts" -> lTs.dataType, "right ts" -> rTs.dataType,
+        "tiebreak" -> rTie.dataType).foreach { case (what, dt) =>
+      require(dt == LongType,
+        s"asofJoinExec: $what must be LongType (engine ns convention), got $dt")
+    }
+    val node = AsofJoinPlan(lPlan, rPlan,
+      Seq(attrOf(lPlan.output, key, "left")),
+      Seq(attrOf(rPlan.output, key, "right")),
+      lTs, rTs, rTie, payloadCols.map(attrOf(rPlan.output, _, "right")))
+    org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)
+      // the node's own output keeps every left column; the caller-facing
+      // frame matches the composed operator (left cols + payload)
+  }
+}

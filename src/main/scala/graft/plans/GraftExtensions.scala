@@ -15,6 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // event-time predicates on the ns-normalized column fold back onto
     // the raw timestamp so parquet min/max pruning still applies
     e.injectOptimizerRule(_ => TsNanosPushdown)
+    // whole-operator extension: plans AsofJoinPlan as the sorted-merge
+    // AsofJoinExec (see plans/AsofJoin.scala)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),

@@ -3550,6 +3550,27 @@ object ExtQueries extends QueryGroup {
               a_click_value AS click_value
        FROM w WHERE is_r = 0"""
 
+  /** The same purchases←clicks as-of lookup through the PHYSICAL merge
+    * operator (plans/AsofJoin.scala): AsofJoinPlan → AsofJoinExec via the
+    * strategy GraftExtensions injects — one exchange + one LOCAL sort per
+    * side and a single-pass O(|L|+|R|) merge, instead of the union form's
+    * shared window sort over both tables. Same deterministic
+    * carry-forward-window SQL oracle as ext_asof_join: the two engines
+    * AND the two physical strategies must all agree row-for-row.
+    */
+  private def asofExec(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    graft.plans.AsofJoin
+      .asofJoinExec(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("click_id", "click_value"))
+      .select("event_id", "user_id", "click_id", "click_value")
+  }
+
   /** Gap-based sessions (30-minute inactivity) summarized per user. */
   private val SessionGapNs = 30L * 60 * 1000000000L
 
@@ -8674,6 +8695,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ts_rolling", tsRolling, Some(tsRollingSql), "window frames: running sum, trailing avg, lag gap per user"),
     GQuery("ext_corpus_gsets", corpusGsets, Some(corpusGsetsSql), "explicit GROUPING SETS slices w/ grouping_id"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
+    GQuery("ext_asof_exec", asofExec, Some(asofSql), "as-of join via the custom AsofJoinExec merge operator (physical twin of ext_asof_join)"),
     GQuery("ext_scd2_cdc", scd2Cdc, Some(scd2CdcSql), "CDC fold with the delete lane: I/U/D changefeed into the SCD2 dimension, soft-delete expirations"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),

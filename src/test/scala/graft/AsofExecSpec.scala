@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Relational
+import graft.plans.{AsofJoin, AsofJoinExec}
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** The physical as-of join (plans/AsofJoin.scala): semantics pinned
+  * against hand fixtures AND the composed union+window operator, plan
+  * shape pinned to the merge exec (no window, one exchange + one local
+  * sort per side).
+  */
+class AsofExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def execAsof(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asofJoinExec(left, right, "k", "ts", "tie", Seq("pv"))
+
+  test("as-of semantics: latest at-or-before per key, ties -> max tiebreak, no cross-key leak") {
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), (1L, 50L, "c"),
+      (2L, 100L, "d"), // key 2 has only future right rows -> null
+      (3L, 100L, "e")  // key 3 has no right rows at all -> null (and key 1's
+                       // candidate must not leak forward across the key change)
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 100L, 1L, "r_at_100_t1"), (1L, 100L, 2L, "r_at_100_t2"), // tie on ts
+      (1L, 150L, 3L, "r_at_150"), (1L, 300L, 4L, "r_future"),
+      (2L, 500L, 5L, "r2_future")
+    ).toDF("k", "ts", "tie", "pv")
+    val got = execAsof(left, right)
+      .select("k", "lv", "pv").as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a", "r_at_100_t2"), // inclusive at equal ts; max tie wins
+      (1L, "b", "r_at_150"),    // latest at-or-before, not just any earlier
+      (1L, "c", null),          // before every right row
+      (2L, "d", null),          // only future right rows
+      (3L, "e", null)))         // no right rows for the key
+  }
+
+  test("plan shape: AsofJoinExec with one exchange + one local sort per side, no WindowExec") {
+    val left = (1 to 500).map(i => ((i % 7).toLong, i.toLong * 10, i.toLong))
+      .toDF("k", "ts", "lv")
+    val right = (1 to 300).map(i => ((i % 5).toLong, i.toLong * 13, i.toLong))
+      .toDF("k", "ts", "tie").withColumn("pv", col("tie") * 2)
+    // AQE wraps stages as leaf nodes (collect can't descend), so pin the
+    // static shape with AQE off here; execution UNDER AQE (including
+    // consistent two-sided AQEShuffleRead coalescing) is exercised by the
+    // other tests in this suite, which run with the session default.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = execAsof(left, right)
+      assert(df.collect().length == 500) // exactly one output row per left row
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collectWithSubqueries { case e: AsofJoinExec => e }.nonEmpty,
+        s"expected AsofJoinExec in:\n$plan")
+      assert(plan.collectWithSubqueries { case w: WindowExec => w }.isEmpty,
+        s"merge exec must not plan a window:\n$plan")
+      val shuffles = plan.collectWithSubqueries { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 2, s"expected 2 exchanges (one per side), got ${shuffles.size}")
+      val sorts = plan.collectWithSubqueries { case s: SortExec => s }
+      assert(sorts.size == 2 && sorts.forall(!_.global),
+        s"expected 2 LOCAL sorts, got ${sorts.map(s => s"global=${s.global}")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("parity with the composed union+window asofJoin on real events (self-as-of)") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    def clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    val composed = Relational
+      .asofJoin(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("click_id", "click_value"))
+      .select("event_id", "user_id", "click_id", "click_value")
+    val exec = AsofJoin
+      .asofJoinExec(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("click_id", "click_value"))
+      .select("event_id", "user_id", "click_id", "click_value")
+    assert(exec.count() == purchases.count())
+    assert(exec.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(exec).count() == 0)
+  }
+
+  test("builder contract: LongType ts enforced, payload/left collisions rejected") {
+    val l = Seq((1L, 100L, "x")).toDF("k", "ts", "lv")
+    val rBadTs = Seq((1L, "2024-01-01", 1L, "p")).toDF("k", "ts", "tie", "pv")
+    val eTs = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinExec(l, rBadTs, "k", "ts", "tie", Seq("pv"))
+    }
+    assert(eTs.getMessage.contains("LongType"))
+    val rCollide = Seq((1L, 90L, 1L, "p")).toDF("k", "ts", "tie", "lv")
+    val eCol = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinExec(l, rCollide, "k", "ts", "tie", Seq("lv"))
+    }
+    assert(eCol.getMessage.contains("collide"))
+  }
+}
