@@ -48,7 +48,9 @@ case class AsofJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     rightTie: Expression,
-    rightPayload: Seq[Attribute]) extends BinaryNode {
+    rightPayload: Seq[Attribute],
+    direction: AsofDirection = AsofBackward,
+    toleranceNs: Option[Long] = None) extends BinaryNode {
   // payload is nullable in the output: an unmatched left row emits nulls
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -62,10 +64,36 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, payload) =>
-      AsofJoinExec(lk, rk, lts, rts, tie, payload,
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, payload, dir, tol) =>
+      AsofJoinExec(lk, rk, lts, rts, tie, payload, dir, tol,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Match direction, mirroring pandas `merge_asof`:
+  *   - [[AsofBackward]]: latest right row with `rts <= lts`
+  *     (ts ties -> LARGEST tiebreak, the carry-forward window's pick);
+  *   - [[AsofForward]]: earliest right row with `rts >= lts`
+  *     (ts ties -> SMALLEST tiebreak, the mirror pick);
+  *   - [[AsofNearest]]: whichever of those two is closer in |Δts|;
+  *     equal distance -> the backward one (a FIXED rule, because the
+  *     engine must be deterministic and the SQL oracle must encode the
+  *     same choice).
+  * `toleranceNs` (when set) drops matches with |Δts| > tolerance — the
+  * match becomes a null-payload row, not a dropped row.
+  */
+sealed trait AsofDirection extends Serializable { def name: String }
+case object AsofBackward extends AsofDirection { val name = "backward" }
+case object AsofForward extends AsofDirection { val name = "forward" }
+case object AsofNearest extends AsofDirection { val name = "nearest" }
+object AsofDirection {
+  def of(s: String): AsofDirection = s match {
+    case "backward" => AsofBackward
+    case "forward" => AsofForward
+    case "nearest" => AsofNearest
+    case other => throw new IllegalArgumentException(
+      s"asofJoinExec: unknown direction '$other' (backward|forward|nearest)")
   }
 }
 
@@ -84,6 +112,8 @@ case class AsofJoinExec(
     rightTs: Expression,
     rightTie: Expression,
     rightPayload: Seq[Attribute],
+    direction: AsofDirection,
+    toleranceNs: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -118,6 +148,8 @@ case class AsofJoinExec(
     val rTsExpr = rightTs
     val payload = rightPayload
     val outAttrs = output
+    val dir = direction
+    val tol = toleranceNs
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
@@ -133,10 +165,15 @@ case class AsofJoinExec(
       new Iterator[InternalRow] {
         // rh is the right lookahead: valid until the next rIter.next()
         // (advancing the LEFT iterator never invalidates it). The
-        // candidate key/payload are .copy()'d because projections reuse
-        // their buffers and the sorter reuses row memory on advance.
+        // retained backward candidate's key/ts/payload are .copy()'d
+        // because projections reuse their buffers and the sorter reuses
+        // row memory on advance. Left rows arrive in (key, ts) order, so
+        // everything the cursor discards is unusable for every later
+        // left row too — single forward pass, one retained row, O(1)
+        // memory per partition for all three directions.
         private var rh: InternalRow = advanceRight()
         private var candKey: UnsafeRow = null
+        private var candTs: Long = 0L
         private var candPayload: UnsafeRow = null
 
         private def advanceRight(): InternalRow =
@@ -155,6 +192,10 @@ case class AsofJoinExec(
             return resultProj(joined(l, nullPayload))
           }
           val lts = ltsBoxed.asInstanceOf[Long]
+          // advance the cursor; retain the backward candidate (latest
+          // right row with rts <= lts) for backward/nearest. For
+          // forward, rows with rts < lts are equally unusable by every
+          // later (larger-lts) left row — discard without retaining.
           var scan = true
           while (scan && rh != null) {
             val rk = rKeyProj(rh)
@@ -165,19 +206,48 @@ case class AsofJoinExec(
               val rtsBoxed = rTsEval.eval(rh)
               if (rtsBoxed == null) {
                 rh = advanceRight() // null right ts: matches nothing
-              } else if (rtsBoxed.asInstanceOf[Long] <= lts) {
-                candKey = rk.copy()
-                candPayload = payloadProj(rh).copy()
-                rh = advanceRight()
-              } else scan = false // future row: stop, keep for next left
+              } else {
+                val rts = rtsBoxed.asInstanceOf[Long]
+                val consumable =
+                  if (dir eq AsofForward) rts < lts else rts <= lts
+                if (consumable) {
+                  if (!(dir eq AsofForward)) {
+                    candKey = rk.copy()
+                    candTs = rts
+                    candPayload = payloadProj(rh).copy()
+                  }
+                  rh = advanceRight()
+                } else scan = false // at-or-after: stop, rh is the forward head
+              }
             } else scan = false // later key: stop, keep for next left
           }
-          val matched = candKey != null && keyOrd.compare(candKey, lk) == 0
+          // backward option: retained candidate, if still this key
+          val backOk = !(dir eq AsofForward) && candKey != null &&
+            keyOrd.compare(candKey, lk) == 0 &&
+            tol.forall(t => lts - candTs <= t)
+          // forward option: the head itself, if this key and in tolerance
+          // (head rts >= lts by construction when same key)
+          lazy val fwdTs: Long = rTsEval.eval(rh).asInstanceOf[Long]
+          val fwdOk = !(dir eq AsofBackward) && rh != null &&
+            keyOrd.compare(rKeyProj(rh), lk) == 0 &&
+            tol.forall(t => fwdTs - lts <= t)
+          val out = dir match {
+            case AsofBackward =>
+              if (backOk) { numMatched += 1; joined(l, candPayload) }
+              else joined(l, nullPayload)
+            case AsofForward =>
+              if (fwdOk) { numMatched += 1; joined(l, payloadProj(rh)) }
+              else joined(l, nullPayload)
+            case AsofNearest =>
+              if (backOk && (!fwdOk || lts - candTs <= fwdTs - lts)) {
+                // equal distance -> backward, the documented fixed rule
+                numMatched += 1; joined(l, candPayload)
+              } else if (fwdOk) {
+                numMatched += 1; joined(l, payloadProj(rh))
+              } else joined(l, nullPayload)
+          }
           numOutputRows += 1
-          if (matched) {
-            numMatched += 1
-            resultProj(joined(l, candPayload))
-          } else resultProj(joined(l, nullPayload))
+          resultProj(out)
         }
       }
     }
@@ -199,9 +269,18 @@ object AsofJoin {
     * node is built, so a self-as-of (both sides carved from one scan,
     * the common case for event streams) can never alias-collide
     * attribute ids between the children.
+    *
+    * `direction` / `toleranceNs` mirror pandas `merge_asof`: backward
+    * (default), forward, or nearest, optionally bounded to |Δts| <=
+    * toleranceNs (an out-of-tolerance left row keeps its row with null
+    * payload — left-join shape, never row-dropping).
     */
   def asofJoinExec(left: DataFrame, right: DataFrame, key: String,
-      tsCol: String, tiebreak: String, payloadCols: Seq[String]): DataFrame = {
+      tsCol: String, tiebreak: String, payloadCols: Seq[String],
+      direction: String = "backward",
+      toleranceNs: Option[Long] = None): DataFrame = {
+    toleranceNs.foreach(t => require(t >= 0L,
+      s"asofJoinExec: tolerance must be >= 0 ns, got $t"))
     val dup = payloadCols.toSet.intersect(left.columns.toSet)
     require(dup.isEmpty,
       s"asofJoinExec: payload columns collide with left columns: ${dup.mkString(", ")}")
@@ -223,7 +302,8 @@ object AsofJoin {
     val node = AsofJoinPlan(lPlan, rPlan,
       Seq(attrOf(lPlan.output, key, "left")),
       Seq(attrOf(rPlan.output, key, "right")),
-      lTs, rTs, rTie, payloadCols.map(attrOf(rPlan.output, _, "right")))
+      lTs, rTs, rTie, payloadCols.map(attrOf(rPlan.output, _, "right")),
+      AsofDirection.of(direction), toleranceNs)
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)
       // the node's own output keeps every left column; the caller-facing
       // frame matches the composed operator (left cols + payload)

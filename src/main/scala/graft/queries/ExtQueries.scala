@@ -3571,6 +3571,107 @@ object ExtQueries extends QueryGroup {
       .select("event_id", "user_id", "click_id", "click_value")
   }
 
+  /** Forward as-of through the merge exec: each purchase gets the
+    * EARLIEST click at-or-after it by the same user, but only within a
+    * 1-hour tolerance — the "next action after the event" lookup
+    * (pandas merge_asof direction='forward', tolerance=1h). Out-of-
+    * tolerance purchases keep their row with null payload. Oracle is the
+    * mirror-image window: first_value IGNORE NULLS over the following
+    * frame, ties at equal ts -> smallest event_id, the carried click ts
+    * distance-checked in ns.
+    */
+  private def asofFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    graft.plans.AsofJoin
+      .asofJoinExec(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("click_id", "click_value"), "forward",
+        toleranceNs = Some(3600L * 1000000000L))
+      .select("event_id", "user_id", "click_id", "click_value")
+  }
+
+  private val asofFwdSql =
+    """WITH u AS (
+         SELECT user_id, ts, event_id,
+                CAST(NULL AS BIGINT) AS click_id,
+                CAST(NULL AS DOUBLE) AS click_value,
+                CAST(NULL AS BIGINT) AS r_ts, 0 AS is_r
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, ts, event_id, event_id, value, epoch_ns(ts), 1
+         FROM events WHERE event_type = 'click'),
+       w AS (
+         SELECT *,
+           first_value(click_id IGNORE NULLS) OVER fw AS f_click_id,
+           first_value(click_value IGNORE NULLS) OVER fw AS f_click_value,
+           first_value(r_ts IGNORE NULLS) OVER fw AS f_ts
+         FROM u
+         WINDOW fw AS (PARTITION BY user_id ORDER BY ts, is_r, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT event_id, user_id,
+         CASE WHEN f_ts - epoch_ns(ts) <= 3600000000000 THEN f_click_id END
+           AS click_id,
+         CASE WHEN f_ts - epoch_ns(ts) <= 3600000000000 THEN f_click_value END
+           AS click_value
+       FROM w WHERE is_r = 0"""
+
+  /** Nearest as-of through the merge exec: whichever of the
+    * latest-at-or-before / earliest-at-after clicks is closer in |Δts|;
+    * equal distance resolves to the backward one — the engine's FIXED
+    * deterministic rule, encoded identically in the oracle's CASE. The
+    * oracle runs BOTH carry windows (opposite orderings, opposite
+    * frames) and arbitrates on the carried ns distances.
+    */
+  private def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    graft.plans.AsofJoin
+      .asofJoinExec(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("click_id", "click_value"), "nearest")
+      .select("event_id", "user_id", "click_id", "click_value")
+  }
+
+  private val asofNearestSql =
+    """WITH u AS (
+         SELECT user_id, ts, event_id,
+                CAST(NULL AS BIGINT) AS click_id,
+                CAST(NULL AS DOUBLE) AS click_value,
+                CAST(NULL AS BIGINT) AS r_ts, 0 AS is_r
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, ts, event_id, event_id, value, epoch_ns(ts), 1
+         FROM events WHERE event_type = 'click'),
+       w AS (
+         SELECT *,
+           last_value(click_id IGNORE NULLS) OVER bw AS b_click_id,
+           last_value(click_value IGNORE NULLS) OVER bw AS b_click_value,
+           last_value(r_ts IGNORE NULLS) OVER bw AS b_ts,
+           first_value(click_id IGNORE NULLS) OVER fw AS f_click_id,
+           first_value(click_value IGNORE NULLS) OVER fw AS f_click_value,
+           first_value(r_ts IGNORE NULLS) OVER fw AS f_ts
+         FROM u
+         WINDOW
+           bw AS (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+                  ROWS UNBOUNDED PRECEDING),
+           fw AS (PARTITION BY user_id ORDER BY ts, is_r, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT event_id, user_id,
+         CASE WHEN b_ts IS NOT NULL AND
+                   (f_ts IS NULL OR epoch_ns(ts) - b_ts <= f_ts - epoch_ns(ts))
+              THEN b_click_id ELSE f_click_id END AS click_id,
+         CASE WHEN b_ts IS NOT NULL AND
+                   (f_ts IS NULL OR epoch_ns(ts) - b_ts <= f_ts - epoch_ns(ts))
+              THEN b_click_value ELSE f_click_value END AS click_value
+       FROM w WHERE is_r = 0"""
+
   /** Gap-based sessions (30-minute inactivity) summarized per user. */
   private val SessionGapNs = 30L * 60 * 1000000000L
 
@@ -8696,6 +8797,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_corpus_gsets", corpusGsets, Some(corpusGsetsSql), "explicit GROUPING SETS slices w/ grouping_id"),
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_asof_exec", asofExec, Some(asofSql), "as-of join via the custom AsofJoinExec merge operator (physical twin of ext_asof_join)"),
+    GQuery("ext_asof_fwd", asofFwd, Some(asofFwdSql), "forward as-of with 1h tolerance via AsofJoinExec (next action after the event)"),
+    GQuery("ext_asof_nearest", asofNearest, Some(asofNearestSql), "nearest as-of via AsofJoinExec (closer of backward/forward, ties -> backward)"),
     GQuery("ext_scd2_cdc", scd2Cdc, Some(scd2CdcSql), "CDC fold with the delete lane: I/U/D changefeed into the SCD2 dimension, soft-delete expirations"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),

@@ -41,6 +41,62 @@ class AsofExecSpec extends SparkSpec {
       (3L, "e", null)))         // no right rows for the key
   }
 
+  test("forward direction: earliest at-or-after per key, ties -> min tiebreak, tolerance nulls out") {
+    val left = Seq(
+      (1L, 100L, "a"), (1L, 100L, "a2"), // same (key, ts): both match the same head
+      (1L, 400L, "b"),                   // only past right rows -> null
+      (2L, 100L, "c")                    // match at distance 150, killed by tolerance
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 50L, 1L, "r_past"),
+      (1L, 100L, 2L, "r_at_100_t2"), (1L, 100L, 3L, "r_at_100_t3"), // tie on ts
+      (1L, 300L, 4L, "r_at_300"),
+      (2L, 250L, 5L, "r2_at_250")
+    ).toDF("k", "ts", "tie", "pv")
+    val got = AsofJoin
+      .asofJoinExec(left, right, "k", "ts", "tie", Seq("pv"), "forward",
+        toleranceNs = Some(100L))
+      .select("k", "lv", "pv").as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "a", "r_at_100_t2"),  // inclusive at equal ts; MIN tie wins forward
+      (1L, "a2", "r_at_100_t2"),
+      (1L, "b", null),           // nothing at-or-after
+      (2L, "c", null)))          // 250-100 > tolerance 100
+  }
+
+  test("nearest direction: closer of backward/forward, equal distance -> backward") {
+    val left = Seq(
+      (1L, 100L, "back_closer"),  // back at 90 (d=10) vs fwd at 150 (d=50)
+      (1L, 200L, "fwd_closer"),   // back at 150 (d=50) vs fwd at 210 (d=10)
+      (1L, 180L, "tie_backward"), // back at 150 (d=30) vs fwd at 210 (d=30) -> backward
+      (2L, 500L, "only_back"),
+      (3L, 500L, "none")
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, 90L, 1L, "r_90"), (1L, 150L, 2L, "r_150"), (1L, 210L, 3L, "r_210"),
+      (2L, 10L, 4L, "r2_10")
+    ).toDF("k", "ts", "tie", "pv")
+    val got = AsofJoin
+      .asofJoinExec(left, right, "k", "ts", "tie", Seq("pv"), "nearest")
+      .select("k", "lv", "pv").as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "back_closer", "r_90"),
+      (1L, "fwd_closer", "r_210"),
+      (1L, "tie_backward", "r_150"), // the documented fixed tie rule
+      (2L, "only_back", "r2_10"),
+      (3L, "none", null)))
+  }
+
+  test("backward tolerance: stale matches become null payload, rows survive") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 1000L, "stale")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 80L, 1L, "r_80")).toDF("k", "ts", "tie", "pv")
+    val got = AsofJoin
+      .asofJoinExec(left, right, "k", "ts", "tie", Seq("pv"), "backward",
+        toleranceNs = Some(50L))
+      .select("k", "lv", "pv").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "fresh", "r_80"), (1L, "stale", null)))
+  }
+
   test("plan shape: AsofJoinExec with one exchange + one local sort per side, no WindowExec") {
     val left = (1 to 500).map(i => ((i % 7).toLong, i.toLong * 10, i.toLong))
       .toDF("k", "ts", "lv")
