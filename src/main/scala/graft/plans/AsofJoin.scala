@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
@@ -50,7 +50,8 @@ case class AsofJoinPlan(
     rightTie: Expression,
     rightPayload: Seq[Attribute],
     direction: AsofDirection = AsofBackward,
-    toleranceNs: Option[Long] = None) extends BinaryNode {
+    toleranceNs: Option[Long] = None,
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
   // payload is nullable in the output: an unmatched left row emits nulls
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -64,9 +65,24 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, payload, dir, tol) =>
-      AsofJoinExec(lk, rk, lts, rts, tie, payload, dir, tol,
-        planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tie, payload, dir, tol, hint) =>
+      // physical choice mirrors equi-join planning: broadcast the right
+      // side when it is dimension-sized (stats vs the session's
+      // autoBroadcastJoinThreshold), which leaves the fact side with NO
+      // exchange and NO sort; hint Some(true)/Some(false) forces the
+      // choice (the registry pins the shuffled form explicitly — at
+      // test SF everything is broadcast-sized, at 100 TB it is not)
+      val threshold = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      val broadcast = hint.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes <= threshold)
+      if (broadcast) {
+        BroadcastAsofJoinExec(lk, rk, lts, rts, tie, payload, dir, tol,
+          planLater(l), planLater(r)) :: Nil
+      } else {
+        AsofJoinExec(lk, rk, lts, rts, tie, payload, dir, tol,
+          planLater(l), planLater(r)) :: Nil
+      }
     case _ => Nil
   }
 }
@@ -258,6 +274,167 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast as-of join — the dimension-lookup fast path. The right
+  * side rides a BroadcastExchange (IdentityBroadcastMode); the LEFT
+  * side keeps its incoming partitioning and ordering untouched: NO
+  * exchange, NO sort on the fact table. Each task builds a per-key
+  * (ts, tie)-sorted array index from the broadcast rows once, then
+  * answers every left row with a binary search — backward takes the
+  * rightmost slot with ts <= lts (= max tiebreak within the tied ts),
+  * forward the leftmost slot with ts >= lts (= min tiebreak), nearest
+  * arbitrates the two with the fixed equal-distance -> backward rule.
+  * Identical semantics to [[AsofJoinExec]] by construction; the
+  * AsofExecSpec parity test holds them equal row-for-row.
+  *
+  * Memory is O(|dimension|) per executor — exactly the broadcast-join
+  * deal. The strategy only picks this form when stats put the right
+  * side under autoBroadcastJoinThreshold (or the caller forces it), so
+  * a fact-sized right side falls back to the shuffled merge.
+  */
+case class BroadcastAsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTie: Expression,
+    rightPayload: Seq[Attribute],
+    direction: AsofDirection,
+    toleranceNs: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // preserved verbatim: the whole point of the broadcast form is that
+  // the fact side's layout survives the enrichment
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val rTieExpr = rightTie
+    val payload = rightPayload
+    val outAttrs = output
+    val dir = direction
+    val tol = toleranceNs
+
+    val broadcastRelation = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions ({ lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOutput)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOutput)
+      val rTsEval = BindReferences.bindReference(rTsExpr, rightOutput)
+      val rTieEval = BindReferences.bindReference(rTieExpr, rightOutput)
+      val lTsEval = BindReferences.bindReference(lTsExpr, leftOutput)
+      val payloadProj = UnsafeProjection.create(payload, rightOutput)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullPayload = new GenericInternalRow(payload.size)
+
+      // per-task index build: key -> (tsArr, payloadArr) sorted by
+      // (ts, tie). The dimension is broadcast-sized by contract, so the
+      // build is a small in-memory sort per task.
+      val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])]()
+      locally {
+        val grouped = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(Long, Long, UnsafeRow)]]()
+        broadcastRelation.value.foreach { r =>
+          val ts = rTsEval.eval(r)
+          if (ts != null) { // null right ts matches nothing: skip at build
+            val k = rKeyProj(r).copy()
+            val tie = rTieEval.eval(r).asInstanceOf[Long]
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty
+              grouped.put(k, buf)
+            }
+            buf += ((ts.asInstanceOf[Long], tie, payloadProj(r).copy()))
+          }
+        }
+        grouped.forEach { (k, buf) =>
+          val sorted = buf.sortBy(e => (e._1, e._2)).toArray
+          index.put(k, (sorted.map(_._1), sorted.map(_._3)))
+        }
+      }
+
+      // rightmost i with tsArr(i) <= t, or -1
+      def floorIdx(tsArr: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = tsArr.length - 1; var res = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (tsArr(mid) <= t) { res = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        res
+      }
+
+      lIter.map { l =>
+        val ltsBoxed = lTsEval.eval(l)
+        val entry = if (ltsBoxed == null) null else index.get(lKeyProj(l))
+        numOutputRows += 1
+        if (entry == null) resultProj(joined(l, nullPayload))
+        else {
+          val (tsArr, pArr) = entry
+          val lts = ltsBoxed.asInstanceOf[Long]
+          val fi = floorIdx(tsArr, lts)           // backward slot
+          val ci = fi + 1                          // forward slot (first ts > lts
+                                                   // ... except ties: see below)
+          // forward must be INCLUSIVE of lts with MIN tie: the first
+          // slot with ts >= lts is the leftmost of the tied group, not
+          // fi+1 (fi points at the max-tie slot of the tied group)
+          def ceilIdx: Int = {
+            var lo = 0; var hi = tsArr.length - 1; var res = tsArr.length
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tsArr(mid) >= lts) { res = mid; hi = mid - 1 } else lo = mid + 1
+            }
+            res
+          }
+          val backOk = (dir ne AsofForward) && fi >= 0 &&
+            tol.forall(t => lts - tsArr(fi) <= t)
+          lazy val fwdIdx = if (dir eq AsofBackward) -1 else ceilIdx
+          val fwdOk = (dir ne AsofBackward) && fwdIdx < tsArr.length &&
+            tol.forall(t => tsArr(fwdIdx) - lts <= t)
+          val out = dir match {
+            case AsofBackward =>
+              if (backOk) { numMatched += 1; joined(l, pArr(fi)) }
+              else joined(l, nullPayload)
+            case AsofForward =>
+              if (fwdOk) { numMatched += 1; joined(l, pArr(fwdIdx)) }
+              else joined(l, nullPayload)
+            case AsofNearest =>
+              if (backOk && (!fwdOk || lts - tsArr(fi) <= tsArr(fwdIdx) - lts)) {
+                numMatched += 1; joined(l, pArr(fi))
+              } else if (fwdOk) { numMatched += 1; joined(l, pArr(fwdIdx)) }
+              else joined(l, nullPayload)
+          }
+          resultProj(out)
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 object AsofJoin {
   /** DataFrame face of the physical as-of join — the drop-in peer of
     * `Relational.asofJoin(left, right, key, tsCol, tiebreak, payloadCols)`
@@ -278,7 +455,8 @@ object AsofJoin {
   def asofJoinExec(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, tiebreak: String, payloadCols: Seq[String],
       direction: String = "backward",
-      toleranceNs: Option[Long] = None): DataFrame = {
+      toleranceNs: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame = {
     toleranceNs.foreach(t => require(t >= 0L,
       s"asofJoinExec: tolerance must be >= 0 ns, got $t"))
     val dup = payloadCols.toSet.intersect(left.columns.toSet)
@@ -303,7 +481,7 @@ object AsofJoin {
       Seq(attrOf(lPlan.output, key, "left")),
       Seq(attrOf(rPlan.output, key, "right")),
       lTs, rTs, rTie, payloadCols.map(attrOf(rPlan.output, _, "right")),
-      AsofDirection.of(direction), toleranceNs)
+      AsofDirection.of(direction), toleranceNs, broadcast)
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)
       // the node's own output keeps every left column; the caller-facing
       // frame matches the composed operator (left cols + payload)

@@ -3567,7 +3567,7 @@ object ExtQueries extends QueryGroup {
         col("event_id").as("click_id"), col("value").as("click_value"))
     graft.plans.AsofJoin
       .asofJoinExec(purchases, clicks, "user_id", "ts", "event_id",
-        Seq("click_id", "click_value"))
+        Seq("click_id", "click_value"), broadcast = Some(false))
       .select("event_id", "user_id", "click_id", "click_value")
   }
 
@@ -3590,7 +3590,7 @@ object ExtQueries extends QueryGroup {
     graft.plans.AsofJoin
       .asofJoinExec(purchases, clicks, "user_id", "ts", "event_id",
         Seq("click_id", "click_value"), "forward",
-        toleranceNs = Some(3600L * 1000000000L))
+        toleranceNs = Some(3600L * 1000000000L), broadcast = Some(false))
       .select("event_id", "user_id", "click_id", "click_value")
   }
 
@@ -3635,7 +3635,7 @@ object ExtQueries extends QueryGroup {
         col("event_id").as("click_id"), col("value").as("click_value"))
     graft.plans.AsofJoin
       .asofJoinExec(purchases, clicks, "user_id", "ts", "event_id",
-        Seq("click_id", "click_value"), "nearest")
+        Seq("click_id", "click_value"), "nearest", broadcast = Some(false))
       .select("event_id", "user_id", "click_id", "click_value")
   }
 
@@ -3670,6 +3670,50 @@ object ExtQueries extends QueryGroup {
          CASE WHEN b_ts IS NOT NULL AND
                    (f_ts IS NULL OR epoch_ns(ts) - b_ts <= f_ts - epoch_ns(ts))
               THEN b_click_value ELSE f_click_value END AS click_value
+       FROM w WHERE is_r = 0"""
+
+  /** Dimension-lookup as-of through the BROADCAST exec: every non-signup
+    * event picks up the user's latest signup-version at-or-before it —
+    * the SCD2 point-in-time enrichment shape. The right side is
+    * dimension-sized (one versioned row stream per user), so the
+    * strategy's stats check broadcasts it and the FACT side crosses the
+    * operator with no exchange and no sort (AsofExecSpec pins exactly
+    * that plan). Same carry-forward window oracle as the other as-of
+    * lanes.
+    */
+  private def asofBcast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val facts = ev.where(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val dim = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("dim_id"), col("value").as("dim_value"))
+    graft.plans.AsofJoin
+      .asofJoinExec(facts, dim, "user_id", "ts", "event_id",
+        Seq("dim_id", "dim_value"))
+      .select("event_id", "user_id", "dim_id", "dim_value")
+  }
+
+  private val asofBcastSql =
+    """WITH u AS (
+         SELECT user_id, ts, event_id,
+                CAST(NULL AS BIGINT) AS dim_id,
+                CAST(NULL AS DOUBLE) AS dim_value, 0 AS is_r
+         FROM events WHERE event_type <> 'signup'
+         UNION ALL
+         SELECT user_id, ts, event_id, event_id, value, 1
+         FROM events WHERE event_type = 'signup'),
+       w AS (
+         SELECT *,
+           last_value(dim_id IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+              ROWS UNBOUNDED PRECEDING) AS a_dim_id,
+           last_value(dim_value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+              ROWS UNBOUNDED PRECEDING) AS a_dim_value
+         FROM u)
+       SELECT event_id, user_id, a_dim_id AS dim_id,
+              a_dim_value AS dim_value
        FROM w WHERE is_r = 0"""
 
   /** Gap-based sessions (30-minute inactivity) summarized per user. */
@@ -8799,6 +8843,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_asof_exec", asofExec, Some(asofSql), "as-of join via the custom AsofJoinExec merge operator (physical twin of ext_asof_join)"),
     GQuery("ext_asof_fwd", asofFwd, Some(asofFwdSql), "forward as-of with 1h tolerance via AsofJoinExec (next action after the event)"),
     GQuery("ext_asof_nearest", asofNearest, Some(asofNearestSql), "nearest as-of via AsofJoinExec (closer of backward/forward, ties -> backward)"),
+    GQuery("ext_asof_bcast", asofBcast, Some(asofBcastSql), "SCD2 point-in-time enrichment via BroadcastAsofJoinExec (no shuffle/sort on the fact side)"),
     GQuery("ext_scd2_cdc", scd2Cdc, Some(scd2CdcSql), "CDC fold with the delete lane: I/U/D changefeed into the SCD2 dimension, soft-delete expirations"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),

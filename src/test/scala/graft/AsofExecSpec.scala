@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Relational
-import graft.plans.{AsofJoin, AsofJoinExec}
+import graft.plans.{AsofJoin, AsofJoinExec, BroadcastAsofJoinExec}
 import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
@@ -108,7 +108,10 @@ class AsofExecSpec extends SparkSpec {
     // other tests in this suite, which run with the session default.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = execAsof(left, right)
+      // force the shuffled merge: at test scale the stats check would
+      // (correctly) broadcast this right side — that path has its own pin
+      val df = AsofJoin.asofJoinExec(left, right, "k", "ts", "tie", Seq("pv"),
+        broadcast = Some(false))
       assert(df.collect().length == 500) // exactly one output row per left row
       val plan = df.queryExecution.executedPlan
       assert(plan.collectWithSubqueries { case e: AsofJoinExec => e }.nonEmpty,
@@ -120,6 +123,53 @@ class AsofExecSpec extends SparkSpec {
       val sorts = plan.collectWithSubqueries { case s: SortExec => s }
       assert(sorts.size == 2 && sorts.forall(!_.global),
         s"expected 2 LOCAL sorts, got ${sorts.map(s => s"global=${s.global}")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("broadcast ≡ shuffled merge for all three directions on real events") {
+    val ev = Tables.events(spark, sf0001)
+    val facts = ev.where(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val dim = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("dim_id"), col("value").as("dim_value"))
+    for (dirn <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(24L * 3600L * 1000000000L))) {
+      val shuffled = AsofJoin.asofJoinExec(facts, dim, "user_id", "ts",
+        "event_id", Seq("dim_id", "dim_value"), dirn, tol, Some(false))
+      val bcast = AsofJoin.asofJoinExec(facts, dim, "user_id", "ts",
+        "event_id", Seq("dim_id", "dim_value"), dirn, tol, Some(true))
+      assert(bcast.exceptAll(shuffled).count() == 0 &&
+        shuffled.exceptAll(bcast).count() == 0,
+        s"broadcast/shuffled divergence for direction=$dirn tol=$tol")
+    }
+  }
+
+  test("broadcast plan: stats pick BroadcastAsofJoinExec, fact side has zero exchange and zero sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val left = (1 to 2000).map(i => ((i % 40).toLong, i.toLong * 7, i.toLong))
+        .toDF("k", "ts", "lv")
+      val dim = (1 to 80).map(i => ((i % 40).toLong, i.toLong * 100, i.toLong))
+        .toDF("k", "ts", "tie").withColumn("pv", col("tie") * 10)
+      // auto (no hint): tiny dimension stats -> broadcast form
+      val auto = AsofJoin.asofJoinExec(left, dim, "k", "ts", "tie", Seq("pv"))
+      assert(auto.collect().length == 2000)
+      val plan = auto.queryExecution.executedPlan
+      assert(plan.collectWithSubqueries { case e: BroadcastAsofJoinExec => e }.nonEmpty,
+        s"expected BroadcastAsofJoinExec in:\n$plan")
+      assert(plan.collectWithSubqueries { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"broadcast as-of must not shuffle either side:\n$plan")
+      assert(plan.collectWithSubqueries { case s: SortExec => s }.isEmpty,
+        s"broadcast as-of must not sort the fact side:\n$plan")
+      // threshold off: the same call degrades to the shuffled merge
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val deg = AsofJoin.asofJoinExec(left, dim, "k", "ts", "tie", Seq("pv"))
+        assert(deg.queryExecution.executedPlan
+          .collectWithSubqueries { case e: AsofJoinExec => e }.nonEmpty,
+          "threshold -1 must fall back to the shuffled merge exec")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
