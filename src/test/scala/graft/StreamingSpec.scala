@@ -891,6 +891,49 @@ class StreamingSpec extends SparkSpec {
     assert(state.state.count() <= k * groups)
   }
 
+  test("streaming as-of enrichment ≡ one-shot batch enrichment; replayed epoch no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf0001)
+    val dim = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("dim_id"), col("value").as("dim_value"))
+    val facts = ev.where(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val rows = facts.as[(Long, Long, Long)].collect()
+    assert(rows.length >= 9, "fixture too small to micro-batch")
+    val state = new graft.streaming.EnrichStream.EnrichState(
+      dim, "user_id", "ts", "event_id", Seq("dim_id", "dim_value"))
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = input.toDF().toDF("user_id", "ts", "event_id").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    try {
+      // three uneven micro-batches covering the whole fact set
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      for (b <- Seq(b1, b2, b3)) { input.addData(b.toSeq); q.processAllAvailable() }
+      val oneShot = graft.plans.AsofJoin.asofJoinExec(facts, dim,
+        "user_id", "ts", "event_id", Seq("dim_id", "dim_value"))
+      val streamed = state.enriched.select(oneShot.columns.map(col): _*)
+      assert(streamed.count() == rows.length,
+        "enrichment must be row-preserving across the micro-batches")
+      assert(streamed.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(streamed).count() == 0,
+        "stream-enriched facts diverge from the one-shot batch enrichment")
+      assert(oneShot.where(col("dim_id").isNotNull).count() > 0 &&
+        oneShot.where(col("dim_id").isNull).count() > 0,
+        "vacuous: fixture must exercise both matched and unmatched lanes")
+      // at-least-once replay: re-deliver an epoch by hand — the ledger,
+      // not luck, keeps the accumulated result unchanged
+      state.sink(b2.toSeq.toDF("user_id", "ts", "event_id"), 1L)
+      val replayed = state.enriched.select(oneShot.columns.map(col): _*)
+      assert(replayed.count() == rows.length &&
+        replayed.exceptAll(oneShot).count() == 0,
+        "replayed epoch must fold to a no-op")
+    } finally q.stop()
+  }
+
   test("streaming graph admission ≡ one-shot index; replayed epoch no-ops") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf0001)
