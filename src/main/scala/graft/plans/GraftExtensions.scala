@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans AsofJoinPlan as the sorted-merge
     // AsofJoinExec (see plans/AsofJoin.scala)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => IntervalJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),

@@ -3716,6 +3716,62 @@ object ExtQueries extends QueryGroup {
               a_dim_value AS dim_value
        FROM w WHERE is_r = 0"""
 
+  /** Temporal alignment through the interval overlap exec
+    * (plans/IntervalJoin.scala): two per-user validity chains — each
+    * click/view value holds until the user's next event of that type,
+    * the last version open-ended (null vto = +∞, the SCD2 current-row
+    * convention the operator understands natively) — joined on
+    * overlapping validity. ext_interval_exec pins the shuffled
+    * sweep-line merge (per-side exchange + LOCAL sort, active buffer =
+    * concurrent-validity depth); ext_interval_bcast leaves the choice
+    * to the stats rule, which broadcasts the dimension-sized chain at
+    * test SF and falls back to the merge at scale. Oracle: the naive
+    * theta range join — DuckDB can afford it at oracle scale, the
+    * engine never plans it.
+    */
+  private def intervalPairs(s: SparkSession, d: String,
+      broadcast: Option[Boolean]): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("vfrom"), col("event_id"))
+    def chain(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id"), col("ts").as("vfrom"), col("event_id"))
+      .withColumn("vto", lead(col("vfrom"), 1).over(w))
+    val clicks = chain("click").withColumnRenamed("event_id", "l_id")
+    val views = chain("view")
+      .select(col("user_id"), col("vfrom"), col("vto"),
+        col("event_id").as("r_id"))
+    graft.plans.IntervalJoin
+      .intervalJoinExec(clicks, views, "user_id", "vfrom", "vto",
+        Seq("r_id"), broadcast)
+      .select("user_id", "l_id", "r_id")
+  }
+
+  private def intervalExec(s: SparkSession, d: String): DataFrame =
+    intervalPairs(s, d, Some(false))
+  private def intervalBcast(s: SparkSession, d: String): DataFrame =
+    intervalPairs(s, d, None)
+
+  private val intervalSql =
+    """WITH c AS (
+         SELECT user_id, epoch_ns(ts) AS vfrom,
+                lead(epoch_ns(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                  AS vto,
+                event_id AS l_id
+         FROM events WHERE event_type = 'click'),
+       v AS (
+         SELECT user_id, epoch_ns(ts) AS vfrom,
+                lead(epoch_ns(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                  AS vto,
+                event_id AS r_id
+         FROM events WHERE event_type = 'view')
+       SELECT c.user_id, l_id, r_id
+       FROM c JOIN v ON c.user_id = v.user_id
+        AND c.vfrom < coalesce(v.vto, 9223372036854775807)
+        AND v.vfrom < coalesce(c.vto, 9223372036854775807)"""
+
   /** Gap-based sessions (30-minute inactivity) summarized per user. */
   private val SessionGapNs = 30L * 60 * 1000000000L
 
@@ -8844,6 +8900,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_asof_fwd", asofFwd, Some(asofFwdSql), "forward as-of with 1h tolerance via AsofJoinExec (next action after the event)"),
     GQuery("ext_asof_nearest", asofNearest, Some(asofNearestSql), "nearest as-of via AsofJoinExec (closer of backward/forward, ties -> backward)"),
     GQuery("ext_asof_bcast", asofBcast, Some(asofBcastSql), "SCD2 point-in-time enrichment via BroadcastAsofJoinExec (no shuffle/sort on the fact side)"),
+    GQuery("ext_interval_exec", intervalExec, Some(intervalSql), "SCD2 temporal alignment via the sweep-line IntervalJoinExec (validity-chain overlap pairs)"),
+    GQuery("ext_interval_bcast", intervalBcast, Some(intervalSql), "temporal alignment with the stats-chosen broadcast interval join (auto physical choice)"),
     GQuery("ext_scd2_cdc", scd2Cdc, Some(scd2CdcSql), "CDC fold with the delete lane: I/U/D changefeed into the SCD2 dimension, soft-delete expirations"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),
