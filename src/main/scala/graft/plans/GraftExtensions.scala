@@ -19,6 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AsofJoinExec (see plans/AsofJoin.scala)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    // SQL surface for the whole-operator joins: ON-clause markers
+    // (graft_asof / graft_overlaps) rewritten to the custom plans
+    e.injectOptimizerRule(_ => MarkerJoinRewrite)
+    e.injectFunction((
+      new FunctionIdentifier(MarkerJoins.AsofName),
+      new ExpressionInfo(classOf[GraftAsofMarker].getName, MarkerJoins.AsofName),
+      MarkerJoins.buildAsof))
+    e.injectFunction((
+      new FunctionIdentifier(MarkerJoins.OverlapsName),
+      new ExpressionInfo(classOf[GraftOverlapsMarker].getName, MarkerJoins.OverlapsName),
+      MarkerJoins.buildOverlaps))
     e.injectFunction((
       new FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),

@@ -1,0 +1,262 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, Unevaluable}
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
+
+/** SQL surface for the whole-operator joins (plans/AsofJoin.scala,
+  * plans/IntervalJoin.scala): boolean MARKER functions legal inside a
+  * join's ON clause, plus the optimizer rule that recognizes a join
+  * carrying one and swaps the whole Join node for the corresponding
+  * custom logical plan. This is the missing half of the extension
+  * ladder — the DataFrame faces (`AsofJoin.asofJoinExec`,
+  * `IntervalJoin.intervalJoinExec`) only serve Scala callers; a
+  * `spark.sql` user writes
+  *
+  * {{{
+  *   SELECT ... FROM facts f LEFT JOIN dim d
+  *     ON f.user_id <=> d.user_id
+  *    AND graft_asof(f.ts, d.ts, d.version_id)            -- backward
+  *    -- or graft_asof(f.ts, d.ts, d.version_id, 'forward', 3600000000000)
+  *
+  *   SELECT ... FROM l JOIN r
+  *     ON l.k <=> r.k AND graft_overlaps(l.vfrom, l.vto, r.vfrom, r.vto)
+  * }}}
+  *
+  * and gets the same `AsofJoinExec`/`IntervalJoinExec` physical plans
+  * (broadcast or shuffled by the same stats rule; `/*+ BROADCAST(d) */`
+  * and `/*+ MERGE(d) */` hints force the choice exactly as they would
+  * for an equi-join).
+  *
+  * Design decisions, all in the name of NEVER silently changing
+  * semantics:
+  *
+  *  - The markers are [[Unevaluable]]: if the rewrite does not fire
+  *    (extensions missing, marker smuggled somewhere the rule refuses),
+  *    the query FAILS — it cannot run with different semantics.
+  *  - Key equalities must be NULL-SAFE (`<=>`). The physical operators
+  *    compare keys like a window partition — NULL keys group together —
+  *    which is `<=>`, not `=`. A plain `=` key fails loudly with the
+  *    reason instead of silently matching NULLs the SQL text said to
+  *    drop.
+  *  - `graft_asof` requires LEFT OUTER JOIN (an as-of join keeps every
+  *    left row, null payload when unmatched); `graft_overlaps` requires
+  *    INNER JOIN (only overlapping pairs survive). The other shape is a
+  *    loud error, not a reinterpretation.
+  *  - Direction/tolerance must be foldable literals: the physical plan
+  *    is picked at planning time, so run-time-varying direction has no
+  *    meaningful implementation.
+  *
+  * The rewrite runs in the operator-optimization batch (before join
+  * reorder and filter inference), replacing
+  * `Join(l, r, type, keys ++ marker, hint)` with
+  * [[AsofJoinPlan]]/[[IntervalJoinPlan]] built over the SAME children
+  * and the SAME output attribute ids (payload = the right side's full
+  * output; project the right side in the view/subquery to prune — the
+  * registered queries do), so everything above the join is untouched.
+  */
+object MarkerJoins {
+  val AsofName = "graft_asof"
+  val OverlapsName = "graft_overlaps"
+
+  /** graft_asof(l_ts, r_ts, r_tie [, direction [, tolerance_ns]]) */
+  def buildAsof(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 3 && exprs.length <= 5,
+      s"$AsofName requires 3-5 arguments " +
+        "(left_ts, right_ts, right_tie[, direction[, tolerance_ns]]), " +
+        s"got ${exprs.length}")
+    GraftAsofMarker(exprs)
+  }
+
+  /** graft_overlaps(l_start, l_end, r_start, r_end) */
+  def buildOverlaps(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      s"$OverlapsName requires exactly 4 arguments " +
+        s"(left_start, left_end, right_start, right_end), got ${exprs.length}")
+    GraftOverlapsMarker(exprs)
+  }
+}
+
+/** As-of marker: a boolean placeholder in a join condition, consumed by
+  * [[MarkerJoinRewrite]]. Unevaluable by design — see [[MarkerJoins]].
+  */
+case class GraftAsofMarker(children: Seq[Expression])
+    extends Expression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = MarkerJoins.AsofName
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Interval-overlap marker; same contract as [[GraftAsofMarker]]. */
+case class GraftOverlapsMarker(children: Seq[Expression])
+    extends Expression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = MarkerJoins.OverlapsName
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Rewrites marker-carrying joins to the custom logical nodes; injected
+  * via `GraftExtensions.injectOptimizerRule`. Any marker that survives
+  * in a shape the rule refuses raises immediately with the reason —
+  * there is no silent fallback path.
+  */
+object MarkerJoinRewrite extends Rule[LogicalPlan] {
+
+  private def isMarker(e: Expression): Boolean =
+    e.isInstanceOf[GraftAsofMarker] || e.isInstanceOf[GraftOverlapsMarker]
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft marker join: $msg")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // cheap global gate: the scan below only runs for plans that
+    // actually carry a marker, so the 99% of queries without one pay a
+    // single tree scan per optimizer invocation
+    val hasAny = plan.exists(_.expressions.exists(_.exists(isMarker)))
+    if (!hasAny) return plan
+    val out = plan.transformUp {
+      case j: Join if j.condition.exists(_.exists(isMarker)) => rewrite(j)
+    }
+    // markers anywhere else (WHERE, SELECT, a join the match above could
+    // not see) are misuse: refuse with guidance rather than letting the
+    // Unevaluable surface a generic planning error later
+    out.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case _: GraftAsofMarker => fail(
+          s"${MarkerJoins.AsofName} is only legal as a top-level AND-conjunct " +
+            "of a LEFT OUTER JOIN condition, alongside `<=>` key equalities: " +
+            "LEFT JOIN r ON l.k <=> r.k AND graft_asof(l.ts, r.ts, r.tie)")
+        case _: GraftOverlapsMarker => fail(
+          s"${MarkerJoins.OverlapsName} is only legal as a top-level AND-conjunct " +
+            "of an INNER JOIN condition, alongside `<=>` key equalities: " +
+            "JOIN r ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)")
+        case _ =>
+      })
+    }
+    out
+  }
+
+  private def rewrite(j: Join): LogicalPlan = {
+    val conj = conjuncts(j.condition.get)
+    val (markers, rest) = conj.partition(isMarker)
+    if (markers.size != 1) fail(
+      "exactly one graft_asof/graft_overlaps marker must appear as a " +
+        s"top-level AND-conjunct of the join condition, found ${markers.size}")
+
+    val lOut = j.left.outputSet
+    val rOut = j.right.outputSet
+    // 0 = references only the left child, 1 = only the right, -1 = mixed
+    def sideOf(e: Expression): Int =
+      if (e.references.subsetOf(lOut)) 0
+      else if (e.references.subsetOf(rOut)) 1
+      else -1
+
+    val keys: Seq[(Expression, Expression)] = rest.map {
+      case EqualNullSafe(a, b) => (sideOf(a), sideOf(b)) match {
+        case (0, 1) => (a, b)
+        case (1, 0) => (b, a)
+        case _ => fail(
+          s"key conjunct '${EqualNullSafe(a, b).sql}' must compare one " +
+            "left-side expression with one right-side expression")
+      }
+      case eq: EqualTo => fail(
+        s"key equality '${eq.sql}' must be null-safe `<=>`: the physical " +
+          "as-of/interval operators group keys like a window partition " +
+          "(NULL keys match each other), which is `<=>` semantics; a plain " +
+          "`=` would promise NULL-dropping the operator does not implement")
+      case other => fail(
+        s"unsupported join conjunct '${other.sql}': only `<=>` key " +
+          "equalities may accompany the marker (apply residual predicates " +
+          "as WHERE filters on the join result)")
+    }
+    if (keys.isEmpty) fail(
+      "at least one `<=>` key equality must accompany the marker")
+
+    def checkSide(what: String, e: Expression, want: Int): Unit = {
+      val side = if (want == 0) "left" else "right"
+      if (sideOf(e) != want)
+        fail(s"$what must reference only the $side side of the join")
+      if (e.dataType != LongType)
+        fail(s"$what must be BIGINT (the engine's ns-since-epoch " +
+          s"convention, Tables.tsToNanos), got ${e.dataType.simpleString}")
+    }
+
+    markers.head match {
+      case GraftAsofMarker(args) =>
+        if (j.joinType != LeftOuter) fail(
+          s"${MarkerJoins.AsofName} requires LEFT OUTER JOIN (an as-of " +
+            s"join keeps every left row), got ${j.joinType.sql}")
+        checkSide("arg 1 (left timestamp)", args(0), 0)
+        checkSide("arg 2 (right timestamp)", args(1), 1)
+        checkSide("arg 3 (right tiebreak)", args(2), 1)
+        val dir =
+          if (args.length >= 4) AsofDirection.of(
+            foldString(args(3), "arg 4 (direction)"))
+          else AsofBackward
+        val tol =
+          if (args.length == 5) Some(foldLong(args(4), "arg 5 (tolerance)"))
+          else None
+        tol.foreach(t => if (t < 0) fail("tolerance must be >= 0 ns"))
+        AsofJoinPlan(j.left, j.right, keys.map(_._1), keys.map(_._2),
+          args(0), args(1), args(2), j.right.output, dir, tol,
+          broadcastHintOf(j.hint))
+
+      case GraftOverlapsMarker(args) =>
+        if (j.joinType != Inner) fail(
+          s"${MarkerJoins.OverlapsName} requires INNER JOIN (only " +
+            s"overlapping pairs survive), got ${j.joinType.sql}")
+        checkSide("arg 1 (left start)", args(0), 0)
+        checkSide("arg 2 (left end)", args(1), 0)
+        checkSide("arg 3 (right start)", args(2), 1)
+        checkSide("arg 4 (right end)", args(3), 1)
+        IntervalJoinPlan(j.left, j.right, keys.map(_._1), keys.map(_._2),
+          args(0), args(1), args(2), args(3), j.right.output,
+          broadcastHintOf(j.hint))
+
+      case other => fail(s"unexpected marker $other") // unreachable
+    }
+  }
+
+  /** SQL join-strategy hints force the physical choice exactly as for
+    * equi-joins: BROADCAST(right) -> broadcast exec, MERGE/SHUFFLE_HASH
+    * -> shuffled merge exec, no hint -> the strategy's stats rule.
+    */
+  private def broadcastHintOf(h: JoinHint): Option[Boolean] =
+    h.rightHint.flatMap(_.strategy).flatMap {
+      case logical.BROADCAST => Some(true)
+      case logical.SHUFFLE_MERGE | logical.SHUFFLE_HASH => Some(false)
+      case _ => None
+    }
+
+  private def foldString(e: Expression, what: String): String =
+    if (e.foldable && e.dataType == StringType) {
+      val v = e.eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v.toString
+    } else fail(s"$what must be a foldable string literal " +
+      "('backward' | 'forward' | 'nearest')")
+
+  private def foldLong(e: Expression, what: String): Long =
+    if (e.foldable &&
+        (e.dataType == LongType || e.dataType == IntegerType)) {
+      e.eval() match {
+        case null => fail(s"$what must not be NULL")
+        case i: java.lang.Integer => i.toLong
+        case l: java.lang.Long => l
+      }
+    } else fail(s"$what must be a foldable integer literal (nanoseconds)")
+}

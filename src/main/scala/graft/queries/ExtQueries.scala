@@ -3716,6 +3716,32 @@ object ExtQueries extends QueryGroup {
               a_dim_value AS dim_value
        FROM w WHERE is_r = 0"""
 
+  /** The purchases←clicks as-of lookup written in PLAIN SQL through the
+    * marker surface (plans/MarkerJoins.scala): `LEFT JOIN ... ON
+    * user_id <=> user_id AND graft_asof(p.ts, c.ts, c.event_id)`.
+    * MarkerJoinRewrite (injected by GraftExtensions) swaps the Join node
+    * for AsofJoinPlan, so the SQL text plans as the same merge exec as
+    * ext_asof_exec — same oracle, and SqlJoinMarkerSpec holds the SQL
+    * and DataFrame faces row-identical with the exec pinned in the
+    * plan. The MERGE hint pins the shuffled merge form (everything is
+    * broadcast-sized at test SF; at 100 TB the stats rule decides).
+    */
+  private def asofSqlSurface(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .createOrReplaceTempView("graft_sql_purchases")
+    ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .createOrReplaceTempView("graft_sql_clicks")
+    s.sql("""SELECT /*+ MERGE(c) */ p.event_id, p.user_id,
+                    c.click_id, c.click_value
+             FROM graft_sql_purchases p LEFT JOIN graft_sql_clicks c
+               ON p.user_id <=> c.user_id
+              AND graft_asof(p.ts, c.ts, c.event_id)""")
+  }
+
   /** Temporal alignment through the interval overlap exec
     * (plans/IntervalJoin.scala): two per-user validity chains — each
     * click/view value holds until the user's next event of that type,
@@ -3751,6 +3777,31 @@ object ExtQueries extends QueryGroup {
     intervalPairs(s, d, Some(false))
   private def intervalBcast(s: SparkSession, d: String): DataFrame =
     intervalPairs(s, d, None)
+
+  /** The same validity-chain alignment written in PLAIN SQL through the
+    * marker surface: `JOIN ... ON user_id <=> user_id AND
+    * graft_overlaps(l.vfrom, l.vto, r.vfrom, r.vto)` — MarkerJoinRewrite
+    * swaps the Join for IntervalJoinPlan (null vto = open future rides
+    * through untouched; no sentinel projection in the SQL either), the
+    * MERGE hint pins the sweep-line merge form. Same naive theta-join
+    * oracle as ext_interval_exec.
+    */
+  private def intervalSqlSurface(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("vfrom"), col("event_id"))
+    def chain(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id"), col("ts").as("vfrom"), col("event_id"))
+      .withColumn("vto", lead(col("vfrom"), 1).over(w))
+    chain("click").withColumnRenamed("event_id", "l_id")
+      .createOrReplaceTempView("graft_sql_clickchain")
+    chain("view").withColumnRenamed("event_id", "r_id")
+      .createOrReplaceTempView("graft_sql_viewchain")
+    s.sql("""SELECT /*+ MERGE(r) */ l.user_id, l.l_id, r.r_id
+             FROM graft_sql_clickchain l JOIN graft_sql_viewchain r
+               ON l.user_id <=> r.user_id
+              AND graft_overlaps(l.vfrom, l.vto, r.vfrom, r.vto)""")
+  }
 
   private val intervalSql =
     """WITH c AS (
@@ -8902,6 +8953,8 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_asof_bcast", asofBcast, Some(asofBcastSql), "SCD2 point-in-time enrichment via BroadcastAsofJoinExec (no shuffle/sort on the fact side)"),
     GQuery("ext_interval_exec", intervalExec, Some(intervalSql), "SCD2 temporal alignment via the sweep-line IntervalJoinExec (validity-chain overlap pairs)"),
     GQuery("ext_interval_bcast", intervalBcast, Some(intervalSql), "temporal alignment with the stats-chosen broadcast interval join (auto physical choice)"),
+    GQuery("ext_asof_sql", asofSqlSurface, Some(asofSql), "as-of join written in plain SQL: graft_asof ON-clause marker rewritten to AsofJoinPlan by MarkerJoinRewrite"),
+    GQuery("ext_interval_sql", intervalSqlSurface, Some(intervalSql), "interval overlap join written in plain SQL: graft_overlaps marker rewritten to IntervalJoinPlan"),
     GQuery("ext_scd2_cdc", scd2Cdc, Some(scd2CdcSql), "CDC fold with the delete lane: I/U/D changefeed into the SCD2 dimension, soft-delete expirations"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),

@@ -1,0 +1,167 @@
+package graft
+
+import graft.plans.{AsofJoinExec, BroadcastAsofJoinExec, BroadcastIntervalJoinExec, IntervalJoinExec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the whole-operator joins (plans/MarkerJoins.scala):
+  * `graft_asof` / `graft_overlaps` ON-clause markers rewritten by
+  * MarkerJoinRewrite into AsofJoinPlan / IntervalJoinPlan. Pins
+  *  - row parity between the SQL text and the DataFrame face,
+  *  - the custom exec in the SQL query's physical plan (MERGE hint →
+  *    shuffled merge, BROADCAST hint → broadcast form),
+  *  - direction/tolerance literals riding through the SQL arg list,
+  *  - every refusal lane: wrong join type, plain `=` keys, markers
+  *    outside a join, zero markers' keys, non-foldable direction —
+  *    loud errors, never silently different semantics.
+  */
+class SqlJoinMarkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** AQE wraps stages as leaf nodes (collect can't descend), so the plan
+    * pins run with AQE off — execution under AQE is exercised by the
+    * semantics tests, which keep the session default.
+    */
+  private def withAqeOff[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  private def regViews(): Unit = {
+    Seq((1L, 100L, 11L), (1L, 200L, 12L), (2L, 150L, 21L), (3L, 100L, 31L))
+      .toDF("k", "ts", "l_id").createOrReplaceTempView("mk_left")
+    Seq((1L, 90L, 1L, "a"), (1L, 180L, 2L, "b"), (2L, 400L, 3L, "c"))
+      .toDF("k", "ts", "tie", "pv").createOrReplaceTempView("mk_right")
+  }
+
+  private def asofSql(hint: String, extra: String = ""): DataFrame =
+    spark.sql(
+      s"""SELECT /*+ $hint(r) */ l.k, l.l_id, r.pv
+          FROM mk_left l LEFT JOIN mk_right r
+            ON l.k <=> r.k AND graft_asof(l.ts, r.ts, r.tie$extra)""")
+
+  test("graft_asof SQL: backward semantics match the DataFrame exec, merge form pinned") {
+    regViews()
+    withAqeOff {
+      val plan = asofSql("MERGE").queryExecution.executedPlan
+      assert(plan.collectWithSubqueries { case e: AsofJoinExec => e }.nonEmpty,
+        s"MERGE-hinted marker join must plan as AsofJoinExec:\n$plan")
+    }
+    val rows = asofSql("MERGE").as[(Long, Long, String)].collect().toSet
+    assert(rows == Set(
+      (1L, 11L, "a"),   // latest at-or-before 100 is ts=90
+      (1L, 12L, "b"),   // latest at-or-before 200 is ts=180
+      (2L, 21L, null),  // key 2's only right row is in the future
+      (3L, 31L, null))) // key 3 has no right rows
+  }
+
+  test("graft_asof SQL: BROADCAST hint → broadcast exec, same rows") {
+    regViews()
+    withAqeOff {
+      assert(asofSql("BROADCAST").queryExecution.executedPlan
+        .collectWithSubqueries { case e: BroadcastAsofJoinExec => e }.nonEmpty)
+    }
+    val bc = asofSql("BROADCAST")
+    val mg = asofSql("MERGE")
+    assert(bc.exceptAll(mg).count() == 0 && mg.exceptAll(bc).count() == 0)
+  }
+
+  test("graft_asof SQL: direction + tolerance literals ride the arg list") {
+    regViews()
+    val fwd = asofSql("MERGE", ", 'forward'").as[(Long, Long, String)]
+      .collect().toSet
+    assert(fwd == Set(
+      (1L, 11L, "b"),   // earliest at-or-after 100 is ts=180
+      (1L, 12L, null),  // nothing at-or-after 200
+      (2L, 21L, "c"),   // 400 >= 150
+      (3L, 31L, null)))
+    val tol = asofSql("MERGE", ", 'forward', 100L").as[(Long, Long, String)]
+      .collect().toSet
+    assert(tol == Set(
+      (1L, 11L, "b"),   // distance 80 <= 100
+      (1L, 12L, null),
+      (2L, 21L, null),  // distance 250 > 100: tolerance nulls it out
+      (3L, 31L, null)))
+  }
+
+  test("registered faces: ext_asof_sql ≡ ext_asof_exec, ext_interval_sql ≡ ext_interval_exec") {
+    def face(n: String) = graft.queries.ExtQueries.queries
+      .find(_.name == n).get.fn(spark, sf0001)
+    Seq("ext_asof_sql" -> "ext_asof_exec",
+        "ext_interval_sql" -> "ext_interval_exec").foreach {
+      case (sqlName, dfName) =>
+        val viaSql = face(sqlName)
+        val viaDf = face(dfName).select(viaSql.columns.map(col): _*)
+        assert(viaSql.count() > 0, s"$sqlName returned no rows")
+        assert(viaSql.exceptAll(viaDf).count() == 0 &&
+          viaDf.exceptAll(viaSql).count() == 0,
+          s"$sqlName must be row-identical to $dfName")
+    }
+  }
+
+  test("graft_overlaps SQL: overlap pairs + open intervals, execs pinned for both hints") {
+    Seq((1L, 100L, 200L, 11L), (1L, 250L, 300L, 12L), (2L, 0L, 10L, 21L))
+      .toDF("k", "s", "e", "l_id").createOrReplaceTempView("mk_iv_left")
+    // r2 open-ended (null end = open future), r3 touches l11 only at the
+    // boundary 200 — half-open [s, e) semantics EXCLUDE it
+    Seq((1L, 150L, 260L, 1L), (1L, 280L, -1L, 2L), (1L, 200L, 210L, 3L),
+        (9L, 0L, 999L, 4L))
+      .toDF("k", "s", "e0", "r_id")
+      .withColumn("e", when(col("e0") < 0L, lit(null).cast("long"))
+        .otherwise(col("e0")))
+      .createOrReplaceTempView("mk_iv_right")
+    def q(hint: String) = spark.sql(
+      s"""SELECT /*+ $hint(r) */ l.k, l.l_id, r.r_id
+          FROM mk_iv_left l JOIN mk_iv_right r
+            ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)""")
+    withAqeOff {
+      assert(q("MERGE").queryExecution.executedPlan
+        .collectWithSubqueries { case e: IntervalJoinExec => e }.nonEmpty)
+      assert(q("BROADCAST").queryExecution.executedPlan
+        .collectWithSubqueries { case e: BroadcastIntervalJoinExec => e }.nonEmpty)
+    }
+    val merged = q("MERGE")
+    val bc = q("BROADCAST")
+    val want = Set(
+      (1L, 11L, 1L),  // [100,200) x [150,260)
+      (1L, 12L, 1L),  // [250,300) x [150,260)
+      (1L, 12L, 2L))  // [250,300) x [280, open) — and NOT (11,3):
+                      // the boundary touch at 200 is out under [s, e)
+    assert(merged.as[(Long, Long, Long)].collect().toSet == want)
+    assert(bc.as[(Long, Long, Long)].collect().toSet == want)
+  }
+
+  test("refusal lanes: every misuse fails loudly with the reason") {
+    regViews()
+    def err(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // asof on the wrong join type
+    assert(err("""SELECT l.k FROM mk_left l JOIN mk_right r
+                   ON l.k <=> r.k AND graft_asof(l.ts, r.ts, r.tie)""")
+      .contains("LEFT OUTER"))
+    // overlaps on the wrong join type
+    assert(err("""SELECT l.k FROM mk_left l LEFT JOIN mk_right r
+                   ON l.k <=> r.k AND graft_overlaps(l.ts, l.ts, r.ts, r.ts)""")
+      .contains("INNER"))
+    // plain `=` key is a semantics change the operator does not implement
+    assert(err("""SELECT l.k FROM mk_left l LEFT JOIN mk_right r
+                   ON l.k = r.k AND graft_asof(l.ts, r.ts, r.tie)""")
+      .contains("null-safe"))
+    // no key equality at all
+    assert(err("""SELECT l.k FROM mk_left l LEFT JOIN mk_right r
+                   ON graft_asof(l.ts, r.ts, r.tie)""")
+      .contains("at least one"))
+    // marker outside a join condition (WHERE) is misuse, not a fallback
+    assert(err("""SELECT * FROM mk_left l
+                   WHERE graft_asof(l.ts, l.ts, l.l_id)""")
+      .contains("only legal"))
+    // non-foldable direction: physical plan is picked at planning time
+    assert(err("""SELECT l.k FROM mk_left l LEFT JOIN mk_right r
+                   ON l.k <=> r.k AND graft_asof(l.ts, r.ts, r.tie, r.pv)""")
+      .contains("foldable"))
+    // wrong-typed timestamp: the ns-convention gate
+    assert(err("""SELECT l.k FROM mk_left l LEFT JOIN mk_right r
+                   ON l.k <=> r.k AND graft_asof(CAST(l.ts AS INT), r.ts, r.tie)""")
+      .contains("BIGINT"))
+  }
+}
