@@ -55,6 +55,13 @@ case class AsofJoinPlan(
   // payload is nullable in the output: an unmatched left row emits nulls
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
+  // an unknown BinaryNode defaults to the |L|·|R| PRODUCT estimate,
+  // which would poison every broadcast decision above this node; an
+  // as-of join emits exactly one row per left row, so left + right
+  // bytes is the honest upper bound
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -359,7 +366,13 @@ case class BroadcastAsofJoinExec(
           val ts = rTsEval.eval(r)
           if (ts != null) { // null right ts matches nothing: skip at build
             val k = rKeyProj(r).copy()
-            val tie = rTieEval.eval(r).asInstanceOf[Long]
+            // NULL tiebreak sorts FIRST, matching the merge form's
+            // ascending (NULLS FIRST) requiredChildOrdering — a bare
+            // asInstanceOf would coerce null to 0L and pick a different
+            // payload row than the merge exec for the same tied group
+            val tieBoxed = rTieEval.eval(r)
+            val tie = if (tieBoxed == null) Long.MinValue
+                      else tieBoxed.asInstanceOf[Long]
             var buf = grouped.get(k)
             if (buf == null) {
               buf = scala.collection.mutable.ArrayBuffer.empty
@@ -477,9 +490,17 @@ object AsofJoin {
       require(dt == LongType,
         s"asofJoinExec: $what must be LongType (engine ns convention), got $dt")
     }
+    val lKey = attrOf(lPlan.output, key, "left")
+    val rKey = attrOf(rPlan.output, key, "right")
+    // mismatched key types would silently produce zero matches in the
+    // broadcast form (UnsafeRow byte-equality across different schemas)
+    // and undefined comparisons in the merge form — reject loudly (the
+    // SQL marker path is safe: <=> type-coerces both sides)
+    require(lKey.dataType == rKey.dataType,
+      s"asofJoinExec: key '$key' type mismatch between sides: " +
+        s"${lKey.dataType} vs ${rKey.dataType}")
     val node = AsofJoinPlan(lPlan, rPlan,
-      Seq(attrOf(lPlan.output, key, "left")),
-      Seq(attrOf(rPlan.output, key, "right")),
+      Seq(lKey), Seq(rKey),
       lTs, rTs, rTie, payloadCols.map(attrOf(rPlan.output, _, "right")),
       AsofDirection.of(direction), toleranceNs, broadcast)
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)

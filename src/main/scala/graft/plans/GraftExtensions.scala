@@ -20,8 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
     // SQL surface for the whole-operator joins: ON-clause markers
-    // (graft_asof / graft_overlaps) rewritten to the custom plans
-    e.injectOptimizerRule(_ => MarkerJoinRewrite)
+    // (graft_asof / graft_overlaps) rewritten to the custom plans.
+    // ANALYSIS-time (resolution rule), deliberately: the optimizer's
+    // join rules assume row-wise predicates and would transform the
+    // marker Join (EliminateOuterJoin, PushPredicateThroughJoin) in
+    // ways that are invalid for an as-of match — see MarkerJoins.scala
+    e.injectResolutionRule(_ => MarkerJoinRewrite)
+    // the safe pushdown/pruning subset for the now-opaque custom nodes:
+    // left-only filters through the as-of join, both sides through the
+    // interval join, payload/column pruning from Projects above
+    e.injectOptimizerRule(_ => GraftJoinPushdown)
     e.injectFunction((
       new FunctionIdentifier(MarkerJoins.AsofName),
       new ExpressionInfo(classOf[GraftAsofMarker].getName, MarkerJoins.AsofName),

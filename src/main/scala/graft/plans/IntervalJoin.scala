@@ -17,7 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * intervals `[ls, le)` and `[rs, re)` intersect (`ls < re && rs < le`)
   * joins; a NULL start is an open past (-∞) and a NULL end an open
   * future (+∞), exactly the SCD2 current-row convention, so SCD2
-  * frames join without pre-coalescing sentinels.
+  * frames join without pre-coalescing sentinels. Empty/inverted
+  * intervals (`s >= e`) intersect NOTHING on either side — both
+  * physical forms drop them identically (lead()-derived SCD2 chains
+  * with duplicate timestamps produce exactly these zero-width rows,
+  * and the physical choice must not change the answer).
   *
   * Why not the binned range join (`Relational.rangeJoinBinned`): that
   * operator matches POINTS into fixed-width windows — the bin width IS
@@ -47,6 +51,15 @@ case class IntervalJoinPlan(
     broadcastHint: Option[Boolean] = None) extends BinaryNode {
   // inner-join shape: only overlapping pairs survive, payload not null
   override def output: Seq[Attribute] = left.output ++ rightPayload
+  // an unknown BinaryNode defaults to the |L|·|R| PRODUCT estimate —
+  // technically the worst case here, but SCD2 validity chains overlap
+  // a bounded few versions per row; sum-of-sides is the estimate that
+  // keeps broadcast decisions above this node sane (Spark's own
+  // non-CBO inner-join estimate is equally a guess, in the other
+  // direction)
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -161,45 +174,52 @@ case class IntervalJoinExec(
         private def advance(): Boolean = {
           while (!pending.hasNext && lIter.hasNext) {
             val l = lIter.next()
-            val lk = lKeyProj(l)
             val ls = IntervalBounds.startOf(lsEval.eval(l))
             val le = IntervalBounds.endOf(leEval.eval(l))
-            if (activeKey == null || keyOrd.compare(activeKey, lk) != 0) {
-              // key change: the buffer belongs to a previous key
-              active.clear()
-              activeKey = lk.copy()
-            }
-            // (1) evict: ends at-or-before this left's start can never
-            // overlap this or any later (larger-ls) left of this key
-            active.filterInPlace { case (_, re, _) => re > ls }
-            // (2) consume right rows of this key starting before le
-            var scan = true
-            while (scan && rh != null) {
-              val rk = rKeyProj(rh)
-              val c = keyOrd.compare(rk, lk)
-              if (c < 0) {
-                rh = if (rIter.hasNext) rIter.next() else null
-              } else if (c == 0) {
-                val rs = IntervalBounds.startOf(rsEval.eval(rh))
-                if (rs < le) {
-                  val re = IntervalBounds.endOf(reEval.eval(rh))
-                  if (re > ls) { // dead-on-arrival intervals never buffer
-                    active.append((rs, re, payloadProj(rh).copy()))
-                  }
+            // empty/inverted LEFT intervals intersect nothing — skip the
+            // row entirely (the next left re-checks key change itself)
+            if (ls < le) {
+              val lk = lKeyProj(l)
+              if (activeKey == null || keyOrd.compare(activeKey, lk) != 0) {
+                // key change: the buffer belongs to a previous key
+                active.clear()
+                activeKey = lk.copy()
+              }
+              // (1) evict: ends at-or-before this left's start can never
+              // overlap this or any later (larger-ls) left of this key
+              active.filterInPlace { case (_, re, _) => re > ls }
+              // (2) consume right rows of this key starting before le
+              var scan = true
+              while (scan && rh != null) {
+                val rk = rKeyProj(rh)
+                val c = keyOrd.compare(rk, lk)
+                if (c < 0) {
                   rh = if (rIter.hasNext) rIter.next() else null
+                } else if (c == 0) {
+                  val rs = IntervalBounds.startOf(rsEval.eval(rh))
+                  if (rs < le) {
+                    val re = IntervalBounds.endOf(reEval.eval(rh))
+                    // rs < re: empty/inverted intervals never join (parity
+                    // with the broadcast form's index build); re > ls:
+                    // dead-on-arrival intervals never buffer
+                    if (rs < re && re > ls) {
+                      active.append((rs, re, payloadProj(rh).copy()))
+                    }
+                    rh = if (rIter.hasNext) rIter.next() else null
+                  } else scan = false
                 } else scan = false
-              } else scan = false
-            }
-            // (3) emit every buffered interval that overlaps THIS left
-            // (rs < le re-checks entries consumed for a longer earlier
-            // left; re > ls re-checks entries not yet evicted)
-            if (active.nonEmpty) {
-              val lCopy = l.copy()
-              val hits = active.filter { case (rs, re, _) => rs < le && re > ls }
-              if (hits.nonEmpty) {
-                numOutputRows += hits.length
-                pending = hits.iterator.map { case (_, _, p) =>
-                  resultProj(joined(lCopy, p))
+              }
+              // (3) emit every buffered interval that overlaps THIS left
+              // (rs < le re-checks entries consumed for a longer earlier
+              // left; re > ls re-checks entries not yet evicted)
+              if (active.nonEmpty) {
+                val lCopy = l.copy()
+                val hits = active.filter { case (rs, re, _) => rs < le && re > ls }
+                if (hits.nonEmpty) {
+                  numOutputRows += hits.length
+                  pending = hits.iterator.map { case (_, _, p) =>
+                    resultProj(joined(lCopy, p))
+                  }
                 }
               }
             }
@@ -298,12 +318,13 @@ case class BroadcastIntervalJoinExec(
       }
 
       lIter.flatMap { l =>
-        val entry = index.get(lKeyProj(l))
+        val ls = IntervalBounds.startOf(lsEval.eval(l))
+        val le = IntervalBounds.endOf(leEval.eval(l))
+        // empty/inverted LEFT intervals intersect nothing (merge parity)
+        val entry = if (ls < le) index.get(lKeyProj(l)) else null
         if (entry == null) Iterator.empty
         else {
           val (rsArr, reArr, pArr) = entry
-          val ls = IntervalBounds.startOf(lsEval.eval(l))
-          val le = IntervalBounds.endOf(leEval.eval(l))
           // upper bound: first idx with rs >= le — candidates are [0, ub)
           var lo = 0; var hi = rsArr.length
           while (lo < hi) {
@@ -357,9 +378,16 @@ object IntervalJoin {
       require(a.dataType == LongType,
         s"intervalJoinExec: $what must be LongType (engine ns convention), got ${a.dataType}")
     }
+    val lKey = attrOf(lPlan.output, key, "left")
+    val rKey = attrOf(rPlan.output, key, "right")
+    // mismatched key types would silently produce zero matches in the
+    // broadcast form (UnsafeRow byte-equality across different schemas)
+    // and undefined comparisons in the merge form — reject loudly
+    require(lKey.dataType == rKey.dataType,
+      s"intervalJoinExec: key '$key' type mismatch between sides: " +
+        s"${lKey.dataType} vs ${rKey.dataType}")
     val node = IntervalJoinPlan(lPlan, rPlan,
-      Seq(attrOf(lPlan.output, key, "left")),
-      Seq(attrOf(rPlan.output, key, "right")),
+      Seq(lKey), Seq(rKey),
       bounds(0)._2, bounds(1)._2, bounds(2)._2, bounds(3)._2,
       payloadCols.map(attrOf(rPlan.output, _, "right")), broadcast)
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession, node)

@@ -2,14 +2,14 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, Unevaluable}
 import org.apache.spark.sql.catalyst.plans.logical
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 
 /** SQL surface for the whole-operator joins (plans/AsofJoin.scala,
   * plans/IntervalJoin.scala): boolean MARKER functions legal inside a
-  * join's ON clause, plus the optimizer rule that recognizes a join
+  * join's ON clause, plus the analysis rule that recognizes a join
   * carrying one and swaps the whole Join node for the corresponding
   * custom logical plan. This is the missing half of the extension
   * ladder — the DataFrame faces (`AsofJoin.asofJoinExec`,
@@ -50,13 +50,27 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *    is picked at planning time, so run-time-varying direction has no
   *    meaningful implementation.
   *
-  * The rewrite runs in the operator-optimization batch (before join
-  * reorder and filter inference), replacing
-  * `Join(l, r, type, keys ++ marker, hint)` with
-  * [[AsofJoinPlan]]/[[IntervalJoinPlan]] built over the SAME children
-  * and the SAME output attribute ids (payload = the right side's full
-  * output; project the right side in the view/subquery to prune — the
-  * registered queries do), so everything above the join is untouched.
+  * The rewrite runs at ANALYSIS time (an extended resolution rule), not
+  * in the optimizer, and the placement is load-bearing: the optimizer's
+  * join rules assume ROW-WISE join predicates, which an as-of match is
+  * not. Concretely, in one operator-optimization fixedPoint iteration
+  * `EliminateOuterJoin` converts `LEFT JOIN ... ON graft_asof(...)
+  * WHERE r.x IS NOT NULL` into an INNER join and the very next rule
+  * pushes `r.x IS NOT NULL` into the right CHILD — but filtering the
+  * right side BEFORE an as-of match changes which row is "latest
+  * at-or-before" (a row-wise-invalid transform that would silently
+  * change answers). Claiming the Join while the analyzer still holds
+  * the user's literal ON/WHERE shape makes the custom node opaque to
+  * every such equivalence; the safe subset of pushdown/pruning is then
+  * re-introduced by [[GraftJoinPushdown]], which knows the operators'
+  * actual algebra. Because the rewrite precedes `EliminateResolvedHint`,
+  * join-strategy hints are still `ResolvedHint` nodes wrapping the
+  * children — the rule consumes them off the child roots itself.
+  *
+  * The replacement plan is built over the SAME children and the SAME
+  * output attribute ids (payload = the right side's full output;
+  * [[GraftJoinPushdown]] prunes it to what the query references), so
+  * everything above the join is untouched.
   */
 object MarkerJoins {
   val AsofName = "graft_asof"
@@ -105,9 +119,10 @@ case class GraftOverlapsMarker(children: Seq[Expression])
 }
 
 /** Rewrites marker-carrying joins to the custom logical nodes; injected
-  * via `GraftExtensions.injectOptimizerRule`. Any marker that survives
-  * in a shape the rule refuses raises immediately with the reason —
-  * there is no silent fallback path.
+  * via `GraftExtensions.injectResolutionRule` (see [[MarkerJoins]] for
+  * why analysis time, not the optimizer). Any marker that survives in a
+  * shape the rule refuses raises immediately with the reason — there is
+  * no silent fallback path.
   */
 object MarkerJoinRewrite extends Rule[LogicalPlan] {
 
@@ -123,9 +138,14 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
     throw new IllegalArgumentException(s"graft marker join: $msg")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fire only on fully-resolved plans: `<=>` coercion has run (so key
+    // types already match) and every marker that will exist does. The
+    // resolved gate also keeps the scan from firing on every analyzer
+    // iteration of a still-resolving tree.
+    if (!plan.resolved) return plan
     // cheap global gate: the scan below only runs for plans that
     // actually carry a marker, so the 99% of queries without one pay a
-    // single tree scan per optimizer invocation
+    // single tree scan per analyzer invocation
     val hasAny = plan.exists(_.expressions.exists(_.exists(isMarker)))
     if (!hasAny) return plan
     val out = plan.transformUp {
@@ -150,6 +170,20 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
     out
   }
 
+  /** At analysis time join-strategy hints are still [[ResolvedHint]]
+    * nodes wrapping the hinted relation (EliminateResolvedHint, which
+    * would fold them into `Join.hint`, is an optimizer rule) — peel
+    * them off the child root and keep the outermost strategy.
+    */
+  private def unwrapHints(
+      p: LogicalPlan): (LogicalPlan, Option[logical.JoinStrategyHint]) =
+    p match {
+      case h: ResolvedHint =>
+        val (inner, deeper) = unwrapHints(h.child)
+        (inner, h.hints.strategy.orElse(deeper))
+      case other => (other, None)
+    }
+
   private def rewrite(j: Join): LogicalPlan = {
     val conj = conjuncts(j.condition.get)
     val (markers, rest) = conj.partition(isMarker)
@@ -157,34 +191,55 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
       "exactly one graft_asof/graft_overlaps marker must appear as a " +
         s"top-level AND-conjunct of the join condition, found ${markers.size}")
 
-    val lOut = j.left.outputSet
-    val rOut = j.right.outputSet
+    val (lChild, lStrategy) = unwrapHints(j.left)
+    val (rChild, rStrategy) = unwrapHints(j.right)
+
+    val lOut = lChild.outputSet
+    val rOut = rChild.outputSet
     // 0 = references only the left child, 1 = only the right, -1 = mixed
     def sideOf(e: Expression): Int =
       if (e.references.subsetOf(lOut)) 0
       else if (e.references.subsetOf(rOut)) 1
       else -1
 
-    val keys: Seq[(Expression, Expression)] = rest.map {
+    // Non-key conjuncts: for an INNER join, ON ≡ WHERE, so they carry
+    // out as a Filter over the rewritten node (the interval overlap IS
+    // a row-wise theta join, so this is exact). For LEFT OUTER (as-of),
+    // an ON-clause residual means "match only right rows satisfying P,
+    // else null-extend" — which is NOT a post-filter AND not row-wise
+    // composable with the as-of match — so it stays a loud error; WHERE
+    // predicates on the join result are the supported spelling and
+    // arrive as a Filter node above, untouched.
+    val keyBuf = Seq.newBuilder[(Expression, Expression)]
+    val residualBuf = Seq.newBuilder[Expression]
+    rest.foreach {
       case EqualNullSafe(a, b) => (sideOf(a), sideOf(b)) match {
-        case (0, 1) => (a, b)
-        case (1, 0) => (b, a)
+        case (0, 1) => keyBuf += ((a, b))
+        case (1, 0) => keyBuf += ((b, a))
         case _ => fail(
           s"key conjunct '${EqualNullSafe(a, b).sql}' must compare one " +
             "left-side expression with one right-side expression")
       }
-      case eq: EqualTo => fail(
+      case eq @ EqualTo(a, b)
+          if Set(sideOf(a), sideOf(b)) == Set(0, 1) => fail(
         s"key equality '${eq.sql}' must be null-safe `<=>`: the physical " +
           "as-of/interval operators group keys like a window partition " +
           "(NULL keys match each other), which is `<=>` semantics; a plain " +
           "`=` would promise NULL-dropping the operator does not implement")
+      case other if j.joinType == Inner => residualBuf += other
       case other => fail(
         s"unsupported join conjunct '${other.sql}': only `<=>` key " +
-          "equalities may accompany the marker (apply residual predicates " +
-          "as WHERE filters on the join result)")
+          "equalities may accompany the marker in a LEFT OUTER join " +
+          "condition (apply residual predicates as WHERE filters on the " +
+          "join result — they stay post-join filters for LEFT OUTER)")
     }
+    val keys = keyBuf.result()
+    val residuals = residualBuf.result()
     if (keys.isEmpty) fail(
       "at least one `<=>` key equality must accompany the marker")
+    def withResiduals(node: LogicalPlan): LogicalPlan =
+      if (residuals.isEmpty) node
+      else Filter(residuals.reduce(And), node)
 
     def checkSide(what: String, e: Expression, want: Int): Unit = {
       val side = if (want == 0) "left" else "right"
@@ -194,6 +249,9 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
         fail(s"$what must be BIGINT (the engine's ns-since-epoch " +
           s"convention, Tables.tsToNanos), got ${e.dataType.simpleString}")
     }
+
+    val bcastHint = broadcastHintOf(rStrategy.orElse(lStrategy))
+      .orElse(legacyHintOf(j.hint))
 
     markers.head match {
       case GraftAsofMarker(args) =>
@@ -211,9 +269,8 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
           if (args.length == 5) Some(foldLong(args(4), "arg 5 (tolerance)"))
           else None
         tol.foreach(t => if (t < 0) fail("tolerance must be >= 0 ns"))
-        AsofJoinPlan(j.left, j.right, keys.map(_._1), keys.map(_._2),
-          args(0), args(1), args(2), j.right.output, dir, tol,
-          broadcastHintOf(j.hint))
+        AsofJoinPlan(lChild, rChild, keys.map(_._1), keys.map(_._2),
+          args(0), args(1), args(2), rChild.output, dir, tol, bcastHint)
 
       case GraftOverlapsMarker(args) =>
         if (j.joinType != Inner) fail(
@@ -223,9 +280,9 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
         checkSide("arg 2 (left end)", args(1), 0)
         checkSide("arg 3 (right start)", args(2), 1)
         checkSide("arg 4 (right end)", args(3), 1)
-        IntervalJoinPlan(j.left, j.right, keys.map(_._1), keys.map(_._2),
-          args(0), args(1), args(2), args(3), j.right.output,
-          broadcastHintOf(j.hint))
+        withResiduals(
+          IntervalJoinPlan(lChild, rChild, keys.map(_._1), keys.map(_._2),
+            args(0), args(1), args(2), args(3), rChild.output, bcastHint))
 
       case other => fail(s"unexpected marker $other") // unreachable
     }
@@ -235,12 +292,20 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
     * equi-joins: BROADCAST(right) -> broadcast exec, MERGE/SHUFFLE_HASH
     * -> shuffled merge exec, no hint -> the strategy's stats rule.
     */
-  private def broadcastHintOf(h: JoinHint): Option[Boolean] =
-    h.rightHint.flatMap(_.strategy).flatMap {
+  private def broadcastHintOf(
+      s: Option[logical.JoinStrategyHint]): Option[Boolean] =
+    s.flatMap {
       case logical.BROADCAST => Some(true)
       case logical.SHUFFLE_MERGE | logical.SHUFFLE_HASH => Some(false)
       case _ => None
     }
+
+  /** Fallback for a Join whose hint field is already populated — only
+    * reachable if the rule ever fires post-EliminateResolvedHint (e.g.
+    * on a hand-built plan); the SQL path resolves before that.
+    */
+  private def legacyHintOf(h: JoinHint): Option[Boolean] =
+    broadcastHintOf(h.rightHint.flatMap(_.strategy))
 
   private def foldString(e: Expression, what: String): String =
     if (e.foldable && e.dataType == StringType) {

@@ -3821,7 +3821,9 @@ object ExtQueries extends QueryGroup {
        SELECT c.user_id, l_id, r_id
        FROM c JOIN v ON c.user_id = v.user_id
         AND c.vfrom < coalesce(v.vto, 9223372036854775807)
-        AND v.vfrom < coalesce(c.vto, 9223372036854775807)"""
+        AND v.vfrom < coalesce(c.vto, 9223372036854775807)
+        AND c.vfrom < coalesce(c.vto, 9223372036854775807)
+        AND v.vfrom < coalesce(v.vto, 9223372036854775807)"""
 
   /** Gap-based sessions (30-minute inactivity) summarized per user. */
   private val SessionGapNs = 30L * 60 * 1000000000L

@@ -21,7 +21,8 @@ class IntervalExecSpec extends SparkSpec {
       (1L, L(250L), L(260L), "gap"),     // falls in no right interval
       (1L, null, L(50L), "open_past"),   // [-inf, 50)
       (2L, L(100L), null, "open_future"),// [100, +inf)
-      (3L, L(0L), L(10L), "other_key")
+      (3L, L(0L), L(10L), "other_key"),
+      (1L, L(160L), L(160L), "l_empty") // empty LEFT interval: never joins
     ).toDF("k", "vfrom", "vto", "lv")
     val right = Seq(
       (1L, L(150L), L(300L), "r_overlap"),   // ∩ base=[150,200), gap=[250,260)
@@ -29,7 +30,10 @@ class IntervalExecSpec extends SparkSpec {
       (1L, L(40L), L(60L), "r_early"),       // ∩ open_past=[40,50)
       (2L, L(500L), L(600L), "r_late"),      // ∩ open_future
       (2L, L(0L), L(100L), "r_before"),      // ends exactly at open_future's start: NO
-      (1L, L(400L), L(400L), "r_empty")      // empty interval: never joins
+      (1L, L(400L), L(400L), "r_empty"),     // empty interval: never joins
+      (1L, L(150L), L(150L), "r_empty_in")   // empty, STRICTLY INSIDE base:
+        // still never joins — both physical forms must drop it (the
+        // shuffled sweep used to buffer+emit this shape)
     ).toDF("k", "vfrom", "vto", "pv")
     for (form <- Seq(Some(false), Some(true))) {
       val got = IntervalJoin
@@ -62,7 +66,10 @@ class IntervalExecSpec extends SparkSpec {
     val naive = clicks.alias("l").join(views.alias("r"),
       col("l.user_id") === col("r.user_id") &&
         col("l.vfrom") < coalesce(col("r.vto"), lit(Long.MaxValue)) &&
-        col("r.vfrom") < coalesce(col("l.vto"), lit(Long.MaxValue)),
+        col("r.vfrom") < coalesce(col("l.vto"), lit(Long.MaxValue)) &&
+        // empty intervals (duplicate-ts chains) intersect nothing
+        col("l.vfrom") < coalesce(col("l.vto"), lit(Long.MaxValue)) &&
+        col("r.vfrom") < coalesce(col("r.vto"), lit(Long.MaxValue)),
       "inner").select(col("l.user_id"), col("l_id"), col("r_id"))
     assert(naive.count() > clicks.count(),
       "vacuous: chains must actually fan out")

@@ -131,6 +131,110 @@ class SqlJoinMarkerSpec extends SparkSpec {
     assert(bc.as[(Long, Long, Long)].collect().toSet == want)
   }
 
+  test("inner overlaps: cross-side WHERE predicates survive the rewrite as a post-join Filter") {
+    // PushPredicateThroughJoin runs in the same fixedPoint batch as
+    // MarkerJoinRewrite and pushes a cross-side WHERE conjunct INTO an
+    // inner join's condition before the rewrite fires — the documented
+    // usage ("apply residual predicates as WHERE filters") must WORK,
+    // carried out as a Filter over IntervalJoinPlan, not be rejected.
+    Seq((1L, 100L, 200L, 11L), (1L, 250L, 300L, 12L), (2L, 0L, 10L, 21L))
+      .toDF("k", "s", "e", "l_id").createOrReplaceTempView("mk_rf_left")
+    Seq((1L, 150L, 260L, 1L), (1L, 280L, 400L, 2L), (2L, 5L, 9L, 3L))
+      .toDF("k", "s", "e", "r_id").createOrReplaceTempView("mk_rf_right")
+    val got = spark.sql(
+      """SELECT /*+ MERGE(r) */ l.k, l.l_id, r.r_id
+         FROM mk_rf_left l JOIN mk_rf_right r
+           ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)
+         WHERE l.l_id + r.r_id > 13""")
+    assert(got.as[(Long, Long, Long)].collect().toSet == Set(
+      (1L, 12L, 2L),   // 12+2 > 13
+      (2L, 21L, 3L)))  // 21+3 > 13; (11,1) and (12,1) filtered (<= 13)
+    withAqeOff {
+      assert(got.queryExecution.executedPlan
+        .collectWithSubqueries { case e: IntervalJoinExec => e }.nonEmpty,
+        "residual-filtered marker join must still plan the custom exec")
+    }
+  }
+
+  test("left-outer asof: WHERE on the right side stays a post-join filter (never pushed into ON)") {
+    regViews()
+    val got = spark.sql(
+      """SELECT /*+ MERGE(r) */ l.k, l.l_id, r.pv
+         FROM mk_left l LEFT JOIN mk_right r
+           ON l.k <=> r.k AND graft_asof(l.ts, r.ts, r.tie)
+         WHERE r.pv IS NOT NULL""")
+    assert(got.as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 11L, "a"), (1L, 12L, "b")))
+  }
+
+  test("GraftJoinPushdown: safe pushdown + pruning through the opaque custom nodes") {
+    import graft.plans.{AsofJoinPlan, IntervalJoinPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    regViews()
+    // (1) left-only WHERE pushes BELOW the as-of node (commutes: each
+    // output row depends on one left row + the whole right side)...
+    val lhs = spark.sql(
+      """SELECT l.k, l.l_id, r.pv
+         FROM mk_left l LEFT JOIN mk_right r
+           ON l.k <=> r.k AND graft_asof(l.ts, r.ts, r.tie)
+         WHERE l.l_id > 11""").queryExecution.optimizedPlan
+    val asof = lhs.collect { case a: AsofJoinPlan => a }
+    assert(asof.nonEmpty, s"as-of node lost:\n$lhs")
+    assert(asof.head.left.collectFirst { case f: LFilter => f }.nonEmpty ||
+      asof.head.left.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"left-only predicate must push below the as-of join:\n$lhs")
+    assert(lhs.collectFirst { case f: LFilter if f.child.isInstanceOf[AsofJoinPlan] => f }.isEmpty,
+      s"no residual filter should remain above the as-of join:\n$lhs")
+    // ...(2) but a right-side WHERE does NOT push (it would change which
+    // right row is latest-at-or-before) — it stays above the node
+    val rhs = spark.sql(
+      """SELECT l.k, l.l_id, r.pv
+         FROM mk_left l LEFT JOIN mk_right r
+           ON l.k <=> r.k AND graft_asof(l.ts, r.ts, r.tie)
+         WHERE r.pv IS NOT NULL""").queryExecution.optimizedPlan
+    val rhsAsof = rhs.collect { case a: AsofJoinPlan => a }
+    assert(rhsAsof.nonEmpty)
+    assert(rhs.exists {
+      case LFilter(_, _: AsofJoinPlan) => true
+      case _ => false
+    }, s"right-side predicate must stay ABOVE the as-of join:\n$rhs")
+    assert(rhsAsof.head.right.collectFirst { case f: LFilter => f }.isEmpty,
+      s"right-side predicate must never reach the right child:\n$rhs")
+    // (3) payload pruning: a narrow SELECT cuts unreferenced payload
+    // columns out of the node (the SQL surface defaults to full right
+    // output) and inserts a pruning Project on the right child
+    assert(asof.head.rightPayload.map(_.name).toSet == Set("pv"),
+      s"payload must prune to the referenced columns, got ${asof.head.rightPayload}")
+    // (4) interval join: BOTH sides' predicates push (row-wise theta)
+    Seq((1L, 100L, 200L, 11L), (2L, 0L, 10L, 21L))
+      .toDF("k", "s", "e", "l_id").createOrReplaceTempView("mk_pd_left")
+    Seq((1L, 150L, 260L, 1L), (2L, 5L, 9L, 3L))
+      .toDF("k", "s", "e", "r_id").createOrReplaceTempView("mk_pd_right")
+    val iv = spark.sql(
+      """SELECT l.k, l.l_id, r.r_id
+         FROM mk_pd_left l JOIN mk_pd_right r
+           ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)
+         WHERE l.l_id > 11 AND r.r_id < 3""").queryExecution.optimizedPlan
+    val ivNode = iv.collect { case i: IntervalJoinPlan => i }
+    assert(ivNode.nonEmpty, s"interval node lost:\n$iv")
+    assert(iv.collectFirst { case f: LFilter if f.child.isInstanceOf[IntervalJoinPlan] => f }.isEmpty,
+      s"both single-side predicates must push through the interval join:\n$iv")
+    // semantics still correct post-pushdown
+    assert(spark.sql(
+      """SELECT l.k, l.l_id, r.r_id
+         FROM mk_pd_left l JOIN mk_pd_right r
+           ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)
+         WHERE l.l_id > 11 AND r.r_id < 3""").as[(Long, Long, Long)]
+      .collect().toSet == Set())
+    val ivAll = spark.sql(
+      """SELECT l.k, l.l_id, r.r_id
+         FROM mk_pd_left l JOIN mk_pd_right r
+           ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)
+         WHERE l.l_id > 1 AND r.r_id < 3""").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(ivAll == Set((1L, 11L, 1L)))
+  }
+
   test("refusal lanes: every misuse fails loudly with the reason") {
     regViews()
     def err(sql: String): String =
