@@ -101,6 +101,7 @@ object GraftFunctions {
   val PolyHashName = "graft_polyhash"
   val ShinglesName = "graft_shingles"
   val NearestCentroidName = "graft_nearest_centroid"
+  val NearestCellsName = "graft_nearest_cells"
 
   /** Arity-checked builder shared by both registration paths. */
   def buildDot(exprs: Seq[Expression]): Expression = {
@@ -127,6 +128,12 @@ object GraftFunctions {
     NearestCentroid(exprs.head, exprs(1), exprs(2))
   }
 
+  def buildNearestCells(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      s"$NearestCellsName requires exactly 4 arguments (cents, vec, nsq, p), got ${exprs.length}")
+    NearestCells(exprs.head, exprs(1), exprs(2), exprs(3))
+  }
+
   /** Idempotent per-session registration (for sessions not built with
     * GraftExtensions).
     */
@@ -139,5 +146,7 @@ object GraftFunctions {
       ShinglesName, buildShingles, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NearestCentroidName, buildNearestCentroid, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NearestCellsName, buildNearestCells, "built-in")
   }
 }

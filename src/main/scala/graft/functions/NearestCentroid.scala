@@ -157,3 +157,180 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
       newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCentroid =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** TOP-P nearest-centroid assignment fused into the same codegen'd loop:
+  * `graft_nearest_cells(cents, vec, nsq, p)` returns the `cent_id`s of
+  * the `p` centroids maximizing cosine(vec, cvec) as an array, ordered
+  * (cos DESC, cent_id ASC) — exactly the first p rows of the ranked-
+  * window formulation, so `explode` of this array is row-identical to
+  * `row_number() <= p` over the crossJoin, minus the crossJoin.
+  *
+  * Why this exists: the multi-cell assignments (the graph-ANN 2-nearest
+  * border-crossing cells, IVF nprobe query fan-out, multi-cell k-means)
+  * used the window-over-crossJoin form, which hash-shuffles the
+  * |corpus| × |cents| product to rank it — |cents| grows with the
+  * corpus, so that shuffle is O(n²/centroidEvery): invisible at test SF,
+  * the dominant cost at 100 TB. This fold keeps the assignment map-only
+  * (one pass over the broadcast centroid array per row, a p-slot
+  * insertion leaderboard — p is 2..nprobe, so the shift is a handful of
+  * moves) and the explode generator keeps it inside whole-stage codegen.
+  *
+  * Arithmetic and tie-break are bit-identical to [[NearestCentroid]]
+  * (same fold, same `dot / (sqrt(nsq) * sqrt(cn))` op sequence, same
+  * (cos, id) total order); `graft_nearest_cells(..., 1)[0]` ≡
+  * `graft_nearest_centroid(...)`. Returns an EMPTY array (never null)
+  * for an empty centroid set, so explode drops the row — matching the
+  * crossJoin-with-empty-cents behavior.
+  *
+  * `p` must be a positive integer; the array holds min(p, |cents|) ids.
+  */
+case class NearestCells(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  private def centsStruct: StructType = first.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  private def cvecElem: DataType = centsStruct.fields(1).dataType
+    .asInstanceOf[ArrayType].elementType
+
+  private def vecElem: DataType =
+    second.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val centsOk = first.dataType match {
+      case ArrayType(StructType(Array(f0, f1, f2)), _) =>
+        f0.dataType == LongType &&
+          (f1.dataType match {
+            case ArrayType(FloatType | DoubleType, _) => true
+            case _ => false
+          }) && f2.dataType == DoubleType
+      case _ => false
+    }
+    val vecOk = second.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (centsOk && vecOk && third.dataType == DoubleType &&
+        fourth.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cells expects (array<struct<long,array<float|double>,double>>, " +
+        s"array<float|double>, double, int), got ${first.dataType.catalogString}, " +
+        s"${second.dataType.catalogString}, ${third.dataType.catalogString}, " +
+        s"${fourth.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(centsAny: Any, vecAny: Any, nsqAny: Any,
+      pAny: Any): Any = {
+    val cs = centsAny.asInstanceOf[ArrayData]
+    val v = vecAny.asInstanceOf[ArrayData]
+    val nsq = nsqAny.asInstanceOf[Double]
+    val p = pAny.asInstanceOf[Int]
+    val nc = cs.numElements()
+    val cap = math.min(p, nc)
+    if (cap <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val vf = vecElem == FloatType
+    val cf = cvecElem == FloatType
+    val n = v.numElements()
+    val topCos = new Array[Double](cap)
+    val topId = new Array[Long](cap)
+    var filled = 0
+    var c = 0
+    while (c < nc) {
+      val row = cs.getStruct(c, 3)
+      val id = row.getLong(0)
+      val cv = row.getArray(1)
+      val cn = row.getDouble(2)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+        val yv = if (cf) cv.getFloat(i).toDouble else cv.getDouble(i)
+        dot += xv * yv
+        i += 1
+      }
+      val cos = dot / (math.sqrt(nsq) * math.sqrt(cn))
+      // leaderboard insert: pos = # kept entries strictly better
+      var pos = 0
+      while (pos < filled &&
+        !(cos > topCos(pos) || (cos == topCos(pos) && id < topId(pos)))) pos += 1
+      if (pos < cap) {
+        var j = if (filled < cap) filled else cap - 1
+        while (j > pos) { topCos(j) = topCos(j - 1); topId(j) = topId(j - 1); j -= 1 }
+        topCos(pos) = cos; topId(pos) = id
+        if (filled < cap) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topId, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cs, v, nsq, p) => {
+      val nc = ctx.freshName("nc")
+      val cap = ctx.freshName("cap")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val row = ctx.freshName("row")
+      val cv = ctx.freshName("cv")
+      val cn = ctx.freshName("cn")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val id = ctx.freshName("id")
+      val pos = ctx.freshName("pos")
+      val topCos = ctx.freshName("topCos")
+      val topId = ctx.freshName("topId")
+      val filled = ctx.freshName("filled")
+      def get(arr: String, idx: String, elem: DataType) = elem match {
+        case FloatType => s"(double) $arr.getFloat($idx)"
+        case _ => s"$arr.getDouble($idx)"
+      }
+      s"""
+         |int $nc = $cs.numElements();
+         |int $cap = $p < $nc ? $p : $nc;
+         |if ($cap <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  int $n = $v.numElements();
+         |  double[] $topCos = new double[$cap];
+         |  long[] $topId = new long[$cap];
+         |  int $filled = 0;
+         |  for (int $c = 0; $c < $nc; $c++) {
+         |    InternalRow $row = $cs.getStruct($c, 3);
+         |    long $id = $row.getLong(0);
+         |    ArrayData $cv = $row.getArray(1);
+         |    double $cn = $row.getDouble(2);
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += ${get(v, i, vecElem)} * ${get(cv, i, cvecElem)};
+         |    }
+         |    double $cos = $dot / (java.lang.Math.sqrt($nsq) * java.lang.Math.sqrt($cn));
+         |    int $pos = 0;
+         |    while ($pos < $filled &&
+         |        !($cos > $topCos[$pos] || ($cos == $topCos[$pos] && $id < $topId[$pos]))) $pos++;
+         |    if ($pos < $cap) {
+         |      for (int $j = ($filled < $cap) ? $filled : $cap - 1; $j > $pos; $j--) {
+         |        $topCos[$j] = $topCos[$j - 1]; $topId[$j] = $topId[$j - 1];
+         |      }
+         |      $topCos[$pos] = $cos; $topId[$pos] = $id;
+         |      if ($filled < $cap) $filled++;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($topId, $filled));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): NearestCells =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}

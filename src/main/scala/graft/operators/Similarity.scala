@@ -66,6 +66,33 @@ object Similarity {
     call_function(graft.functions.GraftFunctions.NearestCentroidName,
       col("__cents"), vec, nsq)
 
+  /** The p nearest cells for one row as an ordered array — the top-p
+    * generalization of [[argmaxCell]] ([[graft.functions.NearestCells]]).
+    * `explode` of this array replaces the `row_number() <= p` window
+    * over the crossJoin, which hash-shuffled the |rows| × |cents|
+    * product (O(n²/centroidEvery) at scale since |cents| grows with the
+    * corpus); the fold keeps multi-cell assignment MAP-ONLY over the
+    * broadcast centroid array — zero exchange, zero sort, same
+    * (cos DESC, cent_id ASC) order bit-for-bit.
+    */
+  private def topCellsArr(vec: Column, nsq: Column, p: Int): Column =
+    call_function(graft.functions.GraftFunctions.NearestCellsName,
+      col("__cents"), vec, nsq, lit(p))
+
+  /** The p-nearest-cell assignment shared by the graph-ANN build,
+    * admission, and persisted-index write: `base` is (vid, vec, nsq),
+    * `cents` is (cent_id, cvec, cn); returns (vid, vec, nsq, cell, rn)
+    * with rn the 1-based closeness rank. MAP-ONLY by construction —
+    * package-private so ScaleSpec can pin the zero-exchange plan.
+    */
+  private[graft] def cellAssignment(base: DataFrame, cents: DataFrame,
+      p: Int): DataFrame =
+    base.crossJoin(broadcast(centArray(cents)))
+      .select(col("vid"), col("vec"), col("nsq"),
+        posexplode(topCellsArr(col("vec"), col("nsq"), p)).as(Seq("__pos", "cell")))
+      .withColumn("rn", col("__pos") + lit(1))
+      .drop("__pos")
+
   /** IVF-style ANN (nprobe=1): a small deterministic coarse quantizer —
     * `numCells` "centroids" drawn from the corpus itself (every
     * `centroidEvery`-th id, the seeded stand-in for a k-means training
@@ -105,14 +132,13 @@ object Similarity {
         base.crossJoin(broadcast(centArray(cents)))
           .withColumn("cell", argmaxCell(col(vecAs), col(nAs)))
           .drop("__cents")
-      else {
-        val w = Window.partitionBy(idAs).orderBy(col("__ccos").desc, col("cent_id").asc)
-        base.crossJoin(broadcast(cents))
-          .withColumn("__ccos", VectorOps.cosine(col(vecAs), col("cvec"), col(nAs), col("cn")))
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") <= cells)
-          .select(col(idAs), col(vecAs), col(nAs), col("cent_id").as("cell"))
-      }
+      else
+        // nprobe fan-out rides the same shuffle-free fold: the top-p
+        // array explodes to (row, cell) pairs map-side — no window, no
+        // |rows| × |cents| exchange
+        base.crossJoin(broadcast(centArray(cents)))
+          .select(col(idAs), col(vecAs), col(nAs),
+            explode(topCellsArr(col(vecAs), col(nAs), cells)).as("cell"))
     }
     val c = assign(corpus, "vec_b", "vb", "nb", 1)
     val q = assign(queries, "q_id", "va", "na", nprobe)
@@ -156,9 +182,10 @@ object Similarity {
     * never all-pairs); each search round is one broadcast join of the
     * |Q|·beam frontier against the edge list and one broadcast join
     * against the corpus vectors — the corpus never shuffles, per-round
-    * state is ≤ |Q|·beam·m rows. The entry scan is |Q| × n/entryEvery
-    * brute force — the depth-2 ceiling; production depth-3 repeats the
-    * level trick on the entry set itself.
+    * state is ≤ |Q|·beam·m rows. The entry descent is DEPTH-3 (see
+    * [[beamSearch]]): brute force only against the n/entryEvery² super
+    * level, then the routed buckets — |Q| × (n/entryEvery² +
+    * beam·entryEvery) scored rows instead of |Q| × n/entryEvery.
     *
     * Determinism: every cut is a (cosine desc, id asc) total order on
     * identical IEEE expression trees in both engines; pairs dedup on
@@ -173,15 +200,11 @@ object Similarity {
         VectorOps.normSq(col(vecCol)).as("cn"))
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorOps.normSq(col(vecCol)).as("nsq"))
-    // 2-nearest-cell assignment (rn <= 2): border-crossing edge candidates
-    val aw = Window.partitionBy("vid")
-      .orderBy(col("__ccos").desc, col("cent_id").asc)
-    val ranked2 = base.crossJoin(broadcast(cents))
-      .withColumn("__ccos",
-        VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
-      .withColumn("__rn", row_number().over(aw))
-      .where(col("__rn") <= 2)
-      .select(col("vid"), col("vec"), col("nsq"), col("cent_id").as("cell"))
+    // 2-nearest-cell assignment: border-crossing edge candidates. The
+    // top-2 fold + explode keeps this MAP-ONLY over the broadcast
+    // centroid array (the former window-over-crossJoin shuffled the
+    // |corpus| × |cents| product — O(n²/centroidEvery) at scale)
+    val ranked2 = cellAssignment(base, cents, 2).drop("rn")
     val aSide = ranked2.select(col("vid").as("src"), col("vec").as("sv"),
       col("nsq").as("sn"), col("cell"))
     val bSide = ranked2.select(col("vid").as("dst"), col("vec").as("dv"),
@@ -202,10 +225,24 @@ object Similarity {
   }
 
   /** The fixed-round beam-expansion search core shared by [[graphTopK]]
-    * (in-plan build) and [[probeGraphIndex]] (persisted build): entry =
-    * top-`beam` of the entry level per query, then `rounds` rounds of
+    * (in-plan build) and [[probeGraphIndex]] (persisted build): a
+    * DEPTH-3 descent to the entry frontier, then `rounds` rounds of
     * expand-score-pool-recut. `vecs` is (vid, vec, nsq); `edges` is
     * (src, dst); `qF` is (q_id, qv, qn).
+    *
+    * Depth-3 descent (the level trick repeated on the entry set — what
+    * lifts the former |Q| × n/entryEvery brute-force entry ceiling):
+    * a SUPER-ENTRY level is every entryEvery²-th id; each query scores
+    * the supers brute-force (|Q| × n/entryEvery² rows), keeps its
+    * top-`beam` as ROUTES (self allowed — routing, not results), and
+    * scores only the entry-level nodes ASSIGNED to those routes (each
+    * entry node's single nearest super, the shuffle-free
+    * [[cellAssignment]] fold — avg bucket = entryEvery nodes, so the
+    * scored set is beam·entryEvery instead of n/entryEvery). Production
+    * depth-4 repeats the trick again; at these fixture sizes the super
+    * level is already a handful of rows. A corpus with NO super id
+    * (all % entryEvery² ids deleted) returns zero rows — the oracle
+    * restates the same algorithm and agrees.
     */
   private def beamSearch(vecs: DataFrame, edges: DataFrame, qF: DataFrame,
       entryEvery: Int, k: Int, beam: Int, rounds: Int): DataFrame = {
@@ -215,9 +252,30 @@ object Similarity {
       pool.withColumn("rnk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)))
         .where(col("rnk") <= n)
-    val entry = broadcast(qF)
-      .crossJoin(cvecs.where(col("vec_b") % entryEvery === 0))
-      .where(col("q_id") =!= col("vec_b"))
+    val superEvery = entryEvery.toLong * entryEvery
+    val supers = vecs.where(col("vid") % superEvery === 0)
+      .select(col("vid").as("cent_id"), col("vec").as("cvec"),
+        col("nsq").as("cn"))
+    // route: top-`beam` supers per query by the same (cos desc, id asc)
+    // total order as every other cut
+    val superScores = broadcast(qF)
+      .crossJoin(supers.select(col("cent_id").as("vec_b"),
+        col("cvec").as("vb"), col("cn").as("nb")))
+      .withColumn("cosine",
+        VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
+      .select("q_id", "vec_b", "cosine")
+    val routed = topB(superScores, beam)
+      .select(col("q_id"), col("vec_b").as("cell"))
+    // entry-level nodes bucketed by their single nearest super (map-only
+    // fold over the broadcast super array)
+    val easn = cellAssignment(
+        vecs.where(col("vid") % entryEvery === 0), supers, 1)
+      .select(col("vid").as("vec_b"), col("cell"))
+    val entry = broadcast(routed.join(easn, Seq("cell"))
+        .select("q_id", "vec_b")
+        .where(col("q_id") =!= col("vec_b"))
+        .join(qF, Seq("q_id")))
+      .join(cvecs, Seq("vec_b"))
       .withColumn("cosine",
         VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
       .select("q_id", "vec_b", "cosine")
@@ -256,15 +314,9 @@ object Similarity {
         VectorOps.normSq(col(vecCol)).as("cn"))
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorOps.normSq(col(vecCol)).as("nsq"))
-    val aw = Window.partitionBy("vid")
-      .orderBy(col("__ccos").desc, col("cent_id").asc)
-    val ranked2 = base.crossJoin(broadcast(cents))
-      .withColumn("__ccos",
-        VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
-      .withColumn("rn", row_number().over(aw))
-      .where(col("rn") <= 2)
-      .select(col("vid"), col("vec"), col("nsq"),
-        col("cent_id").as("cell"), col("rn"))
+    // top-2 fold + posexplode: map-only assignment, rn = position + 1
+    // reproduces the ranked window's 1-based rank (same total order)
+    val ranked2 = cellAssignment(base, cents, 2)
     val aSide = ranked2.select(col("vid").as("src"), col("vec").as("sv"),
       col("nsq").as("sn"), col("cell"))
     val bSide = ranked2.select(col("vid").as("dst"), col("vec").as("dv"),
@@ -366,14 +418,8 @@ object Similarity {
     val edges0 = s.read.parquet(s"$path/edges")
     val newBase = newVecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
       VectorOps.normSq(col(vecCol)).as("nsq")).localCheckpoint()
-    val aw = Window.partitionBy("vid")
-      .orderBy(col("__ccos").desc, col("cent_id").asc)
-    val newCells = newBase.crossJoin(broadcast(cents))
-      .withColumn("__ccos",
-        VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
-      .withColumn("rn", row_number().over(aw))
-      .where(col("rn") <= 2)
-      .select(col("vid"), col("cent_id").as("cell"), col("rn"))
+    val newCells = cellAssignment(newBase, cents, 2)
+      .select(col("vid"), col("cell"), col("rn"))
       .localCheckpoint()
     val allVecs = storedVecs.unionByName(newBase)
     val allCells = storedCells.select("vid", "cell")
@@ -480,24 +526,22 @@ object Similarity {
         x => round(x.cast("double") * KmeansGrid).cast("long")).as("si"))
 
   /** Nearest cell(s) by cosine, ties to the smaller centroid label.
-    * cells == 1 (every Lloyd round + the corpus side of the search) is
-    * the shuffle-free per-row fold over the broadcast centroid array
-    * (see argmaxCell); cells > 1 keeps the ranked window (query side
-    * only, a tiny input).
+    * Both arms are the shuffle-free per-row fold over the broadcast
+    * centroid array: cells == 1 (every Lloyd round + the corpus side of
+    * the search) via [[argmaxCell]], cells > 1 via the top-p
+    * [[topCellsArr]] + explode.
     */
   private def kmAssign(df: DataFrame, cents: DataFrame, cells: Int): DataFrame =
     if (cells == 1)
       df.crossJoin(broadcast(centArray(cents)))
         .withColumn("cell", argmaxCell(col("vec"), col("nsq")))
         .drop("__cents")
-    else {
-      val w = Window.partitionBy("vid").orderBy(col("__ccos").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("__ccos", VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= cells)
-        .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
-    }
+    else
+      // multi-cell fan-out through the same fold: top-p array + explode,
+      // map-only (the former ranked window shuffled |rows| × |cents|)
+      df.crossJoin(broadcast(centArray(cents)))
+        .select(df.columns.map(col) :+
+          explode(topCellsArr(col("vec"), col("nsq"), cells)).as("cell"): _*)
 
   /** `lloydIters` assign/update rounds from the seeded every-Nth-id
     * init; the mean runs on the integer grid image (see ivfKmeansTopK's

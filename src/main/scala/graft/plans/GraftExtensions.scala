@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GraftFunctions, NearestCentroid, PolyHashExpr, ShingleGenerator}
+import graft.functions.{DotProduct, GraftFunctions, NearestCells, NearestCentroid, PolyHashExpr, ShingleGenerator}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -54,5 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(GraftFunctions.NearestCentroidName),
       new ExpressionInfo(classOf[NearestCentroid].getName, GraftFunctions.NearestCentroidName),
       GraftFunctions.buildNearestCentroid))
+    e.injectFunction((
+      new FunctionIdentifier(GraftFunctions.NearestCellsName),
+      new ExpressionInfo(classOf[NearestCells].getName, GraftFunctions.NearestCellsName),
+      GraftFunctions.buildNearestCells))
   }
 }

@@ -2371,7 +2371,9 @@ object ExtQueries extends QueryGroup {
     val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
     val edgeCos = s"${dotOf("sa.vec", "sb.vec")} / (sqrt(sa.nsq) * sqrt(sb.nsq))"
     val entryCos = s"${dotOf("q.qv", "e.vec")} / (sqrt(q.qn) * sqrt(e.nsq))"
+    val easnCos = s"${dotOf("el.vec", "su.cvec")} / (sqrt(el.nsq) * sqrt(su.cn))"
     val roundCos = s"${dotOf("q.qv", "b.vec")} / (sqrt(q.qn) * sqrt(b.nsq))"
+    val superEvery = HnswEntryEvery.toLong * HnswEntryEvery
     val rounds = (1 to HnswRounds).map { r =>
       s"""f$r AS (SELECT q_id, vec_b FROM (
              SELECT q_id, vec_b, row_number() OVER (PARTITION BY q_id
@@ -2413,10 +2415,28 @@ object ExtQueries extends QueryGroup {
        q AS MATERIALIZED (SELECT vec_id AS q_id, vec AS qv, nsq AS qn
                           FROM n WHERE vec_id % $QueryMod = 0
                             AND ${keep("vec_id")}),
-       ent AS (SELECT q.q_id, e.vec_id AS vec_b, $entryCos AS cosine
+       sup AS (SELECT q.q_id, e.vec_id AS vec_b, $entryCos AS cosine
                FROM q, n e
-               WHERE e.vec_id % $HnswEntryEvery = 0 AND e.vec_id <> q.q_id
-                 AND ${keep("e.vec_id")}),
+               WHERE e.vec_id % $superEvery = 0 AND ${keep("e.vec_id")}),
+       rt AS (SELECT q_id, vec_b AS cell FROM (
+                SELECT q_id, vec_b, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_b ASC) AS rnk
+                FROM sup) t WHERE rnk <= $beam),
+       easn AS (SELECT vid AS vec_b, cell FROM (
+                  SELECT el.vec_id AS vid, su.cent_id AS cell,
+                    row_number() OVER (PARTITION BY el.vec_id
+                      ORDER BY $easnCos DESC, su.cent_id ASC) AS rn
+                  FROM (SELECT * FROM n WHERE vec_id % $HnswEntryEvery = 0
+                          AND ${keep("vec_id")}) el,
+                       (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                        FROM n WHERE vec_id % $superEvery = 0
+                          AND ${keep("vec_id")}) su) t
+                WHERE rn = 1),
+       ent AS (SELECT rt.q_id, ea.vec_b, $entryCos AS cosine
+               FROM rt JOIN easn ea ON rt.cell = ea.cell
+               JOIN q ON q.q_id = rt.q_id
+               JOIN n e ON e.vec_id = ea.vec_b
+               WHERE ea.vec_b <> rt.q_id),
        p0 AS MATERIALIZED (
          SELECT q_id, vec_b, cosine FROM (
            SELECT q_id, vec_b, cosine, row_number() OVER (PARTITION BY q_id

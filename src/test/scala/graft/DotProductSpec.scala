@@ -42,4 +42,93 @@ class DotProductSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(got == 1.0)
   }
+
+  /** Shared fixture for the nearest-cell folds: real embeddings as the
+    * corpus, every 7th as a centroid — large enough for genuine ties on
+    * cosine to be plausible and for the top-p cut to matter.
+    */
+  private def centFixture() = {
+    GraftFunctions.register(spark)
+    // filter, not limit: a GlobalLimit plants its own SinglePartition
+    // exchange, which would pollute the zero-exchange plan pin
+    val emb = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < 400)
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"),
+        VectorOps.normSq(col("embedding")).as("nsq"))
+    val cents = emb.where(col("vid") % 7 === 0)
+      .select(col("vid").as("cent_id"), col("vec").as("cvec"),
+        col("nsq").as("cn"))
+    (emb, cents)
+  }
+
+  test("graft_nearest_cells ≡ ranked window top-p, row for row, ranks included") {
+    val (emb, cents) = centFixture()
+    for (p <- Seq(1, 2, 3)) {
+      val fold = graft.operators.Similarity.cellAssignment(emb, cents, p)
+        .select("vid", "cell", "rn")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vid")
+        .orderBy(col("__ccos").desc, col("cent_id").asc)
+      val window = emb.crossJoin(broadcast(cents))
+        .withColumn("__ccos",
+          VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= p)
+        .select(col("vid"), col("cent_id").as("cell"), col("rn"))
+      assert(fold.count() > 0)
+      assert(fold.exceptAll(window).count() == 0 &&
+        window.exceptAll(fold).count() == 0,
+        s"fold/window divergence at p=$p")
+    }
+  }
+
+  test("graft_nearest_cells: p=1 ≡ graft_nearest_centroid; empty cents → empty array; SQL face") {
+    val (emb, cents) = centFixture()
+    val one = graft.operators.Similarity.cellAssignment(emb, cents, 1)
+      .select(col("vid"), col("cell"))
+    val argmax = emb.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cent_id"), col("cvec"), col("cn"))).as("__cents"))))
+      .select(col("vid"),
+        call_function(GraftFunctions.NearestCentroidName,
+          col("__cents"), col("vec"), col("nsq")).as("cell"))
+    assert(one.exceptAll(argmax).count() == 0 &&
+      argmax.exceptAll(one).count() == 0)
+    // empty centroid array → empty result array (explode then drops the
+    // row, matching the crossJoin-with-empty-cents behavior)
+    val empty = spark.sql(
+      """SELECT graft_nearest_cells(
+           CAST(array() AS array<struct<cent_id: bigint, cvec: array<double>, cn: double>>),
+           array(1.0D), 1.0D, 2) AS cells""").collect().head
+    assert(empty.getSeq[Long](0).isEmpty)
+    // tie-break: two identical centroids, smaller id first
+    val tied = spark.sql(
+      """SELECT graft_nearest_cells(
+           array(named_struct('cent_id', 9L, 'cvec', array(1.0D), 'cn', 1.0D),
+                 named_struct('cent_id', 3L, 'cvec', array(1.0D), 'cn', 1.0D)),
+           array(2.0D), 4.0D, 2) AS cells""").collect().head
+    assert(tied.getSeq[Long](0) == Seq(3L, 9L))
+  }
+
+  test("cellAssignment plan: zero exchange, zero window — map-only over the broadcast centroid array") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (emb, cents) = centFixture()
+      val plan = graft.operators.Similarity.cellAssignment(emb, cents, 2)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      import org.apache.spark.sql.execution.window.WindowExec
+      // the CORPUS lane must be exchange-free; the one legal shuffle is
+      // the |cents|-row SinglePartition collect_list INSIDE the
+      // broadcast centroid-array build (bounded, broadcast-sized)
+      def corpusShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BroadcastExchangeExec => Nil
+        case s: ShuffleExchangeExec => s +: s.children.flatMap(corpusShuffles)
+        case other => other.children.flatMap(corpusShuffles)
+      }
+      assert(corpusShuffles(plan).isEmpty,
+        s"multi-cell assignment must not shuffle the corpus:\n$plan")
+      assert(plan.collectWithSubqueries { case w: WindowExec => w }.isEmpty,
+        s"multi-cell assignment must not rank a window:\n$plan")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }

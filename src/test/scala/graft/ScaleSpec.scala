@@ -171,6 +171,18 @@ class ScaleSpec extends SparkSpec {
     val km = shuffles(q("ext_ann_ivf_kmeans"))
     assert(!km.exists(_.contains("vid")),
       s"ext_ann_ivf_kmeans: corpus must never hash-partition on vid, got $km")
+    // multi-probe IVF: the nprobe fan-out is the top-p graft_nearest_cells
+    // fold + explode, map-only — the former ranked window hash-shuffled
+    // the |queries| × |cents| product on q_id BEFORE the search join; now
+    // the only q_id exchanges belong to the search join + top-k window
+    // (the assignment stage itself is pinned exchange-free in
+    // DotProductSpec; the hnsw family's is identical but sits behind a
+    // localCheckpoint, invisible to this final-plan audit)
+    val ivf2 = shuffles(q("ext_ann_ivf2"))
+    assert(!ivf2.exists(_.contains("__rn")) && !ivf2.exists(_.contains("__ccos")),
+      s"ext_ann_ivf2: no ranked-window assignment shuffle may remain, got $ivf2")
+    assert(ivf2.count(_.startsWith("hashpartitioning")) <= 2,
+      s"ext_ann_ivf2: join + top-k window only, got $ivf2")
     // PQ follows the IVF discipline: encode + reconstruct + score are all
     // broadcast-side — the only hash exchange is the q_id top-k window
     val pq = shuffles(q("ext_ann_pq"))
