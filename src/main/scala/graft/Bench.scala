@@ -205,13 +205,25 @@ object Bench {
     // with the per-query GC breathers); stamping both makes the
     // contention-vs-regression adjudication a pure diff on the line.
     val isolatedN = 8
+    // Adjudication WATCHLIST: queries flagged same-bytes-slower-clock in
+    // a prior round ride the isolated re-measure regardless of their
+    // current rank, so consecutive rounds' lines carry a pure isolated
+    // diff for them (SPARK_GRAFT_ISOLATE=a,b adds more ad hoc). Current
+    // standing members: the round-8 trio whose suite times rose with
+    // unchanged shuffle bytes.
+    val watchlist = Set("ext_split_leakfree", "ext_dedup_canonical",
+      "ext_sketch_quantile") ++
+      sys.env.get("SPARK_GRAFT_ISOLATE").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val roster = (results.filter(_._4).sortBy(r => (-r._3, r._1))
+      .take(isolatedN).map(_._1) ++
+      results.filter(r => r._4 && watchlist(r._1)).map(_._1)).distinct
     val qIsolated = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results.filter(_._4).sortBy(r => (-r._3, r._1)).take(isolatedN)
-      .foreach { case (name, _, _, _) =>
-        System.gc()
-        val runs = Seq.fill(2)(timed(SparkEntry.queries(name)))
-        if (runs.forall(_._2)) qIsolated(name) = runs.map(_._1).min
-      }
+    roster.foreach { name =>
+      System.gc()
+      val runs = Seq.fill(2)(timed(SparkEntry.queries(name)))
+      if (runs.forall(_._2)) qIsolated(name) = runs.map(_._1).min
+    }
     // diagnostic line (may scroll off the tail): cold per-query map with
     // FULL names, plus the error list
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")

@@ -738,10 +738,23 @@ object ExtQueries extends QueryGroup {
     * other's durable state mid-query (overwrite during another run's
     * read = wrong or failed results). Unsigned rendering avoids the
     * '-' path component `math.abs(Int.MinValue)` would produce.
+    *
+    * SPARK_GRAFT_STATE_DIR overrides the base dir AND drops the
+    * applicationId component — the explicit SINGLE-WRITER opt-in for
+    * cross-run reuse of rebuilt index/sketch state (the applicationId
+    * key, correct by default, forces every run to rebuild persisted
+    * state from scratch; a benchmark or serving loop that owns its
+    * state dir shouldn't pay that). The collision-safe default stands
+    * whenever the variable is unset.
     */
   private def scratchPath(s: SparkSession, tag: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
-      s"${Integer.toUnsignedString(d.hashCode)}_${s.sparkContext.applicationId}"
+    sys.env.get("SPARK_GRAFT_STATE_DIR") match {
+      case Some(base) =>
+        s"$base/graft_${tag}_${Integer.toUnsignedString(d.hashCode)}"
+      case None =>
+        s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+          s"${Integer.toUnsignedString(d.hashCode)}_${s.sparkContext.applicationId}"
+    }
 
   private def layoutZorder(s: SparkSession, d: String): DataFrame =
     Layout.zOrderAudit(
