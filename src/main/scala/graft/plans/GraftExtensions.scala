@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftOverlapsMarker].getName, MarkerJoins.OverlapsName),
       MarkerJoins.buildOverlaps))
     e.injectFunction((
+      new FunctionIdentifier(MarkerJoins.RangeName),
+      new ExpressionInfo(classOf[GraftRangeMarker].getName, MarkerJoins.RangeName),
+      MarkerJoins.buildRange))
+    e.injectFunction((
+      new FunctionIdentifier(MarkerJoins.SaltedName),
+      new ExpressionInfo(classOf[GraftSaltedMarker].getName, MarkerJoins.SaltedName),
+      MarkerJoins.buildSalted))
+    e.injectFunction((
       new FunctionIdentifier(GraftFunctions.DotName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),
       GraftFunctions.buildDot))

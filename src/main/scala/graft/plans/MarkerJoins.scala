@@ -75,6 +75,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
 object MarkerJoins {
   val AsofName = "graft_asof"
   val OverlapsName = "graft_overlaps"
+  val RangeName = "graft_range"
+  val SaltedName = "graft_salted"
 
   /** graft_asof(l_ts, r_ts, r_tie [, direction [, tolerance_ns]]) */
   def buildAsof(exprs: Seq[Expression]): Expression = {
@@ -91,6 +93,27 @@ object MarkerJoins {
       s"$OverlapsName requires exactly 4 arguments " +
         s"(left_start, left_end, right_start, right_end), got ${exprs.length}")
     GraftOverlapsMarker(exprs)
+  }
+
+  /** graft_range(l_ts, r_ts, lo, hi): right rows with
+    * l_ts + lo <= r_ts <= l_ts + hi, executed as the BINNED equi-join
+    * (Relational.rangeJoinBinned's plan shape — never a per-key nested
+    * loop).
+    */
+  def buildRange(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      s"$RangeName requires exactly 4 arguments " +
+        s"(left_ts, right_ts, lo, hi), got ${exprs.length}")
+    GraftRangeMarker(exprs)
+  }
+
+  /** graft_salted(salts): semantically a no-op on the equi-join it rides
+    * in, physically the hot-key shear (Relational.saltedJoin's shape).
+    */
+  def buildSalted(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"$SaltedName requires exactly 1 argument (salts), got ${exprs.length}")
+    GraftSaltedMarker(exprs)
   }
 }
 
@@ -118,6 +141,28 @@ case class GraftOverlapsMarker(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** Binned-range-join marker; same contract as [[GraftAsofMarker]]. */
+case class GraftRangeMarker(children: Seq[Expression])
+    extends Expression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = MarkerJoins.RangeName
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Salted-join marker; same contract as [[GraftAsofMarker]]. */
+case class GraftSaltedMarker(children: Seq[Expression])
+    extends Expression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = MarkerJoins.SaltedName
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Rewrites marker-carrying joins to the custom logical nodes; injected
   * via `GraftExtensions.injectResolutionRule` (see [[MarkerJoins]] for
   * why analysis time, not the optimizer). Any marker that survives in a
@@ -127,7 +172,8 @@ case class GraftOverlapsMarker(children: Seq[Expression])
 object MarkerJoinRewrite extends Rule[LogicalPlan] {
 
   private def isMarker(e: Expression): Boolean =
-    e.isInstanceOf[GraftAsofMarker] || e.isInstanceOf[GraftOverlapsMarker]
+    e.isInstanceOf[GraftAsofMarker] || e.isInstanceOf[GraftOverlapsMarker] ||
+      e.isInstanceOf[GraftRangeMarker] || e.isInstanceOf[GraftSaltedMarker]
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -164,6 +210,14 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
           s"${MarkerJoins.OverlapsName} is only legal as a top-level AND-conjunct " +
             "of an INNER JOIN condition, alongside `<=>` key equalities: " +
             "JOIN r ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)")
+        case _: GraftRangeMarker => fail(
+          s"${MarkerJoins.RangeName} is only legal as a top-level AND-conjunct " +
+            "of an INNER JOIN condition, alongside equi-join keys: " +
+            "JOIN r ON l.k = r.k AND graft_range(l.ts, r.ts, lo, hi)")
+        case _: GraftSaltedMarker => fail(
+          s"${MarkerJoins.SaltedName} is only legal as a top-level AND-conjunct " +
+            "of an INNER JOIN condition, alongside equi-join keys: " +
+            "JOIN r ON l.k = r.k AND graft_salted(8)")
         case _ =>
       })
     }
@@ -188,8 +242,19 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
     val conj = conjuncts(j.condition.get)
     val (markers, rest) = conj.partition(isMarker)
     if (markers.size != 1) fail(
-      "exactly one graft_asof/graft_overlaps marker must appear as a " +
-        s"top-level AND-conjunct of the join condition, found ${markers.size}")
+      "exactly one graft marker must appear as a top-level AND-conjunct " +
+        s"of the join condition, found ${markers.size}")
+
+    // graft_range / graft_salted rewrite to STANDARD Join compositions
+    // (their semantics are row-wise, so the optimizer may treat the
+    // result like any other join — unlike the as-of/interval nodes
+    // below, which must stay opaque); they keep the non-marker conjuncts
+    // verbatim, `=` and `<=>` alike
+    markers.head match {
+      case m: GraftRangeMarker => return rewriteRange(j, m, rest)
+      case m: GraftSaltedMarker => return rewriteSalted(j, m, rest)
+      case _ =>
+    }
 
     val (lChild, lStrategy) = unwrapHints(j.left)
     val (rChild, rStrategy) = unwrapHints(j.right)
@@ -286,6 +351,99 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
 
       case other => fail(s"unexpected marker $other") // unreachable
     }
+  }
+
+  /** Binned range join in SQL: `JOIN r ON l.k = r.k AND
+    * graft_range(l.ts, r.ts, lo, hi)` rewrites to
+    * Relational.rangeJoinBinned's plan shape — the left window explodes
+    * into its ≤2 covering bins, the right side stamps its bin, the join
+    * condition gains `l_bin = r_bin` (turning the theta range into an
+    * equi-join on (keys, bin) — ExtractEquiJoinKeys picks ALL the
+    * equality conjuncts up as hash keys), and the exact range predicate
+    * filters the residue. Original key conjuncts ride verbatim (`=`
+    * keeps `=` semantics, `<=>` keeps null-safe). A plain theta
+    * `BETWEEN` in SQL would plan as a per-key nested loop; this is the
+    * scalable spelling.
+    */
+  private def rewriteRange(j: Join, m: GraftRangeMarker,
+      rest: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (j.joinType != Inner) fail(
+      s"${MarkerJoins.RangeName} requires INNER JOIN, got ${j.joinType.sql}")
+    if (rest.isEmpty) fail(
+      s"${MarkerJoins.RangeName}: at least one key conjunct must accompany " +
+        "the marker (an unkeyed range join is a cartesian scan)")
+    val Seq(lTs, rTs, loE, hiE) = m.children
+    val lOut = j.left.outputSet
+    val rOut = j.right.outputSet
+    if (!lTs.references.subsetOf(lOut) || lTs.dataType != LongType) fail(
+      s"${MarkerJoins.RangeName} arg 1 (left_ts) must be a BIGINT over the left side")
+    if (!rTs.references.subsetOf(rOut) || rTs.dataType != LongType) fail(
+      s"${MarkerJoins.RangeName} arg 2 (right_ts) must be a BIGINT over the right side")
+    val lo = foldLong(loE, s"${MarkerJoins.RangeName} arg 3 (lo)")
+    val hi = foldLong(hiE, s"${MarkerJoins.RangeName} arg 4 (hi)")
+    if (hi <= lo) fail(s"${MarkerJoins.RangeName}: empty window [$lo, $hi]")
+    val w = hi - lo
+    def divBin(e: Expression): Expression =
+      IntegralDivide(e, Literal(w))
+    // left explodes into the (<=2) distinct bins its window covers
+    val binGen = Explode(ArrayDistinct(CreateArray(Seq(
+      divBin(Add(lTs, Literal(lo))), divBin(Add(lTs, Literal(hi)))))))
+    val lBinField = binGen.elementSchema.head
+    val lBin = AttributeReference("__graft_bin_l", lBinField.dataType,
+      lBinField.nullable)()
+    val lGen = logical.Generate(binGen, unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(lBin), j.left)
+    val rBinExpr = Alias(divBin(rTs), "__graft_bin_r")()
+    val rProj = logical.Project(j.right.output :+ rBinExpr, j.right)
+    val rBin = rBinExpr.toAttribute
+    val cond = (rest :+ EqualTo(lBin, rBin)).reduce(And)
+    val joined = Join(lGen, rProj, Inner, Some(cond), j.hint)
+    val ranged = Filter(And(
+      GreaterThanOrEqual(rTs, Add(lTs, Literal(lo))),
+      LessThanOrEqual(rTs, Add(lTs, Literal(hi)))), joined)
+    logical.Project(j.left.output ++ j.right.output, ranged)
+  }
+
+  /** Salted skew join in SQL: `JOIN r ON l.k = r.k AND graft_salted(n)`
+    * is SEMANTICALLY the plain equi-join; the rewrite is
+    * Relational.saltedJoin's shear — each left row gets a deterministic
+    * whole-row-hash salt in [0, n), each right row replicates once per
+    * salt, and the join condition gains the salt equality, spreading a
+    * hot key across n shuffle partitions. Use when AQE's skew split
+    * isn't enough; n multiplies the right side, so keep it the smaller
+    * input.
+    */
+  private def rewriteSalted(j: Join, m: GraftSaltedMarker,
+      rest: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (j.joinType != Inner) fail(
+      s"${MarkerJoins.SaltedName} requires INNER JOIN, got ${j.joinType.sql}")
+    val hasEqui = rest.exists {
+      case EqualTo(a, b) => a.references.nonEmpty && b.references.nonEmpty
+      case EqualNullSafe(a, b) => a.references.nonEmpty && b.references.nonEmpty
+      case _ => false
+    }
+    if (!hasEqui) fail(
+      s"${MarkerJoins.SaltedName}: at least one equi-join key conjunct must " +
+        "accompany the marker (salting a non-equi join has nothing to shear)")
+    val salts = foldLong(m.children.head,
+      s"${MarkerJoins.SaltedName} arg 1 (salts)")
+    if (salts < 2 || salts > 4096) fail(
+      s"${MarkerJoins.SaltedName}: salts must be in [2, 4096], got $salts")
+    // deterministic whole-left-row salt — replays land identically
+    val saltAlias = Alias(Pmod(new XxHash64(
+      Seq(CreateStruct(j.left.output))), Literal(salts)), "__graft_salt_l")()
+    val lProj = logical.Project(j.left.output :+ saltAlias, j.left)
+    val saltGen = Explode(new Sequence(Literal(0L), Literal(salts - 1L)))
+    val rSaltField = saltGen.elementSchema.head
+    val rSalt = AttributeReference("__graft_salt_r", rSaltField.dataType,
+      rSaltField.nullable)()
+    val rGen = logical.Generate(saltGen, unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(rSalt), j.right)
+    val cond = (rest :+ EqualTo(saltAlias.toAttribute, rSalt)).reduce(And)
+    val joined = Join(lProj, rGen, Inner, Some(cond), j.hint)
+    logical.Project(j.left.output ++ j.right.output, joined)
   }
 
   /** SQL join-strategy hints force the physical choice exactly as for

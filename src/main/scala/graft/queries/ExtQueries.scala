@@ -4279,6 +4279,55 @@ object ExtQueries extends QueryGroup {
        FROM events e JOIN customer c ON e.user_id = c.c_custkey
        GROUP BY c_mktsegment"""
 
+  /** The binned range join written in PLAIN SQL through the marker
+    * surface: `JOIN ... ON user_id = user_id AND graft_range(p_ts,
+    * c_ts, -1h, 0)`. MarkerJoinRewrite swaps the Join for the
+    * explode-into-bins equi-join composition at analysis time — the SQL
+    * text a user would naively write as a theta BETWEEN (a per-key
+    * nested loop) plans as the scalable (key, bin) hash join instead.
+    * Same oracle as ext_range_join (the oracle states the naive
+    * inequality — DuckDB can afford it at oracle scale).
+    */
+  private def rangeSqlSurface(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .createOrReplaceTempView("graft_sql_rp")
+    ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_val"))
+      .createOrReplaceTempView("graft_sql_rc")
+    s.sql(s"""WITH m AS (
+                SELECT p.event_id, count(*) AS n,
+                       round(sum(c.c_val), 3) AS sv
+                FROM graft_sql_rp p JOIN graft_sql_rc c
+                  ON p.user_id = c.user_id
+                 AND graft_range(p.p_ts, c.c_ts, ${-RangeGapNs}L, 0L)
+                GROUP BY p.event_id)
+              SELECT p.event_id, p.user_id,
+                     coalesce(m.n, CAST(0 AS BIGINT)) AS n_clicks_1h,
+                     m.sv AS sum_click_value
+              FROM graft_sql_rp p LEFT JOIN m ON p.event_id = m.event_id""")
+  }
+
+  /** The salted skew join written in PLAIN SQL: `JOIN ... ON user_id =
+    * c_custkey AND graft_salted(8)` — semantically the plain equi-join
+    * (same oracle as ext_skew_salted), physically the whole-row-hash
+    * shear across 8 shuffle partitions. The `=` key keeps plain-equality
+    * NULL semantics verbatim (unlike the as-of/interval markers, these
+    * rewrites preserve whatever key conjuncts the user wrote).
+    */
+  private def skewSqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).select(col("user_id"), col("value"))
+      .createOrReplaceTempView("graft_sql_se")
+    Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView("graft_sql_sc")
+    s.sql("""SELECT c.c_mktsegment, count(*) AS n_events,
+                    round(sum(e.value), 3) AS sum_value
+             FROM graft_sql_se e JOIN graft_sql_sc c
+               ON e.user_id = c.c_custkey AND graft_salted(8)
+             GROUP BY c.c_mktsegment""")
+  }
+
   /** Full transitive near-dup clustering: connected components over the
     * MinHash pair graph by min-label propagation. The oracle UNROLLS the
     * same fixed iteration count, so even a hypothetically unconverged
@@ -8946,7 +8995,9 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_cc_sweep", ccSweep, Some(ccSweepSql), "transitive dedup: one survivor per converged component"),
     GQuery("ext_cc_pagerank", ccPageRank, Some(ccPageRankSql), "integer-exact PageRank authority over the near-dup graph"),
     GQuery("ext_range_join", rangeJoin, Some(rangeJoinSql), "binned range join (clicks within 1h before purchase)"),
+    GQuery("ext_range_sql", rangeSqlSurface, Some(rangeJoinSql), "binned range join written in plain SQL: graft_range marker rewritten to the explode-into-bins equi-join"),
     GQuery("ext_skew_salted", skewSalted, Some(skewSaltedSql), "salted skew join ≡ plain equi-join (hot-key shear)"),
+    GQuery("ext_skew_sql", skewSqlSurface, Some(skewSaltedSql), "salted skew join written in plain SQL: graft_salted marker rewritten to the whole-row-hash shear"),
     GQuery("ext_events_quantiles", eventsQuantiles, Some(eventsQuantilesSql), "exact per-group percentiles (approx_percentile at scale)"),
     GQuery("ext_events_winsor", eventsWinsor, Some(eventsWinsorSql), "per-group winsorization at [p05,p95]: clipped mass and mean before/after"),
     GQuery("ext_events_markov", eventsMarkov, Some(eventsMarkovSql), "first-order event-transition matrix: per-user consecutive pairs, row-normalized"),

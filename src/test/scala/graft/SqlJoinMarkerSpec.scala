@@ -235,6 +235,91 @@ class SqlJoinMarkerSpec extends SparkSpec {
     assert(ivAll == Set((1L, 11L, 1L)))
   }
 
+  test("graft_range SQL: binned equi-join plan, rows ≡ naive theta; graft_salted ≡ plain join with salt shear") {
+    Seq((1L, 100L, 11L), (1L, 500L, 12L), (2L, 150L, 21L))
+      .toDF("k", "ts", "l_id").createOrReplaceTempView("mk_rg_left")
+    Seq((1L, 80L, 1L), (1L, 95L, 2L), (1L, 400L, 3L), (2L, 149L, 4L),
+        (2L, 250L, 5L), (3L, 100L, 6L))
+      .toDF("k", "ts2", "r_id").createOrReplaceTempView("mk_rg_right")
+    // right rows with l.ts - 30 <= r.ts2 <= l.ts: hand-checked pairs
+    val got = spark.sql(
+      """SELECT l.l_id, r.r_id FROM mk_rg_left l JOIN mk_rg_right r
+           ON l.k = r.k AND graft_range(l.ts, r.ts2, -30L, 0L)""")
+    assert(got.as[(Long, Long)].collect().toSet == Set(
+      (11L, 1L),   // 80 in [70, 100]
+      (11L, 2L),   // 95 in [70, 100]
+      (21L, 4L)))  // 149 in [120, 150]; 400 not in [470,500]; key 3 never
+    // the plan is the BINNED equi-join: hash keys carry the bin column,
+    // no BroadcastNestedLoop / cartesian in sight
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin") && !plan.contains("NestedLoop") &&
+        !plan.contains("Cartesian"),
+        s"graft_range must plan as the binned equi-join:\n$plan")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // salted: rows identical to the plain equi-join, salt visible in plan
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
+      .createOrReplaceTempView("mk_sa_left")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "seg")
+      .createOrReplaceTempView("mk_sa_right")
+    val salted = spark.sql(
+      """SELECT l.k, l.v, r.seg FROM mk_sa_left l JOIN mk_sa_right r
+           ON l.k = r.k AND graft_salted(4)""")
+    val plain = spark.sql(
+      """SELECT l.k, l.v, r.seg FROM mk_sa_left l JOIN mk_sa_right r
+           ON l.k = r.k""")
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+    assert(salted.queryExecution.optimizedPlan.toString.contains("__graft_salt"),
+      "salt machinery must be in the optimized plan")
+    // registered faces ≡ their operator twins
+    def face(n: String) = graft.queries.ExtQueries.queries
+      .find(_.name == n).get.fn(spark, sf0001)
+    Seq("ext_range_sql" -> "ext_range_join",
+        "ext_skew_sql" -> "ext_skew_salted").foreach { case (sqlName, dfName) =>
+      val viaSql = face(sqlName)
+      val viaDf = face(dfName).select(viaSql.columns.map(col): _*)
+      assert(viaSql.count() > 0, s"$sqlName returned no rows")
+      assert(viaSql.exceptAll(viaDf).count() == 0 &&
+        viaDf.exceptAll(viaSql).count() == 0,
+        s"$sqlName must be row-identical to $dfName")
+    }
+  }
+
+  test("graft_range / graft_salted refusal lanes") {
+    Seq((1L, 100L, 11L)).toDF("k", "ts", "l_id")
+      .createOrReplaceTempView("mk_rf2_l")
+    Seq((1L, 90L, 1L)).toDF("k", "ts2", "r_id")
+      .createOrReplaceTempView("mk_rf2_r")
+    def err(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // wrong join type
+    assert(err("""SELECT l.k FROM mk_rf2_l l LEFT JOIN mk_rf2_r r
+                   ON l.k = r.k AND graft_range(l.ts, r.ts2, -30L, 0L)""")
+      .contains("INNER"))
+    // empty window
+    assert(err("""SELECT l.k FROM mk_rf2_l l JOIN mk_rf2_r r
+                   ON l.k = r.k AND graft_range(l.ts, r.ts2, 30L, 30L)""")
+      .contains("empty window"))
+    // unkeyed range join
+    assert(err("""SELECT l.k FROM mk_rf2_l l JOIN mk_rf2_r r
+                   ON graft_range(l.ts, r.ts2, -30L, 0L)""")
+      .contains("key conjunct"))
+    // salted without an equi key
+    assert(err("""SELECT l.k FROM mk_rf2_l l JOIN mk_rf2_r r
+                   ON l.ts < r.ts2 AND graft_salted(4)""")
+      .contains("equi-join key"))
+    // salts bounds
+    assert(err("""SELECT l.k FROM mk_rf2_l l JOIN mk_rf2_r r
+                   ON l.k = r.k AND graft_salted(1)""")
+      .contains("[2, 4096]"))
+    // non-foldable bound
+    assert(err("""SELECT l.k FROM mk_rf2_l l JOIN mk_rf2_r r
+                   ON l.k = r.k AND graft_range(l.ts, r.ts2, l.ts, 0L)""")
+      .contains("foldable"))
+  }
+
   test("refusal lanes: every misuse fails loudly with the reason") {
     regViews()
     def err(sql: String): String =
