@@ -891,6 +891,57 @@ class StreamingSpec extends SparkSpec {
     assert(state.state.count() <= k * groups)
   }
 
+  test("streaming interval alignment ≡ one-shot interval join (ext_interval_exec); replayed epoch no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the ext_interval_exec fixture: per-user validity chains for clicks
+    // (the streaming side, fed as FINISHED version rows) and views (the
+    // static history). Chaining happens BEFORE the stream — vto derived
+    // from the next version is not batch-local, so the stream contract
+    // takes stamped intervals, the SCD2 CDC feed shape.
+    val ev = Tables.events(spark, sf0001)
+    def chain(t: String, idAs: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("vfrom"), col("event_id"))
+      ev.where(col("event_type") === t)
+        .select(col("user_id"), col("ts").as("vfrom"), col("event_id"))
+        .withColumn("vto", lead(col("vfrom"), 1).over(w))
+        .select(col("user_id"), col("vfrom"), col("vto"),
+          col("event_id").as(idAs))
+    }
+    val clicks = chain("click", "l_id")
+    val views = chain("view", "r_id")
+    val rows = clicks.select("user_id", "vfrom", "vto", "l_id")
+      .as[(Long, Long, Option[Long], Long)].collect()
+    assert(rows.length >= 9, "fixture too small to micro-batch")
+    val state = new graft.streaming.IntervalStream.IntervalState(
+      views, "user_id", "vfrom", "vto", Seq("r_id"))
+    val input = MemoryStream[(Long, Long, Option[Long], Long)]
+    val q = input.toDF().toDF("user_id", "vfrom", "vto", "l_id").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      for (b <- Seq(b1, b2, b3)) { input.addData(b.toSeq); q.processAllAvailable() }
+      val oneShot = graft.plans.IntervalJoin.intervalJoinExec(
+        clicks, views, "user_id", "vfrom", "vto", Seq("r_id"))
+        .select("user_id", "l_id", "r_id")
+      val streamed = state.aligned.select("user_id", "l_id", "r_id")
+      assert(oneShot.count() > clicks.count(),
+        "vacuous: chains must actually fan out")
+      assert(streamed.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(streamed).count() == 0,
+        "stream-aligned pairs diverge from the one-shot interval join")
+      // at-least-once replay: re-deliver an epoch — the ledger folds it
+      state.sink(b2.toSeq.toDF("user_id", "vfrom", "vto", "l_id"), 1L)
+      val replayed = state.aligned.select("user_id", "l_id", "r_id")
+      assert(replayed.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(replayed).count() == 0,
+        "replayed epoch must fold to a no-op")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment ≡ one-shot batch enrichment; replayed epoch no-ops") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
