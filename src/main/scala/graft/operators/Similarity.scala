@@ -930,11 +930,28 @@ object Similarity {
   }
 
   def probeIvfIndex(path: String, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int): DataFrame =
+    probeIvfIndexVia(path, queries, idCol, vecCol, k,
+      p => queries.sparkSession.read.parquet(p))
+
+  /** [[probeIvfIndex]] through the `graft-index` DataSourceV2 serving
+    * table (sources/GraftIndexSource.scala) — identical results
+    * (spec-pinned); the per-query cell pruning arrives as an ordinary V2
+    * runtime filter instead of parquet DPP, and the scan's reported
+    * stats cover only the probed cells.
+    */
+  def probeIvfIndexV2(path: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    probeIvfIndexVia(path, queries, idCol, vecCol, k,
+      p => queries.sparkSession.read.format("graft-index").load(p))
+
+  private def probeIvfIndexVia(path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      reader: String => DataFrame): DataFrame = {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val cents = s.read.parquet(s"$path/cents")
-    val corp = s.read.parquet(s"$path/cells")
+    val cents = reader(s"$path/cents")
+    val corp = reader(s"$path/cells")
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val q = queries.select(col(idCol).as("q_id"), vecD.as("va"),
         VectorOps.normSq(vecD).as("na"))

@@ -2674,6 +2674,20 @@ object ExtQueries extends QueryGroup {
     Similarity.probeIvfIndex(path, annQueries(s, d), "vec_id", "embedding", TopK)
   }
 
+  /** The SAME persisted-index probe served through the `graft-index`
+    * DataSourceV2 table (sources/GraftIndexSource.scala): the per-query
+    * cell pruning arrives as a V2 runtime filter (the production DPP
+    * face) and the scan's stats cover only the probed cells. Identical
+    * results by contract — same oracle as the in-plan IVF.
+    */
+  private def annIvfV2(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "ivf_v2idx", d)
+    Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+      IvfCentroidEvery, path)
+    Similarity.probeIvfIndexV2(path, annQueries(s, d), "vec_id", "embedding",
+      TopK)
+  }
+
   /** ADMISSION into the persisted IVF index (Similarity.appendToIvfIndex):
     * write two-thirds of the corpus, append the rest with the STORED
     * centroids (no retrain — serving geometry stays stable; the append
@@ -8952,6 +8966,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_hnsw_append", annHnswAppend, Some(annHnswAppendSql), "graph-index admission: stored-centroid assignment + leaderboard edge merge ≡ rebuild, surgical partition rewrite"),
     GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
+    GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
     GQuery("ext_ann_ivf_append", annIvfAppend, Some(annIvfAppendSql), "IVF admission: append with stored centroids (no retrain), probe the grown index"),
     GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The DataSourceV2 serving face of the persisted indexes
+  * (sources/GraftIndexSource.scala): schema/row parity with the raw
+  * parquet read, static partition-filter pushdown (directory pruning
+  * visible as input-partition counts), V2 runtime filtering (the DPP
+  * form a broadcast probe join plants), post-pruning statistics, and
+  * the zero-data-IO count path.
+  */
+class GraftIndexSourceSpec extends SparkSpec {
+
+  private def writeIndex(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2idx").toString
+    Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 25, dir)
+    dir
+  }
+
+  private def v2(path: String) =
+    spark.read.format("graft-index").load(path)
+
+  test("row + schema parity with the raw parquet read (partitioned cells and flat cents)") {
+    val dir = writeIndex()
+    for (sub <- Seq("cells", "cents")) {
+      val raw = spark.read.parquet(s"$dir/$sub")
+      val got = v2(s"$dir/$sub").select(raw.columns.map(col): _*)
+      assert(got.schema == raw.select(raw.columns.map(col): _*).schema,
+        s"$sub schema diverges")
+      assert(got.count() > 0)
+      assert(got.exceptAll(raw).count() == 0 && raw.exceptAll(got).count() == 0,
+        s"$sub rows diverge from the parquet read")
+    }
+  }
+
+  test("static partition filter prunes directories; stats are post-pruning") {
+    val dir = writeIndex()
+    val all = v2(s"$dir/cells")
+    val cells = all.select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    assert(cells.length >= 3, "fixture must have several cells")
+    val one = all.where(col("cell") === cells.head)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      val allScan = scanOf(all)
+      val oneScan = scanOf(one)
+      assert(oneScan.inputRDD.getNumPartitions < allScan.inputRDD.getNumPartitions,
+        "cell = k must plan fewer input partitions than the full scan")
+      // the pushed filter is enforced by pruning, not post-filtering:
+      // rows still correct
+      assert(one.select(col("cell").cast("long")).distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(cells.head))
+      // post-pruning stats: the filtered relation reports fewer bytes
+      val allBytes = all.queryExecution.optimizedPlan.stats.sizeInBytes
+      val oneBytes = one.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(oneBytes < allBytes,
+        s"pruned stats must shrink: $oneBytes !< $allBytes")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("count(*) over the v2 table decodes zero data pages (footer counts) and matches") {
+    val dir = writeIndex()
+    assert(v2(s"$dir/cells").count() ==
+      spark.read.parquet(s"$dir/cells").count())
+    // partition-only projection rides the same counting reader
+    val perCell = v2(s"$dir/cells").groupBy("cell").count()
+    val refCell = spark.read.parquet(s"$dir/cells").groupBy("cell").count()
+    assert(perCell.exceptAll(refCell).count() == 0 &&
+      refCell.exceptAll(perCell).count() == 0)
+  }
+
+  test("runtime filtering: a broadcast probe join prunes cells at execution (V2 DPP)") {
+    val dir = writeIndex()
+    val corp = v2(s"$dir/cells")
+    val cells = corp.select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    // a tiny probe frame hitting ONE cell, joined on the partition column
+    import spark.implicits._
+    val probe = Seq((cells.head, 1L)).toDF("cell", "probe_id")
+    val joined = corp.join(broadcast(probe), Seq("cell"))
+    val rows = joined.count()
+    assert(rows > 0 && rows < corp.count(),
+      "probe join must select a strict subset")
+    // the scan carries runtime filter attributes; under AQE the
+    // post-execution scan reads fewer partitions than the full table
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = joined.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.scan.isInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering],
+        "scan must advertise runtime filtering")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("probe parity: probeIvfIndex through the V2 serving table ≡ parquet probe") {
+    val dir = writeIndex()
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.where(col("vec_id") % 50 === 0)
+    val viaParquet = Similarity.probeIvfIndex(dir, q, "vec_id", "embedding", 5)
+    val viaV2 = Similarity.probeIvfIndexV2(dir, q, "vec_id", "embedding", 5)
+    assert(viaV2.count() > 0)
+    assert(viaV2.exceptAll(viaParquet).count() == 0 &&
+      viaParquet.exceptAll(viaV2).count() == 0,
+      "V2 probe must be row-identical to the parquet probe")
+  }
+}
