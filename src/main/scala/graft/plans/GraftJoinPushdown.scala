@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** The safe subset of predicate pushdown and column pruning for the
@@ -91,6 +91,18 @@ object GraftJoinPushdown extends Rule[LogicalPlan] {
       val narrowed = pruneInterval(i,
         AttributeSet(fields.flatMap(_.references)) ++ cond.references)
       if (narrowed == i) p else Project(fields, f.copy(child = narrowed))
+
+    // an Aggregate directly over the node (no Project in between — the
+    // common `join.groupBy(...).agg(...)` shape) prunes the same way
+    case ag @ Aggregate(gs, as_, a: AsofJoinPlan, _) =>
+      val narrowed = pruneAsof(a,
+        AttributeSet(gs.flatMap(_.references) ++ as_.flatMap(_.references)))
+      if (narrowed == a) ag else ag.copy(child = narrowed)
+
+    case ag @ Aggregate(gs, as_, i: IntervalJoinPlan, _) =>
+      val narrowed = pruneInterval(i,
+        AttributeSet(gs.flatMap(_.references) ++ as_.flatMap(_.references)))
+      if (narrowed == i) ag else ag.copy(child = narrowed)
   }
 
   private def pruneAsof(a: AsofJoinPlan, refs: AttributeSet): AsofJoinPlan = {

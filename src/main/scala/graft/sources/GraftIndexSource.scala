@@ -3,19 +3,24 @@ package graft.sources
 import java.util.OptionalLong
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,19 +34,37 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - **Partition-filter pushdown as a first-class contract**: static
   *    `cell = k` / `cell IN (...)` predicates prune directories at
-  *    PLANNING time and show up in the scan description as pushed
-  *    filters — and [[SupportsRuntimeFiltering]] accepts the
+  *    PLANNING time — and [[SupportsRuntimeFiltering]] accepts the
   *    dynamic-partition-pruning subquery a broadcast probe join plants,
   *    so the per-query cell pruning that probeIvfIndex hand-rolled via
   *    DPP-on-parquet is now an ordinary V2 runtime filter.
+  *  - **Data-filter pushdown to the row-group layer**: predicates on
+  *    primitive data columns become parquet `FilterPredicate`s —
+  *    row groups whose column stats exclude the predicate never decode,
+  *    and parquet's record-level assembly enforces the residue EXACTLY,
+  *    so the filters are claimed as fully pushed (no re-evaluation).
+  *    `Not`/null-matching shapes are deliberately NOT claimed (parquet
+  *    `notEq` keeps nulls where SQL drops them).
+  *  - **Aggregate pushdown from footer statistics**
+  *    ([[SupportsPushDownAggregates]]): ungrouped COUNT(*) / MIN / MAX
+  *    over numeric columns answer from row-group metadata — one row per
+  *    file, ZERO data pages decoded; a file missing stats falls back to
+  *    scanning just that column. Refused whenever data filters are
+  *    pushed (stats ignore filters).
   *  - **Post-pruning statistics** ([[SupportsReportStatistics]]): the
-  *    reported sizeInBytes/rowCount cover ONLY the selected partitions,
-  *    so a probe of 3 cells out of 4096 is broadcast-eligible above the
-  *    scan even when the whole index is not.
+  *    reported sizeInBytes covers ONLY the selected partitions, so a
+  *    probe of 3 cells out of 4096 is broadcast-eligible above the scan
+  *    even when the whole index is not.
+  *  - **Key-grouped partition reporting**
+  *    ([[SupportsReportPartitioning]]): a partitioned table plans one
+  *    input split per partition directory carrying its partition key
+  *    ([[HasPartitionKey]]), so cell-clustered operations (and
+  *    storage-partitioned joins under
+  *    `spark.sql.sources.v2.bucketing.enabled`) can skip the exchange.
   *  - **Column pruning to the IO layer**: the pruned schema becomes the
-  *    parquet requested projection (`parquet.read.schema`), so a probe
-  *    that reads (vec_b, vb, nb) out of a wider index never decodes the
-  *    rest; a COUNT over the table reads footers only (zero data IO).
+  *    parquet requested projection, so a probe reading (vec_b, vb, nb)
+  *    out of a wider index never decodes the rest; a COUNT with no
+  *    pushed data filters reads footers only.
   *
   * The read path is parquet-hadoop's PUBLIC `ParquetReader[Group]` (no
   * Spark-internal reader classes), converting Groups to InternalRows
@@ -150,22 +173,28 @@ class GraftIndexTable(path: String, tableSchema: StructType)
       .map(c => Expressions.identity(c)).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftIndexScanBuilder(path, tableSchema,
-      GraftIndexTable.partitionColumns(path).toSet)
+      GraftIndexTable.partitionColumns(path))
 }
 
 class GraftIndexScanBuilder(path: String, tableSchema: StructType,
-    partCols: Set[String])
+    partColsOrdered: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
+  private val partCols = partColsOrdered.toSet
   private var required: StructType = tableSchema
-  private var pushed: Array[Filter] = Array.empty
+  private var pushedPart: Array[Filter] = Array.empty
+  private var pushedData: Array[Filter] = Array.empty
+  private var agg: Option[Aggregation] = None
+  private var aggSchema: StructType = _
 
-  /** A filter is pushable when it references ONLY partition columns and
-    * is a shape the directory pruner evaluates. Everything else goes
-    * back to Spark for post-scan evaluation.
+  private def dataColType(name: String): Option[DataType] =
+    tableSchema.find(f => f.name == name && !partCols(f.name)).map(_.dataType)
+
+  /** Partition-column filters prune directories; see the pruner for the
+    * evaluated shapes.
     */
-  private def pushable(f: Filter): Boolean =
+  private def partPushable(f: Filter): Boolean =
     f.references.nonEmpty && f.references.forall(partCols.contains) && (f match {
       case _: EqualTo | _: EqualNullSafe | _: In | _: IsNotNull |
            _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
@@ -173,31 +202,95 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
       case _ => false
     })
 
+  /** Data-column filters become parquet FilterPredicates — EXACT under
+    * record-level assembly, so fully claimed. Only shapes whose parquet
+    * null semantics match SQL's are accepted (notEq keeps nulls where
+    * SQL `!=` drops them, so Not-shapes stay with Spark).
+    */
+  private def dataPushable(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => v != null && primitive(a)
+    case In(a, vs) => vs.nonEmpty && vs.forall(_ != null) && primitive(a)
+    case GreaterThan(a, v) => v != null && comparable(a)
+    case GreaterThanOrEqual(a, v) => v != null && comparable(a)
+    case LessThan(a, v) => v != null && comparable(a)
+    case LessThanOrEqual(a, v) => v != null && comparable(a)
+    case IsNull(a) => primitive(a)
+    case IsNotNull(a) => primitive(a)
+    case _ => false
+  }
+
+  private def primitive(name: String): Boolean = dataColType(name).exists {
+    case LongType | IntegerType | DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+  private def comparable(name: String): Boolean = dataColType(name).exists {
+    case LongType | IntegerType | DoubleType | FloatType => true
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (p, rest) = filters.partition(pushable)
-    pushed = p
+    val (part, rest0) = filters.partition(partPushable)
+    val (data, rest) = rest0.partition(dataPushable)
+    pushedPart = part
+    pushedData = data
     rest
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushedPart ++ pushedData
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Footer-stats aggregates: ungrouped COUNT(*) / MIN / MAX over
+    * numeric data columns (string stats may be truncated — refused).
+    * Partial pushdown only: one row per file, Spark merges. Refused
+    * when data filters are pushed (footer stats ignore them).
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushedData.nonEmpty) return false
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    val fields = aggregation.aggregateExpressions.map {
+      case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
+      case m: Min => colName(m.column).filter(comparable)
+        .map(n => StructField(s"min_$n", dataColType(n).get))
+      case m: Max => colName(m.column).filter(comparable)
+        .map(n => StructField(s"max_$n", dataColType(n).get))
+      case _ => None
+    }
+    if (fields.exists(_.isEmpty)) return false
+    agg = Some(aggregation)
+    aggSchema = StructType(fields.map(_.get))
+    true
+  }
+
   override def build(): Scan =
-    new GraftIndexScan(path, tableSchema, required, pushed, partCols)
+    new GraftIndexScan(path, tableSchema, required, pushedPart, pushedData,
+      partColsOrdered, agg, Option(aggSchema))
 }
 
 class GraftIndexScan(path: String, tableSchema: StructType,
-    required: StructType, pushed: Array[Filter], partCols: Set[String])
+    required: StructType, pushedPart: Array[Filter],
+    pushedData: Array[Filter], partColsOrdered: Seq[String],
+    agg: Option[Aggregation], aggSchema: Option[StructType])
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
+  private val partCols = partColsOrdered.toSet
   @volatile private var runtime: Array[Filter] = Array.empty
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggSchema.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-index $path, pushed=[${pushed.mkString(", ")}]"
+    s"graft-index $path, pushedPartitionFilters=[${pushedPart.mkString(", ")}], " +
+      s"pushedDataFilters=[${pushedData.mkString(", ")}], " +
+      s"pushedAggregation=[${agg.map(_.aggregateExpressions.mkString(", ")).getOrElse("")}]"
 
   // ---- partition pruning ---------------------------------------------
   private def partType(name: String): DataType =
@@ -237,13 +330,13 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     val all = GraftIndexTable.listFiles(path).map { case (f, len, raw) =>
       (f, len, raw.map { case (k, v) => k -> parse(v, partType(k)) })
     }
-    val filters = pushed ++ runtime
+    val filters = pushedPart ++ runtime
     all.filter { case (_, _, parts) => filters.forall(eval(_, parts)) }
   }
 
   // ---- runtime filtering (the V2 form of dynamic partition pruning) --
   override def filterAttributes(): Array[NamedReference] =
-    partCols.toArray.sorted.map(Expressions.column)
+    partColsOrdered.map(Expressions.column).toArray
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
   // ---- statistics (post-pruning: what the probe actually reads) ------
@@ -254,28 +347,156 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
-  // ---- execution ------------------------------------------------------
-  override def planInputPartitions(): Array[InputPartition] =
-    selectedFiles.map { case (f, _, parts) =>
-      GraftIndexInputPartition(f, parts.map { case (k, v) => k -> String.valueOf(v) })
-    }.toArray
+  // ---- partition reporting --------------------------------------------
+  // one split per partition directory, each carrying its key: reported
+  // as KeyGroupedPartitioning so cell-clustered plans skip the exchange
+  private def grouped: Boolean = partColsOrdered.nonEmpty && agg.isEmpty
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftIndexReaderFactory(required,
-      required.fields.map(f => partCols.contains(f.name)))
+  override def outputPartitioning(): Partitioning =
+    if (grouped) {
+      new KeyGroupedPartitioning(
+        partColsOrdered.map(c => Expressions.identity(c)).toArray,
+        planInputPartitions().length)
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  // ---- execution ------------------------------------------------------
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = selectedFiles
+    val typedPartOrder = partColsOrdered.map(c => c -> partType(c))
+    if (agg.nonEmpty) {
+      // one split per file: the footer-agg reader emits one partial row
+      files.map { case (f, _, parts) =>
+        GraftIndexInputPartition(Seq(f),
+          parts.map { case (k, v) => k -> String.valueOf(v) },
+          typedPartOrder): InputPartition
+      }.toArray
+    } else if (grouped) {
+      files.groupBy(_._3).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).map(_._2.toString).mkString("/"))
+        .map { case (parts, fs) =>
+          GraftIndexInputPartition(fs.map(_._1).sorted,
+            parts.map { case (k, v) => k -> String.valueOf(v) },
+            typedPartOrder): InputPartition
+        }.toArray
+    } else {
+      files.map { case (f, _, parts) =>
+        GraftIndexInputPartition(Seq(f),
+          parts.map { case (k, v) => k -> String.valueOf(v) },
+          typedPartOrder): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val schema = readSchema()
+    agg match {
+      case Some(a) => new GraftIndexAggReaderFactory(a, aggSchema.get)
+      case None => new GraftIndexReaderFactory(schema,
+        schema.fields.map(f => partCols.contains(f.name)),
+        pushedData, tableSchema)
+    }
+  }
 }
 
-case class GraftIndexInputPartition(file: String,
-    partValuesRaw: Map[String, String]) extends InputPartition
+case class GraftIndexInputPartition(files: Seq[String],
+    partValuesRaw: Map[String, String], partOrder: Seq[(String, DataType)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    val row = new GenericInternalRow(partOrder.length)
+    partOrder.zipWithIndex.foreach { case ((c, dt), i) =>
+      // typed per the table schema so key rows match the reported
+      // KeyGroupedPartitioning expressions
+      row.update(i, GraftIndexReaderFactory.parsePart(partValuesRaw(c), dt))
+    }
+    row
+  }
+}
 
-/** Executor-side reader: one parquet file via the public
-  * ParquetReader[Group] API, Groups converted to InternalRows in
-  * readSchema order; partition columns are constants from the directory
-  * name. When NO data column is required (COUNT, or partition-only
-  * projections) the reader emits footer-counted empty/constant rows —
+object GraftIndexFilters {
+
+  /** Spark source Filter → parquet FilterPredicate for the claimed
+    * shapes; types resolved from the table schema.
+    */
+  def toParquet(f: Filter, schema: StructType): FilterPredicate = {
+    def dt(n: String) = schema.find(_.name == n).get.dataType
+    def eq(n: String, v: Any): FilterPredicate = dt(n) match {
+      case LongType => FilterApi.eq(FilterApi.longColumn(n),
+        if (v == null) null else java.lang.Long.valueOf(v.asInstanceOf[Number].longValue))
+      case IntegerType => FilterApi.eq(FilterApi.intColumn(n),
+        if (v == null) null else java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue))
+      case DoubleType => FilterApi.eq(FilterApi.doubleColumn(n),
+        if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue))
+      case FloatType => FilterApi.eq(FilterApi.floatColumn(n),
+        if (v == null) null else java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue))
+      case StringType => FilterApi.eq(FilterApi.binaryColumn(n),
+        if (v == null) null else Binary.fromString(v.toString))
+      case other => throw new IllegalStateException(s"eq over $other")
+    }
+    def notEqNull(n: String): FilterPredicate = dt(n) match {
+      case LongType => FilterApi.notEq(FilterApi.longColumn(n), null.asInstanceOf[java.lang.Long])
+      case IntegerType => FilterApi.notEq(FilterApi.intColumn(n), null.asInstanceOf[java.lang.Integer])
+      case DoubleType => FilterApi.notEq(FilterApi.doubleColumn(n), null.asInstanceOf[java.lang.Double])
+      case FloatType => FilterApi.notEq(FilterApi.floatColumn(n), null.asInstanceOf[java.lang.Float])
+      case StringType => FilterApi.notEq(FilterApi.binaryColumn(n),
+        null.asInstanceOf[Binary])
+      case other => throw new IllegalStateException(s"notEq over $other")
+    }
+    def rel(n: String, v: Any,
+        op: String): FilterPredicate = dt(n) match {
+      case LongType =>
+        val c = FilterApi.longColumn(n)
+        val x = java.lang.Long.valueOf(v.asInstanceOf[Number].longValue)
+        op match {
+          case ">" => FilterApi.gt(c, x); case ">=" => FilterApi.gtEq(c, x)
+          case "<" => FilterApi.lt(c, x); case _ => FilterApi.ltEq(c, x)
+        }
+      case IntegerType =>
+        val c = FilterApi.intColumn(n)
+        val x = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue)
+        op match {
+          case ">" => FilterApi.gt(c, x); case ">=" => FilterApi.gtEq(c, x)
+          case "<" => FilterApi.lt(c, x); case _ => FilterApi.ltEq(c, x)
+        }
+      case DoubleType =>
+        val c = FilterApi.doubleColumn(n)
+        val x = java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue)
+        op match {
+          case ">" => FilterApi.gt(c, x); case ">=" => FilterApi.gtEq(c, x)
+          case "<" => FilterApi.lt(c, x); case _ => FilterApi.ltEq(c, x)
+        }
+      case FloatType =>
+        val c = FilterApi.floatColumn(n)
+        val x = java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue)
+        op match {
+          case ">" => FilterApi.gt(c, x); case ">=" => FilterApi.gtEq(c, x)
+          case "<" => FilterApi.lt(c, x); case _ => FilterApi.ltEq(c, x)
+        }
+      case other => throw new IllegalStateException(s"$op over $other")
+    }
+    f match {
+      case EqualTo(a, v) => eq(a, v)
+      case In(a, vs) => vs.map(v => eq(a, v)).reduce(FilterApi.or)
+      case IsNull(a) => eq(a, null)
+      case IsNotNull(a) => notEqNull(a)
+      case GreaterThan(a, v) => rel(a, v, ">")
+      case GreaterThanOrEqual(a, v) => rel(a, v, ">=")
+      case LessThan(a, v) => rel(a, v, "<")
+      case LessThanOrEqual(a, v) => rel(a, v, "<=")
+      case other => throw new IllegalStateException(
+        s"graft-index: unpushable filter claimed: $other")
+    }
+  }
+}
+
+/** Executor-side reader factory: partition splits (one or many files)
+  * via the public ParquetReader[Group] API, Groups converted to
+  * InternalRows in readSchema order; partition columns are constants
+  * from the directory name. When NO data column is required and no data
+  * filters are pushed, the reader emits footer-counted constant rows —
   * zero data pages decoded.
   */
-class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean])
+class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
+    pushedData: Array[Filter], tableSchema: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -288,11 +509,11 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean])
         gip.partValuesRaw(f.name), f.dataType)
       case _ => null
     }
-    if (dataFields.isEmpty)
-      new GraftIndexCountingReader(gip.file, readSchema, isPart, partConst)
+    if (dataFields.isEmpty && pushedData.isEmpty)
+      new GraftIndexCountingReader(gip.files, readSchema, isPart, partConst)
     else
-      new GraftIndexRowReader(gip.file, readSchema, isPart, partConst,
-        dataFields)
+      new GraftIndexRowReader(gip.files, readSchema, isPart, partConst,
+        dataFields, pushedData, tableSchema)
   }
 }
 
@@ -307,15 +528,17 @@ object GraftIndexReaderFactory {
   }
 }
 
-/** Footer-count-only reader for zero-data-column projections. */
-class GraftIndexCountingReader(file: String, readSchema: StructType,
+/** Footer-count-only reader for zero-data-column, zero-data-filter
+  * projections.
+  */
+class GraftIndexCountingReader(files: Seq[String], readSchema: StructType,
     isPart: Array[Boolean], partConst: Array[Any])
     extends PartitionReader[InternalRow] {
-  private val total: Long = {
-    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+  private val total: Long = files.map { f =>
+    val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
-  }
+  }.sum
   private var emitted = 0L
   private val row = {
     val r = new GenericInternalRow(readSchema.length)
@@ -330,41 +553,165 @@ class GraftIndexCountingReader(file: String, readSchema: StructType,
   override def close(): Unit = ()
 }
 
-class GraftIndexRowReader(file: String, readSchema: StructType,
-    isPart: Array[Boolean], partConst: Array[Any],
-    dataFields: Array[StructField])
-    extends PartitionReader[InternalRow] {
+/** Footer-stats aggregate reader: one partial row per file from
+  * row-group metadata; a column missing stats in any row group falls
+  * back to decoding JUST that column.
+  */
+class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType)
+    extends PartitionReaderFactory {
+  // serializable spec: (kind, colName) per aggregate, kinds C/MIN/MAX
+  private val spec: Array[(String, String)] = agg.aggregateExpressions.map {
+    case _: CountStar => ("C", "")
+    case m: Min => ("MIN",
+      m.column.asInstanceOf[NamedReference].fieldNames.head)
+    case m: Max => ("MAX",
+      m.column.asInstanceOf[NamedReference].fieldNames.head)
+    case other => throw new IllegalStateException(s"unsupported pushed agg $other")
+  }
 
-  private val conf = new Configuration()
-  locally {
-    // requested projection: only the required data columns decode
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = p.asInstanceOf[GraftIndexInputPartition].files.head
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = {
+        val conf = new Configuration()
+        val in = HadoopInputFile.fromPath(new Path(file), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          val row = new GenericInternalRow(spec.length)
+          spec.zipWithIndex.foreach { case ((kind, col), i) =>
+            kind match {
+              case "C" =>
+                row.update(i, java.lang.Long.valueOf(reader.getRecordCount))
+              case mm =>
+                val stats = (0 until blocks.size()).map { b =>
+                  val cc = blocks.get(b).getColumns.asInstanceOf[
+                    java.util.List[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]
+                    .stream().filter(_.getPath.toDotString == col)
+                    .findFirst()
+                  if (cc.isPresent) Option(cc.get.getStatistics) else None
+                }
+                if (stats.exists(s => s.isEmpty || s.get.isEmpty)) {
+                  // stats missing: decode just this column
+                  row.update(i, GraftIndexAggReaderFactory
+                    .scanMinMax(file, col, mm == "MIN", aggSchema.fields(i).dataType))
+                } else {
+                  val nonNull = stats.flatten.filter(_.hasNonNullValue)
+                  if (nonNull.isEmpty) row.update(i, null)
+                  else {
+                    val vals = nonNull.map(s =>
+                      if (mm == "MIN") s.genericGetMin else s.genericGetMax)
+                    val best = vals.reduce { (a, b) =>
+                      val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+                      if ((mm == "MIN" && c <= 0) || (mm == "MAX" && c >= 0)) a else b
+                    }
+                    row.update(i, best)
+                  }
+                }
+            }
+          }
+          row
+        } finally reader.close()
+      }
+      override def close(): Unit = ()
+    }
+}
+
+object GraftIndexAggReaderFactory {
+  /** Stats-missing fallback: decode one column, compute min/max. */
+  def scanMinMax(file: String, col: String, isMin: Boolean,
+      dt: DataType): Any = {
+    val conf = new Configuration()
     val footer = {
-      val in = HadoopInputFile.fromPath(new Path(file), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
       try r.getFileMetaData.getSchema finally r.close()
     }
-    val wanted = dataFields.map(_.name).toSet
+    val projected = new org.apache.parquet.schema.MessageType(footer.getName,
+      footer.getFields.asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
+        .stream().filter(_.getName == col)
+        .toArray(n => new Array[org.apache.parquet.schema.Type](n)): _*)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    val reader = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf).build()
+    try {
+      var best: Any = null
+      var g = reader.read()
+      while (g != null) {
+        val idx = g.getType.getFieldIndex(col)
+        if (g.getFieldRepetitionCount(idx) > 0) {
+          val v: Any = dt match {
+            case LongType => java.lang.Long.valueOf(g.getLong(idx, 0))
+            case IntegerType => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+            case DoubleType => java.lang.Double.valueOf(g.getDouble(idx, 0))
+            case FloatType => java.lang.Float.valueOf(g.getFloat(idx, 0))
+            case other => throw new IllegalStateException(s"minmax over $other")
+          }
+          if (best == null) best = v
+          else {
+            val c = v.asInstanceOf[Comparable[Any]].compareTo(best)
+            if ((isMin && c < 0) || (!isMin && c > 0)) best = v
+          }
+        }
+        g = reader.read()
+      }
+      best
+    } finally reader.close()
+  }
+}
+
+class GraftIndexRowReader(files: Seq[String], readSchema: StructType,
+    isPart: Array[Boolean], partConst: Array[Any],
+    dataFields: Array[StructField], pushedData: Array[Filter],
+    tableSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val fileQueue = scala.collection.mutable.Queue(files: _*)
+  private var reader: ParquetReader[Group] = _
+  private var current: Group = _
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (fileQueue.isEmpty) return false
+    val file = fileQueue.dequeue()
+    val conf = new Configuration()
+    // requested projection: required data columns ∪ filter columns (the
+    // record-level filter needs its inputs materialized)
+    val footer = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
+      try r.getFileMetaData.getSchema finally r.close()
+    }
+    val wanted = dataFields.map(_.name).toSet ++ pushedData.flatMap(_.references)
     val projected = new org.apache.parquet.schema.MessageType(
       footer.getName,
       footer.getFields.asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
         .stream().filter(t => wanted.contains(t.getName))
         .toArray(n => new Array[org.apache.parquet.schema.Type](n)): _*)
-    require(projected.getFieldCount == dataFields.length,
-      s"graft-index: columns ${wanted -- projected.getFields.asInstanceOf[java.util.List[org.apache.parquet.schema.Type]].stream().map[String](_.getName).toArray(n => new Array[String](n)).toSet} missing in $file")
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projected.toString)
+    var b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf)
+    if (pushedData.nonEmpty) {
+      val pred = pushedData.map(GraftIndexFilters.toParquet(_, tableSchema))
+        .reduce(FilterApi.and)
+      b = b.withFilter(FilterCompat.get(pred))
+    }
+    reader = b.build()
+    true
   }
 
-  @SuppressWarnings(Array("deprecation"))
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(conf).build()
-
-  private var current: Group = _
-
   override def next(): Boolean = {
-    current = reader.read()
-    current != null
+    while (true) {
+      if (reader == null && !openNext()) return false
+      current = reader.read()
+      if (current != null) return true
+      reader.close(); reader = null
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {
@@ -422,5 +769,5 @@ class GraftIndexRowReader(file: String, readSchema: StructType,
     }
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }

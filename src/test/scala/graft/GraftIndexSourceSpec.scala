@@ -96,6 +96,92 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("data-filter pushdown: claimed filters vanish from the plan, rows exact, arrays survive") {
+    val dir = writeIndex()
+    val raw = spark.read.parquet(s"$dir/cells")
+    val someId = raw.select(min(col("vec_b"))).collect().head.getLong(0)
+    val got = v2(s"$dir/cells").where(col("vec_b") === someId)
+    val ref = raw.where(col("vec_b") === someId)
+    assert(got.count() == ref.count() && got.count() > 0)
+    assert(got.select("vec_b", "vb", "nb").exceptAll(ref.select("vec_b", "vb", "nb")).count() == 0)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = got.queryExecution.executedPlan
+      // the equality is claimed exactly by the parquet record filter:
+      // no post-scan Filter on vec_b remains (IsNotNull is claimed too)
+      val filters = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(filters.isEmpty,
+        s"claimed data filter must not be re-evaluated:\n$plan")
+      val scan = plan.collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.scan.description().contains("pushedDataFilters=[") &&
+        scan.scan.description().contains("vec_b"),
+        s"pushed data filter must be visible: ${scan.scan.description()}")
+      // range shape too
+      val rng = v2(s"$dir/cells").where(col("nb") > 0.0)
+      assert(rng.count() == raw.where(col("nb") > 0.0).count())
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answer from footer stats, zero data decode") {
+    val dir = writeIndex()
+    val raw = spark.read.parquet(s"$dir/cells")
+    val ref = raw.agg(count(lit(1)).cast("long").as("c"),
+      min(col("vec_b")).as("mn"), max(col("vec_b")).as("mx"),
+      min(col("nb")).as("mnd"), max(col("nb")).as("mxd")).collect().head
+    // fresh frames INSIDE the AQE-off block: a collect() under AQE
+    // wraps the cached executedPlan in AdaptiveSparkPlanExec, which
+    // hides the scan from collectFirst
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = v2(s"$dir/cells").agg(count(lit(1)).cast("long").as("c"),
+        min(col("vec_b")).as("mn"), max(col("vec_b")).as("mx"),
+        min(col("nb")).as("mnd"), max(col("nb")).as("mxd"))
+      val scan = got.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.scan.description().contains("pushedAggregation=[") &&
+        scan.scan.description().contains("COUNT(*)"),
+        s"aggregation must be pushed: ${scan.scan.description()}")
+      // the scan emits the partial-agg shape, not data rows
+      assert(scan.scan.readSchema().length == 5,
+        s"partial agg schema expected, got ${scan.scan.readSchema()}")
+      assert(got.collect().head == ref)
+      // refused (and still correct) when a data filter is pushed
+      val filtered = v2(s"$dir/cells").where(col("nb") > 0.0)
+        .agg(count(lit(1)).as("c"))
+      val fScan = filtered.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(!fScan.scan.description().contains("COUNT"),
+        "agg pushdown must be refused when data filters are pushed")
+      assert(filtered.collect().head.getLong(0) ==
+        raw.where(col("nb") > 0.0).count())
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("key-grouped partition reporting: cell-clustered aggregate skips the exchange") {
+    val dir = writeIndex()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = v2(s"$dir/cells").groupBy("cell")
+        .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
+      val ref = spark.read.parquet(s"$dir/cells").groupBy("cell")
+        .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
+      assert(agg.exceptAll(ref).count() == 0 && ref.exceptAll(agg).count() == 0)
+      val shuffles = agg.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"cell-grouped aggregate must ride the reported KeyGroupedPartitioning:\n${agg.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("probe parity: probeIvfIndex through the V2 serving table ≡ parquet probe") {
     val dir = writeIndex()
     val emb = Tables.embeddings(spark, sf0001)
