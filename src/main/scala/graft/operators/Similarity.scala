@@ -364,11 +364,17 @@ object Similarity {
     */
   def probeGraphIndex(path: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, entryEvery: Int, beam: Int, rounds: Int,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      viaV2: Boolean = false): DataFrame = {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val vecs0 = s.read.parquet(s"$path/vecs")
-    val edges0 = s.read.parquet(s"$path/edges").select("src", "dst")
+    // viaV2: the graft-index DataSourceV2 serving table (see
+    // sources/GraftIndexSource.scala) — identical rows by contract; the
+    // edge read prunes to (src, dst) at the parquet projection layer
+    def rd(p: String) =
+      if (viaV2) s.read.format("graft-index").load(p) else s.read.parquet(p)
+    val vecs0 = rd(s"$path/vecs")
+    val edges0 = rd(s"$path/edges").select("src", "dst")
     val qF0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       VectorOps.normSq(col(vecCol)).as("qn"))
     val (vecs, edges, qF) = tombstones match {

@@ -2510,6 +2510,19 @@ object ExtQueries extends QueryGroup {
       TopK, HnswEntryEvery, HnswBeam, HnswRounds)
   }
 
+  /** The SAME persisted graph probe through the `graft-index`
+    * DataSourceV2 table — vecs and the pcell-partitioned edge list read
+    * via the connector (edge projection pruned to (src, dst) at the
+    * parquet layer). Identical results; same oracle as ext_ann_hnsw.
+    */
+  private def annHnswV2(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "hnsw_v2idx", d)
+    Similarity.writeGraphIndex(Tables.embeddings(s, d), "vec_id",
+      "embedding", IvfCentroidEvery, HnswM, path)
+    Similarity.probeGraphIndex(path, annQueries(s, d), "vec_id", "embedding",
+      TopK, HnswEntryEvery, HnswBeam, HnswRounds, viaV2 = true)
+  }
+
   /** TOMBSTONE-MASKED probe of the persisted graph index — erasure on a
     * graph serving structure: masked ids vanish from the entry level,
     * both edge endpoints, and the pool (never returned, never scored).
@@ -8967,6 +8980,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
+    GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),
     GQuery("ext_ann_ivf_append", annIvfAppend, Some(annIvfAppendSql), "IVF admission: append with stored centroids (no retrain), probe the grown index"),
     GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),
     GQuery("ext_ann_ivf2", annIvf2, Some(annIvf2Sql), "multi-probe IVF ANN (nprobe=2, the recall knob)"),

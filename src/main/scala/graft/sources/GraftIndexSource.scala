@@ -240,22 +240,28 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Footer-stats aggregates: ungrouped COUNT(*) / MIN / MAX over
-    * numeric data columns (string stats may be truncated — refused).
-    * Partial pushdown only: one row per file, Spark merges. Refused
-    * when data filters are pushed (footer stats ignore them).
+  /** Footer-stats aggregates: COUNT(*) / MIN / MAX over numeric data
+    * columns (string stats may be truncated — refused), ungrouped or
+    * grouped by PARTITION columns (whose values are directory
+    * constants). Partial pushdown only: one row per file — group
+    * columns first, then aggregates, the V2 partial-pushdown contract —
+    * and Spark's final aggregate merges. Refused when data filters are
+    * pushed (footer stats ignore them).
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (pushedData.nonEmpty) return false
-    if (aggregation.groupByExpressions.nonEmpty) return false
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
           Some(nr.fieldNames.head)
         case _ => None
       }
+    val groupNames = aggregation.groupByExpressions.map(colName)
+    if (groupNames.exists(n => n.isEmpty || !partCols(n.get))) return false
+    val groupFields = groupNames.map(n =>
+      tableSchema.find(_.name == n.get).get)
     val fields = aggregation.aggregateExpressions.map {
       case _: CountStar => Some(StructField("count_star", LongType, nullable = false))
       case m: Min => colName(m.column).filter(comparable)
@@ -266,7 +272,7 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     }
     if (fields.exists(_.isEmpty)) return false
     agg = Some(aggregation)
-    aggSchema = StructType(fields.map(_.get))
+    aggSchema = StructType(groupFields ++ fields.map(_.get))
     true
   }
 
@@ -349,8 +355,18 @@ class GraftIndexScan(path: String, tableSchema: StructType,
 
   // ---- partition reporting --------------------------------------------
   // one split per partition directory, each carrying its key: reported
-  // as KeyGroupedPartitioning so cell-clustered plans skip the exchange
-  private def grouped: Boolean = partColsOrdered.nonEmpty && agg.isEmpty
+  // as KeyGroupedPartitioning so cell-clustered plans skip the exchange.
+  // A pushed aggregate stays key-grouped when its groupBy covers the
+  // partition columns (the partial rows carry the group constants).
+  private def grouped: Boolean = partColsOrdered.nonEmpty &&
+    agg.forall { a =>
+      val names = a.groupByExpressions.flatMap {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+      names.toSet == partCols && names.length == partColsOrdered.length
+    }
 
   override def outputPartitioning(): Partitioning =
     if (grouped) {
@@ -363,7 +379,7 @@ class GraftIndexScan(path: String, tableSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val files = selectedFiles
     val typedPartOrder = partColsOrdered.map(c => c -> partType(c))
-    if (agg.nonEmpty) {
+    if (agg.nonEmpty && !grouped) {
       // one split per file: the footer-agg reader emits one partial row
       files.map { case (f, _, parts) =>
         GraftIndexInputPartition(Seq(f),
@@ -390,7 +406,8 @@ class GraftIndexScan(path: String, tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val schema = readSchema()
     agg match {
-      case Some(a) => new GraftIndexAggReaderFactory(a, aggSchema.get)
+      case Some(a) => new GraftIndexAggReaderFactory(a, aggSchema.get,
+        aggSchema.get.fields.map(f => partCols.contains(f.name)))
       case None => new GraftIndexReaderFactory(schema,
         schema.fields.map(f => partCols.contains(f.name)),
         pushedData, tableSchema)
@@ -557,8 +574,8 @@ class GraftIndexCountingReader(files: Seq[String], readSchema: StructType,
   * row-group metadata; a column missing stats in any row group falls
   * back to decoding JUST that column.
   */
-class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType)
-    extends PartitionReaderFactory {
+class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
+    isPart: Array[Boolean]) extends PartitionReaderFactory {
   // serializable spec: (kind, colName) per aggregate, kinds C/MIN/MAX
   private val spec: Array[(String, String)] = agg.aggregateExpressions.map {
     case _: CountStar => ("C", "")
@@ -571,17 +588,32 @@ class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val file = p.asInstanceOf[GraftIndexInputPartition].files.head
-      private var done = false
-      override def next(): Boolean = { val r = !done; done = true; r }
+      private val gip = p.asInstanceOf[GraftIndexInputPartition]
+      // one partial row per FILE: key-grouped agg splits carry every
+      // file of the partition directory
+      private val fileIter = gip.files.iterator
+      private var file: String = _
+      override def next(): Boolean = {
+        if (!fileIter.hasNext) return false
+        file = fileIter.next(); true
+      }
       override def get(): InternalRow = {
         val conf = new Configuration()
         val in = HadoopInputFile.fromPath(new Path(file), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = reader.getFooter.getBlocks
-          val row = new GenericInternalRow(spec.length)
-          spec.zipWithIndex.foreach { case ((kind, col), i) =>
+          val row = new GenericInternalRow(aggSchema.length)
+          // group (partition) columns first — directory constants
+          var si = 0
+          val slots = aggSchema.fields.zipWithIndex.map { case (f, i) =>
+            if (isPart(i)) {
+              row.update(i, GraftIndexReaderFactory.parsePart(
+                gip.partValuesRaw(f.name), f.dataType))
+              None
+            } else { val s = spec(si); si += 1; Some((s, i)) }
+          }.flatten
+          slots.foreach { case ((kind, col), i) =>
             kind match {
               case "C" =>
                 row.update(i, java.lang.Long.valueOf(reader.getRecordCount))

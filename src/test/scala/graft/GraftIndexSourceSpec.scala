@@ -166,10 +166,12 @@ class GraftIndexSourceSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
+      // sum() is NOT footer-pushable, so this rides the row scan — the
+      // pure key-grouped-reporting lane (one split per cell directory)
       val agg = v2(s"$dir/cells").groupBy("cell")
-        .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
+        .agg(sum(col("nb")).as("sn"))
       val ref = spark.read.parquet(s"$dir/cells").groupBy("cell")
-        .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
+        .agg(sum(col("nb")).as("sn"))
       assert(agg.exceptAll(ref).count() == 0 && ref.exceptAll(agg).count() == 0)
       val shuffles = agg.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
@@ -180,6 +182,27 @@ class GraftIndexSourceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
     }
+  }
+
+  test("grouped aggregate pushdown: per-cell COUNT/MAX from footer stats") {
+    val dir = writeIndex()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val agg = v2(s"$dir/cells").groupBy("cell")
+        .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
+      val scan = agg.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.scan.description().contains("pushedAggregation=[") &&
+        scan.scan.description().contains("COUNT(*)"),
+        s"grouped aggregation must push: ${scan.scan.description()}")
+      // group column + partial agg columns, one row per file — the
+      // remaining exchange moves |files| rows, never data rows
+      assert(scan.scan.readSchema().fieldNames.head == "cell")
+      val ref = spark.read.parquet(s"$dir/cells").groupBy("cell")
+        .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
+      assert(agg.exceptAll(ref).count() == 0 && ref.exceptAll(agg).count() == 0)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("probe parity: probeIvfIndex through the V2 serving table ≡ parquet probe") {
