@@ -179,7 +179,8 @@ class GraftIndexTable(path: String, tableSchema: StructType)
 class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     partColsOrdered: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private val partCols = partColsOrdered.toSet
   private var required: StructType = tableSchema
@@ -187,6 +188,16 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
   private var pushedData: Array[Filter] = Array.empty
   private var agg: Option[Aggregation] = None
   private var aggSchema: StructType = _
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown: each split stops after n rows (partial — Spark
+    * keeps its own global limit above). Zero-data COUNT paths and
+    * pushed aggregates ignore it (they never decode rows anyway).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false // partial: Spark still applies the global limit
+  }
 
   private def dataColType(name: String): Option[DataType] =
     tableSchema.find(f => f.name == name && !partCols(f.name)).map(_.dataType)
@@ -278,13 +289,14 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
 
   override def build(): Scan =
     new GraftIndexScan(path, tableSchema, required, pushedPart, pushedData,
-      partColsOrdered, agg, Option(aggSchema))
+      partColsOrdered, agg, Option(aggSchema), limit)
 }
 
 class GraftIndexScan(path: String, tableSchema: StructType,
     required: StructType, pushedPart: Array[Filter],
     pushedData: Array[Filter], partColsOrdered: Seq[String],
-    agg: Option[Aggregation], aggSchema: Option[StructType])
+    agg: Option[Aggregation], aggSchema: Option[StructType],
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -341,8 +353,12 @@ class GraftIndexScan(path: String, tableSchema: StructType,
   }
 
   // ---- runtime filtering (the V2 form of dynamic partition pruning) --
+  // only partition columns surviving column pruning are advertised:
+  // PartitionPruning resolves these against the scan OUTPUT, so naming
+  // a pruned-away column breaks analysis of any join over the relation
   override def filterAttributes(): Array[NamedReference] =
-    partColsOrdered.map(Expressions.column).toArray
+    partColsOrdered.filter(c => readSchema().fieldNames.contains(c))
+      .map(Expressions.column).toArray
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
   // ---- statistics (post-pruning: what the probe actually reads) ------
@@ -410,7 +426,7 @@ class GraftIndexScan(path: String, tableSchema: StructType,
         aggSchema.get.fields.map(f => partCols.contains(f.name)))
       case None => new GraftIndexReaderFactory(schema,
         schema.fields.map(f => partCols.contains(f.name)),
-        pushedData, tableSchema)
+        pushedData, tableSchema, limit)
     }
   }
 }
@@ -513,7 +529,8 @@ object GraftIndexFilters {
   * zero data pages decoded.
   */
 class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
-    pushedData: Array[Filter], tableSchema: StructType)
+    pushedData: Array[Filter], tableSchema: StructType,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -526,11 +543,22 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
         gip.partValuesRaw(f.name), f.dataType)
       case _ => null
     }
-    if (dataFields.isEmpty && pushedData.isEmpty)
-      new GraftIndexCountingReader(gip.files, readSchema, isPart, partConst)
-    else
-      new GraftIndexRowReader(gip.files, readSchema, isPart, partConst,
-        dataFields, pushedData, tableSchema)
+    val base =
+      if (dataFields.isEmpty && pushedData.isEmpty)
+        new GraftIndexCountingReader(gip.files, readSchema, isPart, partConst)
+      else
+        new GraftIndexRowReader(gip.files, readSchema, isPart, partConst,
+          dataFields, pushedData, tableSchema)
+    limit match {
+      case Some(n) => new PartitionReader[InternalRow] {
+        private var emitted = 0
+        override def next(): Boolean =
+          emitted < n && base.next() && { emitted += 1; true }
+        override def get(): InternalRow = base.get()
+        override def close(): Unit = base.close()
+      }
+      case None => base
+    }
   }
 }
 

@@ -205,6 +205,20 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("limit pushdown: each split stops early, global limit stays correct") {
+    val dir = writeIndex()
+    val got = v2(s"$dir/cells").limit(7)
+    assert(got.count() == 7)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fresh = v2(s"$dir/cells").limit(7)
+      assert(fresh.collect().length == 7)
+      // rows drawn from the real table (schema + values sane)
+      val all = spark.read.parquet(s"$dir/cells")
+      assert(fresh.join(all, Seq("vec_b"), "left_semi").count() == 7)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("probe parity: probeIvfIndex through the V2 serving table ≡ parquet probe") {
     val dir = writeIndex()
     val emb = Tables.embeddings(spark, sf0001)
