@@ -219,6 +219,40 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("storage-partitioned join: two key-grouped V2 reads join on cell with zero exchange") {
+    val dir = writeIndex()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // per-cell summaries from two independent V2 scans of the stored
+      // index — both report KeyGroupedPartitioning(cell), so the join
+      // needs no shuffle at all (the SPJ production shape: stored-vs-
+      // stored co-located joins at 100 TB)
+      // sum() on both sides: NOT footer-pushable, so both lanes are row
+      // scans riding the reported key grouping (the pushed-agg lane's
+      // partial rows go through their own |files|-row exchange — tiny,
+      // but this pin is about the row-scan shape)
+      val a = v2(s"$dir/cells").groupBy("cell").agg(sum(col("nb")).as("sn"))
+      val b = v2(s"$dir/cells").groupBy("cell").agg(sum(col("vec_b")).as("mx"))
+      val joined = a.join(b, Seq("cell"))
+      val refA = spark.read.parquet(s"$dir/cells").groupBy("cell")
+        .agg(sum(col("nb")).as("sn"))
+      val refB = spark.read.parquet(s"$dir/cells").groupBy("cell")
+        .agg(sum(col("vec_b")).as("mx"))
+      val ref = refA.join(refB, Seq("cell"))
+      assert(joined.exceptAll(ref).count() == 0 &&
+        ref.exceptAll(joined).count() == 0)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"cell-cell join of two key-grouped scans must not shuffle:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("probe parity: probeIvfIndex through the V2 serving table ≡ parquet probe") {
     val dir = writeIndex()
     val emb = Tables.embeddings(spark, sf0001)
