@@ -3640,6 +3640,29 @@ object ExtQueries extends QueryGroup {
     * frame, ties at equal ts -> smallest event_id, the carried click ts
     * distance-checked in ns.
     */
+  /** The forward+tolerance as-of written in PLAIN SQL through the
+    * marker surface — gates the direction/tolerance ARG-LIST path of
+    * graft_asof end-to-end (SqlJoinMarkerSpec pins it row-level; this
+    * puts it behind the driver's oracle too). Same oracle as
+    * ext_asof_fwd.
+    */
+  private def asofFwdSqlSurface(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .createOrReplaceTempView("graft_sql_fwd_p")
+    ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .createOrReplaceTempView("graft_sql_fwd_c")
+    s.sql(s"""SELECT /*+ MERGE(c) */ p.event_id, p.user_id,
+                     c.click_id, c.click_value
+              FROM graft_sql_fwd_p p LEFT JOIN graft_sql_fwd_c c
+                ON p.user_id <=> c.user_id
+               AND graft_asof(p.ts, c.ts, c.event_id, 'forward',
+                              ${3600L * 1000000000L}L)""")
+  }
+
   private def asofFwd(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.where(col("event_type") === "purchase")
@@ -9064,6 +9087,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_asof_join", asof, Some(asofSql), "as-of join via union+ordered window"),
     GQuery("ext_asof_exec", asofExec, Some(asofSql), "as-of join via the custom AsofJoinExec merge operator (physical twin of ext_asof_join)"),
     GQuery("ext_asof_fwd", asofFwd, Some(asofFwdSql), "forward as-of with 1h tolerance via AsofJoinExec (next action after the event)"),
+    GQuery("ext_asof_fwd_sql", asofFwdSqlSurface, Some(asofFwdSql), "forward+tolerance as-of in plain SQL: graft_asof direction/tolerance arg list through the marker rewrite"),
     GQuery("ext_asof_nearest", asofNearest, Some(asofNearestSql), "nearest as-of via AsofJoinExec (closer of backward/forward, ties -> backward)"),
     GQuery("ext_asof_bcast", asofBcast, Some(asofBcastSql), "SCD2 point-in-time enrichment via BroadcastAsofJoinExec (no shuffle/sort on the fact side)"),
     GQuery("ext_interval_exec", intervalExec, Some(intervalSql), "SCD2 temporal alignment via the sweep-line IntervalJoinExec (validity-chain overlap pairs)"),
