@@ -3908,6 +3908,90 @@ object ExtQueries extends QueryGroup {
         AND c.vfrom < coalesce(c.vto, 9223372036854775807)
         AND v.vfrom < coalesce(v.vto, 9223372036854775807)"""
 
+  /** WHOLE-PROGRAM temporal composite — the point-in-time training-
+    * feature join, chained through BOTH custom physical joins: each
+    * purchase (1) as-of enriches with the latest click at-or-before it
+    * (AsofJoinExec, backward), then (2) aligns into the view-version
+    * validity chain ACTIVE at purchase time (IntervalJoinExec with the
+    * purchase as the degenerate instant [ts, ts+1) — the point-in-
+    * interval spelling), then (3) aggregates per user. This is the
+    * leakage-free feature-extraction shape: every attached signal is
+    * knowable AT the purchase instant, never after — the property that
+    * makes offline features match online serving.
+    *
+    * Scale shape: two merge joins (one exchange + local sort per side
+    * each) + one aggregate — no window over the fact union, no theta
+    * scan. Oracle restates step (1) as the carry-forward window, step
+    * (2) as the naive point-in-range theta join (excluding empty chain
+    * intervals, the operators' documented semantics).
+    */
+  private def temporalPipeline(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    val enriched = graft.plans.AsofJoin.asofJoinExec(purchases, clicks,
+      "user_id", "ts", "event_id", Seq("click_id", "click_value"),
+      broadcast = Some(false))
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("vfrom"), col("event_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vfrom"), col("event_id"))
+      .withColumn("vto", lead(col("vfrom"), 1).over(vw))
+      .select(col("user_id"), col("vfrom"), col("vto"),
+        col("event_id").as("view_id"))
+    val pointInTime = enriched
+      .withColumn("vfrom", col("ts"))
+      .withColumn("vto", col("ts") + lit(1L))
+    graft.plans.IntervalJoin.intervalJoinExec(pointInTime, views,
+        "user_id", "vfrom", "vto", Seq("view_id"), broadcast = Some(false))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("click_id")).as("n_clicked"),
+        round(sum(col("click_value")), 3).as("sum_click_value"),
+        countDistinct(col("view_id")).as("n_view_versions"))
+  }
+
+  private val temporalPipelineSql =
+    """WITH u AS (
+         SELECT user_id, ts, event_id,
+                CAST(NULL AS BIGINT) AS click_id,
+                CAST(NULL AS DOUBLE) AS click_value, 0 AS is_r
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, ts, event_id, event_id, value, 1
+         FROM events WHERE event_type = 'click'),
+       w AS (
+         SELECT *,
+           last_value(click_id IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+              ROWS UNBOUNDED PRECEDING) AS a_click_id,
+           last_value(click_value IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, is_r DESC, event_id
+              ROWS UNBOUNDED PRECEDING) AS a_click_value
+         FROM u),
+       e AS (SELECT user_id, epoch_ns(ts) AS pts, event_id,
+                    a_click_id AS click_id, a_click_value AS click_value
+             FROM w WHERE is_r = 0),
+       v AS (SELECT user_id, epoch_ns(ts) AS vfrom,
+                    lead(epoch_ns(ts)) OVER
+                      (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                      AS vto,
+                    event_id AS view_id
+             FROM events WHERE event_type = 'view'),
+       al AS (SELECT e.user_id, e.click_id, e.click_value, v.view_id
+              FROM e JOIN v ON e.user_id = v.user_id
+               AND v.vfrom <= e.pts
+               AND e.pts < coalesce(v.vto, 9223372036854775807)
+               AND v.vfrom < coalesce(v.vto, 9223372036854775807))
+       SELECT user_id, count(*) AS n_purchases,
+              count(click_id) AS n_clicked,
+              round(sum(click_value), 3) AS sum_click_value,
+              count(DISTINCT view_id) AS n_view_versions
+       FROM al GROUP BY user_id"""
+
   /** Gap-based sessions (30-minute inactivity) summarized per user. */
   private val SessionGapNs = 30L * 60 * 1000000000L
 
@@ -9094,6 +9178,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_interval_bcast", intervalBcast, Some(intervalSql), "temporal alignment with the stats-chosen broadcast interval join (auto physical choice)"),
     GQuery("ext_asof_sql", asofSqlSurface, Some(asofSql), "as-of join written in plain SQL: graft_asof ON-clause marker rewritten to AsofJoinPlan by MarkerJoinRewrite"),
     GQuery("ext_interval_sql", intervalSqlSurface, Some(intervalSql), "interval overlap join written in plain SQL: graft_overlaps marker rewritten to IntervalJoinPlan"),
+    GQuery("ext_temporal_pipeline", temporalPipeline, Some(temporalPipelineSql), "point-in-time feature join: as-of enrich -> point-in-interval align -> per-user aggregate, chained through both custom execs"),
     GQuery("ext_scd2_cdc", scd2Cdc, Some(scd2CdcSql), "CDC fold with the delete lane: I/U/D changefeed into the SCD2 dimension, soft-delete expirations"),
     GQuery("ext_sessionize", sessionized, Some(sessionizedSql), "gap-based sessionization (lag + prefix sum)"),
     GQuery("ext_sessions_stats", sessionStats, Some(sessionStatsSql), "per-day session quality: bounce rate, events/session, mean+median duration"),

@@ -253,6 +253,21 @@ class GraftIndexSourceSpec extends SparkSpec {
     }
   }
 
+  test("catalog face: CREATE TABLE USING graft-index gives the index a SQL name") {
+    val dir = writeIndex()
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
+    spark.sql(
+      s"CREATE TABLE graft_ivf_cells USING `graft-index` LOCATION '$dir/cells'")
+    try {
+      val viaSql = spark.sql(
+        "SELECT cell, count(*) AS n FROM graft_ivf_cells GROUP BY cell")
+      val ref = spark.read.parquet(s"$dir/cells").groupBy("cell")
+        .agg(count(lit(1)).as("n"))
+      assert(viaSql.exceptAll(ref).count() == 0 &&
+        ref.exceptAll(viaSql).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
+  }
+
   test("probe parity: probeIvfIndex through the V2 serving table ≡ parquet probe") {
     val dir = writeIndex()
     val emb = Tables.embeddings(spark, sf0001)
