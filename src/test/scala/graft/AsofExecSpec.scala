@@ -193,6 +193,26 @@ class AsofExecSpec extends SparkSpec {
     assert(composed.exceptAll(exec).count() == 0)
   }
 
+  test("chained execs reuse the fact-side exchange: asof -> interval -> agg = 3 shuffles total") {
+    // the ext_temporal_pipeline shape: because AsofJoinExec DECLARES
+    // outputPartitioning = left partitioning, the downstream
+    // IntervalJoinExec's ClusteredDistribution(user_id) and the final
+    // per-user aggregate are both already satisfied — the purchase side
+    // shuffles ONCE for the whole 3-operator chain (purchases + clicks
+    // + views = 3 exchanges, nothing else)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.ExtQueries.queries
+        .find(_.name == "ext_temporal_pipeline").get.fn(spark, sf0001)
+      assert(df.count() > 0)
+      val shuffles = df.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.size == 3,
+        s"asof->interval->agg must reuse the fact-side exchange, got ${shuffles.size}:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("builder contract: LongType ts enforced, payload/left collisions rejected") {
     val l = Seq((1L, 100L, "x")).toDF("k", "ts", "lv")
     val rBadTs = Seq((1L, "2024-01-01", 1L, "p")).toDF("k", "ts", "tie", "pv")
