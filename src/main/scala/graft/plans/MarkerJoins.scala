@@ -191,16 +191,19 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
     if (!plan.resolved) return plan
     // cheap global gate: the scan below only runs for plans that
     // actually carry a marker, so the 99% of queries without one pay a
-    // single tree scan per analyzer invocation
-    val hasAny = plan.exists(_.expressions.exists(_.exists(isMarker)))
+    // single tree scan per analyzer invocation. Subquery plans live
+    // inside expressions, so both the gate and the rewrite must descend
+    // into them — a marker join under EXISTS/IN is legitimate usage
+    val hasAny = (plan +: plan.subqueriesAll)
+      .exists(_.exists(_.expressions.exists(_.exists(isMarker))))
     if (!hasAny) return plan
-    val out = plan.transformUp {
+    val out = plan.transformUpWithSubqueries {
       case j: Join if j.condition.exists(_.exists(isMarker)) => rewrite(j)
     }
     // markers anywhere else (WHERE, SELECT, a join the match above could
     // not see) are misuse: refuse with guidance rather than letting the
     // Unevaluable surface a generic planning error later
-    out.foreach { node =>
+    (out +: out.subqueriesAll).foreach(_.foreach { node =>
       node.expressions.foreach(_.foreach {
         case _: GraftAsofMarker => fail(
           s"${MarkerJoins.AsofName} is only legal as a top-level AND-conjunct " +
@@ -220,7 +223,7 @@ object MarkerJoinRewrite extends Rule[LogicalPlan] {
             "JOIN r ON l.k = r.k AND graft_salted(8)")
         case _ =>
       })
-    }
+    })
     out
   }
 

@@ -320,6 +320,23 @@ class SqlJoinMarkerSpec extends SparkSpec {
       .contains("foldable"))
   }
 
+  test("marker joins inside subqueries rewrite too (EXISTS over graft_overlaps)") {
+    Seq((1L, 100L, 200L), (2L, 0L, 10L), (3L, 50L, 60L))
+      .toDF("k", "s", "e").createOrReplaceTempView("mk_sq_left")
+    Seq((1L, 150L, 260L), (3L, 70L, 80L))
+      .toDF("k", "s", "e").createOrReplaceTempView("mk_sq_right")
+    // keys with at least one overlapping right interval — the marker
+    // join lives INSIDE the EXISTS subquery plan
+    val got = spark.sql(
+      """SELECT k FROM mk_sq_left o
+         WHERE EXISTS (
+           SELECT 1 FROM mk_sq_left l JOIN mk_sq_right r
+             ON l.k <=> r.k AND graft_overlaps(l.s, l.e, r.s, r.e)
+           WHERE l.k = o.k)""")
+    assert(got.as[Long].collect().toSet == Set(1L),
+      "key 1 overlaps [150,260); key 3's [50,60) misses [70,80); key 2 has no right row")
+  }
+
   test("refusal lanes: every misuse fails loudly with the reason") {
     regViews()
     def err(sql: String): String =
