@@ -349,4 +349,36 @@ object InvariantProps extends Properties("graft.invariants") {
       }
       replayNoop && oneCurrent && ordered
     }
+
+  property("graft_nearest_cells(p) equals brute-force top-p under (cos desc, id asc)") =
+    forAll(
+      Gen.listOfN(9, Gen.zip(Gen.chooseNum(0L, 20L),
+        Gen.listOfN(4, Gen.chooseNum(-4, 4).map(_.toDouble / 2)))),
+      Gen.listOfN(4, Gen.chooseNum(-4, 4).map(_.toDouble / 2)),
+      Gen.chooseNum(1, 5)) { (centsRaw, vec, p) =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      // zero vectors yield cos = 0/0 = NaN: pick nonzero (the operators
+      // only ever fold over real embedding rows, never all-zero ones)
+      val cents = centsRaw.map { case (id, v) =>
+        (id, if (v.forall(_ == 0.0)) v.updated(0, 1.0) else v)
+      }.distinctBy(_._1)
+      val q = if (vec.forall(_ == 0.0)) vec.updated(0, 1.0) else vec
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val qn = dot(q, q)
+      // Scala-side brute force with the documented total order
+      val expect = cents
+        .map { case (id, cv) => (dot(q, cv) / (math.sqrt(qn) * math.sqrt(dot(cv, cv))), id) }
+        .sortBy { case (cos, id) => (-cos, id) }
+        .take(p).map(_._2)
+      val got = Seq((q, qn)).toDF("vec", "nsq")
+        .crossJoin(broadcast(cents.toDF("cent_id", "cvec")
+          .withColumn("cn", expr("aggregate(cvec, 0.0D, (a, x) -> a + x * x)"))
+          .agg(collect_list(struct(col("cent_id"), col("cvec"), col("cn"))).as("__cents"))))
+        .select(call_function("graft_nearest_cells",
+          col("__cents"), col("vec"), col("nsq"), lit(p)).as("cells"))
+        .collect().head.getSeq[Long](0)
+      got == expect
+    }
 }
