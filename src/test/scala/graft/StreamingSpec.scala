@@ -891,6 +891,50 @@ class StreamingSpec extends SparkSpec {
     assert(state.state.count() <= k * groups)
   }
 
+  test("streaming feature composite ≡ ext_temporal_pipeline under ordered replay; replayed epoch no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("vfrom"), col("event_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vfrom"), col("event_id"))
+      .withColumn("vto", lead(col("vfrom"), 1).over(vw))
+      .select(col("user_id"), col("vfrom"), col("vto"),
+        col("event_id").as("view_id"))
+    val rows = purchases.as[(Long, Long, Long)].collect()
+    assert(rows.length >= 9, "fixture too small to micro-batch")
+    val state = new graft.streaming.FeatureStream.FeatureState(
+      clicks, views, "user_id", "ts", "event_id")
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = input.toDF().toDF("user_id", "ts", "event_id").writeStream
+      .foreachBatch(state.sink _).outputMode("append").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      for (b <- Seq(b1, b2, b3)) { input.addData(b.toSeq); q.processAllAvailable() }
+      val oneShot = graft.queries.ExtQueries.queries
+        .find(_.name == "ext_temporal_pipeline").get.fn(spark, sf0001)
+      val streamed = state.features.select(oneShot.columns.map(col): _*)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(streamed).count() == 0,
+        "streamed features diverge from the one-shot temporal composite")
+      // replayed epoch folds away
+      state.sink(b2.toSeq.toDF("user_id", "ts", "event_id"), 1L)
+      val replayed = state.features.select(oneShot.columns.map(col): _*)
+      assert(replayed.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(replayed).count() == 0,
+        "replayed epoch must fold to a no-op")
+    } finally q.stop()
+  }
+
   test("streaming interval alignment ≡ one-shot interval join (ext_interval_exec); replayed epoch no-ops") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
