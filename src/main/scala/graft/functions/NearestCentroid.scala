@@ -30,6 +30,15 @@ import org.apache.spark.sql.types._
   * same ascending-index float64 fold as [[DotProduct]], the cosine the
   * same `dot / (sqrt(nsq) * sqrt(cn))` op sequence, so assignments (and
   * thus results) hash-match the DuckDB oracle's row_number formulation.
+  * The comparison is `java.lang.Double.compare` — the NaN-greatest total
+  * order Spark's descending sort uses — so a NaN cosine from NaN INPUT
+  * values (finite divisor) ranks FIRST here exactly as the window form
+  * sorts it, instead of silently losing every comparison and leaving the
+  * initial Long.MaxValue sentinel as the "winner". ZERO-NORM inputs are
+  * outside the window-equivalence contract: there the divisor is 0, and
+  * Spark's declarative Divide yields NULL (ranked last, non-ANSI) or an
+  * ANSI error — the fold gives them the same deterministic NaN-first
+  * order instead (DotProductSpec pins both behaviors).
   *
   * `cents` is array<struct<cent_id: long, cvec: array<float|double>,
   * cn: double>> — the collect_list build in Similarity.centArray. Field
@@ -100,7 +109,8 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
         i += 1
       }
       val cos = dot / (math.sqrt(nsq) * math.sqrt(cn))
-      if (cos > bestCos || (cos == bestCos && id < bestId)) {
+      val ord = java.lang.Double.compare(cos, bestCos)
+      if (ord > 0 || (ord == 0 && id < bestId)) {
         bestCos = cos; bestId = id
       }
       c += 1
@@ -122,6 +132,7 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
       val id = ctx.freshName("id")
       val bestCos = ctx.freshName("bestCos")
       val bestId = ctx.freshName("bestId")
+      val ord = ctx.freshName("ord")
       def get(arr: String, idx: String, elem: DataType) = elem match {
         case FloatType => s"(double) $arr.getFloat($idx)"
         case _ => s"$arr.getDouble($idx)"
@@ -144,7 +155,8 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
          |      $dot += ${get(v, i, vecElem)} * ${get(cv, i, cvecElem)};
          |    }
          |    double $cos = $dot / (java.lang.Math.sqrt($nsq) * java.lang.Math.sqrt($cn));
-         |    if ($cos > $bestCos || ($cos == $bestCos && $id < $bestId)) {
+         |    int $ord = java.lang.Double.compare($cos, $bestCos);
+         |    if ($ord > 0 || ($ord == 0 && $id < $bestId)) {
          |      $bestCos = $cos; $bestId = $id;
          |    }
          |  }
@@ -177,8 +189,10 @@ case class NearestCentroid(first: Expression, second: Expression, third: Express
   *
   * Arithmetic and tie-break are bit-identical to [[NearestCentroid]]
   * (same fold, same `dot / (sqrt(nsq) * sqrt(cn))` op sequence, same
-  * (cos, id) total order); `graft_nearest_cells(..., 1)[0]` ≡
-  * `graft_nearest_centroid(...)`. Returns an EMPTY array (never null)
+  * (cos, id) total order — `java.lang.Double.compare`, so NaN cosines
+  * rank first exactly as in Spark's descending sort; zero-norm inputs
+  * are outside the window contract, see [[NearestCentroid]]);
+  * `graft_nearest_cells(..., 1)[0]` ≡ `graft_nearest_centroid(...)`. Returns an EMPTY array (never null)
   * for an empty centroid set, so explode drops the row — matching the
   * crossJoin-with-empty-cents behavior.
   *
@@ -255,8 +269,10 @@ case class NearestCells(first: Expression, second: Expression,
       val cos = dot / (math.sqrt(nsq) * math.sqrt(cn))
       // leaderboard insert: pos = # kept entries strictly better
       var pos = 0
-      while (pos < filled &&
-        !(cos > topCos(pos) || (cos == topCos(pos) && id < topId(pos)))) pos += 1
+      while (pos < filled && {
+        val ord = java.lang.Double.compare(cos, topCos(pos))
+        !(ord > 0 || (ord == 0 && id < topId(pos)))
+      }) pos += 1
       if (pos < cap) {
         var j = if (filled < cap) filled else cap - 1
         while (j > pos) { topCos(j) = topCos(j - 1); topId(j) = topId(j - 1); j -= 1 }
@@ -284,6 +300,7 @@ case class NearestCells(first: Expression, second: Expression,
       val cos = ctx.freshName("cos")
       val id = ctx.freshName("id")
       val pos = ctx.freshName("pos")
+      val ord = ctx.freshName("ord")
       val topCos = ctx.freshName("topCos")
       val topId = ctx.freshName("topId")
       val filled = ctx.freshName("filled")
@@ -312,8 +329,11 @@ case class NearestCells(first: Expression, second: Expression,
          |    }
          |    double $cos = $dot / (java.lang.Math.sqrt($nsq) * java.lang.Math.sqrt($cn));
          |    int $pos = 0;
-         |    while ($pos < $filled &&
-         |        !($cos > $topCos[$pos] || ($cos == $topCos[$pos] && $id < $topId[$pos]))) $pos++;
+         |    while ($pos < $filled) {
+         |      int $ord = java.lang.Double.compare($cos, $topCos[$pos]);
+         |      if ($ord > 0 || ($ord == 0 && $id < $topId[$pos])) break;
+         |      $pos++;
+         |    }
          |    if ($pos < $cap) {
          |      for (int $j = ($filled < $cap) ? $filled : $cap - 1; $j > $pos; $j--) {
          |        $topCos[$j] = $topCos[$j - 1]; $topId[$j] = $topId[$j - 1];

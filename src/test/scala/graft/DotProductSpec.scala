@@ -108,6 +108,59 @@ class DotProductSpec extends SparkSpec {
     assert(tied.getSeq[Long](0) == Seq(3L, 9L))
   }
 
+  test("NaN cosines rank FIRST — Double.compare total order matches the descending sort") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // NaN INPUT values (finite divisor → cosine = NaN in BOTH the fold
+    // and the declarative form): Spark's descending sort puts NaN first,
+    // so the fold must rank it first too (the round-9 fold treated NaN
+    // as always-worse — a window-parity break on degenerate vectors).
+    // Row-for-row parity under DEFAULT conf (no zero divisor, so no
+    // ANSI error): one NaN-poisoned corpus vector (every cosine NaN for
+    // that row) and one NaN-poisoned centroid (NaN against every row).
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(Double.NaN, 0.0)),
+        (3L, Seq(0.5, 0.5)))
+      .toDF("vid", "vec")
+      .withColumn("nsq", VectorOps.normSq(col("vec")))
+    val cents = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(Double.NaN, 1.0)),
+        (30L, Seq(0.0, 1.0)))
+      .toDF("cent_id", "cvec")
+      .withColumn("cn", VectorOps.normSq(col("cvec")))
+    for (p <- Seq(1, 2, 3)) {
+      val fold = graft.operators.Similarity.cellAssignment(emb, cents, p)
+        .select("vid", "cell", "rn")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vid")
+        .orderBy(col("__ccos").desc, col("cent_id").asc)
+      val window = emb.crossJoin(broadcast(cents))
+        .withColumn("__ccos",
+          VectorOps.cosine(col("vec"), col("cvec"), col("nsq"), col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= p)
+        .select(col("vid"), col("cent_id").as("cell"), col("rn"))
+      assert(fold.exceptAll(window).count() == 0 &&
+        window.exceptAll(fold).count() == 0,
+        s"fold/window NaN divergence at p=$p")
+    }
+    // ZERO-NORM inputs are OUTSIDE the window contract (declarative
+    // Divide yields NULL → ranks last non-ANSI, errors under ANSI): the
+    // fold gives them the same deterministic NaN-first order — never
+    // the old sentinel garbage (Long.MaxValue / silent empty array)
+    val r = spark.sql(
+      """SELECT graft_nearest_centroid(
+           array(named_struct('cent_id', 5L, 'cvec', array(1.0D), 'cn', 1.0D),
+                 named_struct('cent_id', 7L, 'cvec', array(0.0D), 'cn', 0.0D)),
+           array(2.0D), 4.0D) AS cell""").collect().head
+    assert(r.getLong(0) == 7L, "zero-norm (NaN-cosine) centroid must win")
+    // ties among NaNs break by id asc, ahead of every finite cosine
+    val cells = spark.sql(
+      """SELECT graft_nearest_cells(
+           array(named_struct('cent_id', 5L, 'cvec', array(1.0D), 'cn', 1.0D),
+                 named_struct('cent_id', 7L, 'cvec', array(0.0D), 'cn', 0.0D),
+                 named_struct('cent_id', 2L, 'cvec', array(0.0D), 'cn', 0.0D)),
+           array(2.0D), 4.0D, 3) AS cells""").collect().head
+    assert(cells.getSeq[Long](0) == Seq(2L, 7L, 5L))
+  }
+
   test("cellAssignment plan: zero exchange, zero window — map-only over the broadcast centroid array") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
