@@ -24,6 +24,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo,
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** PRODUCTION SERVING FACE of the persisted graft indexes — a real
   * DataSourceV2 connector (`spark.read.format("graft-index")
@@ -102,6 +103,12 @@ class GraftIndexSource extends TableProvider with DataSourceRegister {
 
 object GraftIndexTable {
   private val PartDir = "([^=/]+)=([^/]*)".r
+
+  /** Hive's directory name for a NULL partition value — parsed as null
+    * (matching `spark.read.parquet` over the same layout) instead of
+    * failing the whole table at planning time.
+    */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** First-level `name=value` directory names define the partition
     * columns (the writers emit exactly one level; nesting would extend
@@ -203,13 +210,22 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     tableSchema.find(f => f.name == name && !partCols(f.name)).map(_.dataType)
 
   /** Partition-column filters prune directories; see the pruner for the
-    * evaluated shapes.
+    * evaluated shapes. Null comparands are rejected (they stay with
+    * Spark, which evaluates them to unknown/false) — the same guard
+    * [[dataPushable]] applies, so a legal `cell IN (1, NULL)` never
+    * reaches the pruner's comparator. EqualNullSafe and IsNull ARE
+    * claimed: null partition values exist (Hive default-partition
+    * directories) and the pruner matches them exactly.
     */
   private def partPushable(f: Filter): Boolean =
     f.references.nonEmpty && f.references.forall(partCols.contains) && (f match {
-      case _: EqualTo | _: EqualNullSafe | _: In | _: IsNotNull |
-           _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
-           _: LessThanOrEqual => true
+      case EqualTo(_, v) => v != null
+      case _: EqualNullSafe | _: IsNotNull | _: IsNull => true
+      case In(_, vs) => vs != null && vs.nonEmpty && vs.forall(_ != null)
+      case GreaterThan(_, v) => v != null
+      case GreaterThanOrEqual(_, v) => v != null
+      case LessThan(_, v) => v != null
+      case LessThanOrEqual(_, v) => v != null
       case _ => false
     })
 
@@ -314,14 +330,23 @@ class GraftIndexScan(path: String, tableSchema: StructType,
   private def partType(name: String): DataType =
     tableSchema.find(_.name == name).map(_.dataType).getOrElse(StringType)
 
-  private def parse(raw: String, dt: DataType): Any = dt match {
-    case LongType => raw.toLong
-    case IntegerType => raw.toInt
-    case DoubleType => raw.toDouble
-    case FloatType => raw.toFloat
-    case BooleanType => raw.toBoolean
-    case _ => raw
-  }
+  /** Directory value → typed partition value. Hive's default-partition
+    * sentinel and values that don't parse as the inferred type become
+    * NULL (matching spark.read.parquet over the same layout) instead of
+    * throwing at planning time and failing every query over the table.
+    */
+  private def parse(raw: String, dt: DataType): Any =
+    if (raw == GraftIndexTable.HiveDefaultPartition) null
+    else try {
+      dt match {
+        case LongType => raw.toLong
+        case IntegerType => raw.toInt
+        case DoubleType => raw.toDouble
+        case FloatType => raw.toFloat
+        case BooleanType => raw.toBoolean
+        case _ => raw
+      }
+    } catch { case _: IllegalArgumentException => null }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue)
@@ -331,17 +356,28 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     case (x, y) => x.toString.compareTo(y.toString)
   }
 
-  private def eval(f: Filter, parts: Map[String, Any]): Boolean = f match {
-    case EqualTo(a, v) => parts.get(a).exists(cmp(_, v) == 0)
-    case EqualNullSafe(a, v) =>
-      if (v == null) !parts.contains(a) else parts.get(a).exists(cmp(_, v) == 0)
-    case In(a, vs) => parts.get(a).exists(x => vs.exists(v => cmp(x, v) == 0))
-    case IsNotNull(a) => parts.contains(a)
-    case GreaterThan(a, v) => parts.get(a).exists(cmp(_, v) > 0)
-    case GreaterThanOrEqual(a, v) => parts.get(a).exists(cmp(_, v) >= 0)
-    case LessThan(a, v) => parts.get(a).exists(cmp(_, v) < 0)
-    case LessThanOrEqual(a, v) => parts.get(a).exists(cmp(_, v) <= 0)
-    case _ => true // unknown runtime shape: keep the partition (safe)
+  /** Exact SQL semantics over possibly-NULL partition values: a null
+    * value (or a null comparand a runtime filter might carry) matches
+    * nothing except IS NULL / `<=> NULL`. Claimed partition filters are
+    * never re-evaluated by Spark, so this must be exact, not heuristic.
+    */
+  private def eval(f: Filter, parts: Map[String, Any]): Boolean = {
+    def nonNull(a: String): Option[Any] = parts.get(a).filter(_ != null)
+    f match {
+      case EqualTo(a, v) => v != null && nonNull(a).exists(cmp(_, v) == 0)
+      case EqualNullSafe(a, v) =>
+        if (v == null) parts.contains(a) && parts(a) == null
+        else nonNull(a).exists(cmp(_, v) == 0)
+      case In(a, vs) => vs != null &&
+        nonNull(a).exists(x => vs.exists(v => v != null && cmp(x, v) == 0))
+      case IsNotNull(a) => nonNull(a).nonEmpty
+      case IsNull(a) => parts.contains(a) && parts(a) == null
+      case GreaterThan(a, v) => v != null && nonNull(a).exists(cmp(_, v) > 0)
+      case GreaterThanOrEqual(a, v) => v != null && nonNull(a).exists(cmp(_, v) >= 0)
+      case LessThan(a, v) => v != null && nonNull(a).exists(cmp(_, v) < 0)
+      case LessThanOrEqual(a, v) => v != null && nonNull(a).exists(cmp(_, v) <= 0)
+      case _ => true // unknown runtime shape: keep the partition (safe)
+    }
   }
 
   private def selectedFiles: Seq[(String, Long, Map[String, Any])] = {
@@ -398,48 +434,48 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     if (agg.nonEmpty && !grouped) {
       // one split per file: the footer-agg reader emits one partial row
       files.map { case (f, _, parts) =>
-        GraftIndexInputPartition(Seq(f),
-          parts.map { case (k, v) => k -> String.valueOf(v) },
-          typedPartOrder): InputPartition
+        GraftIndexInputPartition(Seq(f), parts, typedPartOrder): InputPartition
       }.toArray
     } else if (grouped) {
       files.groupBy(_._3).toSeq
-        .sortBy(_._1.toSeq.sortBy(_._1).map(_._2.toString).mkString("/"))
+        .sortBy(_._1.toSeq.sortBy(_._1).map(kv => String.valueOf(kv._2)).mkString("/"))
         .map { case (parts, fs) =>
-          GraftIndexInputPartition(fs.map(_._1).sorted,
-            parts.map { case (k, v) => k -> String.valueOf(v) },
+          GraftIndexInputPartition(fs.map(_._1).sorted, parts,
             typedPartOrder): InputPartition
         }.toArray
     } else {
       files.map { case (f, _, parts) =>
-        GraftIndexInputPartition(Seq(f),
-          parts.map { case (k, v) => k -> String.valueOf(v) },
-          typedPartOrder): InputPartition
+        GraftIndexInputPartition(Seq(f), parts, typedPartOrder): InputPartition
       }.toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val schema = readSchema()
+    // the DRIVER's Hadoop configuration, serialized into the factory:
+    // executor-side opens must see the same fs credentials/overrides the
+    // planning-time listing saw (a bare `new Configuration()` silently
+    // drops spark.hadoop.* and reads the wrong filesystem off-local)
+    val conf = new SerializableConfiguration(GraftIndexTable.activeHadoopConf())
     agg match {
       case Some(a) => new GraftIndexAggReaderFactory(a, aggSchema.get,
-        aggSchema.get.fields.map(f => partCols.contains(f.name)))
+        aggSchema.get.fields.map(f => partCols.contains(f.name)), conf)
       case None => new GraftIndexReaderFactory(schema,
         schema.fields.map(f => partCols.contains(f.name)),
-        pushedData, tableSchema, limit)
+        pushedData, tableSchema, limit, conf)
     }
   }
 }
 
 case class GraftIndexInputPartition(files: Seq[String],
-    partValuesRaw: Map[String, String], partOrder: Seq[(String, DataType)])
+    partValues: Map[String, Any], partOrder: Seq[(String, DataType)])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = {
     val row = new GenericInternalRow(partOrder.length)
     partOrder.zipWithIndex.foreach { case ((c, dt), i) =>
       // typed per the table schema so key rows match the reported
-      // KeyGroupedPartitioning expressions
-      row.update(i, GraftIndexReaderFactory.parsePart(partValuesRaw(c), dt))
+      // KeyGroupedPartitioning expressions; null = Hive default partition
+      row.update(i, GraftIndexReaderFactory.toInternal(partValues(c), dt))
     }
     row
   }
@@ -530,7 +566,8 @@ object GraftIndexFilters {
   */
 class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
     pushedData: Array[Filter], tableSchema: StructType,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    private[graft] val conf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -539,16 +576,17 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
       case (f, false) => f
     }
     val partConst: Array[Any] = readSchema.fields.zip(isPart).map {
-      case (f, true) => GraftIndexReaderFactory.parsePart(
-        gip.partValuesRaw(f.name), f.dataType)
+      case (f, true) => GraftIndexReaderFactory.toInternal(
+        gip.partValues(f.name), f.dataType)
       case _ => null
     }
     val base =
       if (dataFields.isEmpty && pushedData.isEmpty)
-        new GraftIndexCountingReader(gip.files, readSchema, isPart, partConst)
+        new GraftIndexCountingReader(gip.files, readSchema, isPart, partConst,
+          conf.value)
       else
         new GraftIndexRowReader(gip.files, readSchema, isPart, partConst,
-          dataFields, pushedData, tableSchema)
+          dataFields, pushedData, tableSchema, conf.value)
     limit match {
       case Some(n) => new PartitionReader[InternalRow] {
         private var emitted = 0
@@ -563,13 +601,13 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
 }
 
 object GraftIndexReaderFactory {
-  def parsePart(raw: String, dt: DataType): Any = dt match {
-    case LongType => java.lang.Long.valueOf(raw)
-    case IntegerType => java.lang.Integer.valueOf(raw)
-    case DoubleType => java.lang.Double.valueOf(raw)
-    case FloatType => java.lang.Float.valueOf(raw)
-    case BooleanType => java.lang.Boolean.valueOf(raw)
-    case _ => UTF8String.fromString(raw)
+  /** External partition value (typed by the scan's parse, nullable) →
+    * Spark internal representation.
+    */
+  def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case _ => v
   }
 }
 
@@ -577,10 +615,10 @@ object GraftIndexReaderFactory {
   * projections.
   */
 class GraftIndexCountingReader(files: Seq[String], readSchema: StructType,
-    isPart: Array[Boolean], partConst: Array[Any])
+    isPart: Array[Boolean], partConst: Array[Any], conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val total: Long = files.map { f =>
-    val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+    val in = HadoopInputFile.fromPath(new Path(f), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }.sum
@@ -603,7 +641,9 @@ class GraftIndexCountingReader(files: Seq[String], readSchema: StructType,
   * back to decoding JUST that column.
   */
 class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
-    isPart: Array[Boolean]) extends PartitionReaderFactory {
+    isPart: Array[Boolean],
+    private[graft] val conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   // serializable spec: (kind, colName) per aggregate, kinds C/MIN/MAX
   private val spec: Array[(String, String)] = agg.aggregateExpressions.map {
     case _: CountStar => ("C", "")
@@ -626,8 +666,7 @@ class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
         file = fileIter.next(); true
       }
       override def get(): InternalRow = {
-        val conf = new Configuration()
-        val in = HadoopInputFile.fromPath(new Path(file), conf)
+        val in = HadoopInputFile.fromPath(new Path(file), conf.value)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = reader.getFooter.getBlocks
@@ -636,8 +675,8 @@ class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
           var si = 0
           val slots = aggSchema.fields.zipWithIndex.map { case (f, i) =>
             if (isPart(i)) {
-              row.update(i, GraftIndexReaderFactory.parsePart(
-                gip.partValuesRaw(f.name), f.dataType))
+              row.update(i, GraftIndexReaderFactory.toInternal(
+                gip.partValues(f.name), f.dataType))
               None
             } else { val s = spec(si); si += 1; Some((s, i)) }
           }.flatten
@@ -656,7 +695,8 @@ class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
                 if (stats.exists(s => s.isEmpty || s.get.isEmpty)) {
                   // stats missing: decode just this column
                   row.update(i, GraftIndexAggReaderFactory
-                    .scanMinMax(file, col, mm == "MIN", aggSchema.fields(i).dataType))
+                    .scanMinMax(file, col, mm == "MIN",
+                      aggSchema.fields(i).dataType, conf.value))
                 } else {
                   val nonNull = stats.flatten.filter(_.hasNonNullValue)
                   if (nonNull.isEmpty) row.update(i, null)
@@ -680,15 +720,22 @@ class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
 }
 
 object GraftIndexAggReaderFactory {
-  /** Stats-missing fallback: decode one column, compute min/max. */
+  /** Stats-missing fallback: decode one column, compute min/max. A file
+    * that doesn't CONTAIN the column at all (evolved schema) contributes
+    * all-null → null, matching spark.read.parquet's merged-schema view.
+    */
   def scanMinMax(file: String, col: String, isMin: Boolean,
-      dt: DataType): Any = {
-    val conf = new Configuration()
+      dt: DataType, baseConf: Configuration): Any = {
+    val conf = new Configuration(baseConf)
     val footer = {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(file), conf))
       try r.getFileMetaData.getSchema finally r.close()
     }
+    val present = footer.getFields
+      .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
+      .stream().anyMatch(_.getName == col)
+    if (!present) return null
     val projected = new org.apache.parquet.schema.MessageType(footer.getName,
       footer.getFields.asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
         .stream().filter(_.getName == col)
@@ -726,47 +773,87 @@ object GraftIndexAggReaderFactory {
 class GraftIndexRowReader(files: Seq[String], readSchema: StructType,
     isPart: Array[Boolean], partConst: Array[Any],
     dataFields: Array[StructField], pushedData: Array[Filter],
-    tableSchema: StructType)
+    tableSchema: StructType, baseConf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val fileQueue = scala.collection.mutable.Queue(files: _*)
   private var reader: ParquetReader[Group] = _
   private var current: Group = _
+  // > 0: the current file lacks EVERY projected data column — emit this
+  // many all-null data rows without a parquet record reader
+  private var constRows: Long = 0L
 
+  /** Advance to the next file that contributes rows. Files may carry
+    * HETEROGENEOUS schemas under one merged table schema (evolved
+    * writers): a column absent from a file reads as null — exactly
+    * spark.read.parquet's semantics — so
+    *  - projected columns absent from the file are skipped in the
+    *    parquet projection and emitted as null by convert();
+    *  - a pushed filter referencing an absent column is a PER-FILE
+    *    constant (the column is null for every row): IsNull keeps the
+    *    file and drops that conjunct, every other claimed shape needs a
+    *    non-null value → the whole file is skipped;
+    *  - a file lacking every projected data column still yields its
+    *    (filter-surviving) rows as partition-constant + null rows.
+    */
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
-    if (fileQueue.isEmpty) return false
-    val file = fileQueue.dequeue()
-    val conf = new Configuration()
-    // requested projection: required data columns ∪ filter columns (the
-    // record-level filter needs its inputs materialized)
-    val footer = {
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(file), conf))
-      try r.getFileMetaData.getSchema finally r.close()
+    while (fileQueue.nonEmpty) {
+      val file = fileQueue.dequeue()
+      val conf = new Configuration(baseConf)
+      // requested projection: required data columns ∪ filter columns (the
+      // record-level filter needs its inputs materialized)
+      val footer = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(file), conf))
+        try r.getFileMetaData finally r.close()
+      }
+      val fileSchema = footer.getSchema
+      val present = fileSchema.getFields
+        .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
+        .stream().map[String](_.getName).toArray.map(_.toString).toSet
+      val (filtersInFile, filtersAbsent) =
+        pushedData.partition(_.references.forall(present))
+      if (filtersAbsent.forall { case IsNull(_) => true; case _ => false }) {
+        val wanted = (dataFields.map(_.name).toSet ++
+          filtersInFile.flatMap(_.references)).intersect(present)
+        if (wanted.isEmpty) {
+          // no decodable column and no in-file filter: every row of the
+          // file survives as partition constants + nulls
+          val in = HadoopInputFile.fromPath(new Path(file), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          constRows = try r.getRecordCount finally r.close()
+          if (constRows > 0) return true
+        } else {
+          val projected = new org.apache.parquet.schema.MessageType(
+            fileSchema.getName,
+            fileSchema.getFields.asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
+              .stream().filter(t => wanted.contains(t.getName))
+              .toArray(n => new Array[org.apache.parquet.schema.Type](n)): _*)
+          conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+            projected.toString)
+          var b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+            .withConf(conf)
+          if (filtersInFile.nonEmpty) {
+            val pred = filtersInFile.map(GraftIndexFilters.toParquet(_, tableSchema))
+              .reduce(FilterApi.and)
+            b = b.withFilter(FilterCompat.get(pred))
+          }
+          reader = b.build()
+          return true
+        }
+      }
+      // else: a non-IsNull filter references a column this file lacks —
+      // the conjunct is constant-false there, skip the file entirely
     }
-    val wanted = dataFields.map(_.name).toSet ++ pushedData.flatMap(_.references)
-    val projected = new org.apache.parquet.schema.MessageType(
-      footer.getName,
-      footer.getFields.asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
-        .stream().filter(t => wanted.contains(t.getName))
-        .toArray(n => new Array[org.apache.parquet.schema.Type](n)): _*)
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      projected.toString)
-    var b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(conf)
-    if (pushedData.nonEmpty) {
-      val pred = pushedData.map(GraftIndexFilters.toParquet(_, tableSchema))
-        .reduce(FilterApi.and)
-      b = b.withFilter(FilterCompat.get(pred))
-    }
-    reader = b.build()
-    true
+    false
   }
 
   override def next(): Boolean = {
     while (true) {
+      if (constRows > 0) { constRows -= 1; current = null; return true }
       if (reader == null && !openNext()) return false
+      if (constRows > 0) { constRows -= 1; current = null; return true }
       current = reader.read()
       if (current != null) return true
       reader.close(); reader = null
@@ -781,8 +868,11 @@ class GraftIndexRowReader(files: Seq[String], readSchema: StructType,
     while (i < readSchema.length) {
       if (isPart(i)) row.update(i, partConst(i))
       else {
-        row.update(i, convert(current, dataFields(di).name,
-          dataFields(di).dataType))
+        // current == null: constant-rows mode (file lacks every
+        // projected data column) — all data columns are null
+        row.update(i,
+          if (current == null) null
+          else convert(current, dataFields(di).name, dataFields(di).dataType))
         di += 1
       }
       i += 1
@@ -792,9 +882,11 @@ class GraftIndexRowReader(files: Seq[String], readSchema: StructType,
 
   /** Group → Spark internal value for the supported index types.
     * Arrays follow Spark's 3-level list encoding (group LIST → repeated
-    * group list → element).
+    * group list → element). A column the file's schema lacks (evolved
+    * file sets) is null, like spark.read.parquet's merged view.
     */
   private def convert(g: Group, name: String, dt: DataType): Any = {
+    if (!g.getType.containsField(name)) return null
     val idx = g.getType.getFieldIndex(name)
     if (g.getFieldRepetitionCount(idx) == 0) return null
     dt match {

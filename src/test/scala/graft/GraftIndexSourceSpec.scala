@@ -279,4 +279,85 @@ class GraftIndexSourceSpec extends SparkSpec {
       viaParquet.exceptAll(viaV2).count() == 0,
       "V2 probe must be row-identical to the parquet probe")
   }
+
+  test("evolved file sets: a column absent from a file reads as null; filters on it stay exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x").repartition(1).write.parquet(dir)
+    Seq(3L, 4L).toDF("id").repartition(1).write.mode("append").parquet(dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("x", org.apache.spark.sql.types.LongType)
+    def evo = spark.read.format("graft-index").schema(schema).load(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("id", "x")
+    // full-read parity with Spark's merged-schema view: absent x → null
+    assert(evo.count() == 4)
+    assert(evo.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(evo).count() == 0)
+    // pushed x > 5 is a per-file CONSTANT FALSE where x is absent: the
+    // claimed filter must stay exact, not throw on the x-less footer
+    assert(evo.where(col("x") > 5L).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // pushed x IS NULL keeps exactly the x-less file's rows
+    assert(evo.where(col("x").isNull).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    assert(evo.where(col("x").isNotNull).count() == 2)
+    // projecting ONLY the absent column still yields the right row count
+    assert(evo.select("x").count() == 4)
+    assert(evo.select("x").where(col("x").isNull).count() == 2)
+  }
+
+  test("__HIVE_DEFAULT_PARTITION__ is a NULL partition value, not a planning-time crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullpart").toString + "/t"
+    Seq((1L, 5), (2L, 5), (7L, 9)).toDF("v", "cell")
+      .write.partitionBy("cell").parquet(dir)
+    // the directory Hive/Spark render for a null partition value
+    Seq(3L).toDF("v").repartition(1)
+      .write.parquet(s"$dir/cell=__HIVE_DEFAULT_PARTITION__")
+    val t = v2(dir)
+    val ref = spark.read.parquet(dir).select(t.columns.map(col): _*)
+    assert(t.count() == 4)
+    assert(t.exceptAll(ref).count() == 0 && ref.exceptAll(t).count() == 0)
+    // IsNull / IsNotNull / EqualNullSafe are CLAIMED partition filters:
+    // the pruner must match the null directory exactly
+    assert(t.where(col("cell").isNull).select("v").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(t.where(col("cell").isNotNull).count() == 3)
+    assert(t.where(col("cell") <=> lit(null)).count() == 1)
+    assert(t.where(col("cell") === 5).count() == 2)
+    // a null comparand (legal SQL) is REJECTED by partPushable and
+    // evaluated Spark-side: null never matches, no pruner NPE
+    assert(t.where(col("cell").isin(5, null)).count() == 2)
+    assert(t.where(col("cell") > 5).count() == 1, "null partition never matches a relational filter")
+  }
+
+  test("executor readers carry the DRIVER's Hadoop conf across serialization") {
+    val marker = "graft.test.conf.marker"
+    spark.sparkContext.hadoopConfiguration.set(marker, "42")
+    try {
+      val dir = writeIndex()
+      val tbl = new graft.sources.GraftIndexTable(s"$dir/cells",
+        spark.read.parquet(s"$dir/cells").schema)
+      val factory = tbl
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().toBatch.createReaderFactory()
+      def roundtrip[T](x: T): T = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(x); oos.close()
+        new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+          .readObject().asInstanceOf[T]
+      }
+      // the factory ships to executors by java serialization: the conf
+      // must survive the trip with the driver's settings intact (a bare
+      // `new Configuration()` on the executor would lose fs credentials
+      // and spark.hadoop.* overrides on any non-local deployment)
+      val shipped = roundtrip(factory.asInstanceOf[graft.sources.GraftIndexReaderFactory])
+      assert(shipped.conf.value.get(marker) == "42",
+        "driver Hadoop conf must reach the executor-side reader factory")
+    } finally spark.sparkContext.hadoopConfiguration.unset(marker)
+  }
 }
