@@ -14,16 +14,16 @@ object Probe {
       // dormant compat for TIMESTAMP(NANOS) fixture vintages (see Verify)
       .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    def run(label: String)(f: => Unit): Unit = {
-      val ts = (1 to 5).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"PROBE $label MIN ${ts.drop(1).min}%.3f ALL ${ts.map(t => f"$t%.2f").mkString(",")}")
-    }
-    val cutoffNs = 1705363200000000000L
-    run("incr_filter") {
-      Tables.events(spark, d).where(col("ts") < cutoffNs).count()
+    // round-10 q: does XxHash-mode LSH reach EXACT recall at the fixture
+    // operating point (16 perms, r=2, tau=0.8)? If yes at every SF, the
+    // exact-pair oracle can gate ext_dedup_minhash_fast.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Tables.documents(spark, d)
+      val fast = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        16, 2, 0.8, graft.operators.Dedup.XxHash)
+      val exact = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      println(s"PROBE $d FAST ${fast.count()} EXACT ${exact.count()} " +
+        s"F-E ${fast.exceptAll(exact).count()} E-F ${exact.exceptAll(fast).count()}")
     }
     spark.stop()
   }

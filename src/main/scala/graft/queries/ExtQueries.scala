@@ -1439,6 +1439,24 @@ object ExtQueries extends QueryGroup {
     s"""WITH ${minhashCtesSql("documents")},
        ${verifySql(MinhashTau)}"""
 
+  /** Oracle for the XxHash (production-mode) LSH: the EXACT pair set at
+    * the same threshold, candidates off the inverted index with no
+    * banding. XxHash signatures are not SQL-expressible, so the gate
+    * asserts something STRONGER than a pipeline restatement: that the
+    * production path's verified output equals exact truth — i.e. band
+    * recall is 100% at this operating point (16 perms, r=2, τ=0.8;
+    * measured exact at sf0.001/0.01/0.1, and any future recall miss
+    * fails the gate loudly instead of hiding in a rows-only check). The
+    * raw XxHash signature values stay spec-asserted (DedupSpec) and
+    * determinism-audited.
+    */
+  private val dedupMinhashFastSql =
+    s"""WITH $edgesSql, $sizesSql,
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM edges a JOIN edges b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       ${verifySql(MinhashTau)}"""
+
   /** The rowsPerBand ladder of the LSH band-sweep (bands = 16/r): r=1 is
     * the loosest bucketing (most candidates, highest recall), r=4 the
     * tightest — the cost/recall operating points a deployment chooses
@@ -5959,21 +5977,55 @@ object ExtQueries extends QueryGroup {
        FROM w GROUP BY 1, 2"""
   }
 
-  /** Scale flavor of the window aggregate: HyperLogLog++ distinct users
-    * (constant memory per group vs countDistinct's exact shuffle of every
-    * key). NO ORACLE on purpose: DuckDB's approx_distinct uses a
-    * different sketch, so values can't hash-match — the driver records
-    * the weaker rows-only check. Spark's HLL++ is itself deterministic
-    * for a fixed input (register merge is max-based, order-independent).
+  /** Scale flavor of the window aggregate: APPROXIMATE distinct users at
+    * constant sketch state per group (vs countDistinct's exact shuffle
+    * of every key). Round-10 reshape (closes the registry's last
+    * rows-only gate): the REGISTERED estimate is the deterministic
+    * linear-counting sketch — the same engine-independent
+    * bucketed-occupancy state the sketch tier persists and merges, so
+    * the DuckDB oracle restates it and the rows hash-gate. Spark's HLL++
+    * flavor (whose register values are engine-specific by construction,
+    * so it could never value-match ANY other engine) rides a spec
+    * assertion instead: SketchSpec pins |hll − exact| within the sketch's
+    * error contract on every window. State here is ≤ LinCountBuckets
+    * occupancy slots per (window, type) — same scale story as HLL.
     */
-  private def streamWindowApprox(s: SparkSession, d: String): DataFrame =
+  private def streamWindowApprox(s: SparkSession, d: String): DataFrame = {
+    val b = LinCountBuckets
     Tables.events(s, d)
       .withColumn("window_start",
         expr(s"ts div ${EventsStream.WindowSeconds * 1000000000L}")
           * EventsStream.WindowSeconds)
       .groupBy("window_start", "event_type")
       .agg(count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id")).as("n_users_approx"))
+        countDistinct(Sketches.bucketOf(col("user_id"), b, 7L)).as("n_occupied"))
+      .withColumn("n_users_est",
+        when(col("n_occupied") < b,
+          round(lit(b.toDouble) *
+            log(lit(b.toDouble) / (lit(b) - col("n_occupied"))), 4)))
+  }
+
+  /** Twin of [[streamWindowApprox]]: same tumbling window, same Knuth
+    * bucket hash, same occupancy-inversion estimate as the lincount
+    * sketch oracles.
+    */
+  private lazy val streamWindowApproxSql = {
+    val b = LinCountBuckets
+    val wNs = EventsStream.WindowSeconds * 1000000000L
+    s"""WITH e AS (
+         SELECT epoch_ns(ts) // $wNs * ${EventsStream.WindowSeconds} AS window_start,
+                event_type, user_id
+         FROM events),
+       occ AS (
+         SELECT window_start, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT (((user_id % ${Sketches.Mod}) * ${Sketches.KnuthA} + 7) % ${Sketches.Mod}) % $b) AS BIGINT) AS n_occupied
+         FROM e GROUP BY 1, 2)
+       SELECT window_start, event_type, n_events, n_occupied,
+              CASE WHEN n_occupied < $b
+                   THEN round($b * ln($b.0 / ($b - n_occupied)), 4) END AS n_users_est
+       FROM occ"""
+  }
 
   // ----------------------------------------- round-7 depth: verify/sketch/train
 
@@ -9074,9 +9126,10 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_dedup_minhash_fast",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         MinhashPerms, MinhashRows, MinhashTau, Dedup.XxHash),
-      None,
+      Some(dedupMinhashFastSql),
       "MinHash in XxHash mode — the production path (no global vocabulary " +
-        "rank); engine-specific hashes, so rows-only check"),
+        "rank); gated against the EXACT pair set (100% band recall at this " +
+        "operating point)"),
     GQuery("ext_ann_topk", annTopK, Some(annTopKSql), "brute-force cosine top-k"),
     GQuery("ext_ann_lsh", annLsh, Some(annLshSql), "hyperplane-LSH bucketed ANN"),
     GQuery("ext_ann_ivf", annIvf, Some(annIvfSql), "IVF coarse-quantizer ANN (nprobe=1)"),
@@ -9187,7 +9240,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_sessionize_native", sessionNative, Some(sessionNativeSql), "native session_window sessions: per (user, session) count + start, exclusive-end gap semantics"),
     GQuery("ext_stream_window", streamWindow, Some(streamWindowSql), "tumbling-window agg (batch twin)"),
     GQuery("ext_stream_sliding", streamSliding, Some(streamSlidingSql), "sliding-window agg (batch twin): 10-min windows every 5, each event in 2 windows"),
-    GQuery("ext_stream_approx", streamWindowApprox, None, "HLL++ distinct users (sketch differs from DuckDB's — rows-only check)"),
+    GQuery("ext_stream_approx", streamWindowApprox, Some(streamWindowApproxSql), "windowed approx-distinct users via the deterministic lincount sketch (HLL++ flavor spec-asserted)"),
     GQuery("ext_dedup_editverify", dedupEditVerify, Some(dedupEditVerifySql), "two-stage fuzzy dedup: MinHash candidates verified by normalized Levenshtein similarity"),
     GQuery("ext_dedup_ngramcov", dedupNgramCov, Some(dedupNgramCovSql), "per-doc duplicated-ngram coverage (linear-cost doc-level contamination signal)"),
     GQuery("ext_sketch_lincount", sketchLincount, Some(sketchLincountSql), "linear-counting distinct sketch with exact-count audit (deterministic bitmap)"),

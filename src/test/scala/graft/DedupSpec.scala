@@ -100,6 +100,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("XxHash-mode LSH: exact recall at the fixture operating point; signatures partition-invariant") {
+    // the gate ext_dedup_minhash_fast rides: the production (XxHash)
+    // path's verified pairs equal the EXACT pair set at 16 perms / r=2 /
+    // τ=0.8 — a recall miss would fail this (and the oracle gate) loudly
+    val corpus = Tables.documents(spark, sf0001)
+    val fast = Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 2, 0.8,
+      Dedup.XxHash)
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.8)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(fast).count() == 0,
+      "XxHash LSH must reach exact recall at this operating point")
+    // the raw XxHash signature values — engine-specific, so no SQL
+    // oracle can restate them — stay deterministic under repartitioning
+    val edges = Dedup.shingleEdges(corpus, "doc_id", "text")
+    val sig = Dedup.minhashSignatures(edges, 16, Dedup.XxHash)
+    val sig2 = Dedup.minhashSignatures(edges.repartition(7), 16, Dedup.XxHash)
+    assert(sig.exceptAll(sig2).count() == 0 && sig2.exceptAll(sig).count() == 0)
+  }
+
   test("simhashPairs: identical docs at hamming 0 (all hash modes)") {
     for (mode <- Seq(Dedup.DenseId, Dedup.PolyHash, Dedup.XxHash)) {
       val got = Dedup.simhashPairs(docs, "doc_id", "text", 3, mode)

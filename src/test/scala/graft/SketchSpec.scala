@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("HLL++ windowed distinct stays within its error contract vs exact") {
+    // the engine-specific flavor the ext_stream_approx gate replaced
+    // (registered output now estimates via the engine-independent
+    // lincount sketch): HLL++ register values can never value-match
+    // another engine, so its accuracy contract is asserted HERE —
+    // |hll − exact| ≤ max(2, 15% · exact) on every tumbling window
+    // (rsd 0.05 default, 3σ)
+    val wNs = graft.streaming.EventsStream.WindowSeconds * 1000000000L
+    val agg = Tables.events(spark, sf0001)
+      .withColumn("window_start", expr(s"ts div $wNs"))
+      .groupBy("window_start", "event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("n_hll"))
+    assert(agg.count() > 0)
+    val bad = agg.where(abs(col("n_hll") - col("n_exact")) >
+      greatest(lit(2.0), col("n_exact") * 0.15)).count()
+    assert(bad == 0, "HLL++ outside its error contract")
+  }
+
   test("linearCountDistinct: exact counts, occupancy bound, closed-form estimate") {
     val rows = (1L to 300L).map(k => ("g1", k)) ++
       (1L to 5L).map(k => ("g2", k * 1000L)) ++
