@@ -79,11 +79,21 @@ object Bench {
     * contention, and stamping both on the line makes the adjudication a
     * pure diff — suite time >> isolated time with equal shuffle bytes =
     * contention, not a plan regression.
+    * q_isolated_prev carries the PRIOR round's isolated numbers for the
+    * same roster (parsed from the newest BENCH_r*.json), so the
+    * round-over-round isolated diff lives in ONE artifact instead of
+    * two BENCH files (round-9 lesson: the append-spike adjudication
+    * needed both).
+    * cpus/state stamp the protocol: a local[8] or state-dir-reusing run
+    * must never be conflated with the driver's local[32] rebuilt-state
+    * numbers (round-9 reporting lesson).
     */
   private[graft] def canonicalLine(results: Seq[Result], sfDir: String,
       filteredOf: Option[Int] = None, shuffleMb: Option[Double] = None,
       qShuffleMb: Map[String, Double] = Map.empty,
-      qIsolated: Map[String, Double] = Map.empty): String = {
+      qIsolated: Map[String, Double] = Map.empty,
+      qIsolatedPrev: Map[String, Double] = Map.empty,
+      cpus: Option[String] = None, state: Option[String] = None): String = {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -91,7 +101,9 @@ object Bench {
     // full-suite total — every ladder rung carries "filtered":"picked/total"
     // so a partial run is visibly partial to anything parsing the line.
     val fmark = filteredOf.map(t => s""","filtered":"${results.size}/$t"""").getOrElse("") +
-      shuffleMb.map(v => s""","shuffle_mb":${fmt2(v)}""").getOrElse("")
+      shuffleMb.map(v => s""","shuffle_mb":${fmt2(v)}""").getOrElse("") +
+      cpus.map(c => s""","cpus":"$c"""").getOrElse("") +
+      state.map(s => s""","state":"$s"""").getOrElse("")
     def line(qs: String, errsJson: String, extra: String = "") =
       s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$extra$fmark,"errors":$errsJson,"sf":"${sfDir.take(120)}"}"""
     val short = abbrev(results.map(_._1))
@@ -105,14 +117,21 @@ object Bench {
     def isolatedJson(key: String => String) =
       if (qIsolated.isEmpty) ""
       else s""","q_isolated":${toJson(qIsolated.toSeq.sortBy(_._1).map { case (n, v) => key(n) -> v }, fmt2)}"""
+    // prior-round isolated numbers resolved for THIS round's roster:
+    // prior keys may be full or (rung-2+) abbreviated, so look up both
+    val prevPairs = qIsolated.keys.toSeq.sorted.flatMap(n =>
+      qIsolatedPrev.get(n).orElse(qIsolatedPrev.get(short(n))).map(n -> _))
+    def prevJson(key: String => String) =
+      if (prevPairs.isEmpty) ""
+      else s""","q_isolated_prev":${toJson(prevPairs.map { case (n, v) => key(n) -> v }, fmt2)}"""
     val omitted = s""","q_omitted":${math.max(0, results.size - 80)}"""
     Seq(
       line(toJson(results.map(r => r._1 -> r._3)), errs,
-        shuffleJson(identity) + isolatedJson(identity)),
+        shuffleJson(identity) + isolatedJson(identity) + prevJson(identity)),
       line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3), fmt2),
-        errs, shuffleJson(short) + isolatedJson(short)),
+        errs, shuffleJson(short) + isolatedJson(short) + prevJson(short)),
       line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs,
-        omitted + shuffleJson(short) + isolatedJson(short)),
+        omitted + shuffleJson(short) + isolatedJson(short) + prevJson(short)),
       line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs,
         omitted + isolatedJson(short)),
       line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs, omitted),
@@ -120,6 +139,47 @@ object Bench {
       line("{}", s"""["${results.count(!_._4)}_queries_failed"]"""))
       .find(_.length <= 1900).get
   }
+
+  /** Extract isolated-re-measure numbers from a prior round's BENCH
+    * artifact text: both the canonical line's `q_isolated` (keys may be
+    * abbreviated on rung-2+ lines) and any bench_detail
+    * `queries_isolated` fragment (full names; the artifact keeps only a
+    * ~2000-char tail, so the fragment may be truncated — pairs are
+    * regex-scavenged, not JSON-parsed). Later fragments win on key
+    * collision. Best-effort by design: an unreadable artifact yields an
+    * empty map, never a failed bench.
+    */
+  private[graft] def parsePrevIsolated(text: String): Map[String, Double] = {
+    // the artifact embeds the process tail as a JSON string, so quotes
+    // arrive backslash-escaped (\"q_isolated\":...) — tolerate both
+    val frag = "\\\\?\"(?:q_isolated|queries_isolated)\\\\?\":\\{([^}]*)".r
+    val pair = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([0-9]+(?:\\.[0-9]+)?)".r
+    frag.findAllMatchIn(text).flatMap(m =>
+      pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble)
+    ).toMap
+  }
+
+  /** Locate and parse the newest BENCH_r*.json in `dir` (or the
+    * SPARK_GRAFT_PREV_BENCH override). Best-effort: any failure is an
+    * empty map.
+    */
+  private def prevIsolated(): Map[String, Double] =
+    try {
+      val file = sys.env.get("SPARK_GRAFT_PREV_BENCH")
+        .map(new java.io.File(_))
+        .orElse {
+          val rx = "BENCH_r(\\d+)\\.json".r
+          Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+            .flatMap(f => f.getName match {
+              case rx(n) => Some((n.toInt, f))
+              case _ => None
+            }).sortBy(-_._1).headOption.map(_._2)
+        }
+      file.filter(_.isFile).map { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try parsePrevIsolated(src.mkString) finally src.close()
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
 
   /** Validate the SPARK_GRAFT_ONLY subset filter against the live query
     * registry: Right(None) = unset (full suite), Right(Some(names)) = a
@@ -208,11 +268,14 @@ object Bench {
     // Adjudication WATCHLIST: queries flagged same-bytes-slower-clock in
     // a prior round ride the isolated re-measure regardless of their
     // current rank, so consecutive rounds' lines carry a pure isolated
-    // diff for them (SPARK_GRAFT_ISOLATE=a,b adds more ad hoc). Current
-    // standing members: the round-8 trio whose suite times rose with
-    // unchanged shuffle bytes.
+    // diff for them (SPARK_GRAFT_ISOLATE=a,b adds more ad hoc). Standing
+    // members: the round-8 trio whose suite times rose with unchanged
+    // shuffle bytes, plus the round-9 pair (ext_ann_hnsw_append's 51.8 s
+    // driver-run spike vs 8.45 s isolated at EQUAL shuffle bytes — not
+    // reproducible at the same protocol and suite position locally, see
+    // PLANS.md — and ext_dedup_prf's same-signature wobble).
     val watchlist = Set("ext_split_leakfree", "ext_dedup_canonical",
-      "ext_sketch_quantile") ++
+      "ext_sketch_quantile", "ext_ann_hnsw_append", "ext_dedup_prf") ++
       sys.env.get("SPARK_GRAFT_ISOLATE").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val roster = (results.filter(_._4).sortBy(r => (-r._3, r._1))
@@ -231,7 +294,10 @@ object Bench {
     println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"queries_shuffle_mb":${toJson(shuffleMb.toSeq, fmt2)},"queries_isolated":${toJson(qIsolated.toSeq)},"errors":$errs}}""")
     println(canonicalLine(results, sfDir,
       only.map(_ => SparkEntry.queries.size), Some(totalShuffleMb),
-      shuffleMb.toMap, qIsolated.toMap))
+      shuffleMb.toMap, qIsolated.toMap, prevIsolated(),
+      cpus = Some(cpus),
+      state = Some(if (sys.env.contains("SPARK_GRAFT_STATE_DIR")) "reused"
+        else "rebuilt")))
     spark.stop()
   }
 }

@@ -111,6 +111,65 @@ class BenchLineSpec extends AnyFunSuite {
     assert(mapper.readTree(bare).get("q_isolated") == null)
   }
 
+  test("protocol stamps: cpus + state ride every rung; prev-round isolated numbers resolve full or abbreviated keys") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, 102.34, 2.34 + i * 0.01, true)
+    }
+    val slow = results.sortBy(r => (-r._3, r._1)).take(4).map(_._1)
+    val qIso = slow.map(_ -> 3.21).toMap
+    val short = Bench.abbrev(names)
+    // prior-round numbers arrive with MIXED keying (rung-1 lines carry
+    // full names, rung-2+ abbreviated) — both must resolve
+    val prev = Map(slow.head -> 9.87, short(slow(1)) -> 6.54)
+    val line = Bench.canonicalLine(results, "/root/testdata/sf0.1",
+      shuffleMb = Some(123456.78),
+      qShuffleMb = names.map(_ -> 12345.67).toMap,
+      qIsolated = qIso, qIsolatedPrev = prev,
+      cpus = Some("32"), state = Some("rebuilt"))
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+    val root = mapper.readTree(line)
+    assert(root.get("cpus").asText() == "32",
+      "the canonical line must stamp its cpu protocol")
+    assert(root.get("state").asText() == "rebuilt",
+      "the canonical line must stamp the state-reuse knob")
+    val prevNode = root.get("q_isolated_prev")
+    assert(prevNode != null && prevNode.size() == 2,
+      s"expected 2 q_isolated_prev entries, got ${if (prevNode == null) "none" else prevNode.size()}")
+    // keyed like q_isolated/queries on the surviving rung
+    val iso = root.get("q_isolated")
+    val it = prevNode.fieldNames()
+    while (it.hasNext) { val k = it.next(); assert(iso.has(k),
+      s"q_isolated_prev key $k must match the q_isolated keying") }
+    // a reused-state run is visibly different
+    val reused = Bench.canonicalLine(results, "x", cpus = Some("8"),
+      state = Some("reused"))
+    assert(mapper.readTree(reused).get("state").asText() == "reused")
+  }
+
+  test("parsePrevIsolated scavenges full and abbreviated keys from a truncated artifact tail") {
+    // the shape BENCH_r{N}.json actually holds: a truncated bench_detail
+    // fragment (full names, cut mid-map) then the canonical line
+    // (abbreviated keys at rung 2+)
+    val tail = """t_ann_recall":5.414,"ext_dedup_canonical":3.850},"errors":[]}}
+{"metric":"total","value":294.6,"unit":"sec","queries":{"extanhnap":51.79},"q_isolated":{"extanhnap":8.45,"extanhnsw":11.55},"errors":[],"sf":"x"}"""
+    val got = Bench.parsePrevIsolated(tail)
+    assert(got("extanhnap") == 8.45 && got("extanhnsw") == 11.55)
+    assert(!got.contains("t_ann_recall"), "truncated leading fragment has no queries_isolated marker")
+    // a detail line with the full-name map contributes full-name keys
+    val both = Bench.parsePrevIsolated(
+      """{"bench_detail":{"queries_isolated":{"ext_ann_hnsw_append":8.780,"ext_ann_hnsw":2.028},"errors":[]}}
+{"metric":"total","q_isolated":{"extanhnap":8.45},"sf":"x"}""")
+    assert(both("ext_ann_hnsw_append") == 8.78 && both("extanhnap") == 8.45)
+    assert(Bench.parsePrevIsolated("not json at all") == Map.empty)
+    // the driver's BENCH_r{N}.json embeds the tail as a JSON STRING, so
+    // every quote arrives backslash-escaped — the real artifact shape
+    val escaped = """{"n":9,"tail":"{\"metric\":\"total\",\"q_isolated\":{\"extanhnap\":8.45,\"extskqu\":0.56},\"errors\":[]}"}"""
+    val esc = Bench.parsePrevIsolated(escaped)
+    assert(esc("extanhnap") == 8.45 && esc("extskqu") == 0.56,
+      "escaped-quote artifact tails must parse")
+  }
+
   test("pathological failure: every query errored still yields a short, parseable line") {
     val results = names80.map(n => (n, 2.0, 1.0, false))
     val line = Bench.canonicalLine(results, "/root/testdata/sf0.1")
