@@ -14,16 +14,48 @@ object Probe {
       // dormant compat for TIMESTAMP(NANOS) fixture vintages (see Verify)
       .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // round-10 q: does XxHash-mode LSH reach EXACT recall at the fixture
-    // operating point (16 perms, r=2, tau=0.8)? If yes at every SF, the
-    // exact-pair oracle can gate ext_dedup_minhash_fast.
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val docs = Tables.documents(spark, d)
-      val fast = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
-        16, 2, 0.8, graft.operators.Dedup.XxHash)
-      val exact = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
-      println(s"PROBE $d FAST ${fast.count()} EXACT ${exact.count()} " +
-        s"F-E ${fast.exceptAll(exact).count()} E-F ${exact.exceptAll(fast).count()}")
+    val d = "/root/testdata/sf0.1"
+    def run(label: String)(f: => Unit): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE $label MIN ${ts.drop(1).min}%.3f ALL ${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    // round-10: raw full-scan decode A/B — graft-index vectorized lane
+    // vs spark.read.parquet vs (reference) the row lane
+    val path = s"${sys.props("java.io.tmpdir")}/graft_probe_idx"
+    graft.operators.Similarity.writeGraphIndex(
+      Tables.embeddings(spark, d), "vec_id", "embedding", 25, 8, path)
+    val v2vecs = spark.read.format("graft-index").load(s"$path/vecs")
+    println("V2 vecs columnar: " + v2vecs.select("vid", "vec", "nsq")
+      .queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.supportsColumnar
+      })
+    run("vecs_v2") {
+      v2vecs.select(sum(col("vid")), sum(col("nsq")), sum(element_at(col("vec"), 1))).collect()
+    }
+    run("vecs_pq") {
+      spark.read.parquet(s"$path/vecs")
+        .select(sum(col("vid")), sum(col("nsq")), sum(element_at(col("vec"), 1))).collect()
+    }
+    val v2edges = spark.read.format("graft-index").load(s"$path/edges")
+    run("edges_v2") {
+      v2edges.select(sum(col("src") + col("dst"))).collect()
+    }
+    run("edges_pq") {
+      spark.read.parquet(s"$path/edges")
+        .select(sum(col("src") + col("dst"))).collect()
+    }
+    // whole-probe A/B: the persisted-graph search through each read path
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.where(col("vec_id") % 50 === 0)
+    run("probe_pq") {
+      graft.operators.Similarity.probeGraphIndex(path, q, "vec_id",
+        "embedding", 10, 8, 8, 3).count()
+    }
+    run("probe_v2") {
+      graft.operators.Similarity.probeGraphIndex(path, q, "vec_id",
+        "embedding", 10, 8, 8, 3, viaV2 = true).count()
     }
     spark.stop()
   }

@@ -280,6 +280,57 @@ class GraftIndexSourceSpec extends SparkSpec {
       "V2 probe must be row-identical to the parquet probe")
   }
 
+  test("vectorized lane: pure projections plan COLUMNAR; filters/limit/agg stay on the row lanes") {
+    val dir = writeIndex()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanExec(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      // pure projection (arrays included) → vectorized ColumnarBatch lane
+      assert(scanExec(v2(s"$dir/cells").select("vec_b", "vb")).supportsColumnar,
+        "a pure projection must take the vectorized lane")
+      // partition pruning composes with the vectorized lane (pruning
+      // selects files; decode is unchanged)
+      assert(scanExec(v2(s"$dir/cells").where(col("cell") === 0)
+          .select("vec_b")).supportsColumnar,
+        "partition-pruned pure projections stay vectorized")
+      // a pushed DATA filter needs parquet's record-level assembly → row lane
+      assert(!scanExec(v2(s"$dir/cells").where(col("vec_b") > 10L))
+        .supportsColumnar, "claimed data filters must use the row lane")
+      // the limit wrapper is row-based → row lane
+      assert(!scanExec(v2(s"$dir/cells").select("vec_b").limit(5))
+        .supportsColumnar, "limit pushdown must use the row lane")
+      // a pushed footer aggregate decodes nothing → its own lane
+      assert(!scanExec(v2(s"$dir/cells").groupBy().agg(count(lit(1)).as("n")))
+        .supportsColumnar, "footer aggregates must not claim columnar")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("vectorized lane: null/empty arrays, null elements, strings and booleans decode exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec").toString + "/t"
+    val crafted = Seq(
+        (1L, "alpha", true, 7, 1.5f, Seq[Option[Double]](Some(1.5), None, Some(2.5))),
+        (2L, null.asInstanceOf[String], false, 8, 2.5f, Seq.empty[Option[Double]]))
+      .toDF("id", "s", "b", "i", "f", "xs")
+      .unionByName(
+        Seq((3L, "gamma", true, 9, 3.5f)).toDF("id", "s", "b", "i", "f")
+          .withColumn("xs", lit(null).cast("array<double>")))
+    crafted.repartition(1).write.parquet(dir)
+    val got = v2(dir).select("id", "s", "b", "i", "f", "xs")
+    val ref = spark.read.parquet(dir).select("id", "s", "b", "i", "f", "xs")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = got.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.supportsColumnar, "this parity test must exercise the vectorized lane")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(got.count() == 3)
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+      "vectorized decode must be row-identical to spark.read.parquet on degenerate arrays")
+  }
+
   test("evolved file sets: a column absent from a file reads as null; filters on it stay exact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
