@@ -286,23 +286,33 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
   /** Footer-stats aggregates: COUNT(*) / MIN / MAX over numeric data
     * columns (string stats may be truncated — refused), ungrouped or
     * grouped by PARTITION columns (whose values are directory
-    * constants). Partial pushdown only: one row per file — group
-    * columns first, then aggregates, the V2 partial-pushdown contract —
-    * and Spark's final aggregate merges. Refused when data filters are
-    * pushed (footer stats ignore them).
+    * constants). Refused when data filters are pushed (footer stats
+    * ignore them).
+    *
+    * Pushdown degree: when the groupBy covers the partition columns
+    * EXACTLY, every grouped input split carries ALL files of its group
+    * — so the reader can fold them into one FINAL row per group and the
+    * pushdown is COMPLETE: Spark plans no aggregate and no exchange on
+    * top (round-10; the former partial rows shuffled |files| rows
+    * because the pushdown Project's aliases defeat KeyGroupedPartitioning
+    * propagation). Ungrouped aggregates stay PARTIAL — one row per
+    * file-split, Spark's final aggregate merges — because a complete
+    * ungrouped answer would serialize all footer IO into one split.
     */
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
 
-  override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushedData.nonEmpty) return false
-    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case nr: NamedReference if nr.fieldNames.length == 1 =>
-          Some(nr.fieldNames.head)
-        case _ => None
-      }
+  /** The output schema IF this aggregation is pushable: group
+    * (partition) columns first, then aggregate fields — the V2 contract.
+    */
+  private def aggSchemaOf(aggregation: Aggregation): Option[StructType] = {
+    if (pushedData.nonEmpty) return None
     val groupNames = aggregation.groupByExpressions.map(colName)
-    if (groupNames.exists(n => n.isEmpty || !partCols(n.get))) return false
+    if (groupNames.exists(n => n.isEmpty || !partCols(n.get))) return None
     val groupFields = groupNames.map(n =>
       tableSchema.find(_.name == n.get).get)
     val fields = aggregation.aggregateExpressions.map {
@@ -313,11 +323,28 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
         .map(n => StructField(s"max_$n", dataColType(n).get))
       case _ => None
     }
-    if (fields.exists(_.isEmpty)) return false
-    agg = Some(aggregation)
-    aggSchema = StructType(groupFields ++ fields.map(_.get))
-    true
+    if (fields.exists(_.isEmpty)) None
+    else Some(StructType(groupFields ++ fields.map(_.get)))
   }
+
+  private def groupsByAllPartCols(aggregation: Aggregation): Boolean = {
+    val names = aggregation.groupByExpressions.flatMap(colName)
+    partColsOrdered.nonEmpty &&
+      names.length == aggregation.groupByExpressions.length &&
+      names.toSet == partCols && names.length == partColsOrdered.length
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggSchemaOf(aggregation).isDefined && groupsByAllPartCols(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    aggSchemaOf(aggregation) match {
+      case Some(schema) =>
+        agg = Some(aggregation)
+        aggSchema = schema
+        true
+      case None => false
+    }
 
   override def build(): Scan =
     new GraftIndexScan(path, tableSchema, required, pushedPart, pushedData,
@@ -721,66 +748,77 @@ class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
     case other => throw new IllegalStateException(s"unsupported pushed agg $other")
   }
 
+  /** ONE row per SPLIT, folding every file of the split. Under complete
+    * (group-by-partition-columns) pushdown a split carries ALL files of
+    * its group, so the row is the group's FINAL aggregate — no Spark
+    * aggregate, no exchange above. Under partial (ungrouped) pushdown
+    * splits are single-file, so this is the old per-file partial row.
+    */
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val gip = p.asInstanceOf[GraftIndexInputPartition]
-      // one partial row per FILE: key-grouped agg splits carry every
-      // file of the partition directory
-      private val fileIter = gip.files.iterator
-      private var file: String = _
-      override def next(): Boolean = {
-        if (!fileIter.hasNext) return false
-        file = fileIter.next(); true
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+
+      private def pick(a: Any, b: Any, isMin: Boolean): Any = {
+        val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        if ((isMin && c <= 0) || (!isMin && c >= 0)) a else b
       }
+
       override def get(): InternalRow = {
-        val in = HadoopInputFile.fromPath(new Path(file), conf.value)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          val blocks = reader.getFooter.getBlocks
-          val row = new GenericInternalRow(aggSchema.length)
-          // group (partition) columns first — directory constants
-          var si = 0
-          val slots = aggSchema.fields.zipWithIndex.map { case (f, i) =>
-            if (isPart(i)) {
-              row.update(i, GraftIndexReaderFactory.toInternal(
-                gip.partValues(f.name), f.dataType))
-              None
-            } else { val s = spec(si); si += 1; Some((s, i)) }
-          }.flatten
-          slots.foreach { case ((kind, col), i) =>
-            kind match {
-              case "C" =>
-                row.update(i, java.lang.Long.valueOf(reader.getRecordCount))
-              case mm =>
-                val stats = (0 until blocks.size()).map { b =>
-                  val cc = blocks.get(b).getColumns.asInstanceOf[
-                    java.util.List[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]
-                    .stream().filter(_.getPath.toDotString == col)
-                    .findFirst()
-                  if (cc.isPresent) Option(cc.get.getStatistics) else None
-                }
-                if (stats.exists(s => s.isEmpty || s.get.isEmpty)) {
-                  // stats missing: decode just this column
-                  row.update(i, GraftIndexAggReaderFactory
-                    .scanMinMax(file, col, mm == "MIN",
-                      aggSchema.fields(i).dataType, conf.value))
-                } else {
-                  val nonNull = stats.flatten.filter(_.hasNonNullValue)
-                  if (nonNull.isEmpty) row.update(i, null)
-                  else {
-                    val vals = nonNull.map(s =>
-                      if (mm == "MIN") s.genericGetMin else s.genericGetMax)
-                    val best = vals.reduce { (a, b) =>
-                      val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
-                      if ((mm == "MIN" && c <= 0) || (mm == "MAX" && c >= 0)) a else b
-                    }
-                    row.update(i, best)
+        val row = new GenericInternalRow(aggSchema.length)
+        // group (partition) columns first — directory constants
+        var si = 0
+        val slots = aggSchema.fields.zipWithIndex.map { case (f, i) =>
+          if (isPart(i)) {
+            row.update(i, GraftIndexReaderFactory.toInternal(
+              gip.partValues(f.name), f.dataType))
+            None
+          } else { val s = spec(si); si += 1; Some((s, i)) }
+        }.flatten
+        val counts = new Array[Long](slots.length)
+        val bests = new Array[Any](slots.length)
+        gip.files.foreach { file =>
+          val in = HadoopInputFile.fromPath(new Path(file), conf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            slots.zipWithIndex.foreach { case (((kind, col), i), k) =>
+              kind match {
+                case "C" => counts(k) += reader.getRecordCount
+                case mm =>
+                  val isMin = mm == "MIN"
+                  val stats = (0 until blocks.size()).map { b =>
+                    val cc = blocks.get(b).getColumns.asInstanceOf[
+                      java.util.List[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]]
+                      .stream().filter(_.getPath.toDotString == col)
+                      .findFirst()
+                    if (cc.isPresent) Option(cc.get.getStatistics) else None
                   }
-                }
+                  val fileBest: Any =
+                    if (stats.exists(s => s.isEmpty || s.get.isEmpty))
+                      // stats missing: decode just this column
+                      GraftIndexAggReaderFactory.scanMinMax(file, col, isMin,
+                        aggSchema.fields(i).dataType, conf.value)
+                    else {
+                      val nonNull = stats.flatten.filter(_.hasNonNullValue)
+                      if (nonNull.isEmpty) null
+                      else nonNull.map(s =>
+                        (if (isMin) s.genericGetMin else s.genericGetMax): Any)
+                        .reduce(pick(_, _, isMin))
+                    }
+                  if (fileBest != null)
+                    bests(k) = if (bests(k) == null) fileBest
+                      else pick(bests(k), fileBest, isMin)
+              }
             }
-          }
-          row
-        } finally reader.close()
+          } finally reader.close()
+        }
+        slots.zipWithIndex.foreach { case (((kind, _), i), k) =>
+          row.update(i,
+            if (kind == "C") java.lang.Long.valueOf(counts(k)) else bests(k))
+        }
+        row
       }
       override def close(): Unit = ()
     }

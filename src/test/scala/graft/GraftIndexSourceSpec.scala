@@ -184,24 +184,42 @@ class GraftIndexSourceSpec extends SparkSpec {
     }
   }
 
-  test("grouped aggregate pushdown: per-cell COUNT/MAX from footer stats") {
+  test("grouped aggregate pushdown is COMPLETE: per-cell COUNT/MAX, zero aggregate, zero exchange") {
     val dir = writeIndex()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val agg = v2(s"$dir/cells").groupBy("cell")
         .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
-      val scan = agg.queryExecution.executedPlan.collectFirst {
-        case b: BatchScanExec => b
-      }.get
+      val plan = agg.queryExecution.executedPlan
+      val scan = plan.collectFirst { case b: BatchScanExec => b }.get
       assert(scan.scan.description().contains("pushedAggregation=[") &&
         scan.scan.description().contains("COUNT(*)"),
         s"grouped aggregation must push: ${scan.scan.description()}")
-      // group column + partial agg columns, one row per file — the
-      // remaining exchange moves |files| rows, never data rows
       assert(scan.scan.readSchema().fieldNames.head == "cell")
+      // COMPLETE pushdown (round-10): every grouped split carries ALL
+      // files of its group, so the reader folds them into one FINAL row
+      // — Spark plans NO aggregate and NO exchange on top (the former
+      // partial rows shuffled |files| rows because the pushdown
+      // Project's aliases defeat KeyGroupedPartitioning propagation)
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.isEmpty, s"complete pushed aggregate must not shuffle:\n$plan")
+      assert(plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isEmpty, s"complete pushed aggregate must not re-aggregate:\n$plan")
       val ref = spark.read.parquet(s"$dir/cells").groupBy("cell")
         .agg(count(lit(1)).as("n"), max(col("vec_b")).as("mx"))
       assert(agg.exceptAll(ref).count() == 0 && ref.exceptAll(agg).count() == 0)
+      // an UNGROUPED aggregate stays PARTIAL (a complete answer would
+      // serialize all footer IO into one split): Spark's final
+      // aggregate still merges the per-file rows, values exact
+      val tot = v2(s"$dir/cells").agg(count(lit(1)).as("n"), min(col("vec_b")).as("mn"))
+      val totRef = spark.read.parquet(s"$dir/cells")
+        .agg(count(lit(1)).as("n"), min(col("vec_b")).as("mn"))
+      assert(tot.exceptAll(totRef).count() == 0 && totRef.exceptAll(tot).count() == 0)
+      assert(tot.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, "ungrouped pushdown stays partial — Spark's aggregate merges")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
