@@ -193,7 +193,7 @@ object Similarity {
     */
   def graphTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroidEvery: Int, entryEvery: Int,
-      m: Int, beam: Int, rounds: Int): DataFrame = {
+      m: Int, beam: Int, rounds: Int, levels: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = corpus.where(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
@@ -221,68 +221,80 @@ object Similarity {
       .localCheckpoint() // one build, read once per round
     val qF = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       VectorOps.normSq(col(vecCol)).as("qn"))
-    beamSearch(base, edges, qF, entryEvery, k, beam, rounds)
+    beamSearch(base, edges, qF, entryEvery, k, beam, rounds, levels)
   }
 
   /** The fixed-round beam-expansion search core shared by [[graphTopK]]
     * (in-plan build) and [[probeGraphIndex]] (persisted build): a
-    * DEPTH-3 descent to the entry frontier, then `rounds` rounds of
-    * expand-score-pool-recut. `vecs` is (vid, vec, nsq); `edges` is
+    * `levels`-deep descent to the entry frontier, then `rounds` rounds
+    * of expand-score-pool-recut. `vecs` is (vid, vec, nsq); `edges` is
     * (src, dst); `qF` is (q_id, qv, qn).
     *
-    * Depth-3 descent (the level trick repeated on the entry set — what
-    * lifts the former |Q| × n/entryEvery brute-force entry ceiling):
-    * a SUPER-ENTRY level is every entryEvery²-th id; each query scores
-    * the supers brute-force (|Q| × n/entryEvery² rows), keeps its
-    * top-`beam` as ROUTES (self allowed — routing, not results), and
-    * scores only the entry-level nodes ASSIGNED to those routes (each
-    * entry node's single nearest super, the shuffle-free
-    * [[cellAssignment]] fold — avg bucket = entryEvery nodes, so the
-    * scored set is beam·entryEvery instead of n/entryEvery). Production
-    * depth-4 repeats the trick again; at these fixture sizes the super
-    * level is already a handful of rows. A corpus with NO super id
-    * (all % entryEvery² ids deleted) returns zero rows — the oracle
-    * restates the same algorithm and agrees.
+    * The descent (the level trick that lifts the former
+    * |Q| × n/entryEvery brute-force entry ceiling): level l holds every
+    * entryEvery^l-th id; the TOP level (l = levels−1) is scored
+    * brute-force (|Q| × n/entryEvery^(levels−1) rows), each query keeps
+    * its top-`beam` as ROUTES (self allowed — routing, not results),
+    * and each lower level scores only the nodes ASSIGNED to the routed
+    * parents (each node's single nearest level-(l+1) node, the
+    * shuffle-free [[cellAssignment]] fold — avg bucket = entryEvery
+    * nodes, so each descent step scores beam·entryEvery rows). The
+    * default `levels = 3` is the round-9 shape (one super level at
+    * entryEvery²); `levels = 4` is the production recipe for corpora
+    * where n/entryEvery² itself outgrows a brute-force scan — entry
+    * cost |Q|·(n/e³ + 2·beam·e) instead of |Q|·(n/e² + beam·e). A
+    * corpus with NO top-level id (all % entryEvery^(levels−1) ids
+    * deleted) returns zero rows — the oracle restates the same
+    * algorithm and agrees.
     */
   private def beamSearch(vecs: DataFrame, edges: DataFrame, qF: DataFrame,
-      entryEvery: Int, k: Int, beam: Int, rounds: Int): DataFrame = {
+      entryEvery: Int, k: Int, beam: Int, rounds: Int,
+      levels: Int = 3): DataFrame = {
+    require(levels >= 3, s"beamSearch needs levels >= 3, got $levels")
     val cvecs = vecs.select(col("vid").as("vec_b"), col("vec").as("vb"),
       col("nsq").as("nb"))
     def topB(pool: DataFrame, n: Int): DataFrame =
       pool.withColumn("rnk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)))
         .where(col("rnk") <= n)
-    val superEvery = entryEvery.toLong * entryEvery
-    val supers = vecs.where(col("vid") % superEvery === 0)
-      .select(col("vid").as("cent_id"), col("vec").as("cvec"),
-        col("nsq").as("cn"))
-    // route: top-`beam` supers per query by the same (cos desc, id asc)
-    // total order as every other cut
-    val superScores = broadcast(qF)
-      .crossJoin(supers.select(col("cent_id").as("vec_b"),
+    def levelMod(l: Int): Long = BigInt(entryEvery).pow(l).toLong
+    def levelNodes(l: Int): DataFrame =
+      vecs.where(col("vid") % levelMod(l) === 0)
+        .select(col("vid").as("cent_id"), col("vec").as("cvec"),
+          col("nsq").as("cn"))
+    // route: top-`beam` TOP-level nodes per query, brute force, by the
+    // same (cos desc, id asc) total order as every other cut
+    val topScores = broadcast(qF)
+      .crossJoin(levelNodes(levels - 1).select(col("cent_id").as("vec_b"),
         col("cvec").as("vb"), col("cn").as("nb")))
       .withColumn("cosine",
         VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
       .select("q_id", "vec_b", "cosine")
-    val routed = topB(superScores, beam)
+    var routed = topB(topScores, beam)
       .select(col("q_id"), col("vec_b").as("cell"))
-    // entry-level nodes bucketed by their single nearest super (map-only
-    // fold over the broadcast super array)
-    val easn = cellAssignment(
-        vecs.where(col("vid") % entryEvery === 0), supers, 1)
-      .select(col("vid").as("vec_b"), col("cell"))
-    val entry = broadcast(routed.join(easn, Seq("cell"))
-        .select("q_id", "vec_b")
-        .where(col("q_id") =!= col("vec_b"))
-        .join(qF, Seq("q_id")))
-      .join(cvecs, Seq("vec_b"))
-      .withColumn("cosine",
-        VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
-      .select("q_id", "vec_b", "cosine")
+    var frontier: DataFrame = null
+    // descend level by level: nodes of level l bucketed by their single
+    // nearest level-(l+1) node (map-only fold over the broadcast parent
+    // array), scored only inside the routed buckets
+    for (l <- (levels - 2) to 1 by -1) {
+      val asn = cellAssignment(
+          vecs.where(col("vid") % levelMod(l) === 0), levelNodes(l + 1), 1)
+        .select(col("vid").as("vec_b"), col("cell"))
+      val scored = broadcast(routed.join(asn, Seq("cell"))
+          .select("q_id", "vec_b")
+          .where(col("q_id") =!= col("vec_b"))
+          .join(qF, Seq("q_id")))
+        .join(cvecs, Seq("vec_b"))
+        .withColumn("cosine",
+          VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
+        .select("q_id", "vec_b", "cosine")
+      if (l == 1) frontier = scored
+      else routed = topB(scored, beam).select(col("q_id"), col("vec_b").as("cell"))
+    }
     // visited pool starts as the entry frontier (the descent result),
     // not the whole entry level — matching HNSW, where upper-layer
     // nodes only seed layer 0, they don't pad the result candidates
-    var pool = topB(entry, beam).drop("rnk").localCheckpoint()
+    var pool = topB(frontier, beam).drop("rnk").localCheckpoint()
     for (_ <- 1 to rounds) {
       val frontier = topB(pool, beam).drop("rnk")
       val cand = frontier.select(col("q_id"), col("vec_b").as("src"))
@@ -365,7 +377,7 @@ object Similarity {
   def probeGraphIndex(path: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, entryEvery: Int, beam: Int, rounds: Int,
       tombstones: Option[DataFrame] = None,
-      viaV2: Boolean = false): DataFrame = {
+      viaV2: Boolean = false, levels: Int = 3): DataFrame = {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
     // viaV2: the graft-index DataSourceV2 serving table (see
@@ -388,7 +400,8 @@ object Similarity {
             .join(broadcast(tomb), col("dst") === col("__tid"), "left_anti"),
           qF0.join(broadcast(tomb), col("q_id") === col("__tid"), "left_anti"))
     }
-    beamSearch(vecs, edges.localCheckpoint(), qF, entryEvery, k, beam, rounds)
+    beamSearch(vecs, edges.localCheckpoint(), qF, entryEvery, k, beam, rounds,
+      levels)
   }
 
   /** ADMIT a new batch into a [[writeGraphIndex]]-persisted graph index —

@@ -87,6 +87,72 @@ class SimilaritySpec extends SparkSpec {
     assert(rg >= r0, "beam expansion may never lose recall vs the entry cut")
   }
 
+  test("depth-4 descent: levels=4 ≡ levels=3 on the fixture, entry-stage row count pinned") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val e = 8
+    val d3 = Similarity.graphTopK(corpus, queries, "vec_id", "embedding", 5,
+      25, e, 8, 8, 3, levels = 3)
+    val d4 = Similarity.graphTopK(corpus, queries, "vec_id", "embedding", 5,
+      25, e, 8, 8, 3, levels = 4)
+    assert(d3.count() > 0)
+    assert(d3.exceptAll(d4).count() == 0 && d4.exceptAll(d3).count() == 0,
+      "levels=4 must land the same results as levels=3 at fixture scale")
+    // the cost claim, pinned with INDEPENDENT (window-ranked) code:
+    // reconstruct the levels=4 descent's stage sizes and check the
+    // entry stage scores a routed-bucket subset, not the whole level
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus.select(col("vec_id").as("vid"),
+      col("embedding").as("vec"),
+      graft.functions.VectorOps.normSq(col("embedding")).as("nsq"))
+    val qF = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"),
+      graft.functions.VectorOps.normSq(col("embedding")).as("qn"))
+    def lvl(l: Int) = base.where(col("vid") % math.pow(e, l).toLong === 0)
+    def nearestParent(nodes: org.apache.spark.sql.DataFrame,
+        parents: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("vid")
+        .orderBy(col("__c").desc, col("pid").asc)
+      nodes.crossJoin(broadcast(parents.select(col("vid").as("pid"),
+          col("vec").as("pv"), col("nsq").as("pn"))))
+        .withColumn("__c", graft.functions.VectorOps.cosine(
+          col("vec"), col("pv"), col("nsq"), col("pn")))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vid"), col("pid"))
+    }
+    def routeBeam(cand: org.apache.spark.sql.DataFrame, beam: Int) = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("__c").desc, col("vid").asc)
+      cand.withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
+        .select("q_id", "vid")
+    }
+    val beam = 8
+    // stage 1: brute-force the e^3 top level
+    val topScored = qF.crossJoin(broadcast(lvl(3)))
+      .withColumn("__c", graft.functions.VectorOps.cosine(
+        col("qv"), col("vec"), col("qn"), col("nsq")))
+    val routes1 = routeBeam(topScored, beam)
+    // stage 2: supers (e^2) in routed super-super buckets
+    val asn2 = nearestParent(lvl(2), lvl(3))
+    val cand2 = routes1.withColumnRenamed("vid", "pid")
+      .join(asn2, Seq("pid")).where(col("q_id") =!= col("vid"))
+    // stage 3 (ENTRY): e-level nodes in routed super buckets
+    val scored2 = cand2.join(base, Seq("vid")).join(
+        qF, Seq("q_id"))
+      .withColumn("__c", graft.functions.VectorOps.cosine(
+        col("qv"), col("vec"), col("qn"), col("nsq")))
+    val routes2 = routeBeam(scored2, beam)
+    val asn1 = nearestParent(lvl(1), lvl(2))
+    val entryCand4 = routes2.withColumnRenamed("vid", "pid")
+      .join(asn1, Seq("pid")).where(col("q_id") =!= col("vid")).count()
+    // the depth-2 (pre-round-9) entry cost this descent replaces
+    val bruteEntry = qF.count() * lvl(1).count()
+    assert(entryCand4 > 0, "descent must reach the entry level")
+    assert(entryCand4 < bruteEntry,
+      s"entry stage must score a routed subset: $entryCand4 !< $bruteEntry")
+    info(s"entry-stage rows: levels=4 scores $entryCand4 of $bruteEntry brute pairs")
+  }
+
   test("graph admission ≡ rebuild; untouched edge partitions byte-identical") {
     // batch ids %1000==3 are never %25==0, so the stored centroid set
     // equals the union's — writeGraphIndex on the union IS the
