@@ -964,6 +964,22 @@ object Similarity {
     probeIvfIndexVia(path, queries, idCol, vecCol, k,
       p => queries.sparkSession.read.format("graft-index").load(p))
 
+  /** Catalog-routed probe — identical to [[probeIvfIndexV2]], but the
+    * index's sub-tables resolve by NAME through a registered
+    * [[graft.sources.GraftIndexCatalog]]: `catalogIndex` is the
+    * `catalog.index` prefix (backtick the index segment when it carries
+    * non-identifier characters), and the probe reads
+    * `catalogIndex.cents` / `catalogIndex.cells` via spark.table — the
+    * serving story with no filesystem paths in the query.
+    */
+  def probeIvfIndexCatalog(catalogIndex: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    probeIvfIndexVia(catalogIndex, queries, idCol, vecCol, k,
+      p => {
+        val i = p.lastIndexOf('/')
+        queries.sparkSession.table(p.substring(0, i) + "." + p.substring(i + 1))
+      })
+
   private def probeIvfIndexVia(path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       reader: String => DataFrame): DataFrame = {
@@ -972,10 +988,16 @@ object Similarity {
     val cents = reader(s"$path/cents")
     val corp = reader(s"$path/cells")
     val vecD = transform(col(vecCol), x => x.cast("double"))
+    // the probe's cell key is cast to the STORED side's partition type
+    // (always safe: probe cells come from the same stored centroid ids
+    // that named the directories) — a type mismatch would put a Cast on
+    // the SCAN side of the join, which the V2 runtime-filter translation
+    // cannot push, silently losing the dynamic cell pruning
     val q = queries.select(col(idCol).as("q_id"), vecD.as("va"),
         VectorOps.normSq(vecD).as("na"))
       .crossJoin(broadcast(centArray(cents)))
-      .withColumn("cell", argmaxCell(col("va"), col("na")))
+      .withColumn("cell",
+        argmaxCell(col("va"), col("na")).cast(corp.schema("cell").dataType))
       .drop("__cents")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)
     corp.join(broadcast(q), Seq("cell"))

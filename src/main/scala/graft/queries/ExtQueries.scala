@@ -2719,6 +2719,28 @@ object ExtQueries extends QueryGroup {
       TopK)
   }
 
+  /** CATALOG-routed twin of ext_ann_ivf_v2: the same persisted IVF
+    * probe, but the index resolves by NAME through a registered
+    * GraftIndexCatalog (`SELECT ... FROM graft_idx.<index>.cells`) —
+    * the full serving story with no filesystem path in the probe. The
+    * catalog root is the scratch base (session-stable), registered once
+    * per session; identical rows, same oracle.
+    */
+  private def annIvfCat(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "ivf_cat", d)
+    Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+      IvfCentroidEvery, path)
+    val f = new java.io.File(path)
+    // catalogs instantiate lazily and are CACHED by name on first use —
+    // the root must be set before the first table reference and stays
+    // session-stable (the scratch base is constant within a session)
+    s.conf.set("spark.sql.catalog.graft_idx",
+      classOf[graft.sources.GraftIndexCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_idx.root", f.getParent)
+    Similarity.probeIvfIndexCatalog(s"graft_idx.`${f.getName}`",
+      annQueries(s, d), "vec_id", "embedding", TopK)
+  }
+
   /** ADMISSION into the persisted IVF index (Similarity.appendToIvfIndex):
     * write two-thirds of the corpus, append the rest with the STORED
     * centroids (no retrain — serving geometry stays stable; the append
@@ -9140,6 +9162,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
+    GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),
     GQuery("ext_ann_ivf_append", annIvfAppend, Some(annIvfAppendSql), "IVF admission: append with stored centroids (no retrain), probe the grown index"),
     GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),

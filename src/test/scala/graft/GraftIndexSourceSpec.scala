@@ -77,22 +77,53 @@ class GraftIndexSourceSpec extends SparkSpec {
     val dir = writeIndex()
     val corp = v2(s"$dir/cells")
     val cells = corp.select(col("cell").cast("long")).distinct().collect().map(_.getLong(0)).sorted
-    // a tiny probe frame hitting ONE cell, joined on the partition column
+    // a tiny probe frame hitting ONE cell, joined on the partition
+    // column AT THE SCAN'S TYPE — a mismatched key type puts a Cast on
+    // the scan side, and the V2 runtime-filter translation drops on
+    // casts (the round-10 probe fix aligns the operator the same way)
     import spark.implicits._
-    val probe = Seq((cells.head, 1L)).toDF("cell", "probe_id")
+    // PartitionPruning only plants the subquery when the probe side is
+    // FILE-BACKED and carries a selective comparison predicate (the
+    // real ANN probes do: queries are a filtered slice of the corpus) —
+    // and the join key must be AT THE SCAN'S TYPE: a mismatch puts a
+    // Cast on the scan side, which the V2 runtime-filter translation
+    // drops (the round-10 probe fix aligns the operator the same way)
+    val probe = spark.read.parquet(s"$dir/cents")
+      .where(col("cent_id") === cells.head)
+      .select(col("cent_id").cast(corp.schema("cell").dataType).as("cell"))
     val joined = corp.join(broadcast(probe), Seq("cell"))
     val rows = joined.count()
     assert(rows > 0 && rows < corp.count(),
       "probe join must select a strict subset")
-    // the scan carries runtime filter attributes; under AQE the
-    // post-execution scan reads fewer partitions than the full table
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val scan = joined.queryExecution.executedPlan.collectFirst {
-        case b: BatchScanExec => b
-      }.get
+      val fresh = corp.join(broadcast(probe), Seq("cell"))
+      val plan = fresh.queryExecution.executedPlan
+      val scan = plan.collectFirst { case b: BatchScanExec => b }.get
       assert(scan.scan.isInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering],
         "scan must advertise runtime filtering")
+      // the planner must actually PLANT the dynamic-pruning filter on
+      // the scan (an interface-only pin missed the cast regression)...
+      assert(scan.runtimeFilters.nonEmpty,
+        s"DPP filter missing from the scan:\n$plan")
+      // ...and at execution the translated filter must PRUNE. The scan
+      // reports KeyGroupedPartitioning, so Spark pads pruned groups back
+      // as EMPTY partitions to honor the advertised partitioning — the
+      // pruning is visible in the FILES each split carries, not the
+      // split count. (collect() drives THIS plan instance, so its DPP
+      // subquery runs before the scan's partitions are planned.)
+      assert(fresh.collect().nonEmpty)
+      def filesOf(b: BatchScanExec): Long = b.inputRDD.partitions.map {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions.map(
+            _.asInstanceOf[graft.sources.GraftIndexInputPartition].files.size.toLong).sum
+        case _ => 0L
+      }.sum
+      val fullScan = corp.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(filesOf(scan) < filesOf(fullScan) && filesOf(scan) > 0,
+        s"runtime filter did not prune files: ${filesOf(scan)} vs ${filesOf(fullScan)}")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
@@ -400,6 +431,51 @@ class GraftIndexSourceSpec extends SparkSpec {
     // evaluated Spark-side: null never matches, no pruner NPE
     assert(t.where(col("cell").isin(5, null)).count() == 2)
     assert(t.where(col("cell") > 5).count() == 1, "null partition never matches a relational filter")
+  }
+
+  test("catalog face: indexes resolve by NAME — listTables, loadTable parity, read-only refusals") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 25, s"$root/ivf_a")
+    spark.conf.set("spark.sql.catalog.graft_cat_t",
+      classOf[graft.sources.GraftIndexCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat_t.root", root)
+    // SHOW TABLES sees the index's sub-tables
+    val listed = spark.sql("SHOW TABLES IN graft_cat_t.ivf_a")
+      .select("tableName").collect().map(_.getString(0)).sorted
+    assert(listed.toSeq == Seq("cells", "cents"), s"got ${listed.toSeq}")
+    // loadTable: full row/schema parity with the path route
+    val byName = spark.table("graft_cat_t.ivf_a.cells")
+    val byPath = spark.read.format("graft-index").load(s"$root/ivf_a/cells")
+      .select(byName.columns.map(col): _*)
+    assert(byName.schema == byPath.schema)
+    assert(byName.exceptAll(byPath).count() == 0 &&
+      byPath.exceptAll(byName).count() == 0)
+    // the same pushdown surfaces ride the catalog route: partition
+    // pruning visible as a claimed filter with exact rows
+    val one = spark.table("graft_cat_t.ivf_a.cells").where(col("cell") === 0)
+    assert(one.count() ==
+      spark.read.parquet(s"$root/ivf_a/cells").where(col("cell") === 0).count())
+    // mutations refused: index lifecycle belongs to the writers
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE graft_cat_t.ivf_a.extra (x BIGINT) USING `graft-index`")
+    }
+    assert(e.getMessage.contains("read-only"))
+    // a missing table surfaces as Spark's standard not-found analysis
+    // error (the catalog's NoSuchTableException, analyzer-wrapped)
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.table("graft_cat_t.ivf_a.nope").collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("not"), missing.getMessage)
+    // catalog-routed probe ≡ path-routed probe, row for row
+    val q = Tables.embeddings(spark, sf0001).where(col("vec_id") % 50 === 0)
+    val viaCat = Similarity.probeIvfIndexCatalog("graft_cat_t.ivf_a",
+      q, "vec_id", "embedding", 5)
+    val viaPath = Similarity.probeIvfIndex(s"$root/ivf_a", q,
+      "vec_id", "embedding", 5)
+    assert(viaCat.count() > 0)
+    assert(viaCat.exceptAll(viaPath).count() == 0 &&
+      viaPath.exceptAll(viaCat).count() == 0)
   }
 
   test("executor readers carry the DRIVER's Hadoop conf across serialization") {
