@@ -112,19 +112,25 @@ object GraftIndexTable {
 
   /** First-level `name=value` directory names define the partition
     * columns (the writers emit exactly one level; nesting would extend
-    * the walk).
+    * the walk). Cached like [[inferSchema]] — the column SET only
+    * changes via overwrite (root recreated, new mtime); appends add
+    * values, never columns — and every table/scan construction asks.
     */
-  def partitionColumns(path: String): Seq[String] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(activeHadoopConf())
-    if (!fs.exists(root)) return Nil
-    fs.listStatus(root).toSeq.collect {
-      case d if d.isDirectory => d.getPath.getName match {
-        case PartDir(name, _) => Some(name)
-        case _ => None
-      }
-    }.flatten.distinct
-  }
+  def partitionColumns(path: String): Seq[String] =
+    partColsCache.computeIfAbsent((path, rootMtime(path)), { _ =>
+      val root = new Path(path)
+      val fs = root.getFileSystem(activeHadoopConf())
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.collect {
+        case d if d.isDirectory => d.getPath.getName match {
+          case PartDir(name, _) => Some(name)
+          case _ => None
+        }
+      }.flatten.distinct
+    })
+
+  private val partColsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
 
   /** Schema inference delegates to Spark's own parquet inference (one
     * footer + partition-directory discovery on the driver), so types —
