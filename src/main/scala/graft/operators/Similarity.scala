@@ -377,16 +377,22 @@ object Similarity {
   def probeGraphIndex(path: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, entryEvery: Int, beam: Int, rounds: Int,
       tombstones: Option[DataFrame] = None,
-      viaV2: Boolean = false, levels: Int = 3): DataFrame = {
+      viaV2: Boolean = false, levels: Int = 3,
+      catalog: Option[String] = None): DataFrame = {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
     // viaV2: the graft-index DataSourceV2 serving table (see
     // sources/GraftIndexSource.scala) — identical rows by contract; the
-    // edge read prunes to (src, dst) at the parquet projection layer
-    def rd(p: String) =
-      if (viaV2) s.read.format("graft-index").load(p) else s.read.parquet(p)
-    val vecs0 = rd(s"$path/vecs")
-    val edges0 = rd(s"$path/edges").select("src", "dst")
+    // edge read prunes to (src, dst) at the parquet projection layer.
+    // catalog = Some("cat.`index`"): the same V2 table resolved by NAME
+    // through a registered GraftIndexCatalog — no path in the probe.
+    def rd(sub: String) = catalog match {
+      case Some(prefix) => s.table(s"$prefix.$sub")
+      case None if viaV2 => s.read.format("graft-index").load(s"$path/$sub")
+      case None => s.read.parquet(s"$path/$sub")
+    }
+    val vecs0 = rd("vecs")
+    val edges0 = rd("edges").select("src", "dst")
     val qF0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       VectorOps.normSq(col(vecCol)).as("qn"))
     val (vecs, edges, qF) = tombstones match {

@@ -2541,6 +2541,25 @@ object ExtQueries extends QueryGroup {
       TopK, HnswEntryEvery, HnswBeam, HnswRounds, viaV2 = true)
   }
 
+  /** CATALOG-routed twin of ext_ann_hnsw_v2: the persisted graph probe
+    * with the index resolved by NAME through the registered
+    * GraftIndexCatalog (vecs + edges as `graft_idx.<index>.<table>`) —
+    * completes the by-name serving story for BOTH index kinds. Same
+    * oracle as ext_ann_hnsw.
+    */
+  private def annHnswCat(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "hnsw_cat", d)
+    Similarity.writeGraphIndex(Tables.embeddings(s, d), "vec_id",
+      "embedding", IvfCentroidEvery, HnswM, path)
+    val f = new java.io.File(path)
+    s.conf.set("spark.sql.catalog.graft_idx",
+      classOf[graft.sources.GraftIndexCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_idx.root", f.getParent)
+    Similarity.probeGraphIndex(path, annQueries(s, d), "vec_id", "embedding",
+      TopK, HnswEntryEvery, HnswBeam, HnswRounds,
+      catalog = Some(s"graft_idx.`${f.getName}`"))
+  }
+
   /** TOMBSTONE-MASKED probe of the persisted graph index — erasure on a
     * graph serving structure: masked ids vanish from the entry level,
     * both edge endpoints, and the pool (never returned, never scored).
@@ -9163,6 +9182,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
+    GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),
     GQuery("ext_ann_ivf_append", annIvfAppend, Some(annIvfAppendSql), "IVF admission: append with stored centroids (no retrain), probe the grown index"),
     GQuery("ext_ann_ivf_delete", annIvfDelete, Some(annIvfDeleteSql), "index erasure: tombstoned cells rewritten in place (dynamic overwrite), quantizer unretained, probe ≡ filtered rebuild"),
