@@ -59,7 +59,10 @@ class BenchLineSpec extends AnyFunSuite {
     val root = mapper.readTree(line)
     assert(root.get("shuffle_mb").asDouble() == 123456.78)
     val qs = root.get("queries")
-    assert(qs.size() >= math.min(80, names.size),
+    // the adaptive rung may shed fast-tail times down to the 48 slowest
+    // while full telemetry fits; without telemetry the floor is 80
+    val floor = if (root.get("q_shuffle_mb") != null) 48 else 80
+    assert(qs.size() >= math.min(floor, names.size),
       s"per-query map degraded to ${qs.size()} of ${names.size} entries")
     if (qs.size() < names.size) {
       assert(root.get("q_omitted").asInt() == names.size - qs.size(),
@@ -145,6 +148,37 @@ class BenchLineSpec extends AnyFunSuite {
     val reused = Bench.canonicalLine(results, "x", cpus = Some("8"),
       state = Some("reused"))
     assert(mapper.readTree(reused).get("state").asText() == "reused")
+  }
+
+  test("full registry with ALL telemetry: shuffle + isolated + prev survive together (adaptive rung)") {
+    // the round-10 regression scenario: at 244 queries the fixed top-80
+    // rung overflowed once stamps + prev landed, silently dropping
+    // q_shuffle_mb (THE adjudicator) to a lower rung — the adaptive rung
+    // must shed fast-tail times instead
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, 102.34, 2.34 + i * 0.01, true)
+    }
+    val short = Bench.abbrev(names)
+    val slow = results.sortBy(r => (-r._3, r._1)).take(11).map(_._1)
+    val qIso = slow.map(_ -> 3.21).toMap
+    val prev = slow.map(n => short(n) -> 9.87).toMap
+    val line = Bench.canonicalLine(results, "/root/testdata/sf0.1",
+      shuffleMb = Some(123456.78),
+      qShuffleMb = names.map(_ -> 12345.67).toMap,
+      qIsolated = qIso, qIsolatedPrev = prev,
+      cpus = Some("32"), state = Some("rebuilt"))
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+    val root = mapper.readTree(line)
+    assert(root.get("q_shuffle_mb") != null && root.get("q_shuffle_mb").size() == 16,
+      "shuffle telemetry must survive at full registry size")
+    assert(root.get("q_isolated") != null && root.get("q_isolated").size() == 11)
+    assert(root.get("q_isolated_prev") != null &&
+      root.get("q_isolated_prev").size() == 11,
+      "prior-round isolated numbers must survive at full registry size")
+    assert(root.get("queries").size() >= 48)
+    assert(root.get("q_omitted").asInt() ==
+      names.size - root.get("queries").size())
   }
 
   test("parsePrevIsolated scavenges full and abbreviated keys from a truncated artifact tail") {
