@@ -151,27 +151,54 @@ object Bench {
   }
 
   /** Extract isolated-re-measure numbers from a prior round's BENCH
-    * artifact text: both the canonical line's `q_isolated` (keys may be
-    * abbreviated on rung-2+ lines) and any bench_detail
-    * `queries_isolated` fragment (full names; the artifact keeps only a
-    * ~2000-char tail, so the fragment may be truncated — pairs are
-    * regex-scavenged, not JSON-parsed). Later fragments win on key
-    * collision. Best-effort by design: an unreadable artifact yields an
-    * empty map, never a failed bench.
+    * artifact text. Two fragment kinds exist: bench_detail's
+    * `queries_isolated` (FULL query names) and the canonical line's
+    * `q_isolated` (keys may be abbreviated on rung-2+ lines). Full-name
+    * pairs WIN outright: when any `queries_isolated` pair parses, the
+    * abbreviated pairs are dropped — abbreviations shift whenever the
+    * roster changes, so a prior round's "extdeca" can silently resolve
+    * to a DIFFERENT query under this round's abbrev table (round-10
+    * ADVICE). Abbreviated pairs are the fallback only when the detail
+    * fragment was truncated out of the artifact tail entirely. Pairs
+    * are regex-scavenged, not JSON-parsed (the tail may be cut mid-map);
+    * best-effort by design: an unreadable artifact yields an empty map,
+    * never a failed bench.
     */
   private[graft] def parsePrevIsolated(text: String): Map[String, Double] = {
     // the artifact embeds the process tail as a JSON string, so quotes
     // arrive backslash-escaped (\"q_isolated\":...) — tolerate both
-    val frag = "\\\\?\"(?:q_isolated|queries_isolated)\\\\?\":\\{([^}]*)".r
+    val frag = "\\\\?\"(q_isolated|queries_isolated)\\\\?\":\\{([^}]*)".r
     val pair = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([0-9]+(?:\\.[0-9]+)?)".r
-    frag.findAllMatchIn(text).flatMap(m =>
-      pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble)
-    ).toMap
+    val byKind = frag.findAllMatchIn(text).toSeq.map(m => m.group(1) ->
+      pair.findAllMatchIn(m.group(2)).map(p => p.group(1) -> p.group(2).toDouble).toSeq)
+    val full = byKind.filter(_._1 == "queries_isolated").flatMap(_._2)
+    if (full.nonEmpty) full.toMap
+    else byKind.flatMap(_._2).toMap
   }
 
-  /** Locate and parse the newest BENCH_r*.json in `dir` (or the
-    * SPARK_GRAFT_PREV_BENCH override). Best-effort: any failure is an
-    * empty map.
+  /** Pick the prior round's BENCH artifact from (roundNumber, path)
+    * candidates. `currentRound` (parsed from VERDICT.md's "round N"
+    * header, + 1) caps the pick: on a SAME-round re-run the newest
+    * artifact is this round's OWN output, and q_isolated_prev seeded
+    * from it would diff the round against itself (round-10 ADVICE).
+    */
+  private[graft] def pickPrevBench(candidates: Seq[(Int, String)],
+      currentRound: Option[Int]): Option[String] =
+    candidates.filter(c => currentRound.forall(c._1 < _))
+      .sortBy(-_._1).headOption.map(_._2)
+
+  /** The in-progress round, inferred from the judge's VERDICT.md header
+    * ("# VERDICT — round N" describes the PRIOR round, so the current
+    * round is N + 1). None when no verdict is readable (round 1, or a
+    * stripped checkout) — the cap is then skipped.
+    */
+  private[graft] def parseVerdictRound(text: String): Option[Int] =
+    "VERDICT\\s*[—–-]+\\s*round\\s+(\\d+)".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt + 1)
+
+  /** Locate and parse the prior round's BENCH_r*.json (or the
+    * SPARK_GRAFT_PREV_BENCH override, which always wins). Best-effort:
+    * any failure is an empty map.
     */
   private def prevIsolated(): Map[String, Double] =
     try {
@@ -179,11 +206,20 @@ object Bench {
         .map(new java.io.File(_))
         .orElse {
           val rx = "BENCH_r(\\d+)\\.json".r
-          Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          val round = try {
+            val v = new java.io.File("VERDICT.md")
+            if (v.isFile) {
+              val src = scala.io.Source.fromFile(v, "UTF-8")
+              try parseVerdictRound(src.mkString) finally src.close()
+            } else None
+          } catch { case _: Throwable => None }
+          val cands = Option(new java.io.File(".").listFiles())
+            .getOrElse(Array.empty).toSeq
             .flatMap(f => f.getName match {
-              case rx(n) => Some((n.toInt, f))
+              case rx(n) => Some((n.toInt, f.getPath))
               case _ => None
-            }).sortBy(-_._1).headOption.map(_._2)
+            })
+          pickPrevBench(cands, round).map(new java.io.File(_))
         }
       file.filter(_.isFile).map { f =>
         val src = scala.io.Source.fromFile(f, "UTF-8")
@@ -284,8 +320,12 @@ object Bench {
     // driver-run spike vs 8.45 s isolated at EQUAL shuffle bytes — not
     // reproducible at the same protocol and suite position locally, see
     // PLANS.md — and ext_dedup_prf's same-signature wobble).
+    // ... plus the round-10 incremental-dedup pair (2.97→3.71 / 2.40→2.77
+    // in-suite with no isolated history to adjudicate against — r10
+    // verdict watch-nit; their first isolated baseline lands this round)
     val watchlist = Set("ext_split_leakfree", "ext_dedup_canonical",
-      "ext_sketch_quantile", "ext_ann_hnsw_append", "ext_dedup_prf") ++
+      "ext_sketch_quantile", "ext_ann_hnsw_append", "ext_dedup_prf",
+      "ext_dedup_incremental", "ext_dedup_incr_persist") ++
       sys.env.get("SPARK_GRAFT_ISOLATE").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val roster = (results.filter(_._4).sortBy(r => (-r._3, r._1))

@@ -956,8 +956,8 @@ object Similarity {
 
   def probeIvfIndex(path: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame =
-    probeIvfIndexVia(path, queries, idCol, vecCol, k,
-      p => queries.sparkSession.read.parquet(p))
+    probeIvfIndexVia(queries, idCol, vecCol, k,
+      sub => queries.sparkSession.read.parquet(s"$path/$sub"))
 
   /** [[probeIvfIndex]] through the `graft-index` DataSourceV2 serving
     * table (sources/GraftIndexSource.scala) — identical results
@@ -967,8 +967,8 @@ object Similarity {
     */
   def probeIvfIndexV2(path: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame =
-    probeIvfIndexVia(path, queries, idCol, vecCol, k,
-      p => queries.sparkSession.read.format("graft-index").load(p))
+    probeIvfIndexVia(queries, idCol, vecCol, k,
+      sub => queries.sparkSession.read.format("graft-index").load(s"$path/$sub"))
 
   /** Catalog-routed probe — identical to [[probeIvfIndexV2]], but the
     * index's sub-tables resolve by NAME through a registered
@@ -976,23 +976,26 @@ object Similarity {
     * `catalog.index` prefix (backtick the index segment when it carries
     * non-identifier characters), and the probe reads
     * `catalogIndex.cents` / `catalogIndex.cells` via spark.table — the
-    * serving story with no filesystem paths in the query.
+    * serving story with no filesystem paths in the query. The reader
+    * receives the SUB-TABLE name directly (never a slash-joined
+    * pseudo-path: an index name containing '/' inside its backticks
+    * would mis-split — round-10 ADVICE).
     */
   def probeIvfIndexCatalog(catalogIndex: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame =
-    probeIvfIndexVia(catalogIndex, queries, idCol, vecCol, k,
-      p => {
-        val i = p.lastIndexOf('/')
-        queries.sparkSession.table(p.substring(0, i) + "." + p.substring(i + 1))
-      })
+    probeIvfIndexVia(queries, idCol, vecCol, k,
+      sub => queries.sparkSession.table(s"$catalogIndex.$sub"))
 
-  private def probeIvfIndexVia(path: String, queries: DataFrame,
+  /** `reader` maps a sub-table NAME ("cents" / "cells") to its frame —
+    * each route closes over its own prefix (path or catalog identifier).
+    */
+  private def probeIvfIndexVia(queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       reader: String => DataFrame): DataFrame = {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val cents = reader(s"$path/cents")
-    val corp = reader(s"$path/cells")
+    val cents = reader("cents")
+    val corp = reader("cells")
     val vecD = transform(col(vecCol), x => x.cast("double"))
     // the probe's cell key is cast to the STORED side's partition type
     // (always safe: probe cells come from the same stored centroid ids

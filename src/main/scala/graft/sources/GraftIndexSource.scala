@@ -110,14 +110,42 @@ object GraftIndexTable {
     */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Freshness signature of a table root: (mtime, direct child count).
+    * The child count is mixed in because an overwrite landing within the
+    * filesystem's mtime granularity would otherwise serve a stale cached
+    * schema/partition-column set (round-10 ADVICE); a rewrite that
+    * changes the layout almost always changes the child population too.
+    */
+  private def rootSig(path: String): (Long, Int) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(activeHadoopConf())
+    if (!fs.exists(root)) (-1L, -1)
+    else (fs.getFileStatus(root).getModificationTime, fs.listStatus(root).length)
+  }
+
+  /** ONE cache entry per path, replaced when the root signature moves —
+    * a long session touching many scratch indexes no longer accretes
+    * stale (path, oldMtime) entries (round-10 ADVICE: the former
+    * (path, mtime)-keyed maps were unbounded).
+    */
+  private final class SigCache[V] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      String, ((Long, Int), V)]()
+    def get(path: String)(compute: => V): V =
+      m.compute(path, (_, old) => {
+        val sig = rootSig(path)
+        if (old != null && old._1 == sig) old else (sig, compute)
+      })._2
+  }
+
   /** First-level `name=value` directory names define the partition
     * columns (the writers emit exactly one level; nesting would extend
     * the walk). Cached like [[inferSchema]] — the column SET only
-    * changes via overwrite (root recreated, new mtime); appends add
+    * changes via overwrite (root recreated, new signature); appends add
     * values, never columns — and every table/scan construction asks.
     */
   def partitionColumns(path: String): Seq[String] =
-    partColsCache.computeIfAbsent((path, rootMtime(path)), { _ =>
+    partColsCache.get(path) {
       val root = new Path(path)
       val fs = root.getFileSystem(activeHadoopConf())
       if (!fs.exists(root)) Nil
@@ -127,39 +155,31 @@ object GraftIndexTable {
           case _ => None
         }
       }.flatten.distinct
-    })
+    }
 
-  private val partColsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+  private val partColsCache = new SigCache[Seq[String]]
 
   /** Schema inference delegates to Spark's own parquet inference (one
     * footer + partition-directory discovery on the driver), so types —
     * including the inferred partition-column type — match what the raw
     * `spark.read.parquet` probe path saw byte for byte.
     *
-    * Cached by (path, root mtime): a probe loop re-loads the same index
+    * Cached by root signature: a probe loop re-loads the same index
     * many times, and each inference is a full Spark read planning. A
     * schema change requires an overwrite, which recreates the root
-    * directory (new mtime); appends add files without touching the
-    * schema — both invalidate or preserve the key correctly.
+    * directory (new signature); appends add files without touching the
+    * schema — both invalidate or preserve the entry correctly.
     */
   def inferSchema(path: String): StructType =
-    schemaCache.computeIfAbsent((path, rootMtime(path)), { _ =>
+    schemaCache.get(path) {
       val s = SparkSession.active.read.parquet(path).schema
       s.foreach(f => require(supported(f.dataType),
         s"graft-index: unsupported column type ${f.dataType.catalogString} " +
           s"for '${f.name}' (index schemas are primitives + flat arrays)"))
       s
-    })
+    }
 
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
-
-  private def rootMtime(path: String): Long = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(activeHadoopConf())
-    if (fs.exists(root)) fs.getFileStatus(root).getModificationTime else -1L
-  }
+  private val schemaCache = new SigCache[StructType]
 
   private def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |

@@ -190,11 +190,17 @@ class BenchLineSpec extends AnyFunSuite {
     val got = Bench.parsePrevIsolated(tail)
     assert(got("extanhnap") == 8.45 && got("extanhnsw") == 11.55)
     assert(!got.contains("t_ann_recall"), "truncated leading fragment has no queries_isolated marker")
-    // a detail line with the full-name map contributes full-name keys
+    // when the full-name bench_detail fragment is present it WINS
+    // OUTRIGHT: abbreviations shift when the roster changes, so a prior
+    // abbrev key can silently resolve to a different query under this
+    // round's table (round-10 ADVICE) — abbreviated pairs are only the
+    // fallback when no queries_isolated pair survived the tail cut
     val both = Bench.parsePrevIsolated(
       """{"bench_detail":{"queries_isolated":{"ext_ann_hnsw_append":8.780,"ext_ann_hnsw":2.028},"errors":[]}}
 {"metric":"total","q_isolated":{"extanhnap":8.45},"sf":"x"}""")
-    assert(both("ext_ann_hnsw_append") == 8.78 && both("extanhnap") == 8.45)
+    assert(both("ext_ann_hnsw_append") == 8.78 && both("ext_ann_hnsw") == 2.028)
+    assert(!both.contains("extanhnap"),
+      "abbreviated keys must be dropped when full-name pairs parsed")
     assert(Bench.parsePrevIsolated("not json at all") == Map.empty)
     // the driver's BENCH_r{N}.json embeds the tail as a JSON STRING, so
     // every quote arrives backslash-escaped — the real artifact shape
@@ -202,6 +208,24 @@ class BenchLineSpec extends AnyFunSuite {
     val esc = Bench.parsePrevIsolated(escaped)
     assert(esc("extanhnap") == 8.45 && esc("extskqu") == 0.56,
       "escaped-quote artifact tails must parse")
+  }
+
+  test("prev-bench pick: same-round re-runs never diff against their own artifact") {
+    // VERDICT.md "# VERDICT — round 10" ⇒ the in-progress round is 11
+    assert(Bench.parseVerdictRound("# VERDICT — round 10\n\nSummary: ...") ==
+      Some(11))
+    assert(Bench.parseVerdictRound("VERDICT - round 3") == Some(4))
+    assert(Bench.parseVerdictRound("no header here") == None)
+    val cands = Seq((9, "BENCH_r9.json"), (10, "BENCH_r10.json"),
+      (11, "BENCH_r11.json"))
+    // round 11 in progress: r11 is this round's OWN artifact (a
+    // same-round re-run) — the prior round is r10
+    assert(Bench.pickPrevBench(cands, Some(11)) == Some("BENCH_r10.json"))
+    // no verdict readable (round 1 / stripped checkout): newest wins
+    assert(Bench.pickPrevBench(cands, None) == Some("BENCH_r11.json"))
+    assert(Bench.pickPrevBench(Nil, Some(11)) == None)
+    assert(Bench.pickPrevBench(Seq((11, "BENCH_r11.json")), Some(11)) == None,
+      "an own-round-only artifact list must yield no prev, not itself")
   }
 
   test("pathological failure: every query errored still yields a short, parseable line") {
