@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway micro-bench for the round-11 filtered vectorized lane. */
+object LaneBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("lane_bench").toString
+    graft.operators.Similarity.writeIvfIndex(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", 25, dir)
+    val raw = spark.read.parquet(s"$dir/cells")
+    val mid = raw.select(avg(col("vec_b"))).collect().head.getDouble(0).toLong
+    def timed(label: String)(f: => Long): Unit = {
+      f // warm
+      val runs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[lane] $label%-28s min=${runs.min}%.3f med=${runs.sorted.apply(2)}%.3f")
+    }
+    def v2 = spark.read.format("graft-index").load(s"$dir/cells")
+    def rl = spark.read.format("graft-index").option("rowlane", "true")
+      .load(s"$dir/cells")
+    // filtered scans (projection + pushed range filter)
+    timed("parquet filter+proj") {
+      raw.where(col("vec_b") > mid).select("vec_b", "vb", "nb").count()
+    }
+    timed("v2 COLUMNAR filter+proj") {
+      v2.where(col("vec_b") > mid).select("vec_b", "vb", "nb").count()
+    }
+    timed("v2 rowlane filter+proj") {
+      rl.where(col("vec_b") > mid).select("vec_b", "vb", "nb").count()
+    }
+    // materializing collect (decode-bound)
+    timed("parquet filter collect") {
+      raw.where(col("vec_b") > mid).select("vec_b", "nb").collect().length.toLong
+    }
+    timed("v2 COLUMNAR filter collect") {
+      v2.where(col("vec_b") > mid).select("vec_b", "nb").collect().length.toLong
+    }
+    timed("v2 rowlane filter collect") {
+      rl.where(col("vec_b") > mid).select("vec_b", "nb").collect().length.toLong
+    }
+    // selective equality (row-group pruning visible)
+    timed("parquet eq") { raw.where(col("vec_b") === mid).count() }
+    timed("v2 COLUMNAR eq") { v2.where(col("vec_b") === mid).count() }
+    // full-scan sanity (round-10 baseline shape)
+    timed("parquet full proj") { raw.select("vec_b", "vb").count() }
+    timed("v2 COLUMNAR full proj") { v2.select("vec_b", "vb").count() }
+    // planning vs execution split: REUSED DataFrame = execution only
+    val v2Reused = v2.where(col("vec_b") > mid).select("vec_b", "vb", "nb")
+    val pqReused = raw.where(col("vec_b") > mid).select("vec_b", "vb", "nb")
+    timed("v2 REUSED-DF filter") { v2Reused.count() }
+    timed("parquet REUSED-DF filter") { pqReused.count() }
+    // task accounting: where does the v2 gap live?
+    val tally = new org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val ms = new java.util.concurrent.atomic.AtomicLong
+      val deser = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        n.incrementAndGet(); ms.addAndGet(t.taskInfo.duration)
+        if (t.taskMetrics != null)
+          deser.addAndGet(t.taskMetrics.executorDeserializeTime)
+      }
+    }
+    spark.sparkContext.addSparkListener(tally)
+    def acct(label: String)(f: => Long): Unit = {
+      tally.n.set(0); tally.ms.set(0); tally.deser.set(0)
+      f
+      Thread.sleep(400) // listener delivery is async
+      println(s"[lane] $label tasks=${tally.n.get} taskMs=${tally.ms.get} deserMs=${tally.deser.get}")
+    }
+    acct("v2 tasks") { v2Reused.count() }
+    acct("parquet tasks") { pqReused.count() }
+    // flat (unpartitioned) table: graph-index vecs, decode-dominated
+    val gdir = java.nio.file.Files.createTempDirectory("lane_g").toString
+    graft.operators.Similarity.writeGraphIndex(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", 25, 8, gdir)
+    val vecsRaw = spark.read.parquet(s"$gdir/vecs")
+    def vecsV2 = spark.read.format("graft-index").load(s"$gdir/vecs")
+    val vmid = vecsRaw.select(avg(col("vid"))).collect().head.getDouble(0).toLong
+    timed("parquet vecs filter") {
+      vecsRaw.where(col("vid") > vmid).select("vid", "vec").count()
+    }
+    timed("v2 vecs filter") {
+      vecsV2.where(col("vid") > vmid).select("vid", "vec").count()
+    }
+    // in-process reader cost, no Spark job: one tiny cell file
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cellFiles = graft.sources.GraftIndexTable.listFiles(s"$dir/cells")
+      .map(_._1).sorted
+    val schema = raw.schema
+    val dataF = schema.fields.filter(f => f.name != "cell")
+    def readOne(f: String): Long = {
+      val r = new graft.sources.GraftIndexColumnarReader(
+        Seq((f, Array[Any](null))),
+        org.apache.spark.sql.types.StructType(dataF), Array(false, false, false),
+        dataF, Array.empty, schema, None, hconf)
+      var rows = 0L
+      while (r.next()) rows += r.get().numRows()
+      r.close(); rows
+    }
+    readOne(cellFiles.head)
+    val t0 = System.nanoTime()
+    cellFiles.take(40).foreach(readOne)
+    println(f"[lane] direct 40-file columnar read ${(System.nanoTime() - t0) / 1e9}%.3f s (${(System.nanoTime() - t0) / 40e6}%.2f ms/file)")
+    // cost breakdown: footer open alone, then open + one row group bind
+    val t1 = System.nanoTime()
+    cellFiles.take(40).foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), hconf))
+      r.getRecordCount; r.close()
+    }
+    println(f"[lane] direct 40-file footer open ${(System.nanoTime() - t1) / 40e6}%.2f ms/file")
+    val t2 = System.nanoTime()
+    cellFiles.take(40).foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), hconf))
+      val pages = r.readNextRowGroup(); pages.getRowCount; r.close()
+    }
+    println(f"[lane] direct 40-file open+rowgroup ${(System.nanoTime() - t2) / 40e6}%.2f ms/file")
+    spark.stop()
+  }
+}

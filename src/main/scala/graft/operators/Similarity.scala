@@ -986,6 +986,18 @@ object Similarity {
     probeIvfIndexVia(queries, idCol, vecCol, k,
       sub => queries.sparkSession.table(s"$catalogIndex.$sub"))
 
+  /** Probe from ALREADY-LOADED index frames — the STREAMING serving
+    * shape: `cells` is the accumulated admissions stream (the
+    * connector's MicroBatchStream over `$path/cells`), `cents` any
+    * batch read of the stored centroids. Identical results to the
+    * path-routed probe over the same state (spec-pinned), so a probe
+    * over replayed admissions IS the batch probe.
+    */
+  def probeIvfIndexFrames(cents: DataFrame, cells: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    probeIvfIndexVia(queries, idCol, vecCol, k,
+      sub => if (sub == "cents") cents else cells)
+
   /** `reader` maps a sub-table NAME ("cents" / "cells") to its frame —
     * each route closes over its own prefix (path or catalog identifier).
     */

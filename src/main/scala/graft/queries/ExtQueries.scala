@@ -2738,6 +2738,48 @@ object ExtQueries extends QueryGroup {
       TopK)
   }
 
+  /** FILTERED serving-slice audit through the V2 table — the round-11
+    * vectorized-filter lane as a registered, oracle-gated query: a
+    * pushed range filter on a PROJECTED column (vec_b > 100) plus one
+    * on a column OUTSIDE the projection (nb > 1.0 decodes into a
+    * scratch vector that never reaches the output), grouped per cell.
+    * Both filters are claimed by the connector (no Spark re-filter) and
+    * decode on the columnar lane; the oracle restates the stored cell
+    * assignment and the same predicates over the raw embeddings. The
+    * filter constants are structural (fixed literals valid at every
+    * SF), and the aggregates are integer-only (count/min/max of ids) so
+    * no float fold order is in play.
+    */
+  private def annIvfV2Filtered(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "ivf_v2f", d)
+    Similarity.writeIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+      IvfCentroidEvery, path)
+    s.read.format("graft-index").load(s"$path/cells")
+      .where(col("vec_b") > 100L && col("nb") > 1.0d)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_b")).as("min_vec"),
+        max(col("vec_b")).as("max_vec"))
+  }
+
+  private lazy val annIvfV2FilteredSql = {
+    val assignCos = s"${dotOf("n.vec", "c.cvec")} / (sqrt(n.nsq) * sqrt(c.cn))"
+    s"""WITH $vecsSql,
+       cents AS (SELECT vec_id AS cent_id, vec AS cvec, nsq AS cn
+                 FROM n WHERE vec_id % $IvfCentroidEvery = 0),
+       assign AS (
+         SELECT vid, nsq, cell FROM (
+           SELECT n.vec_id AS vid, n.nsq, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY $assignCos DESC, c.cent_id ASC) AS rn
+           FROM n, cents c) t
+         WHERE rn = 1)
+       SELECT cell, count(*) AS n_vecs, min(vid) AS min_vec,
+              max(vid) AS max_vec
+       FROM assign
+       WHERE vid > 100 AND nsq > 1.0
+       GROUP BY cell"""
+  }
+
   /** CATALOG-routed twin of ext_ann_ivf_v2: the same persisted IVF
     * probe, but the index resolves by NAME through a registered
     * GraftIndexCatalog (`SELECT ... FROM graft_idx.<index>.cells`) —
@@ -9181,6 +9223,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
+    GQuery("ext_ann_ivf_v2_filtered", annIvfV2Filtered, Some(annIvfV2FilteredSql), "filtered serving slice through the V2 table: pushed data filters (one on a non-projected scratch column) decoded on the vectorized lane, per-cell integer aggregates"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,7 +29,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own the layout's invariants (partition discipline, stored-centroid
   * admission). Dropping/creating through SQL would bypass those.
   */
-class GraftIndexCatalog extends TableCatalog {
+class GraftIndexCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -64,6 +64,45 @@ class GraftIndexCatalog extends TableCatalog {
     if (!fs.exists(p)) throw new NoSuchTableException(ident)
     new GraftIndexTable(p.toString, GraftIndexTable.inferSchema(p.toString))
   }
+
+  // ---- namespaces (round-11 DDL surface: SHOW NAMESPACES / DESCRIBE) --
+  // an index directory under the root IS a namespace; its sub-tables
+  // are the tables. One level by construction (the writers emit
+  // <root>/<index>/<sub-table>), so namespaces never nest.
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(d => Array(d.getPath.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // sub-dirs are TABLES
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.nonEmpty && fs.exists(dirOf(namespace.toSeq)) &&
+      fs.getFileStatus(dirOf(namespace.toSeq)).isDirectory
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(
+      SupportsNamespaces.PROP_LOCATION, dirOf(namespace.toSeq).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"graft-index catalog '$catalogName' is read-only: indexes are " +
+        "created by the index writers (writeIvfIndex/writeGraphIndex)")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"graft-index catalog '$catalogName' is read-only")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = false
 
   // ---- read-only: lifecycle belongs to the index writers --------------
   override def createTable(ident: Identifier, schema: StructType,

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING READ FACE of the persisted graft indexes — the connector's
+  * own MicroBatchStream (sources/GraftIndexSource.scala,
+  * `toMicroBatchStream`) driven as a module, completing the repo's
+  * streaming-twin discipline for its own serving tables: every
+  * admission batch (`Similarity.appendToIvfIndex` /
+  * `appendToGraphIndex` parquet appends) arrives as a micro-batch of
+  * exactly the newly-admitted rows.
+  *
+  * Semantics inherited from the stream (and pinned by the spec):
+  *  - the OFFSET is the sorted file list, so ordered replay of N
+  *    admission batches accumulates exactly the batch-read state after
+  *    each admission — no driver-side source state, restart-safe from
+  *    checkpointed offsets alone;
+  *  - exactly-once row delivery holds on APPEND-ONLY sub-tables
+  *    (vecs/cells); a dynamically-overwritten table (edges) re-emits
+  *    rewritten partitions as fresh batches by design.
+  *
+  * At 100 TB this is the serving-side change-data feed: downstream
+  * monitors (recall trackers, drift fences, leaderboard refreshers)
+  * subscribe to admissions instead of re-scanning the index.
+  */
+object IndexAdmissionStream {
+
+  /** The admissions stream over one index sub-table. */
+  def admissions(spark: SparkSession, subTablePath: String): DataFrame =
+    spark.readStream.format("graft-index").load(subTablePath)
+
+  /** Drive the admissions stream into a memory table (append mode) and
+    * drain everything currently admitted. The returned query stays
+    * open: call `processAllAvailable()` again after the next admission
+    * lands, and the new rows arrive as their own micro-batch.
+    */
+  def replay(spark: SparkSession, subTablePath: String,
+      name: String): StreamingQuery = {
+    val q = admissions(spark, subTablePath).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

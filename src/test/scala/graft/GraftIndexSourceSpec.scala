@@ -115,8 +115,11 @@ class GraftIndexSourceSpec extends SparkSpec {
       assert(fresh.collect().nonEmpty)
       def filesOf(b: BatchScanExec): Long = b.inputRDD.partitions.map {
         case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
-          p.inputPartitions.map(
-            _.asInstanceOf[graft.sources.GraftIndexInputPartition].files.size.toLong).sum
+          p.inputPartitions.map {
+            case k: graft.sources.GraftIndexInputPartition => k.files.size.toLong
+            case pk: graft.sources.GraftIndexPackedPartition => pk.files.size.toLong
+            case _ => 0L
+          }.sum
         case _ => 0L
       }.sum
       val fullScan = corp.queryExecution.executedPlan.collectFirst {
@@ -302,6 +305,45 @@ class GraftIndexSourceSpec extends SparkSpec {
     }
   }
 
+  test("split planning: plain reads bin-pack files Spark-style; SPJ mode plans key-grouped splits") {
+    val dir = writeIndex()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def inputParts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+          .get.inputRDD.partitions.flatMap {
+            case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+              p.inputPartitions
+            case _ => Nil
+          }
+      val nCells = spark.read.parquet(s"$dir/cells")
+        .select("cell").distinct().count()
+      assert(nCells > 8, "fixture needs many small cells for this pin")
+      // bucketing OFF (the default): one split per partition directory
+      // would just multiply task overhead — files bin-pack into
+      // Spark-sized splits carrying PER-FILE partition values
+      val packed = inputParts(v2(s"$dir/cells").select("vec_b", "cell"))
+      assert(packed.forall(_.isInstanceOf[graft.sources.GraftIndexPackedPartition]),
+        "plain reads must plan packed splits when SPJ mode is off")
+      assert(packed.length < nCells,
+        s"bin-packing must merge tiny files: ${packed.length} !< $nCells splits")
+      // per-file partition constants stay exact across a mixed split
+      val got = v2(s"$dir/cells").select("vec_b", "cell")
+      val ref = spark.read.parquet(s"$dir/cells").select("vec_b", "cell")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        "packed splits must keep per-file partition values exact")
+      // bucketing ON: key-grouped splits, one per partition directory
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val keyed = inputParts(v2(s"$dir/cells").select("vec_b", "cell"))
+      assert(keyed.forall(_.isInstanceOf[graft.sources.GraftIndexInputPartition]),
+        "SPJ mode must plan key-grouped splits")
+      assert(keyed.length == nCells)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("catalog face: CREATE TABLE USING graft-index gives the index a SQL name") {
     val dir = writeIndex()
     spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
@@ -329,7 +371,7 @@ class GraftIndexSourceSpec extends SparkSpec {
       "V2 probe must be row-identical to the parquet probe")
   }
 
-  test("vectorized lane: pure projections plan COLUMNAR; filters/limit/agg stay on the row lanes") {
+  test("vectorized lane: projections, filtered scans and limits plan COLUMNAR; agg/count stay on their lanes") {
     val dir = writeIndex()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -343,16 +385,145 @@ class GraftIndexSourceSpec extends SparkSpec {
       assert(scanExec(v2(s"$dir/cells").where(col("cell") === 0)
           .select("vec_b")).supportsColumnar,
         "partition-pruned pure projections stay vectorized")
-      // a pushed DATA filter needs parquet's record-level assembly → row lane
-      assert(!scanExec(v2(s"$dir/cells").where(col("vec_b") > 10L))
-        .supportsColumnar, "claimed data filters must use the row lane")
-      // the limit wrapper is row-based → row lane
-      assert(!scanExec(v2(s"$dir/cells").select("vec_b").limit(5))
-        .supportsColumnar, "limit pushdown must use the row lane")
+      // round-11: a pushed DATA filter rides the vectorized lane too —
+      // row groups prune on footer stats, the residue re-evaluates
+      // vectorized over the decoded batch (EXACT claim semantics)
+      assert(scanExec(v2(s"$dir/cells").where(col("vec_b") > 10L))
+        .supportsColumnar, "claimed data filters must stay vectorized")
+      // ...and so does the limit wrapper (emission truncation)
+      assert(scanExec(v2(s"$dir/cells").select("vec_b").limit(5))
+        .supportsColumnar, "limit pushdown must stay vectorized")
+      // the diagnostic escape hatch pins the row lane for parity runs
+      assert(!scanExec(spark.read.format("graft-index")
+          .option("rowlane", "true").load(s"$dir/cells").select("vec_b"))
+        .supportsColumnar, "rowlane option must force the row path")
       // a pushed footer aggregate decodes nothing → its own lane
       assert(!scanExec(v2(s"$dir/cells").groupBy().agg(count(lit(1)).as("n")))
         .supportsColumnar, "footer aggregates must not claim columnar")
+      // zero-data-column zero-filter COUNT stays on the footer counter
+      assert(!scanExec(v2(s"$dir/cells").select("cell"))
+        .supportsColumnar, "partition-only projections ride the counting reader")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("vectorized filtered scans: row-lane-identical rows, scratch filter columns, row-group pruning") {
+    val dir = writeIndex()
+    val raw = spark.read.parquet(s"$dir/cells")
+    val mid = raw.select(avg(col("vec_b"))).collect().head.getDouble(0).toLong
+    def rowLane(sub: String) = spark.read.format("graft-index")
+      .option("rowlane", "true").load(s"$dir/$sub")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanExec(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+      // every claimed shape over every pushed type, vectorized ≡ row lane
+      val shapes = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        _ > mid, _ <= mid, _ === mid, c => c.isin(mid, mid + 1, mid + 7),
+        _.isNotNull)
+      for (mk <- shapes) {
+        val gotDf = v2(s"$dir/cells").where(mk(col("vec_b")))
+        assert(scanExec(gotDf).supportsColumnar, "filtered scan must be columnar")
+        val got = gotDf.collect()
+        val ref = rowLane("cells").where(mk(col("vec_b"))).collect()
+        val refRaw = raw.where(mk(col("vec_b"))).collect()
+        assert(got.length == ref.length && got.length == refRaw.length,
+          s"row counts diverge for $mk: ${got.length}/${ref.length}/${refRaw.length}")
+        assert(gotDf.exceptAll(raw.where(mk(col("vec_b")))).count() == 0)
+      }
+      // a filter column OUTSIDE the projection decodes into a scratch
+      // vector: projected rows exact, filter column absent from output
+      val proj = v2(s"$dir/cells").where(col("vec_b") > mid).select("vb", "nb")
+      assert(scanExec(proj).supportsColumnar)
+      assert(proj.columns.toSeq == Seq("vb", "nb"))
+      val projRef = raw.where(col("vec_b") > mid).select("vb", "nb")
+      assert(proj.exceptAll(projRef).count() == 0 &&
+        projRef.exceptAll(proj).count() == 0)
+      // range + string-equality conjunction over a flat side table
+      val cents = spark.read.parquet(s"$dir/cents")
+      val someCent = cents.select(min("cent_id")).collect().head.getLong(0)
+      val f2 = v2(s"$dir/cents").where(col("cent_id") >= someCent &&
+        col("cn") > 0.0)
+      assert(scanExec(f2).supportsColumnar)
+      assert(f2.count() ==
+        cents.where(col("cent_id") >= someCent && col("cn") > 0.0).count())
+      // count(*) under a pushed filter: agg refused, scan still columnar
+      // with an EMPTY output projection (scratch-only decode)
+      val cnt = v2(s"$dir/cells").where(col("nb") > 0.0)
+        .agg(count(lit(1)).as("n"))
+      assert(cnt.collect().head.getLong(0) == raw.where(col("nb") > 0.0).count())
+      // vectorized limit: exact count, rows drawn from the table
+      val lim = v2(s"$dir/cells").select("vec_b", "vb").limit(9)
+      assert(scanExec(lim).supportsColumnar)
+      assert(lim.count() == 9)
+      assert(lim.join(raw, Seq("vec_b"), "left_semi").count() == 9)
+      // filter + limit compose on the lane
+      val fl = v2(s"$dir/cells").where(col("vec_b") > mid).limit(3)
+      assert(fl.collect().length ==
+        math.min(3L, raw.where(col("vec_b") > mid).count()))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("columnar empty-projection edge: a file with NONE of the projected columns fills all-null rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_emptyproj").toString + "/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "x").repartition(1).write.parquet(dir)
+    Seq(3L, 4L).toDF("id").repartition(1).write.mode("append").parquet(dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("x", org.apache.spark.sql.types.LongType)
+    // select ONLY the column absent from the second file, no filters, no
+    // limit: the columnar lane must fill 2 all-null rows off the footer
+    // record count (no page reader exists for that file at all)
+    val onlyX = spark.read.format("graft-index").schema(schema).load(dir)
+      .select("x")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = onlyX.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.supportsColumnar,
+        "the empty-projection edge must ride the vectorized lane")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    assert(onlyX.count() == 4)
+    assert(onlyX.where(col("x").isNull).count() == 2)
+    assert(onlyX.where(col("x").isNotNull).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(10L, 20L))
+  }
+
+  test("timestamp columns decode on both lanes (micros parity with spark.read.parquet)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString + "/t"
+    val df = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456")),
+        (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")),
+        (3L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "ts")
+    // whatever physical the session default writes (INT96 or INT64
+    // micros) must round-trip; then pin the other physicals explicitly
+    df.repartition(1).write.parquet(dir)
+    for (rowlane <- Seq("false", "true")) {
+      val got = spark.read.format("graft-index").option("rowlane", rowlane)
+        .load(dir).select("id", "ts")
+      val ref = spark.read.parquet(dir).select("id", "ts")
+      assert(got.schema == ref.schema, s"ts schema diverges (rowlane=$rowlane)")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"ts rows diverge (rowlane=$rowlane)")
+    }
+    for (outType <- Seq("INT96", "TIMESTAMP_MICROS", "TIMESTAMP_MILLIS")) {
+      val d2 = java.nio.file.Files.createTempDirectory(s"graft_ts_$outType")
+        .toString + "/t"
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        if (outType == "INT96") "INT96" else outType)
+      try {
+        val src = if (outType == "TIMESTAMP_MILLIS")
+          df.withColumn("ts", date_trunc("second", col("ts"))) else df
+        src.repartition(1).write.parquet(d2)
+        val got = spark.read.format("graft-index").load(d2).select("id", "ts")
+        val ref = spark.read.parquet(d2).select("id", "ts")
+        assert(got.exceptAll(ref).count() == 0 &&
+          ref.exceptAll(got).count() == 0, s"$outType ts decode diverges")
+      } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
   }
 
   test("vectorized lane: null/empty arrays, null elements, strings and booleans decode exactly") {
@@ -478,6 +649,117 @@ class GraftIndexSourceSpec extends SparkSpec {
       viaPath.exceptAll(viaCat).count() == 0)
   }
 
+  test("streaming read face: ordered replay of admissions ≡ batch state; streamed probe ≡ batch probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", 25, dir)
+    val q = graft.streaming.IndexAdmissionStream.replay(spark,
+      s"$dir/cells", "graft_admit_t")
+    try {
+      def streamed = spark.table("graft_admit_t")
+      def batch = spark.read.parquet(s"$dir/cells")
+        .select(streamed.columns.map(col): _*)
+      // batch 1 (the initial write) replayed in full
+      val n1 = streamed.count()
+      assert(n1 == batch.count() && n1 > 0)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "replayed admissions must equal the batch read")
+      // ADMISSION: the appended rows arrive as their own micro-batch
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", dir)
+      q.processAllAvailable()
+      val n2 = streamed.count()
+      assert(n2 == batch.count() && n2 > n1,
+        s"admission batch must arrive: $n1 -> $n2 vs ${batch.count()}")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the two admissions must replay as separate micro-batches")
+      // streamed PROBE ≡ batch probe: the accumulated stream state is a
+      // drop-in cells frame for the serving probe
+      val probes = emb.where(col("vec_id") % 50 === 0)
+      val viaStream = Similarity.probeIvfIndexFrames(
+        spark.read.parquet(s"$dir/cents"), streamed,
+        probes, "vec_id", "embedding", 5)
+      val viaBatch = Similarity.probeIvfIndex(dir, probes,
+        "vec_id", "embedding", 5)
+      assert(viaStream.count() > 0)
+      assert(viaStream.exceptAll(viaBatch).count() == 0 &&
+        viaBatch.exceptAll(viaStream).count() == 0,
+        "a probe over replayed admissions must equal the batch probe")
+    } finally q.stop()
+    // offsets are self-contained (restart replans from checkpointed
+    // offsets alone) and survive hostile path characters
+    val off = graft.sources.GraftIndexStreamOffset(
+      Seq("/idx/cell=3/part-0.parquet", "/idx/we\"ird\\path.parquet"))
+    assert(graft.sources.GraftIndexStreamOffset.fromJson(off.json()).json()
+      == off.json(), "offset json must round-trip")
+  }
+
+  test("catalog DDL surface: SHOW NAMESPACES / DESCRIBE round-trip a two-index root, read-only refusals") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 25, s"$root/ivf_one")
+    Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 50, s"$root/ivf_two")
+    spark.conf.set("spark.sql.catalog.graft_ddl_t",
+      classOf[graft.sources.GraftIndexCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ddl_t.root", root)
+    // SHOW NAMESPACES: the index directories
+    val ns = spark.sql("SHOW NAMESPACES IN graft_ddl_t")
+      .select("namespace").collect().map(_.getString(0)).sorted
+    assert(ns.toSeq == Seq("ivf_one", "ivf_two"), s"got ${ns.toSeq}")
+    // DESCRIBE NAMESPACE carries the location
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED graft_ddl_t.ivf_one")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.values.exists(_.contains("ivf_one")),
+      s"namespace location must surface: $desc")
+    // DESCRIBE TABLE surfaces the partition column of the cells table
+    val dt = spark.sql("DESCRIBE TABLE graft_ddl_t.ivf_one.cells")
+      .collect().map(_.getString(0))
+    assert(dt.contains("cell"), s"got ${dt.toSeq}")
+    assert(dt.contains("# Partition Information") &&
+      dt.count(_ == "cell") >= 2, // once as a column, once under the section
+      s"DESCRIBE must show the partitioning section: ${dt.toSeq}")
+    // SQL-only consumer end-to-end: namespaces → tables → query
+    val tables = spark.sql("SHOW TABLES IN graft_ddl_t.ivf_two")
+      .select("tableName").collect().map(_.getString(0)).sorted
+    assert(tables.toSeq == Seq("cells", "cents"))
+    // namespace mutations refused; a missing namespace is a loud error
+    assert(intercept[UnsupportedOperationException] {
+      spark.sql("CREATE NAMESPACE graft_ddl_t.new_idx")
+    }.getMessage.contains("read-only"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SHOW TABLES IN graft_ddl_t.nope").collect()
+    }
+  }
+
+  test("planning cost: schema resolution is one cached footer read, not a Spark planning, per index version") {
+    val dir = writeIndex()
+    val before = graft.sources.GraftIndexTable.footerInfers.get()
+    val s1 = graft.sources.GraftIndexTable.inferSchema(s"$dir/cells")
+    // the fast path must produce BYTE-FOR-BYTE what spark.read infers
+    assert(s1 == spark.read.parquet(s"$dir/cells").schema,
+      "fast footer inference must match spark.read.parquet exactly")
+    assert(graft.sources.GraftIndexTable.inferSchema(s"$dir/cents") ==
+      spark.read.parquet(s"$dir/cents").schema)
+    val after = graft.sources.GraftIndexTable.footerInfers.get()
+    assert(after >= before + 2, "the fast path must have been taken")
+    // cached: re-resolving the same index version costs zero inferences
+    graft.sources.GraftIndexTable.inferSchema(s"$dir/cells")
+    graft.sources.GraftIndexTable.inferSchema(s"$dir/cents")
+    assert(graft.sources.GraftIndexTable.footerInfers.get() == after,
+      "re-resolution must hit the signature cache")
+    // a REWRITE moves the signature and re-infers (fast again)
+    Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 50, dir)
+    assert(graft.sources.GraftIndexTable.inferSchema(s"$dir/cells") ==
+      spark.read.parquet(s"$dir/cells").schema)
+    assert(graft.sources.GraftIndexTable.footerInfers.get() > after)
+  }
+
   test("executor readers carry the DRIVER's Hadoop conf across serialization") {
     val marker = "graft.test.conf.marker"
     spark.sparkContext.hadoopConfiguration.set(marker, "42")
@@ -499,9 +781,11 @@ class GraftIndexSourceSpec extends SparkSpec {
       // the factory ships to executors by java serialization: the conf
       // must survive the trip with the driver's settings intact (a bare
       // `new Configuration()` on the executor would lose fs credentials
-      // and spark.hadoop.* overrides on any non-local deployment)
+      // and spark.hadoop.* overrides on any non-local deployment). It
+      // rides a BROADCAST — deserialized once per executor JVM, not
+      // ~45 ms of XML parsing per task (round-11 fix)
       val shipped = roundtrip(factory.asInstanceOf[graft.sources.GraftIndexReaderFactory])
-      assert(shipped.conf.value.get(marker) == "42",
+      assert(shipped.conf.value.value.get(marker) == "42",
         "driver Hadoop conf must reach the executor-side reader factory")
     } finally spark.sparkContext.hadoopConfiguration.unset(marker)
   }
