@@ -247,9 +247,17 @@ object Similarity {
     * deleted) returns zero rows — the oracle restates the same
     * algorithm and agrees.
     */
-  private def beamSearch(vecs: DataFrame, edges: DataFrame, qF: DataFrame,
-      entryEvery: Int, k: Int, beam: Int, rounds: Int,
-      levels: Int = 3): DataFrame = {
+  /** The `levels`-deep entry descent on its own: (entry frontier, the
+    * per-stage SCORED frames — stage 0 is the top-level brute force,
+    * then one per descended level). [[beamSearch]] consumes only the
+    * frontier; the stage frames are returned UNEVALUATED so the
+    * depth-cost spec can count the rows each depth actually scores
+    * (SimilaritySpec pins levels=4 scoring strictly fewer entry rows
+    * than levels=3 at equal recall on a corpus where n/e² dominates).
+    */
+  private[graft] def entryDescent(vecs: DataFrame, qF: DataFrame,
+      entryEvery: Int, beam: Int,
+      levels: Int): (DataFrame, Seq[DataFrame]) = {
     require(levels >= 3, s"beamSearch needs levels >= 3, got $levels")
     val cvecs = vecs.select(col("vid").as("vec_b"), col("vec").as("vb"),
       col("nsq").as("nb"))
@@ -273,6 +281,7 @@ object Similarity {
     var routed = topB(topScores, beam)
       .select(col("q_id"), col("vec_b").as("cell"))
     var frontier: DataFrame = null
+    val stages = scala.collection.mutable.ArrayBuffer[DataFrame](topScores)
     // descend level by level: nodes of level l bucketed by their single
     // nearest level-(l+1) node (map-only fold over the broadcast parent
     // array), scored only inside the routed buckets
@@ -288,9 +297,23 @@ object Similarity {
         .withColumn("cosine",
           VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
         .select("q_id", "vec_b", "cosine")
+      stages += scored
       if (l == 1) frontier = scored
       else routed = topB(scored, beam).select(col("q_id"), col("vec_b").as("cell"))
     }
+    (frontier, stages.toSeq)
+  }
+
+  private def beamSearch(vecs: DataFrame, edges: DataFrame, qF: DataFrame,
+      entryEvery: Int, k: Int, beam: Int, rounds: Int,
+      levels: Int = 3): DataFrame = {
+    val cvecs = vecs.select(col("vid").as("vec_b"), col("vec").as("vb"),
+      col("nsq").as("nb"))
+    def topB(pool: DataFrame, n: Int): DataFrame =
+      pool.withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_b").asc)))
+        .where(col("rnk") <= n)
+    val (frontier, _) = entryDescent(vecs, qF, entryEvery, beam, levels)
     // visited pool starts as the entry frontier (the descent result),
     // not the whole entry level — matching HNSW, where upper-layer
     // nodes only seed layer 0, they don't pad the result candidates

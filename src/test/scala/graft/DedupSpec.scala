@@ -109,9 +109,23 @@ class DedupSpec extends SparkSpec {
       Dedup.XxHash)
     val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.8)
     assert(fast.count() > 0)
-    assert(fast.exceptAll(exact).count() == 0 &&
-      exact.exceptAll(fast).count() == 0,
-      "XxHash LSH must reach exact recall at this operating point")
+    // the two failure modes are DIFFERENT diagnoses, so they are
+    // recorded separately (round-10 ADVICE): a spurious pair is a
+    // PIPELINE bug (verification re-checks exact Jaccard, it can never
+    // legitimately admit one); a missed pair is an OPERATING-POINT
+    // recall miss (a just-above-τ pair that collided in none of the 8
+    // bands — data-dependent, fixable by loosening r, not by code)
+    val spurious = fast.exceptAll(exact).count()
+    val missed = exact.exceptAll(fast).count()
+    val total = exact.count()
+    info(f"band recall at 16 perms / r=2 / tau=0.8: ${(total - missed).toDouble / total}%.4f ($missed missed of $total)")
+    assert(spurious == 0,
+      s"$spurious spurious pairs — a PIPELINE bug (exact verification must reject them)")
+    assert(missed == 0,
+      s"band recall ${(total - missed).toDouble / total} < 1.0: $missed of " +
+        s"$total exact pairs collided in no band — an OPERATING-POINT " +
+        "recall miss on this fixture, not a pipeline bug (the " +
+        "ext_dedup_minhash_fast oracle gate reads the same way)")
     // the raw XxHash signature values — engine-specific, so no SQL
     // oracle can restate them — stay deterministic under repartitioning
     val edges = Dedup.shingleEdges(corpus, "doc_id", "text")

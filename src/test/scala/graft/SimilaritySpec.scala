@@ -153,6 +153,51 @@ class SimilaritySpec extends SparkSpec {
     info(s"entry-stage rows: levels=4 scores $entryCand4 of $bruteEntry brute pairs")
   }
 
+  test("depth-4 wins where n/e² dominates: strictly fewer entry rows at equal recall (synthetic corpus)") {
+    // bounded, seeded synthetic corpus (round-11 verdict ask): 2048
+    // points on a smooth unit circle — navigable by construction, with
+    // e=4 so the levels=3 top level (n/e² = 128 nodes) dominates entry
+    // cost while levels=4 routes through n/e³ = 32
+    val n = 2048
+    val e = 4
+    val beam = 4
+    val k = 5
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.003), sin(col("id") * 0.003)).as("embedding"))
+    val queries = corpus.where(col("vec_id") % 256 === 0) // 8 queries
+    val base = corpus.select(col("vec_id").as("vid"),
+      col("embedding").as("vec"),
+      graft.functions.VectorOps.normSq(col("embedding")).as("nsq"))
+    val qF = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"),
+      graft.functions.VectorOps.normSq(col("embedding")).as("qn"))
+    // the REAL descent's per-stage scored frames, counted
+    def entryRows(levels: Int): Long = {
+      val (_, stages) = Similarity.entryDescent(base, qF, e, beam, levels)
+      stages.map(_.count()).sum
+    }
+    val rows3 = entryRows(3)
+    val rows4 = entryRows(4)
+    info(s"entry rows scored: levels=3 $rows3, levels=4 $rows4")
+    assert(rows4 < rows3,
+      s"levels=4 must score strictly fewer entry rows: $rows4 !< $rows3")
+    // ... at equal top-k recall against the brute-force truth
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k))
+    def recall(levels: Int): Double = {
+      val g = Similarity.graphTopK(corpus, queries, "vec_id", "embedding",
+        k, 32, e, 8, beam, 3, levels = levels)
+      (pairs(g) & exact).size.toDouble / exact.size
+    }
+    val r3 = recall(3)
+    val r4 = recall(4)
+    info(f"recall@$k: levels=3 $r3%.3f, levels=4 $r4%.3f")
+    assert(r3 > 0.9, f"the synthetic corpus must be navigable: $r3%.3f")
+    assert(r4 == r3, f"equal recall required: levels=4 $r4%.3f vs levels=3 $r3%.3f")
+  }
+
   test("graph admission ≡ rebuild; untouched edge partitions byte-identical") {
     // batch ids %1000==3 are never %25==0, so the stored centroid set
     // equals the union's — writeGraphIndex on the union IS the
