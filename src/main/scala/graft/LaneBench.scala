@@ -3,7 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway micro-bench for the round-11 filtered vectorized lane. */
+/** Diagnostic micro-bench of the graft-index read lanes vs
+  * spark.read.parquet: filtered/full scans on the partitioned cells
+  * table and the flat vecs table, columnar vs forced row lane, task
+  * accounting (count + duration + deserialize time — the round-11
+  * conf-broadcast fix came out of the deser column), and the direct
+  * in-process per-file reader cost. Not part of the driver contract;
+  * run ad hoc: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.LaneBench"`.
+  */
 object LaneBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

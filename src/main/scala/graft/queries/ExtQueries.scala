@@ -2780,6 +2780,39 @@ object ExtQueries extends QueryGroup {
        GROUP BY cell"""
   }
 
+  /** EVENT-TIME columns through the serving connector (round-11): the
+    * events stream re-materialized as a bucket-partitioned serving
+    * table carrying a real TIMESTAMP column, read back through the
+    * graft-index table with a pushed numeric filter — so the new
+    * timestamp decode lane (INT64/INT96 → internal micros) is
+    * oracle-gated end-to-end, not just spec-pinned. Timestamps are
+    * emitted as epoch MICROS on both sides (the fixture-vintage
+    * discipline: never raw timestamps); the ts column is rebuilt from
+    * the nanos-normalized `ts`, so the query is storage-vintage
+    * independent.
+    */
+  private def eventsIndexTs(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2ts", d)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        (col("user_id") % 8).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("user_id") > 50L)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ets"))).as("min_ets"),
+        max(unix_micros(col("ets"))).as("max_ets"))
+  }
+
+  private val eventsIndexTsSql =
+    s"""SELECT user_id % 8 AS bucket, count(*) AS n_events,
+              min(epoch_ns(ts) // 1000) AS min_ets,
+              max(epoch_ns(ts) // 1000) AS max_ets
+       FROM events WHERE user_id > 50
+       GROUP BY 1"""
+
   /** CATALOG-routed twin of ext_ann_ivf_v2: the same persisted IVF
     * probe, but the index resolves by NAME through a registered
     * GraftIndexCatalog (`SELECT ... FROM graft_idx.<index>.cells`) —
@@ -9224,6 +9257,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
     GQuery("ext_ann_ivf_v2_filtered", annIvfV2Filtered, Some(annIvfV2FilteredSql), "filtered serving slice through the V2 table: pushed data filters (one on a non-projected scratch column) decoded on the vectorized lane, per-cell integer aggregates"),
+    GQuery("ext_events_index_ts", eventsIndexTs, Some(eventsIndexTsSql), "event-time serving table: TIMESTAMP column decoded through the graft-index connector under a pushed filter, epoch-micros aggregates per bucket"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),
