@@ -611,35 +611,13 @@ class GraftIndexScan(path: String, tableSchema: StructType,
         planInputPartitions().length)
     } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
-  /** Spark's own file-split sizing: bins close at
-    * min(maxPartitionBytes, max(openCost, total/defaultParallelism)),
-    * files sorted largest-first, each file costed at size + openCost —
-    * a many-small-file index scan plans ~core-count splits, a 100 TB
-    * one splits at maxPartitionBytes like any parquet read.
-    */
   private def packFiles(
       files: Seq[(String, Long, Map[String, Any])]): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.conf
-    val openCost = conf.filesOpenCostInBytes
-    val maxBytes = conf.filesMaxPartitionBytes
-    val parallelism = SparkSession.active.sparkContext.defaultParallelism
-    val totalBytes = files.map(_._2 + openCost).sum
-    val maxSplit = math.min(maxBytes,
-      math.max(openCost, totalBytes / math.max(1, parallelism)))
-    val typedPartOrder = partColsOrdered.map(c => c -> partType(c))
-    val splits = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    val cur = scala.collection.mutable.ArrayBuffer[(String, Map[String, Any])]()
-    var curBytes = 0L
-    def closeSplit(): Unit = if (cur.nonEmpty) {
-      splits += GraftIndexPackedPartition(cur.toSeq, typedPartOrder)
-      cur.clear(); curBytes = 0L
-    }
-    files.sortBy(f => (-f._2, f._1)).foreach { case (f, len, parts) =>
-      if (curBytes + len + openCost > maxSplit) closeSplit()
-      cur += ((f, parts)); curBytes += len + openCost
-    }
-    closeSplit()
-    splits.toArray
+    GraftIndexScan.binPack(files, conf.filesOpenCostInBytes,
+      conf.filesMaxPartitionBytes,
+      SparkSession.active.sparkContext.defaultParallelism,
+      partColsOrdered.map(c => c -> partType(c)))
   }
 
   // ---- execution ------------------------------------------------------
@@ -760,6 +738,36 @@ class GraftIndexScan(path: String, tableSchema: StructType,
         schema.fields.map(f => partCols.contains(f.name)),
         pushedData, tableSchema, limit, conf, forceRowLane)
     }
+  }
+}
+
+object GraftIndexScan {
+  /** Spark's own file-split sizing, as a pure function (unit-pinned at
+    * 100 TB shapes by GraftIndexSourceSpec): bins close at
+    * min(maxPartitionBytes, max(openCost, total/parallelism)), files
+    * sorted largest-first, each file costed at size + openCost — a
+    * many-small-file index scan plans ~core-count splits, a 100 TB one
+    * splits at maxPartitionBytes like any parquet read.
+    */
+  private[graft] def binPack(files: Seq[(String, Long, Map[String, Any])],
+      openCost: Long, maxBytes: Long, parallelism: Int,
+      typedPartOrder: Seq[(String, DataType)]): Array[InputPartition] = {
+    val totalBytes = files.map(_._2 + openCost).sum
+    val maxSplit = math.min(maxBytes,
+      math.max(openCost, totalBytes / math.max(1, parallelism)))
+    val splits = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    val cur = scala.collection.mutable.ArrayBuffer[(String, Map[String, Any])]()
+    var curBytes = 0L
+    def closeSplit(): Unit = if (cur.nonEmpty) {
+      splits += GraftIndexPackedPartition(cur.toSeq, typedPartOrder)
+      cur.clear(); curBytes = 0L
+    }
+    files.sortBy(f => (-f._2, f._1)).foreach { case (f, len, parts) =>
+      if (curBytes + len + openCost > maxSplit) closeSplit()
+      cur += ((f, parts)); curBytes += len + openCost
+    }
+    closeSplit()
+    splits.toArray
   }
 }
 

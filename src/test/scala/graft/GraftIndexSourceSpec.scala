@@ -344,6 +344,48 @@ class GraftIndexSourceSpec extends SparkSpec {
     }
   }
 
+  test("binPack at 100 TB shapes: splits bounded by maxPartitionBytes, tiny files amortize to ~core count") {
+    import graft.sources.{GraftIndexPackedPartition, GraftIndexScan}
+    val openCost = 4L * 1024 * 1024      // Spark defaults
+    val maxBytes = 128L * 1024 * 1024
+    val order = Seq("cell" -> org.apache.spark.sql.types.IntegerType)
+    def mk(n: Int, len: Long) = (0 until n).map(i =>
+      (f"/idx/cell=${i % 64}/part-$i%05d.parquet", len,
+        Map[String, Any]("cell" -> (i % 64))))
+    def bytesOf(p: org.apache.spark.sql.connector.read.InputPartition,
+        lens: Map[String, Long]) =
+      p.asInstanceOf[GraftIndexPackedPartition].files
+        .map { case (f, _) => lens(f) + openCost }.sum
+    // the 100 TB shape: 4000 × 256 MB files — every file alone exceeds
+    // the 128 MB cap, so splits are one file each (Spark's behavior)
+    val big = mk(4000, 256L * 1024 * 1024)
+    val bigSplits = GraftIndexScan.binPack(big, openCost, maxBytes, 1000, order)
+    assert(bigSplits.length == 4000)
+    // mid-size files pack several per split, every split under the cap
+    val mid = mk(4000, 16L * 1024 * 1024)
+    val midLens = mid.map(f => f._1 -> f._2).toMap
+    val midSplits = GraftIndexScan.binPack(mid, openCost, maxBytes, 1000, order)
+    assert(midSplits.forall(bytesOf(_, midLens) <= maxBytes),
+      "no split may exceed maxPartitionBytes")
+    assert(midSplits.length < 4000 && midSplits.length >= 4000 * 20 / 128,
+      s"mid-size files must pack: ${midSplits.length} splits")
+    // the tiny-file fixture shape: 81 × 100 KB files on 32 cores pack to
+    // ~core-count splits (total/parallelism floor), not 81 tasks
+    val tiny = mk(81, 100L * 1024)
+    val tinySplits = GraftIndexScan.binPack(tiny, openCost, maxBytes, 32, order)
+    assert(tinySplits.length <= 48 && tinySplits.length > 1,
+      s"tiny files must amortize toward core count: ${tinySplits.length}")
+    // every file lands in exactly one split, partition values intact
+    val placed = tinySplits.flatMap(
+      _.asInstanceOf[GraftIndexPackedPartition].files)
+    assert(placed.length == 81 && placed.map(_._1).distinct.length == 81)
+    assert(placed.forall { case (f, pv) =>
+      f.contains(s"cell=${pv("cell")}") })
+    // deterministic: same inputs, same split plan
+    val again = GraftIndexScan.binPack(tiny, openCost, maxBytes, 32, order)
+    assert(tinySplits.toSeq == again.toSeq)
+  }
+
   test("catalog face: CREATE TABLE USING graft-index gives the index a SQL name") {
     val dir = writeIndex()
     spark.sql("DROP TABLE IF EXISTS graft_ivf_cells")
