@@ -322,10 +322,15 @@ object Bench {
     // PLANS.md — and ext_dedup_prf's same-signature wobble).
     // ... plus the round-10 incremental-dedup pair (2.97→3.71 / 2.40→2.77
     // in-suite with no isolated history to adjudicate against — r10
-    // verdict watch-nit; their first isolated baseline lands this round)
+    // verdict watch-nit; their first isolated baseline landed round 11
+    // at 1.74/2.10 with in-suite recovery — contention, as the flat
+    // shuffle bytes suggested) and ext_ann_recall (4.48→5.61 in-suite at
+    // EQUAL 16.6 MB shuffle in round 11 — same signature, first isolated
+    // baseline 5.47 stamped; keep it on the roster for the diff)
     val watchlist = Set("ext_split_leakfree", "ext_dedup_canonical",
       "ext_sketch_quantile", "ext_ann_hnsw_append", "ext_dedup_prf",
-      "ext_dedup_incremental", "ext_dedup_incr_persist") ++
+      "ext_dedup_incremental", "ext_dedup_incr_persist",
+      "ext_ann_recall") ++
       sys.env.get("SPARK_GRAFT_ISOLATE").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val roster = (results.filter(_._4).sortBy(r => (-r._3, r._1))

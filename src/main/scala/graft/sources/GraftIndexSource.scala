@@ -796,8 +796,11 @@ case class GraftIndexPackedPartition(
 /** Streaming offset of the graft-index MicroBatchStream: the SORTED
   * data-file list seen so far, as a JSON string array. Self-contained
   * by design — any committed range replans from checkpointed offsets
-  * alone (no driver state), and the base Offset class already defines
-  * equality on the json, so an unchanged listing triggers no batch.
+  * alone (no driver state). INVARIANT: every engine-facing construction
+  * site carries a sorted list (latestOffset sorts, fromJson parses the
+  * sorted json, initialOffset is empty) — the synthesized case-class
+  * equality then agrees with the base Offset's json equality, and an
+  * unchanged listing triggers no batch.
   */
 case class GraftIndexStreamOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {

@@ -740,6 +740,50 @@ class GraftIndexSourceSpec extends SparkSpec {
       == off.json(), "offset json must round-trip")
   }
 
+  test("streaming read face: RESTART from checkpointed offsets replays only unseen admissions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvfIndex(emb.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", 25, dir)
+    val gotIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-index").load(s"$dir/cells")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("vec_b").collect().foreach(r => gotIds.add(r.getLong(0)))
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+    // run 1 drains the initial write, commits its offset to the WAL
+    run()
+    val wrote = emb.where(col("vec_id") % 3 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds.size == wrote.size &&
+      wrote.forall(gotIds.contains),
+      s"run 1 must drain the initial write: ${gotIds.size} vs ${wrote.size}")
+    // admission lands while NO query is running
+    Similarity.appendToIvfIndex(emb.where(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", dir)
+    gotIds.clear()
+    // run 2 RESTARTS from the checkpoint: the committed files must not
+    // replay — only the admission arrives (deserializeOffset is the
+    // code under test: the start offset comes from the WAL, the batch
+    // is the set difference against a fresh listing)
+    run()
+    val appended = emb.where(col("vec_id") % 3 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds.size == appended.size &&
+      appended.forall(gotIds.contains),
+      s"restart must replay ONLY the admission: got ${gotIds.size} rows, " +
+        s"expected ${appended.size} (a committed-file replay would inflate this)")
+  }
+
   test("catalog DDL surface: SHOW NAMESPACES / DESCRIBE round-trip a two-index root, read-only refusals") {
     val root = java.nio.file.Files.createTempDirectory("graft_ddl").toString
     Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
