@@ -1467,8 +1467,9 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
     }
   // no filters: decode straight into the output vectors (zero copy);
   // filters: decode into scratch, compact survivors into the output
+  private val scratchLane = pushedData.nonEmpty
   private val decodeVecs: Array[OnHeapColumnVector] =
-    if (pushedData.isEmpty) dataOutIdx.map(vectors(_))
+    if (!scratchLane) dataOutIdx.map(vectors(_))
     else OnHeapColumnVector.allocateColumns(BatchRows, StructType(decodeFields))
 
   private var rowsRemaining: Long = limit.map(_.toLong).getOrElse(Long.MaxValue)
@@ -1873,6 +1874,7 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
 
   override def close(): Unit = {
     if (reader != null) { reader.close(); reader = null }
+    if (scratchLane) decodeVecs.foreach(_.close()) // separate allocation
     batch.close()
   }
 }
