@@ -311,13 +311,26 @@ class GraftIndexTable(path: String, tableSchema: StructType,
   override def partitioning(): Array[Transform] =
     GraftIndexTable.partitionColumns(path)
       .map(c => Expressions.identity(c)).toArray
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def positive(key: String): Option[Long] = Option(options.get(key)).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-index: $key must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"graft-index: $key must be positive, got $n")
+      n
+    }
     new GraftIndexScanBuilder(path, tableSchema,
-      GraftIndexTable.partitionColumns(path), forceRowLane)
+      GraftIndexTable.partitionColumns(path), forceRowLane,
+      maxFilesPerTrigger = positive("maxFilesPerTrigger").map(_.toInt),
+      maxBytesPerTrigger = positive("maxBytesPerTrigger"))
+  }
 }
 
 class GraftIndexScanBuilder(path: String, tableSchema: StructType,
-    partColsOrdered: Seq[String], forceRowLane: Boolean = false)
+    partColsOrdered: Seq[String], forceRowLane: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -465,14 +478,17 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
 
   override def build(): Scan =
     new GraftIndexScan(path, tableSchema, required, pushedPart, pushedData,
-      partColsOrdered, agg, Option(aggSchema), limit, forceRowLane)
+      partColsOrdered, agg, Option(aggSchema), limit, forceRowLane,
+      maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 class GraftIndexScan(path: String, tableSchema: StructType,
     required: StructType, pushedPart: Array[Filter],
     pushedData: Array[Filter], partColsOrdered: Seq[String],
     agg: Option[Aggregation], aggSchema: Option[StructType],
-    limit: Option[Int] = None, forceRowLane: Boolean = false)
+    limit: Option[Int] = None, forceRowLane: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -660,21 +676,90 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     *  - Claimed pushdown stays honored: partition filters gate which
     *    files enter offsets, data filters ride the same reader factory
     *    (vectorized residue) as the batch lane.
+    *  - ADMISSION CONTROL (round-11, [[SupportsAdmissionControl]] +
+    *    [[SupportsTriggerAvailableNow]]): `maxFilesPerTrigger` /
+    *    `maxBytesPerTrigger` read options cap each micro-batch at N
+    *    files / ~N bytes (always at least one file, so an oversized
+    *    file still makes progress) — without a cap, a restart against
+    *    a long-lived index would replay the ENTIRE backlog as one
+    *    giant batch, the exact failure mode rate limits exist for at
+    *    100 TB. Trigger.AvailableNow snapshots the listing up front
+    *    and drains exactly that snapshot in capped batches, then
+    *    stops — late admissions wait for the next run.
     */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-      import org.apache.spark.sql.connector.read.streaming.Offset
+    new org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+        with org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+      import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
-      private def admitted(): Seq[String] = {
+      /** Admitted data files (path, size), sorted by path — the sort
+        * makes per-trigger caps deterministic in arrival-then-name
+        * order and keeps offset equality stable.
+        */
+      private def admitted(): Seq[(String, Long)] = {
         val filters = pushedPart // partition filters gate admission
         GraftIndexTable.listFiles(path)
-          .map { case (f, _, raw) =>
-            (f, raw.map { case (k, v) => k -> parse(v, partType(k)) })
+          .map { case (f, len, raw) =>
+            (f, len, raw.map { case (k, v) => k -> parse(v, partType(k)) })
           }
-          .filter { case (_, parts) => filters.forall(eval(_, parts)) }
-          .map(_._1).sorted
+          .filter { case (_, _, parts) => filters.forall(eval(_, parts)) }
+          .map(t => (t._1, t._2)).sortBy(_._1)
       }
+
+      /** Trigger.AvailableNow contract: every latestOffset call of this
+        * run sees the SAME listing, taken here — the run drains exactly
+        * this snapshot and terminates even while admissions keep landing.
+        */
+      @volatile private var availableNowSnapshot: Option[Seq[(String, Long)]] = None
+      override def prepareForTriggerAvailableNow(): Unit =
+        availableNowSnapshot = Some(admitted())
+
+      override def getDefaultReadLimit: ReadLimit = {
+        val lims = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+          maxBytesPerTrigger.map(ReadLimit.maxBytes)
+        lims match {
+          case Seq() => ReadLimit.allAvailable()
+          case Seq(one) => one
+          case many => ReadLimit.compositeLimit(many.toArray)
+        }
+      }
+
+      /** Longest prefix of `fresh` within the limit. maxBytes admits
+        * files while the running total fits, but always at least one
+        * (FileStreamSource semantics: an oversized file must not wedge
+        * the stream). Composite limits intersect to the most
+        * restrictive prefix.
+        */
+      private def cap(fresh: Seq[(String, Long)],
+          limit: ReadLimit): Seq[(String, Long)] = limit match {
+        case mf: ReadMaxFiles => fresh.take(mf.maxFiles)
+        case mb: ReadMaxBytes =>
+          val cum = fresh.scanLeft(0L)(_ + _._2).tail
+          val n = cum.indexWhere(_ > mb.maxBytes()) match {
+            case -1 => fresh.length
+            case 0 => 1
+            case i => i
+          }
+          fresh.take(n)
+        case c: CompositeReadLimit => c.getReadLimits.foldLeft(fresh)(cap)
+        case _ => fresh // ReadAllAvailable / ReadMinRows: everything
+      }
+
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val seen = start.asInstanceOf[GraftIndexStreamOffset].files
+        val seenSet = seen.toSet
+        val all = availableNowSnapshot.getOrElse(admitted())
+        val taken = cap(all.filterNot(f => seenSet(f._1)), limit)
+        if (taken.isEmpty) start // equal offsets → no batch planned
+        else GraftIndexStreamOffset((seen ++ taken.map(_._1)).sorted)
+      }
+
+      /** Progress telemetry only (latestOffset in source metrics): the
+        * true uncapped frontier.
+        */
+      override def reportLatestOffset(): Offset =
+        GraftIndexStreamOffset(admitted().map(_._1))
 
       /** Partition values re-derived from the file PATH (its name=value
         * segments), so planning a committed range never needs the
@@ -687,7 +772,11 @@ class GraftIndexScan(path: String, tableSchema: StructType,
         }.toMap
 
       override def initialOffset(): Offset = GraftIndexStreamOffset(Nil)
-      override def latestOffset(): Offset = GraftIndexStreamOffset(admitted())
+      // legacy single-arg form — the engine calls the
+      // SupportsAdmissionControl overload; kept total (uncapped) as a
+      // safety net rather than throwing
+      override def latestOffset(): Offset =
+        GraftIndexStreamOffset(admitted().map(_._1))
       override def deserializeOffset(json: String): Offset =
         GraftIndexStreamOffset.fromJson(json)
       override def commit(end: Offset): Unit = ()

@@ -26,9 +26,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IndexAdmissionStream {
 
-  /** The admissions stream over one index sub-table. */
-  def admissions(spark: SparkSession, subTablePath: String): DataFrame =
-    spark.readStream.format("graft-index").load(subTablePath)
+  /** The admissions stream over one index sub-table. The optional caps
+    * are the connector's admission control (SupportsAdmissionControl):
+    * at 100 TB an uncapped restart replays the whole backlog as one
+    * batch — `maxFiles`/`maxBytes` bound each trigger instead (always
+    * at least one file, so an oversized file still makes progress).
+    */
+  def admissions(spark: SparkSession, subTablePath: String,
+      maxFiles: Option[Int] = None, maxBytes: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-index")
+    maxFiles.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    maxBytes.foreach(n => r.option("maxBytesPerTrigger", n.toString))
+    r.load(subTablePath)
+  }
 
   /** Drive the admissions stream into a memory table (append mode) and
     * drain everything currently admitted. The returned query stays

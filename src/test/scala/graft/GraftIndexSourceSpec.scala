@@ -875,4 +875,103 @@ class GraftIndexSourceSpec extends SparkSpec {
         "driver Hadoop conf must reach the executor-side reader factory")
     } finally spark.sparkContext.hadoopConfiguration.unset(marker)
   }
+
+  // ---- admission control (SupportsAdmissionControl / AvailableNow) ----
+
+  private def microBatchStream(path: String, opts: Map[String, String]) = {
+    import scala.jdk.CollectionConverters._
+    new graft.sources.GraftIndexTable(path,
+      spark.read.parquet(path).schema)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts.asJava))
+      .build().asInstanceOf[graft.sources.GraftIndexScan]
+      .toMicroBatchStream("unused")
+  }
+
+  test("admission control: per-trigger caps as offset arithmetic (maxFiles, maxBytes at-least-one, composite)") {
+    import org.apache.spark.sql.connector.read.streaming._
+    val dir = writeIndex()
+    val cells = s"$dir/cells"
+    val nFiles = graft.sources.GraftIndexTable.listFiles(cells).length
+    assert(nFiles >= 3, s"fixture must have several files, got $nFiles")
+    val s = microBatchStream(cells,
+      Map("maxFilesPerTrigger" -> "2", "maxBytesPerTrigger" -> "1"))
+      .asInstanceOf[SupportsAdmissionControl]
+    // default limit composes both caps
+    val lims = s.getDefaultReadLimit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case other => fail(s"expected a composite limit, got $other")
+    }
+    assert(lims.collect { case f: ReadMaxFiles => f.maxFiles() } == Seq(2))
+    assert(lims.collect { case b: ReadMaxBytes => b.maxBytes() } == Seq(1L))
+    val init = s.initialOffset()
+    def filesOf(o: Offset) =
+      o.asInstanceOf[graft.sources.GraftIndexStreamOffset].files
+    // maxFiles(2): exactly 2 fresh files enter the offset
+    val two = s.latestOffset(init, ReadLimit.maxFiles(2))
+    assert(filesOf(two).length == 2)
+    // maxBytes(1): every file is oversized — still exactly ONE admitted
+    // (an oversized file must not wedge the stream)
+    val one = s.latestOffset(init, ReadLimit.maxBytes(1))
+    assert(filesOf(one).length == 1)
+    // composite = most restrictive prefix
+    val comp = s.latestOffset(init, s.getDefaultReadLimit)
+    assert(filesOf(comp).length == 1)
+    // progress is cumulative and terminates: drain with maxFiles(2)
+    var cur = init
+    var rounds = 0
+    while ({ val nxt = s.latestOffset(cur, ReadLimit.maxFiles(2))
+             val advanced = filesOf(nxt).length > filesOf(cur).length
+             cur = nxt; rounds += 1; advanced && rounds < 1000 }) ()
+    assert(filesOf(cur).length == nFiles,
+      "capped triggers must eventually admit every file")
+    assert(rounds == (nFiles + 1) / 2 + 1,
+      s"drain must take ceil(n/2) advancing rounds + 1 no-op, got $rounds")
+    // allAvailable admits the rest in one step
+    assert(filesOf(s.latestOffset(init, ReadLimit.allAvailable())).length == nFiles)
+    // the uncapped frontier stays visible to progress telemetry
+    assert(filesOf(s.reportLatestOffset()).length == nFiles)
+    // bogus caps are refused loudly at scan-build time
+    val bad = intercept[IllegalArgumentException] {
+      microBatchStream(cells, Map("maxFilesPerTrigger" -> "0"))
+    }
+    assert(bad.getMessage.contains("maxFilesPerTrigger"))
+  }
+
+  test("admission control: a live maxFilesPerTrigger stream drains in capped batches; AvailableNow terminates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_admitcap").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", 25, dir)
+    val cells = s"$dir/cells"
+    val nFiles = graft.sources.GraftIndexTable.listFiles(cells).length
+    val batch = spark.read.parquet(cells)
+    // live stream, 2 files per trigger: every batch bounded, union exact
+    val q = graft.streaming.IndexAdmissionStream
+      .admissions(spark, cells, maxFiles = Some(2))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_admit_cap").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_admit_cap")
+      val aligned = batch.select(streamed.columns.map(col): _*)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(aligned).count() == 0 &&
+        aligned.exceptAll(streamed).count() == 0,
+        "capped replay must accumulate exactly the batch state")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches == (nFiles + 1) / 2,
+        s"2-file triggers over $nFiles files must take ceil(n/2) batches, got $batches")
+    } finally q.stop()
+    // Trigger.AvailableNow: drains the snapshot under the same cap, then
+    // STOPS on its own (processAllAvailable above never terminates the query)
+    val an = graft.streaming.IndexAdmissionStream
+      .admissions(spark, cells, maxFiles = Some(2))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_admit_an")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(an.awaitTermination(120000),
+      "AvailableNow must terminate after draining the snapshot")
+    val got = spark.table("graft_admit_an")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch.select(got.columns.map(col): _*)).count() == 0)
+  }
 }
