@@ -144,23 +144,41 @@ object GraftIndexTable {
       })._2
   }
 
-  /** First-level `name=value` directory names define the partition
-    * columns (the writers emit exactly one level; nesting would extend
-    * the walk). Cached like [[inferSchema]] — the column SET only
-    * changes via overwrite (root recreated, new signature); appends add
-    * values, never columns — and every table/scan construction asks.
+  /** `name=value` directory chains define the partition columns, in
+    * DEPTH order — multi-level Hive layouts (`a=1/b=2/part.parquet`)
+    * are first-class (round-11; the former first-level-only scan
+    * silently null-filled deeper levels as data columns, diverging
+    * from spark.read.parquet). Every data file must sit under the SAME
+    * ordered column chain; a mixed layout (files at different nesting,
+    * or a bare file next to partition directories) is refused LOUDLY
+    * at planning time instead of mis-typing columns. Cached like
+    * [[inferSchema]] — the column set only changes via overwrite (root
+    * recreated, new signature); appends add values, never columns —
+    * and every table/scan construction asks.
     */
   def partitionColumns(path: String): Seq[String] =
     partColsCache.get(path) {
       val root = new Path(path)
       val fs = root.getFileSystem(activeHadoopConf())
       if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq.collect {
-        case d if d.isDirectory => d.getPath.getName match {
-          case PartDir(name, _) => Some(name)
-          case _ => None
-        }
-      }.flatten.distinct
+      else {
+        // mirror listFiles' traversal, tracking the name chain per file
+        def walk(p: Path, prefix: Seq[String]): Seq[Seq[String]] =
+          fs.listStatus(p).toSeq.flatMap {
+            case d if d.isDirectory => d.getPath.getName match {
+              case PartDir(name, _) => walk(d.getPath, prefix :+ name)
+              case _ => Nil
+            }
+            case f if f.getPath.getName.endsWith(".parquet") => Seq(prefix)
+            case _ => Nil
+          }
+        val chains = walk(root, Nil).distinct
+        require(chains.size <= 1,
+          s"graft-index: inconsistent partition nesting under $path " +
+            s"(every data file must sit under the same name=value chain): " +
+            chains.take(3).map(_.mkString("/")).mkString("{", ", ", ", ...}"))
+        chains.headOption.getOrElse(Nil)
+      }
     }
 
   private val partColsCache = new SigCache[Seq[String]]

@@ -876,6 +876,60 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.sparkContext.hadoopConfiguration.unset(marker)
   }
 
+  test("multi-level Hive layouts: depth-ordered partition columns, parquet parity, deep-level pruning; mixed nesting refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nest").toString + "/t"
+    spark.range(200).select(
+      (col("id") % 3).as("a"), (col("id") % 4).as("b"),
+      col("id").as("v"), (col("id") * 2).cast("double").as("w"))
+      .write.partitionBy("a", "b").parquet(dir)
+    assert(graft.sources.GraftIndexTable.partitionColumns(dir) == Seq("a", "b"),
+      "partition columns must come back in DEPTH order")
+    val raw = spark.read.parquet(dir)
+    val got = v2(dir).select(raw.columns.map(col): _*)
+    assert(got.schema == raw.schema, "schema parity on the nested layout")
+    assert(got.count() == 200)
+    assert(got.exceptAll(raw).count() == 0 && raw.exceptAll(got).count() == 0,
+      "rows must match spark.read.parquet on the nested layout")
+    // static pruning on the DEEP level only — visible in the FILES the
+    // splits carry (bin-packing normalizes the split COUNT toward
+    // parallelism on both sides)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def filesOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan
+          .collectFirst { case s: BatchScanExec => s }.get
+          .inputRDD.partitions.map {
+            case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+              p.inputPartitions.map {
+                case k: graft.sources.GraftIndexInputPartition => k.files.size.toLong
+                case pk: graft.sources.GraftIndexPackedPartition => pk.files.size.toLong
+                case _ => 0L
+              }.sum
+            case _ => 0L
+          }.sum
+      assert(filesOf(v2(dir).where(col("b") === 1)) < filesOf(v2(dir)),
+        "a filter on the second-level column must prune directories")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // grouped aggregates across the full chain agree with parquet
+    val gotAgg = v2(dir).groupBy("a", "b").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    val rawAgg = raw.groupBy("a", "b").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    assert(gotAgg.toSeq == rawAgg.toSeq)
+    // MIXED nesting (a bare data file next to partition directories) is
+    // refused loudly at planning time, not silently mis-typed
+    val bad = java.nio.file.Files.createTempDirectory("graft_mixed").toString + "/t"
+    spark.range(5).toDF("v").write.parquet(s"$bad/c=1")
+    val stray = new java.io.File(s"$bad/c=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(stray.toPath,
+      java.nio.file.Paths.get(s"$bad/${stray.getName}"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GraftIndexTable.partitionColumns(bad)
+    }
+    assert(e.getMessage.contains("inconsistent partition nesting"))
+  }
+
   // ---- admission control (SupportsAdmissionControl / AvailableNow) ----
 
   private def microBatchStream(path: String, opts: Map[String, String]) = {
