@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -115,6 +115,15 @@ object GraftIndexTable {
     * failing the whole table at planning time.
     */
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Lineage metadata column (round-11, [[SupportsMetadataColumns]]):
+    * `SELECT _file, ...` resolves to the data file each row came from —
+    * the row→file provenance a curation/lineage pipeline wants from its
+    * serving face, at zero read cost (a per-file constant, exactly like
+    * a partition value). Hidden whenever the table carries a real
+    * column of the same name.
+    */
+  val FileCol = "_file"
 
   /** Freshness signature of a table root: (mtime, direct child count).
     * The child count is mixed in because an overwrite landing within the
@@ -320,8 +329,18 @@ object GraftIndexTable {
 
 class GraftIndexTable(path: String, tableSchema: StructType,
     forceRowLane: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_index(`$path`)"
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.contains(GraftIndexTable.FileCol)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftIndexTable.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "data file this row came from (lineage; per-file constant)"
+    })
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -390,6 +409,12 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
       case GreaterThanOrEqual(_, v) => v != null
       case LessThan(_, v) => v != null
       case LessThanOrEqual(_, v) => v != null
+      // negation-free compounds of claimed legs compose exactly: every
+      // leg maps SQL unknown→false, and false ≡ unknown through a
+      // monotone AND/OR lattice for the keep/drop decision (the same
+      // argument as dataPushable; Not would break it and stays refused)
+      case Or(l, r) => partPushable(l) && partPushable(r)
+      case And(l, r) => partPushable(l) && partPushable(r)
       case _ => false
     })
 
@@ -407,6 +432,15 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     case LessThanOrEqual(a, v) => v != null && comparable(a)
     case IsNull(a) => primitive(a)
     case IsNotNull(a) => primitive(a)
+    // OR/AND of claimed legs (Spark splits top-level conjuncts, so And
+    // only appears nested under Or, e.g. (v<10 OR (v>90 AND w=1))):
+    // safe because every claimed leaf maps SQL unknown→false and the
+    // combination is negation-free — false and unknown are
+    // indistinguishable through a monotone AND/OR lattice for WHERE's
+    // keep-iff-TRUE decision. Parquet's record-level assembly applies
+    // the same mapping, so the claim stays EXACT.
+    case Or(l, r) => dataPushable(l) && dataPushable(r)
+    case And(l, r) => dataPushable(l) && dataPushable(r)
     case _ => false
   }
 
@@ -570,6 +604,11 @@ class GraftIndexScan(path: String, tableSchema: StructType,
       case GreaterThanOrEqual(a, v) => v != null && nonNull(a).exists(cmp(_, v) >= 0)
       case LessThan(a, v) => v != null && nonNull(a).exists(cmp(_, v) < 0)
       case LessThanOrEqual(a, v) => v != null && nonNull(a).exists(cmp(_, v) <= 0)
+      // negation-free compounds: unknown→false per leg, exact through
+      // the monotone lattice (claimed only for pushable legs; an
+      // unknown RUNTIME shape inside a compound keeps the partition)
+      case Or(l, r) => eval(l, parts) || eval(r, parts)
+      case And(l, r) => eval(l, parts) && eval(r, parts)
       case _ => true // unknown runtime shape: keep the partition (safe)
     }
   }
@@ -820,10 +859,20 @@ class GraftIndexScan(path: String, tableSchema: StructType,
         val conf = SparkSession.active.sparkContext.broadcast(
           new SerializableConfiguration(GraftIndexTable.activeHadoopConf()))
         new GraftIndexReaderFactory(readSchema(),
-          readSchema().fields.map(f => partCols.contains(f.name)),
+          readSchema().fields.map(f => constCol(f.name)),
           pushedData, tableSchema, limit, conf, forceRowLane)
       }
     }
+
+  /** Columns the readers fill as per-file CONSTANTS (never decoded):
+    * partition values from the directory chain, and the `_file` lineage
+    * metadata column — unless the table carries a REAL column of that
+    * name, in which case Spark never routes the metadata request here
+    * and the field must decode normally.
+    */
+  private def constCol(name: String): Boolean =
+    partCols.contains(name) || (name == GraftIndexTable.FileCol &&
+      !tableSchema.fieldNames.contains(name))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val schema = readSchema()
@@ -842,7 +891,7 @@ class GraftIndexScan(path: String, tableSchema: StructType,
       case Some(a) => new GraftIndexAggReaderFactory(a, aggSchema.get,
         aggSchema.get.fields.map(f => partCols.contains(f.name)), conf)
       case None => new GraftIndexReaderFactory(schema,
-        schema.fields.map(f => partCols.contains(f.name)),
+        schema.fields.map(f => constCol(f.name)),
         pushedData, tableSchema, limit, conf, forceRowLane)
     }
   }
@@ -944,6 +993,37 @@ object GraftIndexStreamOffset {
 
 object GraftIndexFilters {
 
+  /** Partially evaluate a claimed filter for ONE file of an evolved set,
+    * under the rule "a column the file lacks is NULL for every row":
+    * Left(true) = the filter passes every row (drop the conjunct),
+    * Left(false) = it drops every row (skip the file), Right(residual)
+    * = still data-dependent, references only present columns. Flat
+    * leaves reproduce the historical behavior (IsNull over an absent
+    * column passes, anything else skips); compounds fold leg by leg —
+    * without this, `Or(v > 5, IsNull(w))` with `w` absent would skip
+    * rows whose `v > 5` leg matches.
+    */
+  def forFile(f: Filter, present: Set[String]): Either[Boolean, Filter] =
+    f match {
+      case f if f.references.forall(present) => Right(f)
+      case IsNull(a) if !present(a) => Left(true)
+      case And(l, r) => (forFile(l, present), forFile(r, present)) match {
+        case (Left(false), _) | (_, Left(false)) => Left(false)
+        case (Left(true), x) => x
+        case (x, Left(true)) => x
+        case (Right(a), Right(b)) => Right(And(a, b))
+      }
+      case Or(l, r) => (forFile(l, present), forFile(r, present)) match {
+        case (Left(true), _) | (_, Left(true)) => Left(true)
+        case (Left(false), x) => x
+        case (x, Left(false)) => x
+        case (Right(a), Right(b)) => Right(Or(a, b))
+      }
+      // any other claimed leaf over an absent (all-null) column matches
+      // nothing: EqualTo/In/ranges need a non-null value, IsNotNull fails
+      case _ => Left(false)
+    }
+
   /** Spark source Filter → parquet FilterPredicate for the claimed
     * shapes; types resolved from the table schema.
     */
@@ -1012,6 +1092,10 @@ object GraftIndexFilters {
       case GreaterThanOrEqual(a, v) => rel(a, v, ">=")
       case LessThan(a, v) => rel(a, v, "<")
       case LessThanOrEqual(a, v) => rel(a, v, "<=")
+      // negation-free compounds compose exactly (unknown→false per leg
+      // on both engines; see dataPushable)
+      case Or(l, r) => FilterApi.or(toParquet(l, schema), toParquet(r, schema))
+      case And(l, r) => FilterApi.and(toParquet(l, schema), toParquet(r, schema))
       case other => throw new IllegalStateException(
         s"graft-index: unpushable filter claimed: $other")
     }
@@ -1072,23 +1156,27 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnarEligible
 
-  /** Normalize both split kinds to (file, partition-constant row): a
-    * keyed split shares one constant row across its files, a packed
-    * split carries per-file partition values.
+  /** Normalize both split kinds to (file, constant row): partition
+    * values come from the split's directory chain, the `_file` lineage
+    * column is the file path itself — all per-FILE constants.
     */
   private def fileParts(p: InputPartition): Seq[(String, Array[Any])] = {
-    def constOf(partValues: Map[String, Any]): Array[Any] =
+    def constOf(file: String, partValues: Map[String, Any]): Array[Any] =
       readSchema.fields.zip(isPart).map {
-        case (f, true) => GraftIndexReaderFactory.toInternal(
-          partValues(f.name), f.dataType)
+        case (f, true) =>
+          // `_file` lineage metadata: the file path itself (a partition
+          // column literally named _file would carry a partValues entry
+          // and win — but then the metadata column is hidden anyway)
+          if (f.name == GraftIndexTable.FileCol && !partValues.contains(f.name))
+            UTF8String.fromString(file)
+          else GraftIndexReaderFactory.toInternal(partValues(f.name), f.dataType)
         case _ => null
       }
     p match {
       case k: GraftIndexInputPartition =>
-        val const = constOf(k.partValues)
-        k.files.map(f => (f, const))
+        k.files.map(f => (f, constOf(f, k.partValues)))
       case pk: GraftIndexPackedPartition =>
-        pk.files.map { case (f, pv) => (f, constOf(pv)) }
+        pk.files.map { case (f, pv) => (f, constOf(f, pv)) }
     }
   }
 
@@ -1354,9 +1442,11 @@ class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
       val present = fileSchema.getFields
         .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
         .stream().map[String](_.getName).toArray.map(_.toString).toSet
-      val (filtersInFile, filtersAbsent) =
-        pushedData.partition(_.references.forall(present))
-      if (filtersAbsent.forall { case IsNull(_) => true; case _ => false }) {
+      // per-file filter folding (absent column ⇒ NULL): constant-false
+      // skips the file, constant-true conjuncts drop, residuals enforce
+      val perFile = pushedData.map(GraftIndexFilters.forFile(_, present))
+      if (!perFile.contains(Left(false))) {
+        val filtersInFile = perFile.collect { case Right(f) => f }
         val wanted = (dataFields.map(_.name).toSet ++
           filtersInFile.flatMap(_.references)).intersect(present)
         if (wanted.isEmpty) {
@@ -1385,8 +1475,8 @@ class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
           return true
         }
       }
-      // else: a non-IsNull filter references a column this file lacks —
-      // the conjunct is constant-false there, skip the file entirely
+      // else: some conjunct folds to constant FALSE for this file
+      // (e.g. a range over an absent, all-null column) — skip it wholesale
     }
     false
   }
@@ -1616,10 +1706,15 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
         val present = meta.getSchema.getFields
           .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
           .stream().map[String](_.getName).toArray.map(_.toString).toSet
-        val (inFile, absent) = pushedData.partition(_.references.forall(present))
-        if (!absent.forall { case IsNull(_) => true; case _ => false }) {
-          // a non-IsNull filter over an absent column is constant FALSE
-          // for every row of this file
+        // per-file filter folding (absent column ⇒ NULL) — the
+        // vectorized residue below would get these right anyway (absent
+        // columns decode as null vectors), but constant-false conjuncts
+        // skip the file with zero decode, and row-group pruning may only
+        // reference in-file columns
+        val perFile = pushedData.map(GraftIndexFilters.forFile(_, present))
+        val inFile = perFile.collect { case Right(f) => f }
+        if (perFile.contains(Left(false))) {
+          // some conjunct is constant FALSE for every row of this file
           plain.close()
         } else {
           createdBy = meta.getCreatedBy
@@ -1755,6 +1850,12 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
       case IsNull(a) =>
         val p = nn(a); r => !p(r)
       case IsNotNull(a) => nn(a)
+      // negation-free compounds: unknown→false per leg, exact through
+      // the monotone lattice (see dataPushable)
+      case Or(l, r) =>
+        val cl = compile(l); val cr = compile(r); r => cl(r) || cr(r)
+      case And(l, r) =>
+        val cl = compile(l); val cr = compile(r); r => cl(r) && cr(r)
       case other => throw new IllegalStateException(
         s"graft-index: unpushable filter claimed on the columnar lane: $other")
     }

@@ -930,6 +930,122 @@ class GraftIndexSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("inconsistent partition nesting"))
   }
 
+  test("compound OR/AND filters: claimed exactly on both lanes, partition pruning, evolved-file folding") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FilterExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_orand").toString + "/t"
+    (0 until 100).map(i =>
+        (i.toLong, if (i % 10 == 0) None else Some(i.toLong), (i % 7).toLong))
+      .toDF("id", "v", "w").repartition(2).write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    def pred(c: String => org.apache.spark.sql.Column) =
+      (c("v") < 10L) || (c("v") > 90L && c("w") === 1L)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = v2(dir).where(pred(col)).select("id", "v", "w")
+      // the compound is CLAIMED: no Filter node survives above the scan
+      assert(got.queryExecution.executedPlan
+        .collectFirst { case f: FilterExec => f }.isEmpty,
+        "an OR of claimed legs must vanish from the plan")
+      val expect = raw.where(pred(col)).select("id", "v", "w")
+      assert(got.count() == expect.count() && got.count() > 0)
+      assert(got.exceptAll(expect).count() == 0 &&
+        expect.exceptAll(got).count() == 0,
+        "compound-filtered rows must equal spark.read.parquet (null v drops)")
+      // row-lane parity via the escape hatch
+      val rowlane = spark.read.format("graft-index").option("rowlane", "true")
+        .load(dir).where(pred(col)).select("id", "v", "w")
+      assert(rowlane.exceptAll(expect).count() == 0 &&
+        expect.exceptAll(rowlane).count() == 0)
+      // OR over PARTITION columns prunes directories
+      val pdir = java.nio.file.Files.createTempDirectory("graft_orpart").toString + "/t"
+      (0 until 40).map(i => (i.toLong, i % 4)).toDF("v", "cell")
+        .write.partitionBy("cell").parquet(pdir)
+      val orPart = v2(pdir).where(col("cell") === 0 || col("cell") > 2)
+      def filesOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan
+          .collectFirst { case s: BatchScanExec => s }.get
+          .inputRDD.partitions.map {
+            case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+              p.inputPartitions.map {
+                case pk: graft.sources.GraftIndexPackedPartition => pk.files.size.toLong
+                case k: graft.sources.GraftIndexInputPartition => k.files.size.toLong
+                case _ => 0L
+              }.sum
+            case _ => 0L
+          }.sum
+      assert(filesOf(orPart) < filesOf(v2(pdir)),
+        "OR over the partition column must prune directories")
+      assert(orPart.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0 until 40).filter(i => i % 4 == 0 || i % 4 == 3).map(_.toLong))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // EVOLVED sets: Or(v > 5, IsNull(w)) with w absent from one file must
+    // keep that file wholesale (absent ⇒ null ⇒ the IsNull leg passes) —
+    // naive leaf logic would skip it
+    val evo = java.nio.file.Files.createTempDirectory("graft_orevo").toString + "/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("v", "w").repartition(1).write.parquet(evo)
+    Seq(100L, 200L).toDF("v").repartition(1).write.mode("append").parquet(evo)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("v", org.apache.spark.sql.types.LongType)
+      .add("w", org.apache.spark.sql.types.LongType)
+    def evoDf = spark.read.format("graft-index").schema(schema).load(evo)
+    assert(evoDf.where(col("w") === 10L || col("w").isNull)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 100L, 200L))
+    // and a compound that folds to constant FALSE still skips the file
+    assert(evoDf.where(col("w") === 10L || col("w") > 15L)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // forFile unit pins: folding algebra over present/absent columns
+    import org.apache.spark.sql.sources.{And => SAnd, Or => SOr, EqualTo => SEq, IsNull => SIsNull, GreaterThan => SGt}
+    val ff = graft.sources.GraftIndexFilters.forFile(_: org.apache.spark.sql.sources.Filter, Set("a"))
+    assert(ff(SOr(SGt("a", 1L), SIsNull("b"))) == Left(true))
+    assert(ff(SOr(SGt("a", 1L), SGt("b", 1L))) == Right(SGt("a", 1L)))
+    assert(ff(SAnd(SGt("a", 1L), SGt("b", 1L))) == Left(false))
+    assert(ff(SAnd(SGt("a", 1L), SIsNull("b"))) == Right(SGt("a", 1L)))
+    assert(ff(SAnd(SEq("a", 1L), SEq("a", 2L))) == Right(SAnd(SEq("a", 1L), SEq("a", 2L))))
+  }
+
+  test("metadata column _file: row-to-file lineage as a per-file constant, hidden under a real _file column") {
+    val dir = writeIndex()
+    val cells = s"$dir/cells"
+    val files = graft.sources.GraftIndexTable.listFiles(cells).map(_._1)
+    val df = v2(cells).select(col("_file"), col("vec_b"), col("cell"))
+    val got = df.collect()
+    assert(got.length == spark.read.parquet(cells).count())
+    assert(got.map(_.getString(0)).toSet == files.toSet,
+      "_file must cover exactly the listed data files")
+    // data + _file projection stays on the vectorized lane (_file is a
+    // constant fill, not a decode column)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = df.queryExecution.executedPlan
+        .collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.supportsColumnar,
+        "_file + data projection must stay on the vectorized lane")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // per-file row counts are exact (the lineage actually lines up),
+    // and a Spark-side filter on _file isolates one file's rows
+    val perFile = v2(cells).groupBy("_file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    files.take(3).foreach { f =>
+      val expect = spark.read.parquet(f).count()
+      assert(perFile(f) == expect, s"per-file count diverges for $f")
+      assert(v2(cells).where(col("_file") === f).count() == expect)
+    }
+    // a REAL _file data column hides the metadata column: values come
+    // from the data, not the reader
+    val clash = java.nio.file.Files.createTempDirectory("graft_fileclash").toString + "/t"
+    spark.range(10).select(concat(lit("row-"), col("id")).as("_file"),
+      col("id").as("v")).write.parquet(clash)
+    val tbl = new graft.sources.GraftIndexTable(clash,
+      spark.read.parquet(clash).schema)
+    assert(tbl.metadataColumns().isEmpty,
+      "metadata _file must yield to a real column of the same name")
+    val vals = v2(clash).select("_file").collect().map(_.getString(0)).toSet
+    assert(vals == (0 until 10).map(i => s"row-$i").toSet,
+      "a real _file column must read its DATA values")
+  }
+
   // ---- admission control (SupportsAdmissionControl / AvailableNow) ----
 
   private def microBatchStream(path: String, opts: Map[String, String]) = {
