@@ -90,7 +90,9 @@ class GraftIndexSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftIndexTable.inferSchema(pathOf(options))
+    GraftIndexTable.inferSchema(pathOf(options),
+      mergeSchema = java.lang.Boolean.parseBoolean(
+        options.getOrDefault("mergeSchema", "false")))
 
   override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
     GraftIndexTable.partitionColumns(pathOf(options))
@@ -146,8 +148,12 @@ object GraftIndexTable {
   private final class SigCache[V] {
     private val m = new java.util.concurrent.ConcurrentHashMap[
       String, ((Long, Int), V)]()
-    def get(path: String)(compute: => V): V =
-      m.compute(path, (_, old) => {
+    /** `key` defaults to the path; pass a decorated key when one path
+      * hosts several cacheable views (e.g. merged vs first-footer
+      * schema) — the SIGNATURE always comes from the real path.
+      */
+    def get(path: String, key: String = null)(compute: => V): V =
+      m.compute(if (key == null) path else key, (_, old) => {
         val sig = rootSig(path)
         if (old != null && old._1 == sig) old else (sig, compute)
       })._2
@@ -210,10 +216,18 @@ object GraftIndexTable {
     * touching the schema — both invalidate or preserve the entry
     * correctly.
     */
-  def inferSchema(path: String): StructType =
-    schemaCache.get(path) {
-      val s = fastInferSchema(path).getOrElse(
-        SparkSession.active.read.parquet(path).schema)
+  def inferSchema(path: String, mergeSchema: Boolean = false): StructType =
+    schemaCache.get(path,
+      key = if (mergeSchema) path + "\u0000merged" else path) {
+      val s =
+        // mergeSchema (round-11 read option): evolved file sets without
+        // an explicit .schema() — Spark's own footer-merging inference,
+        // cached under its own key so the views never collide
+        if (mergeSchema)
+          SparkSession.active.read.option("mergeSchema", "true")
+            .parquet(path).schema
+        else fastInferSchema(path).getOrElse(
+          SparkSession.active.read.parquet(path).schema)
       s.foreach(f => require(supported(f.dataType),
         s"graft-index: unsupported column type ${f.dataType.catalogString} " +
           s"for '${f.name}' (index schemas are primitives + flat arrays)"))

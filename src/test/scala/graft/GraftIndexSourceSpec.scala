@@ -619,6 +619,17 @@ class GraftIndexSourceSpec extends SparkSpec {
     // projecting ONLY the absent column still yields the right row count
     assert(evo.select("x").count() == 4)
     assert(evo.select("x").where(col("x").isNull).count() == 2)
+    // the mergeSchema read option infers the merged view WITHOUT an
+    // explicit .schema(), exactly like spark.read.parquet's
+    val opt = spark.read.format("graft-index")
+      .option("mergeSchema", "true").load(dir)
+    assert(opt.schema == merged.sparkSession.read
+      .option("mergeSchema", "true").parquet(dir).schema)
+    assert(opt.select("id", "x").exceptAll(merged).count() == 0 &&
+      merged.exceptAll(opt.select("id", "x")).count() == 0)
+    // ...and never collides with the unmerged cached view of the same path
+    assert(spark.read.format("graft-index").load(dir).schema ==
+      spark.read.parquet(dir).schema)
   }
 
   test("__HIVE_DEFAULT_PARTITION__ is a NULL partition value, not a planning-time crash") {
