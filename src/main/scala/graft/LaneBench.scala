@@ -59,6 +59,19 @@ object LaneBench {
     // selective equality (row-group pruning visible)
     timed("parquet eq") { raw.where(col("vec_b") === mid).count() }
     timed("v2 COLUMNAR eq") { v2.where(col("vec_b") === mid).count() }
+    // compound OR (round-11 claimed shape): both tails of the id range
+    val (lo, hi) = (mid / 2, mid + mid / 2)
+    def orPred(c: String => org.apache.spark.sql.Column) =
+      c("vec_b") < lo || c("vec_b") > hi
+    timed("parquet OR filter") {
+      raw.where(orPred(col)).select("vec_b", "nb").count()
+    }
+    timed("v2 COLUMNAR OR filter") {
+      v2.where(orPred(col)).select("vec_b", "nb").count()
+    }
+    timed("v2 rowlane OR filter") {
+      rl.where(orPred(col)).select("vec_b", "nb").count()
+    }
     // full-scan sanity (round-10 baseline shape)
     timed("parquet full proj") { raw.select("vec_b", "vb").count() }
     timed("v2 COLUMNAR full proj") { v2.select("vec_b", "vb").count() }

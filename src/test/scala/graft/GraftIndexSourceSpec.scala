@@ -941,6 +941,28 @@ class GraftIndexSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("inconsistent partition nesting"))
   }
 
+  test("streaming by NAME: readStream.table over the catalog face drains the admissions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snam").toString
+    Similarity.writeIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 25, s"$root/ivf_s")
+    spark.conf.set("spark.sql.catalog.graft_stream_t",
+      classOf[graft.sources.GraftIndexCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_stream_t.root", root)
+    val q = spark.readStream.table("graft_stream_t.ivf_s.cells")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_name_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_name_stream")
+      val batch = spark.read.parquet(s"$root/ivf_s/cells")
+        .select(streamed.columns.map(col): _*)
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "a by-name stream must replay exactly the batch state")
+    } finally q.stop()
+  }
+
   test("compound OR/AND filters: claimed exactly on both lanes, partition pruning, evolved-file folding") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FilterExec

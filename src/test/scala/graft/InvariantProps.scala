@@ -381,4 +381,55 @@ object InvariantProps extends Properties("graft.invariants") {
         .collect().head.getSeq[Long](0)
       got == expect
     }
+
+  // ---- GraftIndexFilters.forFile: the per-file folding algebra --------
+  // (absent column ⇒ NULL for every row). Reference semantics: SQL's
+  // keep-iff-TRUE with unknown→false at the leaves — the mapping every
+  // claimed pushdown leaf uses. The fold must agree with direct
+  // evaluation on ANY negation-free tree and any row, and its residual
+  // may only reference present columns.
+  import org.apache.spark.sql.sources._
+
+  private def evalFilter(f: Filter, row: Map[String, Option[Long]]): Boolean =
+    f match {
+      case EqualTo(c, v) => row(c).contains(v.asInstanceOf[Long])
+      case GreaterThan(c, v) => row(c).exists(_ > v.asInstanceOf[Long])
+      case LessThan(c, v) => row(c).exists(_ < v.asInstanceOf[Long])
+      case In(c, vs) => row(c).exists(x => vs.contains(x))
+      case IsNull(c) => row(c).isEmpty
+      case IsNotNull(c) => row(c).nonEmpty
+      case And(l, r) => evalFilter(l, row) && evalFilter(r, row)
+      case Or(l, r) => evalFilter(l, row) || evalFilter(r, row)
+      case other => sys.error(s"unexpected $other")
+    }
+
+  private val leafGen: Gen[Filter] = for {
+    col <- Gen.oneOf("a", "b")
+    v <- Gen.chooseNum(0L, 6L)
+    f <- Gen.oneOf[Filter](EqualTo(col, v), GreaterThan(col, v),
+      LessThan(col, v), In(col, Array[Any](v, v + 2)), IsNull(col),
+      IsNotNull(col))
+  } yield f
+
+  private def treeGen(depth: Int): Gen[Filter] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      2 -> leafGen,
+      1 -> (for { l <- treeGen(depth - 1); r <- treeGen(depth - 1) } yield And(l, r)),
+      1 -> (for { l <- treeGen(depth - 1); r <- treeGen(depth - 1) } yield Or(l, r)))
+
+  private val rowGen: Gen[Option[Long]] =
+    Gen.option(Gen.chooseNum(0L, 8L))
+
+  property("forFile(absent ⇒ NULL) ≡ direct evaluation on every row; residuals reference only present columns") =
+    forAll(treeGen(3), rowGen) { (f, aVal) =>
+      // the file carries only column a; b is absent ⇒ null on every row
+      val row = Map("a" -> aVal, "b" -> (None: Option[Long]))
+      graft.sources.GraftIndexFilters.forFile(f, Set("a")) match {
+        case Left(const) => const == evalFilter(f, row)
+        case Right(res) =>
+          res.references.forall(_ == "a") &&
+            evalFilter(res, row) == evalFilter(f, row)
+      }
+    }
 }
