@@ -2813,6 +2813,38 @@ object ExtQueries extends QueryGroup {
        FROM events WHERE user_id > 50
        GROUP BY 1"""
 
+  /** TWO-LEVEL partition layout + COMPOUND OR claim through the serving
+    * connector (round-11, oracle-gating both late-round features): the
+    * events stream re-materialized partitioned by (bucket, event_type)
+    * — a NESTED Hive layout the connector discovers as a depth-ordered
+    * column chain — read back with a claimed OR-of-ranges on `value`
+    * (both tails of the amount distribution; parquet record filter +
+    * row-group pruning + vectorized residue, no Spark re-filter). The
+    * value column rides the fixture's cent grid, so the amount
+    * aggregate sums EXACT cents as BIGINT — immune to float fold order
+    * on both engines. Filter constants are structural literals, valid
+    * at every SF.
+    */
+  private def eventsIndexOr(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2or", d)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (col("user_id") % 4).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket", "event_type")
+      .parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("value") < 10.0d || col("value") > 90.0d)
+      .groupBy(col("bucket").cast("long").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  private val eventsIndexOrSql =
+    s"""SELECT user_id % 4 AS bucket, event_type, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM events WHERE value < 10 OR value > 90
+       GROUP BY 1, 2"""
+
   /** CATALOG-routed twin of ext_ann_ivf_v2: the same persisted IVF
     * probe, but the index resolves by NAME through a registered
     * GraftIndexCatalog (`SELECT ... FROM graft_idx.<index>.cells`) —
@@ -9258,6 +9290,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
     GQuery("ext_ann_ivf_v2_filtered", annIvfV2Filtered, Some(annIvfV2FilteredSql), "filtered serving slice through the V2 table: pushed data filters (one on a non-projected scratch column) decoded on the vectorized lane, per-cell integer aggregates"),
     GQuery("ext_events_index_ts", eventsIndexTs, Some(eventsIndexTsSql), "event-time serving table: TIMESTAMP column decoded through the graft-index connector under a pushed filter, epoch-micros aggregates per bucket"),
+    GQuery("ext_events_index_or", eventsIndexOr, Some(eventsIndexOrSql), "two-level Hive layout through the connector (depth-ordered (bucket, event_type) chain) under a claimed OR-of-ranges on value; exact-cents aggregates per chain"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),
