@@ -43,11 +43,14 @@ object IndexAdmissionStream {
   /** Drive the admissions stream into a memory table (append mode) and
     * drain everything currently admitted. The returned query stays
     * open: call `processAllAvailable()` again after the next admission
-    * lands, and the new rows arrive as their own micro-batch.
+    * lands, and the new rows arrive as their own micro-batch. Caps
+    * thread through to the connector's admission control — a capped
+    * replay drains the same state, just in bounded batches.
     */
-  def replay(spark: SparkSession, subTablePath: String,
-      name: String): StreamingQuery = {
-    val q = admissions(spark, subTablePath).writeStream
+  def replay(spark: SparkSession, subTablePath: String, name: String,
+      maxFiles: Option[Int] = None,
+      maxBytes: Option[Long] = None): StreamingQuery = {
+    val q = admissions(spark, subTablePath, maxFiles, maxBytes).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
