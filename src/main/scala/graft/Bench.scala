@@ -64,8 +64,10 @@ object Bench {
     *      what drops first (those times are on the bench_detail line),
     *      because q_shuffle_mb / q_isolated / q_isolated_prev are the
     *      adjudicators and a 0.7-s tail query's warm time is not;
-    *   4. top-80 + q_shuffle_mb + q_isolated without q_isolated_prev;
-    *   5. top-80 + q_isolated without q_shuffle_mb;
+    *   4. top-80 + q_shuffle_mb + q_isolated + q_isolated_shuffle_mb
+    *      without q_isolated_prev;
+    *   5. top-80 + q_isolated without q_shuffle_mb (the isolated
+    *      shuffle bytes drop with the suite's);
     *   6. top-80 without q_isolated;
     *   7. no per-query map;
     *   8. error list collapsed to a count (unbounded when every query
@@ -95,6 +97,7 @@ object Bench {
       qShuffleMb: Map[String, Double] = Map.empty,
       qIsolated: Map[String, Double] = Map.empty,
       qIsolatedPrev: Map[String, Double] = Map.empty,
+      qIsolatedShuffleMb: Map[String, Double] = Map.empty,
       cpus: Option[String] = None, state: Option[String] = None): String = {
     val warmTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
@@ -119,6 +122,13 @@ object Bench {
     def isolatedJson(key: String => String) =
       if (qIsolated.isEmpty) ""
       else s""","q_isolated":${toJson(qIsolated.toSeq.sortBy(_._1).map { case (n, v) => key(n) -> v }, fmt2)}"""
+    // round-12: isolated reruns carry their OWN shuffle bytes, so the
+    // isolated-vs-isolated round diff adjudicates mechanically (same
+    // bytes + slower clock = host window), exactly like the suite's —
+    // round 11's uniform isolated drift had no bytes to falsify against
+    def isoShufJson(key: String => String) =
+      if (qIsolatedShuffleMb.isEmpty) ""
+      else s""","q_isolated_shuffle_mb":${toJson(qIsolatedShuffleMb.toSeq.sortBy(_._1).map { case (n, v) => key(n) -> v }, fmt2)}"""
     // prior-round isolated numbers resolved for THIS round's roster:
     // prior keys may be full or (rung-2+) abbreviated, so look up both
     val prevPairs = qIsolated.keys.toSeq.sorted.flatMap(n =>
@@ -132,16 +142,19 @@ object Bench {
     val adaptive = Seq(80, 72, 64, 56, 48).map { n =>
       line(toJson(bySlow.take(n).sortBy(_._1).map(r => short(r._1) -> r._3), fmt2),
         errs, s""","q_omitted":${math.max(0, results.size - n)}""" +
-          shuffleJson(short) + isolatedJson(short) + prevJson(short))
+          shuffleJson(short) + isolatedJson(short) + isoShufJson(short) +
+          prevJson(short))
     }
     (Seq(
       line(toJson(results.map(r => r._1 -> r._3)), errs,
-        shuffleJson(identity) + isolatedJson(identity) + prevJson(identity)),
+        shuffleJson(identity) + isolatedJson(identity) +
+          isoShufJson(identity) + prevJson(identity)),
       line(toJson(results.sortBy(_._1).map(r => short(r._1) -> r._3), fmt2),
-        errs, shuffleJson(short) + isolatedJson(short) + prevJson(short))) ++
+        errs, shuffleJson(short) + isolatedJson(short) + isoShufJson(short) +
+          prevJson(short))) ++
       adaptive ++ Seq(
       line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs,
-        omitted + shuffleJson(short) + isolatedJson(short)),
+        omitted + shuffleJson(short) + isolatedJson(short) + isoShufJson(short)),
       line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs,
         omitted + isolatedJson(short)),
       line(toJson(slowest80.map(r => short(r._1) -> r._3), fmt2), errs, omitted),
@@ -327,29 +340,44 @@ object Bench {
     // shuffle bytes suggested) and ext_ann_recall (4.48→5.61 in-suite at
     // EQUAL 16.6 MB shuffle in round 11 — same signature, first isolated
     // baseline 5.47 stamped; keep it on the roster for the diff)
+    // ... plus the round-11 pair the verdict flagged without an isolated
+    // baseline to falsify against: ext_dedup_simhash tripled in-suite
+    // (1.07→3.52) and ext_layout_zorder_phys drifted 1.8× — both at
+    // byte-identical suite shuffle (the contention fingerprint); their
+    // isolated numbers land on the line from round 12 on
     val watchlist = Set("ext_split_leakfree", "ext_dedup_canonical",
       "ext_sketch_quantile", "ext_ann_hnsw_append", "ext_dedup_prf",
       "ext_dedup_incremental", "ext_dedup_incr_persist",
-      "ext_ann_recall") ++
+      "ext_ann_recall", "ext_dedup_simhash", "ext_layout_zorder_phys") ++
       sys.env.get("SPARK_GRAFT_ISOLATE").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val roster = (results.filter(_._4).sortBy(r => (-r._3, r._1))
       .take(isolatedN).map(_._1) ++
       results.filter(r => r._4 && watchlist(r._1)).map(_._1)).distinct
     val qIsolated = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val qIsolatedShuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     roster.foreach { name =>
       System.gc()
+      val before = tally.snapshot
       val runs = Seq.fill(2)(timed(SparkEntry.queries(name)))
-      if (runs.forall(_._2)) qIsolated(name) = runs.map(_._1).min
+      // GC doubles as listener-queue drain before the shuffle snapshot,
+      // exactly like the suite loop's per-query accounting
+      System.gc()
+      val after = tally.snapshot
+      if (runs.forall(_._2)) {
+        qIsolated(name) = runs.map(_._1).min
+        qIsolatedShuffleMb(name) = (after._1 - before._1) / 2.0 / 1e6
+      }
     }
     // diagnostic line (may scroll off the tail): cold per-query map with
     // FULL names, plus the error list
     val errs = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val totalShuffleMb = shuffleMb.values.sum
-    println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"queries_shuffle_mb":${toJson(shuffleMb.toSeq, fmt2)},"queries_isolated":${toJson(qIsolated.toSeq)},"errors":$errs}}""")
+    println(s"""{"bench_detail":{"cold_total":${fmt(results.map(_._2).sum)},"queries_cold":${toJson(results.map(r => r._1 -> r._2))},"queries_shuffle_mb":${toJson(shuffleMb.toSeq, fmt2)},"queries_isolated":${toJson(qIsolated.toSeq)},"queries_isolated_shuffle_mb":${toJson(qIsolatedShuffleMb.toSeq, fmt2)},"errors":$errs}}""")
     println(canonicalLine(results, sfDir,
       only.map(_ => SparkEntry.queries.size), Some(totalShuffleMb),
       shuffleMb.toMap, qIsolated.toMap, prevIsolated(),
+      qIsolatedShuffleMb.toMap,
       cpus = Some(cpus),
       state = Some(if (sys.env.contains("SPARK_GRAFT_STATE_DIR")) "reused"
         else "rebuilt")))

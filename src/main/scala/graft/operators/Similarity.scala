@@ -535,6 +535,84 @@ object Similarity {
     newCells.write.mode("append").parquet(s"$path/cells")
   }
 
+  /** TOMBSTONE COMPACTION of a [[writeGraphIndex]]-persisted graph
+    * index (round-12): bake a tombstone set into storage so probes stop
+    * paying for it. [[probeGraphIndex]]'s mask is the right
+    * delete-time move (O(0) write cost), but a long-lived index pays
+    * the mask on EVERY probe forever — masked rows still decode, the
+    * broadcast anti-joins still run, and storage never shrinks. This op
+    * rewrites ONLY the edge partitions a tombstone touches (the
+    * hnsw_append dynamic-overwrite shape: untouched pcell directories'
+    * files stay byte-identical, spec-pinned) dropping edges with a
+    * masked endpoint, and drops masked rows from the per-node side
+    * tables (vecs/cells — O(n) frames next to the O(n·m) edge
+    * structure; at 100 TB the selective rewrite is on the table that
+    * matters). Centroids are untouched: compaction, like delete and
+    * append, never retrains the quantizer.
+    *
+    * Contract (SimilaritySpec): an unmasked probe of the compacted
+    * index ≡ the tombstone-masked probe of the original — the mask and
+    * the rewrite implement the SAME erasure semantics (edges cut at
+    * both endpoints AFTER the stored rank cut, entry level and pool
+    * over survivors) — and storage bytes strictly shrink. The
+    * touched-pcell id list is a driver-side collect bounded by the
+    * partition count, the same documented tiny-collect as
+    * [[deleteFromIvfIndex]]'s.
+    */
+  def compactGraphIndex(path: String, tombstones: DataFrame): Unit = {
+    val s = tombstones.sparkSession
+    val tomb = tombstones
+      .select(col(tombstones.columns.head).as("__tid")).distinct()
+      .localCheckpoint()
+    val edges = s.read.parquet(s"$path/edges")
+    // partitions holding a tombstoned endpoint — two broadcast-hash
+    // semi-joins (an OR-condition join would plan a nested loop over
+    // the whole edge table)
+    val touched = edges
+      .join(broadcast(tomb), col("src") === col("__tid"), "left_semi")
+      .select("pcell")
+      .unionByName(edges
+        .join(broadcast(tomb), col("dst") === col("__tid"), "left_semi")
+        .select("pcell"))
+      .distinct().collect().map(_.get(0))
+    if (touched.nonEmpty) {
+      val remain = edges.where(col("pcell").isin(touched: _*))
+        .join(broadcast(tomb), col("src") === col("__tid"), "left_anti")
+        .join(broadcast(tomb), col("dst") === col("__tid"), "left_anti")
+        .localCheckpoint() // the overwrite target is still in this plan
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "dynamic")
+        remain.write.mode("overwrite").partitionBy("pcell")
+          .parquet(s"$path/edges")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      // a pcell fully emptied writes no partition under dynamic
+      // overwrite — remove its directory explicitly (the erasure must
+      // not leave servable bytes behind)
+      val kept = remain.select("pcell").distinct().collect().map(_.get(0)).toSet
+      val edgesRoot = new org.apache.hadoop.fs.Path(s"$path/edges")
+      val fs = edgesRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      touched.filterNot(kept).foreach { c =>
+        val dir = new org.apache.hadoop.fs.Path(edgesRoot, s"pcell=$c")
+        fs.delete(dir, true)
+        require(!fs.exists(dir),
+          s"graph compaction failed to remove emptied partition $dir")
+      }
+    }
+    // per-node side tables: masked rows drop, surviving rows rewrite
+    // (flat O(n) frames — vecs carries one row per node, not per edge)
+    Seq("vecs" -> "vid", "cells" -> "vid").foreach { case (sub, idc) =>
+      val remain = s.read.parquet(s"$path/$sub")
+        .join(broadcast(tomb), col(idc) === col("__tid"), "left_anti")
+        .localCheckpoint()
+      remain.write.mode("overwrite").parquet(s"$path/$sub")
+    }
+  }
+
   /** Integer grid for cross-engine-exact centroid means: 2^20. A float
     * times a power of two is EXACT in double (exponent shift only), so
     * `round(vec[d] * Grid)` is the same integer in any IEEE engine, and

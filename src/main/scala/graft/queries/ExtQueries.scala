@@ -2583,6 +2583,31 @@ object ExtQueries extends QueryGroup {
 
   private lazy val annHnswDeleteSql = annHnswSqlBeam(HnswBeam, masked = true)
 
+  /** TOMBSTONE COMPACTION of the graph index (round-12,
+    * Similarity.compactGraphIndex): the same erasure as
+    * ext_ann_hnsw_delete, but baked into storage — only the
+    * tombstone-bearing pcell partitions rewrite (untouched partitions'
+    * files stay byte-identical, spec-pinned in SimilaritySpec), masked
+    * rows leave vecs/cells, and the probe then runs with NO mask at
+    * all: a long-lived index stops paying the mask on every probe.
+    * Same oracle as the masked probe — compaction and masking must
+    * implement identical erasure semantics, so a divergence
+    * hash-mismatches. (The probe's query set drops tombstoned ids
+    * explicitly, as the masked lane does via its query-side mask.)
+    */
+  private def annHnswCompact(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "hnsw_cmp", d)
+    val emb = Tables.embeddings(s, d)
+    Similarity.writeGraphIndex(emb, "vec_id", "embedding",
+      IvfCentroidEvery, HnswM, path)
+    Similarity.compactGraphIndex(path, emb
+      .where(col("vec_id") % IvfDeleteMod === IvfDeleteRem)
+      .select("vec_id"))
+    Similarity.probeGraphIndex(path,
+      annQueries(s, d).where(col("vec_id") % IvfDeleteMod =!= IvfDeleteRem),
+      "vec_id", "embedding", TopK, HnswEntryEvery, HnswBeam, HnswRounds)
+  }
+
   /** ADMISSION into the persisted graph index
     * (Similarity.appendToGraphIndex): write two-thirds of the corpus,
     * append the rest against the STORED centroids — new srcs rank their
@@ -2844,6 +2869,72 @@ object ExtQueries extends QueryGroup {
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
        FROM events WHERE value < 10 OR value > 90
        GROUP BY 1, 2"""
+
+  /** `<>` CLAIM through the serving connector (round-12): a
+    * Not(EqualTo) predicate on a string data column, claimed by the
+    * connector as `and(notEq(c, null), notEq(c, v))` — the explicit
+    * not-null leg restores SQL's unknown→false over parquet's
+    * null-keeping notEq, so the filter rides the claimed lattice
+    * (row-group pruning + vectorized residue, no Spark re-filter)
+    * where it previously fell to full decode. Exact-cents aggregates;
+    * the excluded literal is structural, valid at every SF.
+    */
+  private def eventsIndexNe(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2ne", d)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (col("user_id") % 4).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("event_type") =!= "view")
+      .groupBy(col("bucket").cast("long").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  private val eventsIndexNeSql =
+    s"""SELECT user_id % 4 AS bucket, event_type, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM events WHERE event_type <> 'view'
+       GROUP BY 1, 2"""
+
+  /** PROVENANCE AUDIT through the `_file` lineage metadata column
+    * (round-12): the events stream lands as a bucket-partitioned layout
+    * with exactly one file per bucket (`repartition(bucket)` puts each
+    * value in one task; `partitionBy` then cuts one file per value),
+    * and the audit reads it back through the connector grouping by
+    * `_file` — the Iceberg-style row→file lineage — then folds per-file
+    * rows/cents up to the bucket parsed OUT OF THE FILE PATH. The
+    * oracle recomputes the same totals from the raw events and pins
+    * `n_files = 1`: a row landing in the wrong file, a stray extra
+    * file, or a `_file` value not carrying its directory chain all
+    * hash-mismatch. Completes round-11's `_file` column (spec-pinned
+    * then, consumed by no registered query until now).
+    */
+  private def layoutLineage(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2lin", d)
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"), (col("user_id") % 8).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.format("graft-index").load(path)
+      .select(col("_file"), col("value"))
+      .groupBy(col("_file"))
+      .agg(count(lit(1)).as("file_rows"),
+        sum(round(col("value") * 100).cast("long")).as("file_cents"))
+      .groupBy(regexp_extract(col("_file"), "bucket=(\\d+)", 1)
+        .cast("long").as("bucket"))
+      .agg(sum(col("file_rows")).as("n_rows"),
+        sum(col("file_cents")).as("sum_cents"),
+        count(lit(1)).as("n_files"))
+  }
+
+  private val layoutLineageSql =
+    s"""SELECT user_id % 8 AS bucket, count(*) AS n_rows,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              CAST(1 AS BIGINT) AS n_files
+       FROM events
+       GROUP BY 1"""
 
   /** CATALOG-routed twin of ext_ann_ivf_v2: the same persisted IVF
     * probe, but the index resolves by NAME through a registered
@@ -9286,11 +9377,14 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_ann_hnsw_persist", annHnswPersist, Some(annHnswSql), "persisted graph index: vectors + edge list round-trip parquet, probe ≡ in-plan"),
     GQuery("ext_ann_hnsw_append", annHnswAppend, Some(annHnswAppendSql), "graph-index admission: stored-centroid assignment + leaderboard edge merge ≡ rebuild, surgical partition rewrite"),
     GQuery("ext_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql), "tombstone-masked graph probe: erasure on the graph serving structure, never returned nor scored"),
+    GQuery("ext_ann_hnsw_compact", annHnswCompact, Some(annHnswDeleteSql), "tombstone compaction baked into storage: touched pcell partitions rewrite, side tables shed masked rows, probe runs UNMASKED — same oracle as the masked probe"),
     GQuery("ext_ann_ivf_persist", annIvfPersist, Some(annIvfSql), "persisted cell-partitioned IVF index probe (DPP-pruned directories), ≡ in-plan IVF"),
     GQuery("ext_ann_ivf_v2", annIvfV2, Some(annIvfSql), "persisted IVF probe through the graft-index DataSourceV2 table (runtime-filtered cells, post-pruning stats)"),
     GQuery("ext_ann_ivf_v2_filtered", annIvfV2Filtered, Some(annIvfV2FilteredSql), "filtered serving slice through the V2 table: pushed data filters (one on a non-projected scratch column) decoded on the vectorized lane, per-cell integer aggregates"),
     GQuery("ext_events_index_ts", eventsIndexTs, Some(eventsIndexTsSql), "event-time serving table: TIMESTAMP column decoded through the graft-index connector under a pushed filter, epoch-micros aggregates per bucket"),
     GQuery("ext_events_index_or", eventsIndexOr, Some(eventsIndexOrSql), "two-level Hive layout through the connector (depth-ordered (bucket, event_type) chain) under a claimed OR-of-ranges on value; exact-cents aggregates per chain"),
+    GQuery("ext_events_index_ne", eventsIndexNe, Some(eventsIndexNeSql), "`<>` claim through the connector: Not(EqualTo) pushed as and(notEq(c,null), notEq(c,v)) — SQL null semantics exact, no Spark re-filter; exact-cents aggregates"),
+    GQuery("ext_layout_lineage", layoutLineage, Some(layoutLineageSql), "provenance audit via the _file lineage metadata column: per-file rows/cents folded to the bucket parsed from the path; oracle pins one file per bucket"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),

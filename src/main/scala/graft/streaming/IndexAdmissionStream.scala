@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * exactly the newly-admitted rows.
   *
   * Semantics inherited from the stream (and pinned by the spec):
-  *  - the OFFSET is the sorted file list, so ordered replay of N
-  *    admission batches accumulates exactly the batch-read state after
-  *    each admission — no driver-side source state, restart-safe from
-  *    checkpointed offsets alone;
+  *  - the OFFSET is a position in a checkpoint-local admission log
+  *    (round-12; O(1) bytes however many files the index accretes —
+  *    the round-11 file-list offset grew with the index), so ordered
+  *    replay of N admission batches accumulates exactly the batch-read
+  *    state after each admission, restart-safe from the checkpoint
+  *    alone;
   *  - exactly-once row delivery holds on APPEND-ONLY sub-tables
   *    (vecs/cells); a dynamically-overwritten table (edges) re-emits
   *    rewritten partitions as fresh batches by design.

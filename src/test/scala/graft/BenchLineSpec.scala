@@ -167,6 +167,7 @@ class BenchLineSpec extends AnyFunSuite {
       shuffleMb = Some(123456.78),
       qShuffleMb = names.map(_ -> 12345.67).toMap,
       qIsolated = qIso, qIsolatedPrev = prev,
+      qIsolatedShuffleMb = slow.map(_ -> 45.67).toMap,
       cpus = Some("32"), state = Some("rebuilt"))
     assert(line.length <= 1900, s"line is ${line.length} chars")
     val root = mapper.readTree(line)
@@ -176,6 +177,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(root.get("q_isolated_prev") != null &&
       root.get("q_isolated_prev").size() == 11,
       "prior-round isolated numbers must survive at full registry size")
+    // round-12: isolated reruns carry shuffle bytes (the isolated-drift
+    // adjudicator), keyed like q_isolated on the surviving rung
+    val isoShuf = root.get("q_isolated_shuffle_mb")
+    assert(isoShuf != null && isoShuf.size() == 11,
+      "q_isolated_shuffle_mb must survive at full registry size")
+    isoShuf.fieldNames().forEachRemaining { k =>
+      assert(root.get("q_isolated").has(k),
+        s"q_isolated_shuffle_mb key $k must match the q_isolated keying")
+    }
     assert(root.get("queries").size() >= 48)
     assert(root.get("q_omitted").asInt() ==
       names.size - root.get("queries").size())

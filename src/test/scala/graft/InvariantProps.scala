@@ -393,6 +393,8 @@ object InvariantProps extends Properties("graft.invariants") {
   private def evalFilter(f: Filter, row: Map[String, Option[Long]]): Boolean =
     f match {
       case EqualTo(c, v) => row(c).contains(v.asInstanceOf[Long])
+      // `<>` claimed leaf (round-12): SQL unknown→false — null ≠ v is FALSE
+      case Not(EqualTo(c, v)) => row(c).exists(_ != v.asInstanceOf[Long])
       case GreaterThan(c, v) => row(c).exists(_ > v.asInstanceOf[Long])
       case LessThan(c, v) => row(c).exists(_ < v.asInstanceOf[Long])
       case In(c, vs) => row(c).exists(x => vs.contains(x))
@@ -406,9 +408,9 @@ object InvariantProps extends Properties("graft.invariants") {
   private val leafGen: Gen[Filter] = for {
     col <- Gen.oneOf("a", "b")
     v <- Gen.chooseNum(0L, 6L)
-    f <- Gen.oneOf[Filter](EqualTo(col, v), GreaterThan(col, v),
-      LessThan(col, v), In(col, Array[Any](v, v + 2)), IsNull(col),
-      IsNotNull(col))
+    f <- Gen.oneOf[Filter](EqualTo(col, v), Not(EqualTo(col, v)),
+      GreaterThan(col, v), LessThan(col, v), In(col, Array[Any](v, v + 2)),
+      IsNull(col), IsNotNull(col))
   } yield f
 
   private def treeGen(depth: Int): Gen[Filter] =

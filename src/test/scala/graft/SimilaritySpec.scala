@@ -316,6 +316,86 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tombstone compaction: unmasked probe of compacted index ≡ masked probe; untouched pcells byte-identical; storage shrinks") {
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // query set disjoint from the tombstones — the masked lane drops
+    // tombstoned queries via its mask, the compacted lane has no mask
+    val queries = corpus.where(col("vec_id") % 50 === 0 &&
+      col("vec_id") % 7 =!= 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_cmp").toString
+    def filesUnder(sub: String): Map[String, Array[Byte]] = {
+      val root = java.nio.file.Paths.get(path, sub)
+      val out = scala.collection.mutable.Map[String, Array[Byte]]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out(root.relativize(p).toString) = java.nio.file.Files.readAllBytes(p)
+      }
+      out.toMap
+    }
+    def storageBytes: Long =
+      Seq("edges", "vecs", "cells").map(sub =>
+        filesUnder(sub).values.map(_.length.toLong).sum).sum
+    try {
+      Similarity.writeGraphIndex(corpus, "vec_id", "embedding", 25, 8, path)
+      val tomb = corpus.where(col("vec_id") % 7 === 3).select("vec_id")
+      // the reference: the masked probe, materialized BEFORE the rewrite
+      val masked = Similarity.probeGraphIndex(path, queries, "vec_id",
+        "embedding", 5, 8, 8, 3, tombstones = Some(tomb))
+        .collect().map(_.toSeq).toSeq
+      val bytesBefore = storageBytes
+      Similarity.compactGraphIndex(path, tomb)
+      // erasure is physical: no masked endpoint, node, or assignment
+      // survives in storage
+      assert(spark.read.parquet(s"$path/edges")
+        .where(col("src") % 7 === 3 || col("dst") % 7 === 3).count() == 0)
+      assert(spark.read.parquet(s"$path/vecs")
+        .where(col("vid") % 7 === 3).count() == 0)
+      assert(spark.read.parquet(s"$path/cells")
+        .where(col("vid") % 7 === 3).count() == 0)
+      assert(storageBytes < bytesBefore,
+        s"storage must shrink: $storageBytes vs $bytesBefore")
+      // THE contract: the unmasked probe of the compacted index equals
+      // the masked probe of the original, row for row
+      val compacted = Similarity.probeGraphIndex(path, queries, "vec_id",
+        "embedding", 5, 8, 8, 3).collect().map(_.toSeq).toSeq
+      assert(compacted.nonEmpty)
+      assert(compacted.groupBy(identity).view.mapValues(_.size).toMap ==
+        masked.groupBy(identity).view.mapValues(_.size).toMap,
+        "compacted-unmasked probe must equal masked probe exactly")
+      // SURGICAL pass: a second compaction with two ids out of ONE cell
+      // touches only that neighborhood's partitions — every other pcell
+      // directory's files stay byte-identical (the dynamic overwrite
+      // never visits them)
+      val cells = spark.read.parquet(s"$path/cells")
+      val oneCell = cells.where(col("rn") === 1).groupBy("cell").count()
+        .orderBy(col("count"), col("cell")).select("cell").head().get(0)
+      val tomb2Ids = cells.where(col("cell") === oneCell)
+        .select("vid").orderBy("vid").limit(2)
+        .collect().map(_.getLong(0))
+      val edgesBefore2 = filesUnder("edges")
+      val touched2 = spark.read.parquet(s"$path/edges")
+        .where(col("src").isin(tomb2Ids: _*) || col("dst").isin(tomb2Ids: _*))
+        .select("pcell").distinct().collect().map(r => s"pcell=${r.get(0)}")
+        .toSet
+      assert(touched2.nonEmpty && edgesBefore2.keys
+        .exists(f => !touched2.exists(f.startsWith)),
+        s"surgical tombstones must leave untouched partitions: $touched2")
+      Similarity.compactGraphIndex(path, tomb2Ids.toSeq.toDF("vec_id"))
+      val edgesAfter2 = filesUnder("edges")
+      edgesBefore2.filter { case (f, _) => !touched2.exists(f.startsWith) }
+        .foreach { case (f, bytes) =>
+          assert(edgesAfter2.contains(f), s"untouched file vanished: $f")
+          assert(java.util.Arrays.equals(edgesAfter2(f), bytes),
+            s"untouched file rewritten: $f")
+        }
+      assert(spark.read.parquet(s"$path/vecs")
+        .where(col("vid").isin(tomb2Ids: _*)).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("rerankTopK: subset of candidates, recall >= plain IVF-PQ") {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val queries = corpus.where(col("vec_id") % 50 === 0)
