@@ -59,7 +59,7 @@ object Bench {
     *   2. abbreviated query names (see [[abbrev]]) at 2-decimal values
     *      (10 ms grain — ample for per-query comparisons; bench_detail
     *      keeps full names at 3 decimals) + q_shuffle_mb;
-    *   3. the TOP-N-SLOWEST queries (N adaptive: 80, 72, … 48), plus a
+    *   3. the TOP-N-SLOWEST queries (N adaptive: 80, 72, … 24), plus a
     *      `q_omitted` count, keeping FULL telemetry — the fast tail is
     *      what drops first (those times are on the bench_detail line),
     *      because q_shuffle_mb / q_isolated / q_isolated_prev are the
@@ -138,8 +138,12 @@ object Bench {
       else s""","q_isolated_prev":${toJson(prevPairs.map { case (n, v) => key(n) -> v }, fmt2)}"""
     val omitted = s""","q_omitted":${math.max(0, results.size - 80)}"""
     // adaptive rung 3: shed fast-tail per-query times in steps of 8
-    // while FULL telemetry still fits
-    val adaptive = Seq(80, 72, 64, 56, 48).map { n =>
+    // while FULL telemetry still fits (round-12: the floor dropped
+    // 48 → 24 when the third isolated map + 250-query registry pushed
+    // the full-telemetry rung past 1900 at 48 — the slowest 24 warm
+    // times beat the fast tail's, and every shed time is still on
+    // bench_detail)
+    val adaptive = Seq(80, 72, 64, 56, 48, 40, 32, 24).map { n =>
       line(toJson(bySlow.take(n).sortBy(_._1).map(r => short(r._1) -> r._3), fmt2),
         errs, s""","q_omitted":${math.max(0, results.size - n)}""" +
           shuffleJson(short) + isolatedJson(short) + isoShufJson(short) +

@@ -160,7 +160,9 @@ class BenchLineSpec extends AnyFunSuite {
       (n, 102.34, 2.34 + i * 0.01, true)
     }
     val short = Bench.abbrev(names)
-    val slow = results.sortBy(r => (-r._3, r._1)).take(11).map(_._1)
+    // 16 isolated entries = the top-8 + the real standing watchlist's
+    // size band (the round-12 run carried 16; 11 masked the overflow)
+    val slow = results.sortBy(r => (-r._3, r._1)).take(16).map(_._1)
     val qIso = slow.map(_ -> 3.21).toMap
     val prev = slow.map(n => short(n) -> 9.87).toMap
     val line = Bench.canonicalLine(results, "/root/testdata/sf0.1",
@@ -173,20 +175,20 @@ class BenchLineSpec extends AnyFunSuite {
     val root = mapper.readTree(line)
     assert(root.get("q_shuffle_mb") != null && root.get("q_shuffle_mb").size() == 16,
       "shuffle telemetry must survive at full registry size")
-    assert(root.get("q_isolated") != null && root.get("q_isolated").size() == 11)
+    assert(root.get("q_isolated") != null && root.get("q_isolated").size() == 16)
     assert(root.get("q_isolated_prev") != null &&
-      root.get("q_isolated_prev").size() == 11,
+      root.get("q_isolated_prev").size() == 16,
       "prior-round isolated numbers must survive at full registry size")
     // round-12: isolated reruns carry shuffle bytes (the isolated-drift
     // adjudicator), keyed like q_isolated on the surviving rung
     val isoShuf = root.get("q_isolated_shuffle_mb")
-    assert(isoShuf != null && isoShuf.size() == 11,
+    assert(isoShuf != null && isoShuf.size() == 16,
       "q_isolated_shuffle_mb must survive at full registry size")
     isoShuf.fieldNames().forEachRemaining { k =>
       assert(root.get("q_isolated").has(k),
         s"q_isolated_shuffle_mb key $k must match the q_isolated keying")
     }
-    assert(root.get("queries").size() >= 48)
+    assert(root.get("queries").size() >= 24)
     assert(root.get("q_omitted").asInt() ==
       names.size - root.get("queries").size())
   }
