@@ -1279,6 +1279,47 @@ class GraftIndexSourceSpec extends SparkSpec {
     }.sorted
     assert(migrated.toSeq == all.drop(2),
       "the migrated range must replay exactly the unseen files")
+    // the migration is DURABLE: a fresh stream over the same checkpoint
+    // restarting from the v2 offset (the v1 list exists nowhere in its
+    // start state) must not re-admit the v1 files — the `0.base` file
+    // persisted at migration time carries them
+    val s2 = microBatchStream(cells, Map.empty, ckpt = s.ckptForTest)
+    val again = s2.latestOffset(nxt, ReadLimit.allAvailable())
+    assert(again == nxt,
+      "v1-seen files must not re-admit after a post-migration restart")
+  }
+
+  test("admission-log compaction: a restart folds one snapshot + recent entries, not the whole log") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = java.nio.file.Files.createTempDirectory("graft_logc").toString + "/t"
+    (1 to 20).foreach(i =>
+      spark.range(i * 10L, i * 10L + 5).repartition(1)
+        .write.mode("append").parquet(dir))
+    val s = microBatchStream(dir, Map.empty)
+    var cur = s.initialOffset()
+    var n = 0
+    var adv = true
+    while (adv && n < 100) {
+      val nx = s.latestOffset(cur, ReadLimit.maxFiles(1))
+      adv = nx != cur
+      if (adv) { cur = nx; n += 1 }
+    }
+    assert(n >= 20, s"expected >= 20 single-file entries, got $n")
+    val logDir = new java.io.File(s"${s.ckptForTest}/graft-admitted")
+    assert(new java.io.File(logDir, "16.compact").exists,
+      "every 16th entry must write a cumulative snapshot")
+    // per-entry files are RETAINED (committed ranges replan from them)
+    assert(new java.io.File(logDir, "3").exists)
+    // a fresh stream's seen-set fold reads the newest snapshot + the
+    // entries past it — not all n entries
+    val s2 = microBatchStream(dir, Map.empty, ckpt = s.ckptForTest)
+    val before = s2.entryReads.get
+    val again = s2.latestOffset(
+      graft.sources.GraftIndexLogOffset(n), ReadLimit.allAvailable())
+    assert(again == graft.sources.GraftIndexLogOffset(n),
+      "a fully-drained log must admit nothing on restart")
+    assert(s2.entryReads.get - before <= n - 16 + 1,
+      s"fold must start from the snapshot, read ${s2.entryReads.get - before} entries")
   }
 
   test("admission control: a live maxFilesPerTrigger stream drains in capped batches; AvailableNow terminates") {
