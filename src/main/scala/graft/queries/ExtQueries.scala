@@ -2898,6 +2898,35 @@ object ExtQueries extends QueryGroup {
        FROM events WHERE event_type <> 'view'
        GROUP BY 1, 2"""
 
+  /** STRING-PREDICATE + NOT-IN claims through the serving connector
+    * (round-12): `event_type LIKE 'c%'` rides the claimed lattice as a
+    * parquet UserDefinedPredicate (exact record-level keep, min/max
+    * row-group pruning for the prefix), and `user_id NOT IN (…)`
+    * desugars to And(IsNotNull, ≠ each) — both previously fell to full
+    * decode + Spark re-filter. Exact-cents aggregates; structural
+    * literals, valid at every SF.
+    */
+  private def eventsIndexPrefix(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2pf", d)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (col("user_id") % 4).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("event_type").startsWith("c") &&
+        !col("user_id").isin(1L, 2L, 3L))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  private val eventsIndexPrefixSql =
+    s"""SELECT user_id % 4 AS bucket, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM events
+       WHERE event_type LIKE 'c%' AND user_id NOT IN (1, 2, 3)
+       GROUP BY 1"""
+
   /** PROVENANCE AUDIT through the `_file` lineage metadata column
     * (round-12): the events stream lands as a bucket-partitioned layout
     * with exactly one file per bucket (`repartition(bucket)` puts each
@@ -9385,6 +9414,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_index_or", eventsIndexOr, Some(eventsIndexOrSql), "two-level Hive layout through the connector (depth-ordered (bucket, event_type) chain) under a claimed OR-of-ranges on value; exact-cents aggregates per chain"),
     GQuery("ext_events_index_ne", eventsIndexNe, Some(eventsIndexNeSql), "`<>` claim through the connector: Not(EqualTo) pushed as and(notEq(c,null), notEq(c,v)) — SQL null semantics exact, no Spark re-filter; exact-cents aggregates"),
     GQuery("ext_layout_lineage", layoutLineage, Some(layoutLineageSql), "provenance audit via the _file lineage metadata column: per-file rows/cents folded to the bucket parsed from the path; oracle pins one file per bucket"),
+    GQuery("ext_events_index_prefix", eventsIndexPrefix, Some(eventsIndexPrefixSql), "LIKE-prefix + NOT IN claims through the connector: UserDefinedPredicate keep/canDrop for the prefix, And(IsNotNull, all-neq) for NOT IN; exact-cents aggregates"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),

@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -437,10 +437,15 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
       case GreaterThanOrEqual(_, v) => v != null
       case LessThan(_, v) => v != null
       case LessThanOrEqual(_, v) => v != null
-      // `<>` (round-12): claimed as the leaf it desugars to under SQL
-      // semantics — And(IsNotNull, ≠) — which maps unknown→false like
-      // every other claimed leaf; see the dataPushable twin
+      // `<>` / NOT IN (round-12): claimed as the leaves they desugar to
+      // under SQL semantics — And(IsNotNull, ≠ each) — which map
+      // unknown→false like every other claimed leaf; see dataPushable
       case Not(EqualTo(_, v)) => v != null
+      case Not(In(_, vs)) => vs != null && vs.nonEmpty && vs.forall(_ != null)
+      // string predicates: never match null, so unknown→false holds
+      case StringStartsWith(_, v) => v != null
+      case StringEndsWith(_, v) => v != null
+      case StringContains(_, v) => v != null
       // negation-free compounds of claimed legs compose exactly: every
       // leg maps SQL unknown→false, and false ≡ unknown through a
       // monotone AND/OR lattice for the keep/drop decision (the same
@@ -466,6 +471,15 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     case EqualTo(a, v) => v != null && primitive(a)
     case Not(EqualTo(a, v)) => v != null && primitive(a)
     case In(a, vs) => vs.nonEmpty && vs.forall(_ != null) && primitive(a)
+    // NOT IN desugars like `<>`: And(IsNotNull, ≠v1, ≠v2, …)
+    case Not(In(a, vs)) => vs.nonEmpty && vs.forall(_ != null) && primitive(a)
+    // string predicates (round-12): exact via parquet UserDefinedPredicate
+    // on the row lane and the vectorized residue on the columnar lane;
+    // none matches NULL, so SQL's unknown→false holds by construction.
+    // startsWith additionally prunes row groups off min/max stats.
+    case StringStartsWith(a, v) => v != null && stringCol(a)
+    case StringEndsWith(a, v) => v != null && stringCol(a)
+    case StringContains(a, v) => v != null && stringCol(a)
     case GreaterThan(a, v) => v != null && comparable(a)
     case GreaterThanOrEqual(a, v) => v != null && comparable(a)
     case LessThan(a, v) => v != null && comparable(a)
@@ -488,6 +502,8 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     case LongType | IntegerType | DoubleType | FloatType | StringType => true
     case _ => false
   }
+  private def stringCol(name: String): Boolean =
+    dataColType(name).contains(StringType)
   private def comparable(name: String): Boolean = dataColType(name).exists {
     case LongType | IntegerType | DoubleType | FloatType => true
     case _ => false
@@ -644,9 +660,18 @@ class GraftIndexScan(path: String, tableSchema: StructType,
       case GreaterThanOrEqual(a, v) => v != null && nonNull(a).exists(cmp(_, v) >= 0)
       case LessThan(a, v) => v != null && nonNull(a).exists(cmp(_, v) < 0)
       case LessThanOrEqual(a, v) => v != null && nonNull(a).exists(cmp(_, v) <= 0)
-      // `<>`: null value (or null comparand) matches nothing — SQL's
-      // unknown→false, the same mapping as every claimed leaf
+      // `<>` / NOT IN / string predicates: a null value (or null
+      // comparand) matches nothing — SQL's unknown→false, the same
+      // mapping as every claimed leaf
       case Not(EqualTo(a, v)) => v != null && nonNull(a).exists(cmp(_, v) != 0)
+      case Not(In(a, vs)) => vs != null && vs.nonEmpty && vs.forall(_ != null) &&
+        nonNull(a).exists(x => vs.forall(cmp(x, _) != 0))
+      case StringStartsWith(a, v) =>
+        v != null && nonNull(a).exists(_.toString.startsWith(v))
+      case StringEndsWith(a, v) =>
+        v != null && nonNull(a).exists(_.toString.endsWith(v))
+      case StringContains(a, v) =>
+        v != null && nonNull(a).exists(_.toString.contains(v))
       // negation-free compounds: unknown→false per leg, exact through
       // the monotone lattice (claimed only for pushable legs; an
       // unknown RUNTIME shape inside a compound keeps the partition)
@@ -1379,9 +1404,20 @@ object GraftIndexFilters {
     }
     f match {
       case EqualTo(a, v) => eq(a, v)
-      // `<>` under SQL semantics: parquet's bare notEq KEEPS nulls, so
-      // the explicit not-null leg is mandatory for the exact claim
+      // `<>` / NOT IN under SQL semantics: parquet's bare notEq KEEPS
+      // nulls, so the explicit not-null leg is mandatory for the claim
       case Not(EqualTo(a, v)) => FilterApi.and(notEqNull(a), notEq(a, v))
+      case Not(In(a, vs)) => (notEqNull(a) +: vs.map(v => notEq(a, v)))
+        .reduce(FilterApi.and)
+      // string predicates: user-defined parquet predicates — exact
+      // record-level keep() (null never matches), min/max row-group
+      // pruning for the prefix shape
+      case StringStartsWith(a, v) => FilterApi.userDefined(
+        FilterApi.binaryColumn(a), new GraftStartsWith(v))
+      case StringEndsWith(a, v) => FilterApi.userDefined(
+        FilterApi.binaryColumn(a), new GraftSubstring(v, atEnd = true))
+      case StringContains(a, v) => FilterApi.userDefined(
+        FilterApi.binaryColumn(a), new GraftSubstring(v, atEnd = false))
       case In(a, vs) => vs.map(v => eq(a, v)).reduce(FilterApi.or)
       case IsNull(a) => eq(a, null)
       case IsNotNull(a) => notEqNull(a)
@@ -1397,6 +1433,75 @@ object GraftIndexFilters {
         s"graft-index: unpushable filter claimed: $other")
     }
   }
+}
+
+/** Parquet user-defined predicate for `startsWith` (round-12): exact
+  * record-level keep (a NULL value never matches — SQL's unknown→false
+  * by construction) plus min/max row-group pruning — a value starting
+  * with `prefix` is ≥ prefix and shares its first bytes, so a group
+  * whose max (truncated to prefix length) sorts below the prefix, or
+  * whose min (truncated) sorts above it, holds no match under the
+  * unsigned lexicographic order parquet's binary stats use.
+  */
+private[sources] class GraftStartsWith(prefix: String)
+    extends org.apache.parquet.filter2.predicate.UserDefinedPredicate[Binary]
+    with Serializable {
+  private val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  override def keep(value: Binary): Boolean = value != null && {
+    val v = value.getBytesUnsafe
+    v.length >= p.length && {
+      var i = 0
+      while (i < p.length && v(i) == p(i)) i += 1
+      i == p.length
+    }
+  }
+  override def canDrop(
+      stat: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean = {
+    val cmp = org.apache.parquet.schema.PrimitiveComparator
+      .UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
+    val pb = Binary.fromReusedByteArray(p)
+    val max = stat.getMax
+    val min = stat.getMin
+    cmp.compare(max.slice(0, math.min(p.length, max.length)), pb) < 0 ||
+      cmp.compare(min.slice(0, math.min(p.length, min.length)), pb) > 0
+  }
+  // only consulted under a pushed NOT(this) — never claimed; keep all
+  override def inverseCanDrop(
+      stat: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean =
+    false
+}
+
+/** `endsWith` / `contains` twin: exact keep, no stats pruning (suffix
+  * and substring membership say nothing about a group's min/max).
+  */
+private[sources] class GraftSubstring(needle: String, atEnd: Boolean)
+    extends org.apache.parquet.filter2.predicate.UserDefinedPredicate[Binary]
+    with Serializable {
+  private val n = needle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def matchAt(v: Array[Byte], off: Int): Boolean = {
+    var i = 0
+    while (i < n.length && v(off + i) == n(i)) i += 1
+    i == n.length
+  }
+  override def keep(value: Binary): Boolean = value != null && {
+    val v = value.getBytesUnsafe
+    if (v.length < n.length) false
+    else if (atEnd) matchAt(v, v.length - n.length)
+    else {
+      var off = 0
+      var found = false
+      while (!found && off <= v.length - n.length) {
+        found = matchAt(v, off); off += 1
+      }
+      found
+    }
+  }
+  override def canDrop(
+      stat: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean =
+    false
+  override def inverseCanDrop(
+      stat: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean =
+    false
 }
 
 /** EXECUTOR-SIDE footer cache (round-12): a serving index is probed
@@ -2191,6 +2296,21 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
         val c = cmp(a, v); val p = nn(a); r => p(r) && c(r) == 0
       case Not(EqualTo(a, v)) =>
         val c = cmp(a, v); val p = nn(a); r => p(r) && c(r) != 0
+      case Not(In(a, vs)) =>
+        val cs = vs.map(cmp(a, _)); val p = nn(a)
+        r => p(r) && cs.forall(_(r) != 0)
+      case StringStartsWith(a, v) =>
+        val i = decodeIdx(a); val x = UTF8String.fromString(v)
+        r => !decodeVecs(i).isNullAt(r) &&
+          decodeVecs(i).getUTF8String(r).startsWith(x)
+      case StringEndsWith(a, v) =>
+        val i = decodeIdx(a); val x = UTF8String.fromString(v)
+        r => !decodeVecs(i).isNullAt(r) &&
+          decodeVecs(i).getUTF8String(r).endsWith(x)
+      case StringContains(a, v) =>
+        val i = decodeIdx(a); val x = UTF8String.fromString(v)
+        r => !decodeVecs(i).isNullAt(r) &&
+          decodeVecs(i).getUTF8String(r).contains(x)
       case In(a, vs) =>
         val cs = vs.map(cmp(a, _)); val p = nn(a)
         r => p(r) && cs.exists(_(r) == 0)

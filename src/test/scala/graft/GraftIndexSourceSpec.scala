@@ -205,6 +205,48 @@ class GraftIndexSourceSpec extends SparkSpec {
       "rows from the g-less file must NOT survive a g <> 2 claim")
   }
 
+  test("NOT IN + string predicates (round-12): startsWith/endsWith/contains claimed on both lanes, nulls dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_str").toString + "/t"
+    spark.range(0, 900).selectExpr("id",
+      "CASE WHEN id % 11 = 0 THEN CAST(NULL AS STRING) " +
+        "WHEN id % 3 = 0 THEN concat('click_', id % 7) " +
+        "WHEN id % 3 = 1 THEN concat('view_', id % 7) " +
+        "ELSE concat('purchase_', id % 7) END AS et",
+      "CASE WHEN id % 13 = 0 THEN CAST(NULL AS LONG) ELSE id % 6 END AS g")
+      .write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("startsWith", df => df.where(col("et").startsWith("click"))),
+      ("endsWith", df => df.where(col("et").endsWith("_3"))),
+      ("contains", df => df.where(col("et").contains("ase_"))),
+      ("notIn", df => df.where(!col("g").isin(1L, 4L))),
+      ("prefix+notIn", df => df.where(col("et").startsWith("view") &&
+        !col("g").isin(2L))))
+    for ((label, q) <- shapes; rowlane <- Seq("false", "true")) {
+      val ref = q(raw)
+      val got = q(spark.read.format("graft-index")
+        .option("rowlane", rowlane).load(dir))
+      assert(ref.count() > 0 && got.count() == ref.count(),
+        s"$label rowlane=$rowlane: ${got.count()} vs ${ref.count()}")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"$label rowlane=$rowlane rows diverge")
+    }
+    // the claims are total: no Spark-side re-filter remains
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = spark.read.format("graft-index").load(dir)
+        .where(col("et").startsWith("click") && !col("g").isin(1L, 4L))
+      val plan = got.queryExecution.executedPlan
+      assert(plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.isEmpty, s"claimed string/NOT-IN filters re-evaluated:\n$plan")
+      val scan = plan.collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.scan.description().contains("StringStartsWith") &&
+        scan.scan.description().contains("Not(In(g"),
+        scan.scan.description())
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("footer cache (round-12): repeated reads parse each footer once; a rewritten file never serves stale metadata") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fcache").toString + "/t"
     spark.range(0, 1000).selectExpr("id", "id % 5 AS g").write.parquet(dir)

@@ -393,8 +393,10 @@ object InvariantProps extends Properties("graft.invariants") {
   private def evalFilter(f: Filter, row: Map[String, Option[Long]]): Boolean =
     f match {
       case EqualTo(c, v) => row(c).contains(v.asInstanceOf[Long])
-      // `<>` claimed leaf (round-12): SQL unknown→false — null ≠ v is FALSE
+      // `<>` / NOT IN claimed leaves (round-12): SQL unknown→false —
+      // null ≠ v and null NOT IN (…) are both FALSE
       case Not(EqualTo(c, v)) => row(c).exists(_ != v.asInstanceOf[Long])
+      case Not(In(c, vs)) => row(c).exists(x => !vs.contains(x))
       case GreaterThan(c, v) => row(c).exists(_ > v.asInstanceOf[Long])
       case LessThan(c, v) => row(c).exists(_ < v.asInstanceOf[Long])
       case In(c, vs) => row(c).exists(x => vs.contains(x))
@@ -410,7 +412,7 @@ object InvariantProps extends Properties("graft.invariants") {
     v <- Gen.chooseNum(0L, 6L)
     f <- Gen.oneOf[Filter](EqualTo(col, v), Not(EqualTo(col, v)),
       GreaterThan(col, v), LessThan(col, v), In(col, Array[Any](v, v + 2)),
-      IsNull(col), IsNotNull(col))
+      Not(In(col, Array[Any](v, v + 2))), IsNull(col), IsNotNull(col))
   } yield f
 
   private def treeGen(depth: Int): Gen[Filter] =
