@@ -72,9 +72,23 @@ object LaneBench {
     timed("v2 rowlane OR filter") {
       rl.where(orPred(col)).select("vec_b", "nb").count()
     }
-    // full-scan sanity (round-10 baseline shape)
+    // full-scan sanity (round-10 baseline shape); the unfiltered decode
+    // delegates to Spark's own vectorized reader (round-12) — graftlane
+    // pins the in-house decoder twin for the before/after
+    def gl = spark.read.format("graft-index").option("graftlane", "true")
+      .load(s"$dir/cells")
     timed("parquet full proj") { raw.select("vec_b", "vb").count() }
-    timed("v2 COLUMNAR full proj") { v2.select("vec_b", "vb").count() }
+    timed("v2 DELEGATED full proj") { v2.select("vec_b", "vb").count() }
+    timed("v2 graftlane full proj") { gl.select("vec_b", "vb").count() }
+    timed("parquet full collect") {
+      raw.select("vec_b", "vb", "nb").collect().length.toLong
+    }
+    timed("v2 DELEGATED full collect") {
+      v2.select("vec_b", "vb", "nb").collect().length.toLong
+    }
+    timed("v2 graftlane full collect") {
+      gl.select("vec_b", "vb", "nb").collect().length.toLong
+    }
     // planning vs execution split: REUSED DataFrame = execution only
     val v2Reused = v2.where(col("vec_b") > mid).select("vec_b", "vb", "nb")
     val pqReused = raw.where(col("vec_b") > mid).select("vec_b", "vb", "nb")
@@ -149,6 +163,27 @@ object LaneBench {
       val pages = r.readNextRowGroup(); pages.getRowCount; r.close()
     }
     println(f"[lane] direct 40-file open+rowgroup ${(System.nanoTime() - t2) / 40e6}%.2f ms/file")
+    // BIG-FILE decode — the 100 TB-relevant shape (row groups in the
+    // tens of MB, not index-cell KBs): bulk page decode (delegated
+    // lane) vs the in-house per-value ColumnReader twin. sum() is not
+    // a pushable aggregate on either engine, so every shape below
+    // decodes all four columns end-to-end.
+    val bdir = java.nio.file.Files.createTempDirectory("lane_big").toString + "/t"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+      .coalesce(2).write.parquet(bdir)
+    val bigRaw = spark.read.parquet(bdir)
+    def bigDecode(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("doc_id")), sum(length(col("text"))),
+        sum(col("n_chars"))).collect().length.toLong
+    timed("parquet BIG decode") { bigDecode(bigRaw) }
+    timed("v2 DELEGATED BIG decode") {
+      bigDecode(spark.read.format("graft-index").load(bdir))
+    }
+    timed("v2 graftlane BIG decode") {
+      bigDecode(spark.read.format("graft-index").option("graftlane", "true")
+        .load(bdir))
+    }
     spark.stop()
   }
 }

@@ -2927,6 +2927,110 @@ object ExtQueries extends QueryGroup {
        WHERE event_type LIKE 'c%' AND user_id NOT IN (1, 2, 3)
        GROUP BY 1"""
 
+  /** DATE data columns through the serving connector (round-12): the
+    * events stream lands with a real DATE column (derived by a
+    * timezone-free structural recipe — epoch-day arithmetic on user_id,
+    * so the query means the same thing in any session timezone on both
+    * engines) and is read back with a claimed date-range AND a date
+    * `<>` — parquet DATE is INT32 epoch days, Spark's own internal
+    * DateType form, so the claims ride the integer comparators with
+    * row-group stats pruning and zero decode conversion. Day-number
+    * aggregates (never raw dates — the fixture-vintage discipline),
+    * exact-cents sum. A date-range scan is the single most common
+    * predicate over a daily-partitioned 100 TB event table.
+    */
+  private def eventsIndexDate(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2date", d)
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("user_id") % 7).cast("int")).as("ed"),
+        (col("user_id") % 4).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("ed") >= lit(java.sql.Date.valueOf("2024-01-03")) &&
+        col("ed") =!= lit(java.sql.Date.valueOf("2024-01-05")))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(datediff(col("ed"), lit("1970-01-01"))).cast("long").as("min_day"),
+        max(datediff(col("ed"), lit("1970-01-01"))).cast("long").as("max_day"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  private val eventsIndexDateSql =
+    s"""SELECT user_id % 4 AS bucket, count(*) AS n_events,
+              CAST(min(date_diff('day', DATE '1970-01-01', ed)) AS BIGINT) AS min_day,
+              CAST(max(date_diff('day', DATE '1970-01-01', ed)) AS BIGINT) AS max_day,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM (SELECT user_id, value,
+                    DATE '2024-01-01' + CAST(user_id % 7 AS INT) AS ed
+             FROM events) t
+       WHERE ed >= DATE '2024-01-03' AND ed <> DATE '2024-01-05'
+       GROUP BY 1"""
+
+  /** DATE PARTITION directories through the serving connector
+    * (round-12): the same structural date lands as the layout's
+    * partition column — `ed=2024-01-0X` directories, THE canonical
+    * daily layout of a 100 TB event table — and the connector's
+    * one-footer inference types it DateType (agreeing with Spark's
+    * inference ladder). The date predicate prunes DIRECTORIES at
+    * planning: files under excluded days are never listed into splits,
+    * the 100×-scale shape where partition pruning is the difference
+    * between reading one day and reading three years.
+    */
+  private def eventsIndexDatePart(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2dp", d)
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("user_id") % 7).cast("int")).as("ed"))
+      .write.mode("overwrite").partitionBy("ed").parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("ed") > lit(java.sql.Date.valueOf("2024-01-02")))
+      .groupBy(datediff(col("ed"), lit("1970-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+  }
+
+  private val eventsIndexDatePartSql =
+    s"""SELECT CAST(date_diff('day', DATE '1970-01-01', ed) AS BIGINT) AS day,
+              count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM (SELECT user_id, value,
+                    DATE '2024-01-01' + CAST(user_id % 7 AS INT) AS ed
+             FROM events) t
+       WHERE ed > DATE '2024-01-02'
+       GROUP BY 1"""
+
+  /** BINARY payloads through the serving connector (round-12): the
+    * documents corpus lands with its text as a raw BYTE payload — the
+    * multimodal serving shape, where image/audio blobs ride opaque
+    * binary columns next to typed metadata — and the audit reads it
+    * back through the connector folding per-bucket byte totals and
+    * content fingerprints. `md5(payload)` on Spark and `md5(text)` on
+    * DuckDB both hash the UTF-8 bytes, so a single flipped byte
+    * anywhere in the decode lane breaks the min/max fingerprints.
+    */
+  private def docsIndexBinary(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "docs_v2bin", d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        (col("doc_id") % 4).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.format("graft-index").load(path)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("payload")).cast("long")).as("sum_bytes"),
+        min(md5(col("payload"))).as("min_md5"),
+        max(md5(col("payload"))).as("max_md5"))
+  }
+
+  private val docsIndexBinarySql =
+    s"""SELECT doc_id % 4 AS bucket, count(*) AS n_docs,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+              min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+       FROM documents GROUP BY 1"""
+
   /** PROVENANCE AUDIT through the `_file` lineage metadata column
     * (round-12): the events stream lands as a bucket-partitioned layout
     * with exactly one file per bucket (`repartition(bucket)` puts each
@@ -9415,6 +9519,9 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_index_ne", eventsIndexNe, Some(eventsIndexNeSql), "`<>` claim through the connector: Not(EqualTo) pushed as and(notEq(c,null), notEq(c,v)) — SQL null semantics exact, no Spark re-filter; exact-cents aggregates"),
     GQuery("ext_layout_lineage", layoutLineage, Some(layoutLineageSql), "provenance audit via the _file lineage metadata column: per-file rows/cents folded to the bucket parsed from the path; oracle pins one file per bucket"),
     GQuery("ext_events_index_prefix", eventsIndexPrefix, Some(eventsIndexPrefixSql), "LIKE-prefix + NOT IN claims through the connector: UserDefinedPredicate keep/canDrop for the prefix, And(IsNotNull, all-neq) for NOT IN; exact-cents aggregates"),
+    GQuery("ext_events_index_date", eventsIndexDate, Some(eventsIndexDateSql), "DATE data column through the connector: range + `<>` claims as INT32 epoch-day compares with row-group pruning, day-number aggregates, exact cents"),
+    GQuery("ext_events_index_datepart", eventsIndexDatePart, Some(eventsIndexDatePartSql), "DATE partition directories (ed=YYYY-MM-DD) through the connector: DateType inference + planning-time directory pruning on a date predicate"),
+    GQuery("ext_docs_index_binary", docsIndexBinary, Some(docsIndexBinarySql), "BINARY payloads through the connector: multimodal-shape blobs decoded byte-exact on the vectorized lane, md5 fingerprints + byte totals per bucket"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),

@@ -1401,4 +1401,148 @@ class GraftIndexSourceSpec extends SparkSpec {
     assert(got.count() == batch.count())
     assert(got.exceptAll(batch.select(got.columns.map(col): _*)).count() == 0)
   }
+
+  test("delegated vectorized lane (round-12): unfiltered reads ride Spark's own decoder, filtered/graftlane reads don't, rows identical") {
+    import graft.sources.GraftIndexSparkVectorReader
+    val dir = writeIndex()
+    // unfiltered projection: the delegated reader opens files
+    val before = GraftIndexSparkVectorReader.opens.get
+    val del = v2(s"$dir/cells").select("vec_b", "nb")
+    val delRows = del.collect()
+    assert(GraftIndexSparkVectorReader.opens.get > before,
+      "unfiltered projection must route to the delegated Spark reader")
+    // graftlane pin: in-house decoder, zero delegated opens, same rows
+    // (parity over the COLLECTED arrays — a DataFrame exceptAll would
+    // re-execute the delegated frame and bump the counter)
+    val pinBefore = GraftIndexSparkVectorReader.opens.get
+    val pinnedRows = spark.read.format("graft-index").option("graftlane", "true")
+      .load(s"$dir/cells").select("vec_b", "nb").collect()
+    assert(GraftIndexSparkVectorReader.opens.get == pinBefore,
+      "graftlane must pin the in-house decoder")
+    assert(pinnedRows.map(_.toString).sorted.toSeq ==
+      delRows.map(_.toString).sorted.toSeq,
+      "decoder twins must produce identical rows")
+    // pushed data filter: stays on the in-house scratch-residue reader
+    // (the delegated lane never sees a claimed filter)
+    val fBefore = GraftIndexSparkVectorReader.opens.get
+    v2(s"$dir/cells").where(col("vec_b") > 100L).collect()
+    assert(GraftIndexSparkVectorReader.opens.get == fBefore,
+      "filtered scans must not route to the delegated reader")
+  }
+
+  test("DATE columns (round-12): both lanes decode epoch days; eq/range/<> claims stay pushed with nulls dropped; footer min/max") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_date").toString + "/t"
+    val df = Seq(
+        (1L, java.sql.Date.valueOf("2024-03-01")),
+        (2L, java.sql.Date.valueOf("2024-03-05")),
+        (3L, java.sql.Date.valueOf("1969-12-25")), // negative epoch days
+        (4L, null.asInstanceOf[java.sql.Date]),
+        (5L, java.sql.Date.valueOf("2024-03-05")))
+      .toDF("id", "d")
+    df.repartition(1).write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val lo = java.sql.Date.valueOf("2024-03-02")
+    val shapes: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("parity", identity),
+      ("range", _.where(col("d") >= lit(lo))),
+      ("eq", _.where(col("d") === lit(java.sql.Date.valueOf("2024-03-05")))),
+      ("ne", _.where(col("d") =!= lit(java.sql.Date.valueOf("2024-03-05")))),
+      ("isnull", _.where(col("d").isNull)))
+    for ((label, q) <- shapes; rowlane <- Seq("false", "true")) {
+      val ref = q(raw)
+      val got = q(spark.read.format("graft-index")
+        .option("rowlane", rowlane).load(dir))
+      assert(got.schema == ref.schema, s"$label rowlane=$rowlane schema")
+      assert(got.count() == ref.count(), s"$label rowlane=$rowlane count")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"$label rowlane=$rowlane rows diverge")
+    }
+    // the date claims are total (no Spark re-filter) and visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = spark.read.format("graft-index").load(dir)
+        .where(col("d") >= lit(lo))
+      val plan = got.queryExecution.executedPlan
+      assert(plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.isEmpty, s"claimed date range re-evaluated:\n$plan")
+      val scan = plan.collectFirst { case b: BatchScanExec => b }.get
+      assert(scan.scan.description().contains("GreaterThanOrEqual(d"),
+        scan.scan.description())
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // MIN/MAX over DATE answer from footer stats (comparable set)
+    val gotMm = spark.read.format("graft-index").load(dir)
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val refMm = raw.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    assert(gotMm.collect().toSeq == refMm.collect().toSeq)
+  }
+
+  test("DATE partition directories (round-12): dt=YYYY-MM-DD infers DateType, date predicates prune directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_datep").toString + "/t"
+    Seq(
+        (1L, 10.0, java.sql.Date.valueOf("2024-01-01")),
+        (2L, 20.0, java.sql.Date.valueOf("2024-01-02")),
+        (3L, 30.0, java.sql.Date.valueOf("2024-01-03")),
+        (4L, 40.0, java.sql.Date.valueOf("2024-01-03")))
+      .toDF("id", "v", "dt")
+      .write.partitionBy("dt").parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val t = spark.read.format("graft-index").load(dir)
+    // the one-footer fast inference must agree with Spark's (DateType dt)
+    assert(t.schema("dt").dataType == org.apache.spark.sql.types.DateType)
+    assert(t.schema == raw.select(t.columns.map(col): _*).schema)
+    val cut = java.sql.Date.valueOf("2024-01-02")
+    val ref = raw.where(col("dt") > lit(cut)).select(t.columns.map(col): _*)
+    val got = t.where(col("dt") > lit(cut))
+    assert(got.count() == 2)
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    // pruning is physical: the filtered scan plans fewer input partitions
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def parts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b
+        }.get.inputRDD.getNumPartitions
+      assert(parts(got) < parts(t),
+        "date partition predicate must prune directories at planning")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("BINARY columns (round-12): multimodal payloads decode byte-exact on both lanes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString + "/t"
+    val df = Seq(
+        (1L, Array[Byte](1, 2, 3, -128, 127, 0)),
+        (2L, Array.emptyByteArray),
+        (3L, null.asInstanceOf[Array[Byte]]),
+        (4L, Array.tabulate(4096)(i => (i % 251).toByte))) // multi-page-ish
+      .toDF("id", "payload")
+    df.repartition(1).write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    for (rowlane <- Seq("false", "true")) {
+      val got = spark.read.format("graft-index").option("rowlane", rowlane)
+        .load(dir).select("id", "payload")
+      val ref = raw.select("id", "payload")
+      assert(got.schema == ref.schema, s"binary schema (rowlane=$rowlane)")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"binary payloads diverge (rowlane=$rowlane)")
+      // content check that doesn't ride exceptAll's hashing: md5 + length
+      val gm = got.select(md5(col("payload")).as("h"),
+        length(col("payload")).as("n")).orderBy("h")
+      val rm = ref.select(md5(col("payload")).as("h"),
+        length(col("payload")).as("n")).orderBy("h")
+      assert(gm.collect().toSeq == rm.collect().toSeq)
+    }
+    // the plain projection rides the vectorized lane
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = spark.read.format("graft-index").load(dir)
+        .select("id", "payload").queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b
+        }.get
+      assert(scan.supportsColumnar, "binary projection must stay columnar")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
