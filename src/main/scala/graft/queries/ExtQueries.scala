@@ -3031,6 +3031,42 @@ object ExtQueries extends QueryGroup {
               min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
        FROM documents GROUP BY 1"""
 
+  /** DECIMAL money columns through the serving connector (round-12,
+    * fourth sitting): amounts land as DECIMAL(24,2) — the
+    * FIXED_LEN_BYTE_ARRAY physical, i.e. the money type a 100 TB
+    * ledger actually uses — next to a SMALLINT bucket, and the audit
+    * reads them back with a claimed `<>` on the SHORT column (INT32
+    * comparators; the in-house columnar lane refuses decimal, so this
+    * shape exercises the row lane's annotation-driven decimal
+    * convert under a real claim). The decimal is BUILT from exact
+    * cents (cents × 0.01 at scale 2 — no float fold anywhere), and
+    * the aggregate folds it back to BIGINT cents on both engines.
+    */
+  private def eventsIndexDecimal(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2dec", d)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(CAST(round(value * 100) AS BIGINT) * 0.01 AS DECIMAL(24,2))")
+          .as("amt"),
+        expr("CAST(user_id % 4 AS SMALLINT)").as("bucket"))
+      .write.mode("overwrite").parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("bucket") =!= lit(2.toShort))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("amt") * 100).cast("long")).as("sum_cents"))
+  }
+
+  private val eventsIndexDecimalSql =
+    s"""SELECT user_id % 4 AS bucket, count(*) AS n_events,
+              CAST(sum(CAST(amt * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM (SELECT user_id,
+                    CAST(CAST(round(value * 100) AS BIGINT) * 0.01
+                         AS DECIMAL(24,2)) AS amt
+             FROM events) t
+       WHERE user_id % 4 <> 2
+       GROUP BY 1"""
+
   /** PROVENANCE AUDIT through the `_file` lineage metadata column
     * (round-12): the events stream lands as a bucket-partitioned layout
     * with exactly one file per bucket (`repartition(bucket)` puts each
@@ -9522,6 +9558,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_index_date", eventsIndexDate, Some(eventsIndexDateSql), "DATE data column through the connector: range + `<>` claims as INT32 epoch-day compares with row-group pruning, day-number aggregates, exact cents"),
     GQuery("ext_events_index_datepart", eventsIndexDatePart, Some(eventsIndexDatePartSql), "DATE partition directories (ed=YYYY-MM-DD) through the connector: DateType inference + planning-time directory pruning on a date predicate"),
     GQuery("ext_docs_index_binary", docsIndexBinary, Some(docsIndexBinarySql), "BINARY payloads through the connector: multimodal-shape blobs decoded byte-exact on the vectorized lane, md5 fingerprints + byte totals per bucket"),
+    GQuery("ext_events_index_decimal", eventsIndexDecimal, Some(eventsIndexDecimalSql), "DECIMAL(24,2) money column (FLBA physical) + SMALLINT bucket through the connector: claimed short `<>`, row-lane decimal decode, exact-cents fold"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),

@@ -325,7 +325,9 @@ object GraftIndexTable {
 
   private def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         BooleanType | TimestampType | DateType | BinaryType => true
+         BooleanType | TimestampType | DateType | BinaryType |
+         ShortType | ByteType | TimestampNTZType => true
+    case _: DecimalType => true
     case ArrayType(LongType | IntegerType | DoubleType | FloatType, _) => true
     case _ => false
   }
@@ -519,7 +521,7 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
 
   private def primitive(name: String): Boolean = dataColType(name).exists {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
-         DateType => true
+         DateType | ShortType | ByteType => true
     case _ => false
   }
   private def stringCol(name: String): Boolean =
@@ -529,8 +531,12 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
   // epoch-day count parquet stores, so eq/range claims (and their
   // row-group stats pruning) are exact — a date-range scan over a 100 TB
   // event table is the single most common serving predicate there is.
+  // SHORT/BYTE (same sitting) are INT32-annotated physicals — the same
+  // intColumn comparators. DECIMAL, BINARY and timestamps stay
+  // unclaimed: their predicates remain with Spark over decoded rows.
   private def comparable(name: String): Boolean = dataColType(name).exists {
-    case LongType | IntegerType | DoubleType | FloatType | DateType => true
+    case LongType | IntegerType | DoubleType | FloatType | DateType |
+         ShortType | ByteType => true
     case _ => false
   }
 
@@ -1376,7 +1382,7 @@ object GraftIndexFilters {
     def eq(n: String, v: Any): FilterPredicate = dt(n) match {
       case LongType => FilterApi.eq(FilterApi.longColumn(n),
         if (v == null) null else java.lang.Long.valueOf(v.asInstanceOf[Number].longValue))
-      case IntegerType => FilterApi.eq(FilterApi.intColumn(n),
+      case IntegerType | ShortType | ByteType => FilterApi.eq(FilterApi.intColumn(n),
         if (v == null) null else java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue))
       case DoubleType => FilterApi.eq(FilterApi.doubleColumn(n),
         if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue))
@@ -1392,7 +1398,7 @@ object GraftIndexFilters {
     }
     def notEqNull(n: String): FilterPredicate = dt(n) match {
       case LongType => FilterApi.notEq(FilterApi.longColumn(n), null.asInstanceOf[java.lang.Long])
-      case IntegerType => FilterApi.notEq(FilterApi.intColumn(n), null.asInstanceOf[java.lang.Integer])
+      case IntegerType | ShortType | ByteType => FilterApi.notEq(FilterApi.intColumn(n), null.asInstanceOf[java.lang.Integer])
       case DoubleType => FilterApi.notEq(FilterApi.doubleColumn(n), null.asInstanceOf[java.lang.Double])
       case FloatType => FilterApi.notEq(FilterApi.floatColumn(n), null.asInstanceOf[java.lang.Float])
       case StringType => FilterApi.notEq(FilterApi.binaryColumn(n),
@@ -1404,7 +1410,7 @@ object GraftIndexFilters {
     def notEq(n: String, v: Any): FilterPredicate = dt(n) match {
       case LongType => FilterApi.notEq(FilterApi.longColumn(n),
         java.lang.Long.valueOf(v.asInstanceOf[Number].longValue))
-      case IntegerType => FilterApi.notEq(FilterApi.intColumn(n),
+      case IntegerType | ShortType | ByteType => FilterApi.notEq(FilterApi.intColumn(n),
         java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue))
       case DoubleType => FilterApi.notEq(FilterApi.doubleColumn(n),
         java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue))
@@ -1425,7 +1431,7 @@ object GraftIndexFilters {
           case ">" => FilterApi.gt(c, x); case ">=" => FilterApi.gtEq(c, x)
           case "<" => FilterApi.lt(c, x); case _ => FilterApi.ltEq(c, x)
         }
-      case IntegerType =>
+      case IntegerType | ShortType | ByteType =>
         val c = FilterApi.intColumn(n)
         val x = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue)
         op match {
@@ -1652,9 +1658,13 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
     */
   private[graft] val columnarEligible: Boolean = {
     val dataFields = readSchema.fields.zip(isPart).collect { case (f, false) => f }
+    // DECIMAL is deliberately absent: the delegated lane decodes it
+    // natively on unfiltered scans, and filtered scans fall back to
+    // the row lane's annotation-driven convert
     def ok(dt: DataType): Boolean = dt match {
       case LongType | IntegerType | DoubleType | FloatType | StringType |
-           BooleanType | TimestampType | DateType | BinaryType => true
+           BooleanType | TimestampType | DateType | BinaryType |
+           ShortType | ByteType | TimestampNTZType => true
       case ArrayType(LongType | IntegerType | DoubleType | FloatType, _) => true
       case _ => false
     }
@@ -1664,7 +1674,8 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
     def flatPrim(n: String): Boolean =
       tableSchema.find(_.name == n).map(_.dataType).exists {
         case LongType | IntegerType | DoubleType | FloatType | StringType |
-             BooleanType | TimestampType | DateType => true
+             BooleanType | TimestampType | DateType | ShortType |
+             ByteType => true
         case _ => false
       }
     !forceRowLane &&
@@ -2040,7 +2051,18 @@ class GraftIndexAggReaderFactory(agg: Aggregation, aggSchema: StructType,
         }
         slots.zipWithIndex.foreach { case (((kind, _), i), k) =>
           row.update(i,
-            if (kind == "C") java.lang.Long.valueOf(counts(k)) else bests(k))
+            if (kind == "C") java.lang.Long.valueOf(counts(k))
+            // SHORT/BYTE stats arrive as Integer from parquet's
+            // generic accessors (INT32 physical) — narrow to the
+            // output field's internal type at the very end, after the
+            // Integer-vs-Integer Comparable folds above
+            else (bests(k), aggSchema.fields(i).dataType) match {
+              case (n: java.lang.Integer, ShortType) =>
+                java.lang.Short.valueOf(n.shortValue)
+              case (n: java.lang.Integer, ByteType) =>
+                java.lang.Byte.valueOf(n.byteValue)
+              case (v, _) => v
+            })
         }
         row
       }
@@ -2081,7 +2103,9 @@ object GraftIndexAggReaderFactory {
         if (g.getFieldRepetitionCount(idx) > 0) {
           val v: Any = dt match {
             case LongType => java.lang.Long.valueOf(g.getLong(idx, 0))
-            case IntegerType | DateType =>
+            // SHORT/BYTE fold as Integer like their footer stats do;
+            // the agg reader narrows to the output type at the end
+            case IntegerType | DateType | ShortType | ByteType =>
               java.lang.Integer.valueOf(g.getInteger(idx, 0))
             case DoubleType => java.lang.Double.valueOf(g.getDouble(idx, 0))
             case FloatType => java.lang.Float.valueOf(g.getFloat(idx, 0))
@@ -2227,9 +2251,39 @@ class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
       case StringType => UTF8String.fromString(g.getString(idx, 0))
       // DATE: INT32 epoch days = Spark's internal DateType (round-12)
       case DateType => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+      // SHORT/BYTE: INT32-annotated physicals, narrowed here
+      case ShortType => java.lang.Short.valueOf(g.getInteger(idx, 0).toShort)
+      case ByteType => java.lang.Byte.valueOf(g.getInteger(idx, 0).toByte)
       // BINARY payloads (multimodal lane, round-12): internal form is
       // the raw byte array; getBytes copies out of the page buffer
       case BinaryType => g.getBinary(idx, 0).getBytes
+      // DECIMAL: unscaled value by physical (INT32/INT64/FLBA), scale
+      // from the file's own annotation — Spark's internal Decimal at
+      // the TABLE's precision/scale (equal on the uniform layouts the
+      // writers emit; a genuinely rescaled evolved file would fail
+      // loudly in changePrecision, not silently misread)
+      case dt: DecimalType =>
+        val pt = g.getType.getType(idx).asPrimitiveType()
+        val scale = pt.getLogicalTypeAnnotation match {
+          case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            d.getScale
+          case _ => dt.scale
+        }
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val bd = pt.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 =>
+            java.math.BigDecimal.valueOf(g.getInteger(idx, 0).toLong, scale)
+          case PrimitiveTypeName.INT64 =>
+            java.math.BigDecimal.valueOf(g.getLong(idx, 0), scale)
+          case _ => new java.math.BigDecimal(
+            new java.math.BigInteger(g.getBinary(idx, 0).getBytes), scale)
+        }
+        Decimal(BigDecimal(bd), dt.precision, dt.scale)
+      // TIMESTAMP_NTZ: same micros decode as TIMESTAMP — NTZ is
+      // timezone-free by definition, so there is no zone math anywhere
+      case TimestampNTZType =>
+        val pt = g.getType.getType(idx).asPrimitiveType()
+        java.lang.Long.valueOf(GraftIndexTs.adjustToMicros(pt, g.getLong(idx, 0)))
       case TimestampType =>
         val pt = g.getType.getType(idx).asPrimitiveType()
         java.lang.Long.valueOf(
@@ -2542,6 +2596,12 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
         case DateType =>
           val x = GraftIndexDate.toDays(v).toLong
           r => java.lang.Long.compare(decodeVecs(i).getInt(r).toLong, x)
+        case ShortType =>
+          val x = v.asInstanceOf[Number].longValue
+          r => java.lang.Long.compare(decodeVecs(i).getShort(r).toLong, x)
+        case ByteType =>
+          val x = v.asInstanceOf[Number].longValue
+          r => java.lang.Long.compare(decodeVecs(i).getByte(r).toLong, x)
         case DoubleType =>
           val x = v.asInstanceOf[Number].doubleValue
           r => java.lang.Double.compare(decodeVecs(i).getDouble(r), x)
@@ -2706,8 +2766,11 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
           val s = selection(r)
           if (src.isNullAt(s)) dst.putNull(r)
           else dt match {
-            case LongType | TimestampType => dst.putLong(r, src.getLong(s))
+            case LongType | TimestampType | TimestampNTZType =>
+              dst.putLong(r, src.getLong(s))
             case IntegerType | DateType => dst.putInt(r, src.getInt(s))
+            case ShortType => dst.putShort(r, src.getShort(s))
+            case ByteType => dst.putByte(r, src.getByte(s))
             case DoubleType => dst.putDouble(r, src.getDouble(s))
             case FloatType => dst.putFloat(r, src.getFloat(s))
             case BooleanType => dst.putBoolean(r, src.getBoolean(s))
@@ -2749,6 +2812,12 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
       // DATE decodes as its INT32 epoch-day physical — already Spark's
       // internal form, zero conversion (round-12)
       case IntegerType | DateType => r => v.putInt(r, cr.getInteger)
+      case ShortType => r => v.putShort(r, cr.getInteger.toShort)
+      case ByteType => r => v.putByte(r, cr.getInteger.toByte)
+      // NTZ: micros long, no zone math by definition
+      case TimestampNTZType =>
+        val pt = cr.getDescriptor.getPrimitiveType
+        r => v.putLong(r, GraftIndexTs.adjustToMicros(pt, cr.getLong))
       case DoubleType => r => v.putDouble(r, cr.getDouble)
       case FloatType => r => v.putFloat(r, cr.getFloat)
       case BooleanType => r => v.putBoolean(r, cr.getBoolean)

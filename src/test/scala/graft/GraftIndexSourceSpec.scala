@@ -1510,6 +1510,95 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("DECIMAL columns (round-12): all three physicals decode exactly; filtered scans fall back to the row lane") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dec").toString + "/t"
+    // three physicals: DECIMAL(5,2)→INT32, DECIMAL(14,2)→INT64,
+    // DECIMAL(24,4)→FIXED_LEN_BYTE_ARRAY; nulls and negatives included
+    spark.range(0, 500).selectExpr("id",
+      "CASE WHEN id % 11 = 0 THEN CAST(NULL AS DECIMAL(5,2)) " +
+        "ELSE CAST((id - 250) / 4.0 AS DECIMAL(5,2)) END AS d32",
+      "CAST((id - 250) * 1000000.01 AS DECIMAL(14,2)) AS d64",
+      "CAST((id - 250) * 123456789.0001 AS DECIMAL(24,4)) AS dbig")
+      .write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    for (rowlane <- Seq("false", "true")) {
+      val got = spark.read.format("graft-index").option("rowlane", rowlane)
+        .load(dir).select("id", "d32", "d64", "dbig")
+      val ref = raw.select("id", "d32", "d64", "dbig")
+      assert(got.schema == ref.schema, s"decimal schema (rowlane=$rowlane)")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"decimal rows diverge (rowlane=$rowlane)")
+    }
+    // a pushed filter on a LONG column with decimals projected: the
+    // in-house columnar lane refuses decimal, so the scan must fall
+    // back to the row lane's annotation-driven convert — and stay exact
+    val f = spark.read.format("graft-index").load(dir)
+      .where(col("id") > 250L)
+    val rf = raw.where(col("id") > 250L)
+    assert(f.count() == rf.count() && f.count() > 0)
+    assert(f.exceptAll(rf).count() == 0 && rf.exceptAll(f).count() == 0,
+      "filtered decimal scan must fall back exactly")
+  }
+
+  test("SHORT/BYTE columns (round-12): both lanes, claimed range filters, footer min/max narrow to the output type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sb").toString + "/t"
+    spark.range(0, 400).selectExpr("id",
+      "CASE WHEN id % 13 = 0 THEN CAST(NULL AS SMALLINT) " +
+        "ELSE CAST(id % 320 - 160 AS SMALLINT) END AS s16",
+      "CAST(id % 250 - 125 AS TINYINT) AS i8")
+      .write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    for (rowlane <- Seq("false", "true")) {
+      val got = spark.read.format("graft-index").option("rowlane", rowlane)
+        .load(dir).select("id", "s16", "i8")
+      val ref = raw.select("id", "s16", "i8")
+      assert(got.schema == ref.schema, s"short/byte schema (rowlane=$rowlane)")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"short/byte rows diverge (rowlane=$rowlane)")
+      // claimed range + eq over the narrow types (INT32 comparators)
+      val q = spark.read.format("graft-index").option("rowlane", rowlane)
+        .load(dir).where(col("s16") > 40 && col("i8") =!= lit(3.toByte))
+      val qr = raw.where(col("s16") > 40 && col("i8") =!= lit(3.toByte))
+      assert(q.count() == qr.count() && q.count() > 0,
+        s"short/byte claims (rowlane=$rowlane)")
+    }
+    // claim totality + footer min/max parity (stats arrive as Integer,
+    // the agg reader narrows to Short/Byte)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = spark.read.format("graft-index").load(dir)
+        .where(col("s16") > 40)
+      assert(got.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.isEmpty, "claimed short range must not be re-evaluated")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val gotMm = spark.read.format("graft-index").load(dir)
+      .agg(min(col("s16")).as("a"), max(col("s16")).as("b"),
+        min(col("i8")).as("c"), max(col("i8")).as("d"))
+    val refMm = raw
+      .agg(min(col("s16")).as("a"), max(col("s16")).as("b"),
+        min(col("i8")).as("c"), max(col("i8")).as("d"))
+    assert(gotMm.collect().toSeq == refMm.collect().toSeq)
+  }
+
+  test("TIMESTAMP_NTZ columns (round-12): both lanes decode micros with zero zone math") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString + "/t"
+    spark.range(0, 100).selectExpr("id",
+      "CASE WHEN id % 9 = 0 THEN CAST(NULL AS TIMESTAMP_NTZ) " +
+        "ELSE timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ '2024-03-01 10:30:00.123456') END AS tn")
+      .write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    for (rowlane <- Seq("false", "true")) {
+      val got = spark.read.format("graft-index").option("rowlane", rowlane)
+        .load(dir).select("id", "tn")
+      val ref = raw.select("id", "tn")
+      assert(got.schema == ref.schema, s"ntz schema (rowlane=$rowlane)")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"ntz rows diverge (rowlane=$rowlane)")
+    }
+  }
+
   test("BINARY columns (round-12): multimodal payloads decode byte-exact on both lanes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString + "/t"
