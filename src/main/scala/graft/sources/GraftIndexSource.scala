@@ -328,7 +328,9 @@ object GraftIndexTable {
          BooleanType | TimestampType | DateType | BinaryType |
          ShortType | ByteType | TimestampNTZType => true
     case _: DecimalType => true
-    case ArrayType(LongType | IntegerType | DoubleType | FloatType, _) => true
+    // string elements (round-12 fourth sitting): tags/tokens columns
+    case ArrayType(LongType | IntegerType | DoubleType | FloatType |
+                   StringType, _) => true
     case _ => false
   }
 
@@ -1665,7 +1667,8 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
       case LongType | IntegerType | DoubleType | FloatType | StringType |
            BooleanType | TimestampType | DateType | BinaryType |
            ShortType | ByteType | TimestampNTZType => true
-      case ArrayType(LongType | IntegerType | DoubleType | FloatType, _) => true
+      case ArrayType(LongType | IntegerType | DoubleType | FloatType |
+                     StringType, _) => true
       case _ => false
     }
     // pushed filters only ever reference flat primitives (dataPushable),
@@ -2305,6 +2308,7 @@ class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
               case IntegerType => java.lang.Integer.valueOf(e.getInteger(0, 0))
               case DoubleType => java.lang.Double.valueOf(e.getDouble(0, 0))
               case FloatType => java.lang.Float.valueOf(e.getFloat(0, 0))
+              case StringType => UTF8String.fromString(e.getString(0, 0))
               case other => throw new IllegalStateException(
                 s"graft-index: unsupported array element $other")
             }
@@ -2753,6 +2757,9 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
                 case LongType => child.appendLong(arr.getLong(j))
                 case IntegerType => child.appendInt(arr.getInt(j))
                 case DoubleType => child.appendDouble(arr.getDouble(j))
+                case StringType =>
+                  val b = arr.getUTF8String(j).getBytes
+                  child.appendByteArray(b, 0, b.length)
                 case _ => child.appendFloat(arr.getFloat(j))
               }
               j += 1
@@ -2862,6 +2869,10 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
       case LongType => () => child.appendLong(cr.getLong)
       case IntegerType => () => child.appendInt(cr.getInteger)
       case DoubleType => () => child.appendDouble(cr.getDouble)
+      case StringType => () => {
+        val b = cr.getBinary.getBytesUnsafe
+        child.appendByteArray(b, 0, b.length)
+      }
       case _ => () => child.appendFloat(cr.getFloat)
     }
     var r = 0

@@ -1599,6 +1599,43 @@ class GraftIndexSourceSpec extends SparkSpec {
     }
   }
 
+  test("array<string> columns (round-12): tags/token lists decode exactly on all three decoders") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_astr").toString + "/t"
+    val crafted = Seq(
+        (1L, Seq[Option[String]](Some("alpha"), None, Some("βeta"), Some(""))),
+        (2L, Seq.empty[Option[String]]))
+      .toDF("id", "tags")
+      .unionByName(
+        Seq(Tuple1(3L)).toDF("id")
+          .withColumn("tags", lit(null).cast("array<string>")))
+      .unionByName(
+        Seq((4L, Seq[Option[String]](Some("last")))).toDF("id", "tags"))
+    crafted.repartition(1).write.parquet(dir)
+    val ref = spark.read.parquet(dir).select("id", "tags")
+    // delegated (default unfiltered), in-house columnar (graftlane),
+    // and the Group row lane
+    val lanes = Seq(
+      "delegated" -> spark.read.format("graft-index").load(dir),
+      "graftlane" -> spark.read.format("graft-index")
+        .option("graftlane", "true").load(dir),
+      "rowlane" -> spark.read.format("graft-index")
+        .option("rowlane", "true").load(dir))
+    for ((label, df) <- lanes) {
+      val got = df.select("id", "tags")
+      assert(got.schema == ref.schema, s"$label schema")
+      assert(got.count() == 4, label)
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"$label array<string> rows diverge")
+    }
+    // filtered scan (claimed id filter, tags projected): the in-house
+    // scratch-residue reader decodes the string list
+    val f = spark.read.format("graft-index").load(dir).where(col("id") > 1L)
+    val rf = ref.where(col("id") > 1L)
+    assert(f.count() == 3)
+    assert(f.exceptAll(rf).count() == 0 && rf.exceptAll(f).count() == 0)
+  }
+
   test("BINARY columns (round-12): multimodal payloads decode byte-exact on both lanes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString + "/t"
