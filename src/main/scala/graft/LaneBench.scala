@@ -135,7 +135,7 @@ object LaneBench {
     val dataF = schema.fields.filter(f => f.name != "cell")
     def readOne(f: String): Long = {
       val r = new graft.sources.GraftIndexColumnarReader(
-        Seq((f, Array[Any](null))),
+        Seq((f, 0L, graft.sources.GraftIndexRange.Whole, Array[Any](null))),
         org.apache.spark.sql.types.StructType(dataF), Array(false, false, false),
         dataF, Array.empty, schema, None, hconf)
       var rows = 0L

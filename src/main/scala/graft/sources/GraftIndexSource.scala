@@ -934,10 +934,16 @@ class GraftIndexScan(path: String, tableSchema: StructType,
 object GraftIndexScan {
   /** Spark's own file-split sizing, as a pure function (unit-pinned at
     * 100 TB shapes by GraftIndexSourceSpec): bins close at
-    * min(maxPartitionBytes, max(openCost, total/parallelism)), files
-    * sorted largest-first, each file costed at size + openCost — a
-    * many-small-file index scan plans ~core-count splits, a 100 TB one
-    * splits at maxPartitionBytes like any parquet read.
+    * min(maxPartitionBytes, max(openCost, total/parallelism)); a file
+    * LARGER than that is first sliced into byte ranges of that size
+    * (round-12 — parquet files are splittable, and Spark's own scans
+    * split them; a mounted big-file dataset previously planned one
+    * whole-file task per 1 GB file, an 8× parallelism loss at 128 MB
+    * maxPartitionBytes); slices then pack largest-first, each costed
+    * at size + openCost. Row-group assignment per slice follows the
+    * midpoint rule every parquet engine uses, so each row group
+    * belongs to exactly one slice and a sliced read is a partition of
+    * the file's rows.
     */
   private[graft] def binPack(files: Seq[(String, Long, Map[String, Any])],
       openCost: Long, maxBytes: Long, parallelism: Int,
@@ -945,19 +951,74 @@ object GraftIndexScan {
     val totalBytes = files.map(_._2 + openCost).sum
     val maxSplit = math.min(maxBytes,
       math.max(openCost, totalBytes / math.max(1, parallelism)))
+    // slice big files into [start, start+len) ranges of maxSplit
+    val slices: Seq[(String, Long, Long, Map[String, Any])] =
+      files.flatMap { case (f, len, parts) =>
+        if (len <= maxSplit) Seq((f, 0L, GraftIndexRange.Whole, parts))
+        else (0L until len by maxSplit).map(off =>
+          (f, off, math.min(maxSplit, len - off), parts))
+      }
+    def costOf(len: Long, fileLen: Long): Long =
+      (if (len == GraftIndexRange.Whole) fileLen else len) + openCost
+    val lenOf = files.map(f => f._1 -> f._2).toMap
     val splits = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    val cur = scala.collection.mutable.ArrayBuffer[(String, Map[String, Any])]()
+    val cur = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Map[String, Any])]()
     var curBytes = 0L
     def closeSplit(): Unit = if (cur.nonEmpty) {
       splits += GraftIndexPackedPartition(cur.toSeq, typedPartOrder)
       cur.clear(); curBytes = 0L
     }
-    files.sortBy(f => (-f._2, f._1)).foreach { case (f, len, parts) =>
-      if (curBytes + len + openCost > maxSplit) closeSplit()
-      cur += ((f, parts)); curBytes += len + openCost
-    }
+    slices.sortBy(s => (-costOf(s._3, lenOf(s._1)), s._1, s._2))
+      .foreach { case (f, start, len, parts) =>
+        val c = costOf(len, lenOf(f))
+        if (curBytes + c > maxSplit) closeSplit()
+        cur += ((f, start, len, parts)); curBytes += c
+      }
     closeSplit()
     splits.toArray
+  }
+}
+
+/** Byte-range helpers for within-file splits (round-12). A slice is
+  * (start, len) with `len == Whole` meaning the entire file; a row
+  * group belongs to the slice containing its MIDPOINT — the rule
+  * parquet-mr's own range filtering and Spark's scans use, so slices
+  * partition a file's rows exactly.
+  */
+object GraftIndexRange {
+  val Whole: Long = Long.MaxValue
+
+  def endOf(start: Long, len: Long): Long =
+    if (len == Whole) Long.MaxValue else start + len
+
+  def blockIn(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      start: Long, len: Long): Boolean = {
+    val mid = b.getStartingPos + b.getCompressedSize / 2
+    mid >= start && mid < endOf(start, len)
+  }
+
+  def blocksIn(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      start: Long, len: Long): java.util.List[org.apache.parquet.hadoop.metadata.BlockMetaData] =
+    if (len == Whole && start == 0L) footer.getBlocks
+    else {
+      val out = new java.util.ArrayList[org.apache.parquet.hadoop.metadata.BlockMetaData]()
+      val it = footer.getBlocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        if (blockIn(b, start, len)) out.add(b)
+      }
+      out
+    }
+
+  /** Row count of the slice, from the cached footer — zero data IO. */
+  def rows(file: String, conf: Configuration, start: Long, len: Long): Long = {
+    if (len == Whole && start == 0L)
+      return GraftFooterCache.recordCount(file, conf)
+    val blocks = blocksIn(GraftFooterCache.footer(file, conf), start, len)
+    var n = 0L
+    var i = 0
+    while (i < blocks.size()) { n += blocks.get(i).getRowCount; i += 1 }
+    n
   }
 }
 
@@ -975,12 +1036,15 @@ case class GraftIndexInputPartition(files: Seq[String],
   }
 }
 
-/** Bin-packed split for plain (non-key-grouped) reads: files may span
-  * DIFFERENT partition directories, so each carries its own partition
-  * values — the readers swap the partition-constant row per file.
+/** Bin-packed split for plain (non-key-grouped) reads: entries are
+  * byte-range SLICES (path, start, len, partition values) — len =
+  * [[GraftIndexRange.Whole]] means the entire file. Files may span
+  * DIFFERENT partition directories, so each slice carries its own
+  * partition values — the readers swap the partition-constant row per
+  * slice.
   */
 case class GraftIndexPackedPartition(
-    files: Seq[(String, Map[String, Any])],
+    files: Seq[(String, Long, Long, Map[String, Any])],
     partOrder: Seq[(String, DataType)]) extends InputPartition
 
 /** LEGACY (v1, round-11) streaming offset: the SORTED data-file list
@@ -1310,7 +1374,8 @@ class GraftIndexMicroBatchStream(
     val perSplit = math.max(1, (fresh.size + par - 1) / par)
     fresh.grouped(perSplit).map { fp =>
       GraftIndexPackedPartition(
-        fp.map(f => (f, partValuesOf(f))), typedPartOrder): InputPartition
+        fp.map(f => (f, 0L, GraftIndexRange.Whole, partValuesOf(f))),
+        typedPartOrder): InputPartition
     }.toArray
   }
 
@@ -1689,11 +1754,12 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnarEligible
 
-  /** Normalize both split kinds to (file, constant row): partition
-    * values come from the split's directory chain, the `_file` lineage
-    * column is the file path itself — all per-FILE constants.
+  /** Normalize both split kinds to (file, start, len, constant row):
+    * partition values come from the split's directory chain, the
+    * `_file` lineage column is the file path itself — all per-SLICE
+    * constants. Key-grouped and agg splits are always whole files.
     */
-  private def fileParts(p: InputPartition): Seq[(String, Array[Any])] = {
+  private def fileParts(p: InputPartition): Seq[(String, Long, Long, Array[Any])] = {
     def constOf(file: String, partValues: Map[String, Any]): Array[Any] =
       readSchema.fields.zip(isPart).map {
         case (f, true) =>
@@ -1707,9 +1773,9 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
       }
     p match {
       case k: GraftIndexInputPartition =>
-        k.files.map(f => (f, constOf(f, k.partValues)))
+        k.files.map(f => (f, 0L, GraftIndexRange.Whole, constOf(f, k.partValues)))
       case pk: GraftIndexPackedPartition =>
-        pk.files.map { case (f, pv) => (f, constOf(f, pv)) }
+        pk.files.map { case (f, s, l, pv) => (f, s, l, constOf(f, pv)) }
     }
   }
 
@@ -1822,7 +1888,7 @@ object GraftSessionSql {
   * Filtered scans never come here: the in-house scratch-residue reader
   * keeps the claimed-filter semantics exact.
   */
-class GraftIndexSparkVectorReader(fileParts: Seq[(String, Array[Any])],
+class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any])],
     readSchema: StructType, isPart: Array[Boolean],
     dataFields: Array[StructField], limit: Option[Int],
     sql: GraftSessionSql, baseConf: Configuration)
@@ -1871,9 +1937,21 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Array[Any])],
   private def openNext(): Boolean = {
     if (inner != null) { inner.close(); inner = null }
     if (fileQueue.isEmpty) return false
-    val (file, const) = fileQueue.dequeue()
+    val (file, start, sliceLen, const) = fileQueue.dequeue()
     val p = new Path(file)
-    val (footer, len) = GraftFooterCache.footerWithLen(file, fc)
+    val (footer0, fileLen) = GraftFooterCache.footerWithLen(file, fc)
+    // range slice: hand the reader a footer holding ONLY the slice's
+    // midpoint-owned row groups (what Spark's own scans do — they read
+    // the footer with the split's range filter), plus the matching
+    // split bounds for the reader base's own range check
+    val whole = start == 0L && sliceLen == GraftIndexRange.Whole
+    val footer =
+      if (whole) footer0
+      else new org.apache.parquet.hadoop.metadata.ParquetMetadata(
+        footer0.getFileMetaData,
+        GraftIndexRange.blocksIn(footer0, start, sliceLen))
+    val splitLen =
+      if (whole) fileLen else math.min(sliceLen, fileLen - start)
     // rebase modes from the file's own writer metadata — the same
     // markers Spark's DataSourceUtils reads: files stamped legacy
     // rebase LEGACY, everything else (Spark 3+/parquet-mr/arrow)
@@ -1887,7 +1965,7 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Array[Any])],
     // mapred.FileSplit (which extends the mapreduce one): the reader
     // base downcasts to the OLD interface internally
     val split = new org.apache.hadoop.mapred.FileSplit(
-      p, 0, len, Array.empty[String])
+      p, start, splitLen, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       fc, new org.apache.hadoop.mapreduce.TaskAttemptID())
     val r = new VectorizedParquetRecordReader(
@@ -1941,7 +2019,7 @@ object GraftIndexSparkVectorReader {
   * projections. Emits per FILE (constants may differ across a packed
   * split's files).
   */
-class GraftIndexCountingReader(fileParts: Seq[(String, Array[Any])],
+class GraftIndexCountingReader(fileParts: Seq[(String, Long, Long, Array[Any])],
     readSchema: StructType, isPart: Array[Boolean], conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val queue = scala.collection.mutable.Queue(fileParts: _*)
@@ -1950,10 +2028,10 @@ class GraftIndexCountingReader(fileParts: Seq[(String, Array[Any])],
   override def next(): Boolean = {
     while (leftInFile == 0) {
       if (queue.isEmpty) return false
-      val (f, const) = queue.dequeue()
+      val (f, start, len, const) = queue.dequeue()
       // cached footer (round-12): a COUNT over a hot index re-parses
-      // nothing
-      leftInFile = GraftFooterCache.recordCount(f, conf)
+      // nothing; range slices count only their midpoint-owned groups
+      leftInFile = GraftIndexRange.rows(f, conf, start, len)
       var i = 0
       while (i < readSchema.length) {
         if (isPart(i)) row.update(i, const(i)); i += 1
@@ -2127,7 +2205,7 @@ object GraftIndexAggReaderFactory {
   }
 }
 
-class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
+class GraftIndexRowReader(fileParts: Seq[(String, Long, Long, Array[Any])],
     readSchema: StructType, isPart: Array[Boolean],
     dataFields: Array[StructField], pushedData: Array[Filter],
     tableSchema: StructType, baseConf: Configuration)
@@ -2157,7 +2235,7 @@ class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     while (fileQueue.nonEmpty) {
-      val (file, const) = fileQueue.dequeue()
+      val (file, start, len, const) = fileQueue.dequeue()
       partConst = const
       val conf = new Configuration(baseConf)
       // requested projection: required data columns ∪ filter columns (the
@@ -2177,8 +2255,8 @@ class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
           filtersInFile.flatMap(_.references)).intersect(present)
         if (wanted.isEmpty) {
           // no decodable column and no in-file filter: every row of the
-          // file survives as partition constants + nulls
-          constRows = GraftFooterCache.recordCount(file, conf)
+          // slice survives as partition constants + nulls
+          constRows = GraftIndexRange.rows(file, conf, start, len)
           if (constRows > 0) return true
         } else {
           val projected = new org.apache.parquet.schema.MessageType(
@@ -2190,6 +2268,10 @@ class GraftIndexRowReader(fileParts: Seq[(String, Array[Any])],
             projected.toString)
           var b = ParquetReader.builder(new GroupReadSupport(), new Path(file))
             .withConf(conf)
+          // range slice: parquet's own withFileRange applies the same
+          // midpoint rule, so slices partition the file's rows exactly
+          if (!(start == 0L && len == GraftIndexRange.Whole))
+            b = b.withFileRange(start, GraftIndexRange.endOf(start, len))
           if (filtersInFile.nonEmpty) {
             val pred = filtersInFile.map(GraftIndexFilters.toParquet(_, tableSchema))
               .reduce(FilterApi.and)
@@ -2414,7 +2496,7 @@ object GraftIndexDate {
   * split a row: each batch covers whole rows of one row group, so
   * array runs stay intact.
   */
-class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
+class GraftIndexColumnarReader(fileParts: Seq[(String, Long, Long, Array[Any])],
     readSchema: StructType, isPart: Array[Boolean],
     dataFields: Array[StructField], pushedData: Array[Filter],
     tableSchema: StructType, limit: Option[Int], conf: Configuration)
@@ -2476,7 +2558,7 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
       }
       if (reader == null) {
         if (fileQueue.isEmpty) return false
-        val (file, const) = fileQueue.dequeue()
+        val (file, start, len, const) = fileQueue.dequeue()
         partConst = const
         val path = new Path(file)
         // footer via the executor-side cache (round-12): a repeatedly-
@@ -2505,7 +2587,7 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
           if (projFields.isEmpty) {
             // the file lacks EVERY decode column: its rows are all-null
             // data + partition constants, counted from the footer
-            val n = GraftFooterCache.recordCount(file, conf)
+            val n = GraftIndexRange.rows(file, conf, start, len)
             if (n > 0) { bindAllNull(n); return true }
           } else {
             projected = new org.apache.parquet.schema.MessageType(
@@ -2518,15 +2600,18 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Array[Any])],
             // level only — dictionary/bloom pruning would need page
             // IO; the vectorized residue keeps the claim exact
             // regardless of how many groups survive.
+            // range slice first (midpoint rule — each group belongs to
+            // exactly one slice), then stats pruning on the survivors
+            val ranged = GraftIndexRange.blocksIn(footer, start, len)
             val toRead =
-              if (inFile.isEmpty) footer.getBlocks
+              if (inFile.isEmpty) ranged
               else {
                 val pred = inFile
                   .map(GraftIndexFilters.toParquet(_, tableSchema))
                   .reduce(FilterApi.and)
                 org.apache.parquet.filter2.compat.RowGroupFilter
                   .filterRowGroups(FilterCompat.get(pred),
-                    footer.getBlocks, meta.getSchema)
+                    ranged, meta.getSchema)
               }
             if (!toRead.isEmpty) {
               // block-list reader over the cached metadata: opens the

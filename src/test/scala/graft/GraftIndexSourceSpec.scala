@@ -467,12 +467,22 @@ class GraftIndexSourceSpec extends SparkSpec {
     def bytesOf(p: org.apache.spark.sql.connector.read.InputPartition,
         lens: Map[String, Long]) =
       p.asInstanceOf[GraftIndexPackedPartition].files
-        .map { case (f, _) => lens(f) + openCost }.sum
-    // the 100 TB shape: 4000 × 256 MB files — every file alone exceeds
-    // the 128 MB cap, so splits are one file each (Spark's behavior)
+        .map { case (f, _, l, _) =>
+          (if (l == graft.sources.GraftIndexRange.Whole) lens(f) else l) +
+            openCost
+        }.sum
+    // the 100 TB shape: 4000 × 256 MB files — each SLICES into two
+    // 128 MB byte ranges (round-12; Spark splits parquet files the same
+    // way), so the plan is 8000 range splits, not 4000 whole-file tasks
     val big = mk(4000, 256L * 1024 * 1024)
     val bigSplits = GraftIndexScan.binPack(big, openCost, maxBytes, 1000, order)
-    assert(bigSplits.length == 4000)
+    assert(bigSplits.length == 8000, s"${bigSplits.length}")
+    val bigSlices = bigSplits.flatMap(
+      _.asInstanceOf[GraftIndexPackedPartition].files)
+    assert(bigSlices.forall(_._3 == maxBytes), "every slice is one cap-worth")
+    // slices of one file tile it exactly: starts {0, 128 MB} per file
+    assert(bigSlices.groupBy(_._1).forall { case (_, ss) =>
+      ss.map(_._2).sorted.toSeq == Seq(0L, maxBytes) })
     // mid-size files pack several per split, every split under the cap
     val mid = mk(4000, 16L * 1024 * 1024)
     val midLens = mid.map(f => f._1 -> f._2).toMap
@@ -491,7 +501,7 @@ class GraftIndexSourceSpec extends SparkSpec {
     val placed = tinySplits.flatMap(
       _.asInstanceOf[GraftIndexPackedPartition].files)
     assert(placed.length == 81 && placed.map(_._1).distinct.length == 81)
-    assert(placed.forall { case (f, pv) =>
+    assert(placed.forall { case (f, _, _, pv) =>
       f.contains(s"cell=${pv("cell")}") })
     // deterministic: same inputs, same split plan
     val again = GraftIndexScan.binPack(tiny, openCost, maxBytes, 32, order)
@@ -1400,6 +1410,51 @@ class GraftIndexSourceSpec extends SparkSpec {
     val got = spark.table("graft_admit_an")
     assert(got.count() == batch.count())
     assert(got.exceptAll(batch.select(got.columns.map(col): _*)).count() == 0)
+  }
+
+  test("within-file range splits (round-12): a big file plans multiple slices; every lane partitions its rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString + "/t"
+    // one file, many small row groups — the big-file shape in miniature
+    spark.range(0, 120000).selectExpr("id", "id % 97 AS g",
+      "concat('row_', id) AS s")
+      .coalesce(1).write.option("parquet.block.size", "65536").parquet(dir)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (96 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val raw = spark.read.parquet(dir)
+      def parts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b
+        }.get.inputRDD.getNumPartitions
+      val lanes = Seq(
+        "delegated" -> spark.read.format("graft-index").load(dir),
+        "graftlane" -> spark.read.format("graft-index")
+          .option("graftlane", "true").load(dir),
+        "rowlane" -> spark.read.format("graft-index")
+          .option("rowlane", "true").load(dir))
+      for ((label, df) <- lanes) {
+        val got = df.select("id", "g", "s")
+        assert(parts(got) > 1,
+          s"$label: one big file must plan multiple range slices (got ${parts(got)})")
+        val ref = raw.select("id", "g", "s")
+        assert(got.count() == 120000L, s"$label count")
+        assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+          s"$label: slices must partition the file's rows exactly")
+      }
+      // claimed filter across slices: stats pruning composes with ranges
+      val f = spark.read.format("graft-index").load(dir)
+        .where(col("g") === 5L)
+      val rf = raw.where(col("g") === 5L)
+      assert(f.count() == rf.count() && f.count() > 0)
+      // constant-column projection rides the counting reader per slice
+      assert(spark.read.format("graft-index").load(dir)
+        .select("_file").count() == 120000L)
+      // limit still short-circuits
+      assert(spark.read.format("graft-index").load(dir).limit(7).count() == 7)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("delegated vectorized lane (round-12): unfiltered reads ride Spark's own decoder, filtered/graftlane reads don't, rows identical") {
