@@ -184,6 +184,37 @@ object LaneBench {
       bigDecode(spark.read.format("graft-index").option("graftlane", "true")
         .load(bdir))
     }
+    // ONE-FILE slicing (round-12): a single big file used to plan ONE
+    // whole-file task through the connector; with range splits both
+    // engines tile it at maxPartitionBytes. Cap at 4 MB so local[32]
+    // actually fans out on the ~tens-of-MB fixture file.
+    val b1 = java.nio.file.Files.createTempDirectory("lane_big1").toString + "/t"
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .coalesce(1).write.parquet(b1)
+    def l1Decode(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("l_orderkey")), sum(col("l_quantity")),
+        sum(col("l_extendedprice")), sum(length(col("l_returnflag"))))
+        .collect().length.toLong
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1L * 1024 * 1024).toString)
+    try {
+      def nParts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.map(_.inputRDD.getNumPartitions).getOrElse(-1)
+      println(s"[lane] v2 1-file sliced tasks=" +
+        nParts(spark.read.format("graft-index").load(b1)
+          .select("l_orderkey", "l_quantity")))
+      timed("parquet 1-file sliced") { l1Decode(spark.read.parquet(b1)) }
+      timed("v2 DELEGATED 1-file sliced") {
+        l1Decode(spark.read.format("graft-index").load(b1))
+      }
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    // the pre-feature shape for contrast: whole-file task (cap above file size)
+    timed("v2 1-file UNSLICED") {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (512L * 1024 * 1024).toString)
+      try l1Decode(spark.read.format("graft-index").load(b1))
+      finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
     spark.stop()
   }
 }
