@@ -2619,6 +2619,39 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Long, Long, Array[Any])],
               reader = new org.apache.parquet.hadoop.ParquetFileReader(
                 conf, meta, path, toRead, projected.getColumns)
               reader.setRequestedSchema(projected)
+              // DICTIONARY/BLOOM pruning (round-12): stats can't kill a
+              // point probe whose value sits INSIDE a group's min/max
+              // but never occurs — the dictionary (or bloom filter) can.
+              // parquet's own record reader applies these levels by
+              // default on the row lane; this brings the columnar lane
+              // to parity. The dictionary-page read costs one page per
+              // filter column per candidate group against skipping the
+              // group's whole decode — the trade every parquet engine
+              // makes. Survivor shrink ⇒ rebuild the block-list reader
+              // (footer cached; only pays when groups actually drop).
+              if (inFile.nonEmpty) {
+                val pred = inFile
+                  .map(GraftIndexFilters.toParquet(_, tableSchema))
+                  .reduce(FilterApi.and)
+                val lv = java.util.Arrays.asList(
+                  org.apache.parquet.filter2.compat.RowGroupFilter.FilterLevel.DICTIONARY,
+                  org.apache.parquet.filter2.compat.RowGroupFilter.FilterLevel.BLOOMFILTER)
+                val kept = org.apache.parquet.filter2.compat.RowGroupFilter
+                  .filterRowGroups(lv, FilterCompat.get(pred), toRead, reader)
+                if (kept.size() < toRead.size()) {
+                  GraftIndexColumnarReader.dictPruned
+                    .addAndGet(toRead.size() - kept.size())
+                  reader.close()
+                  reader =
+                    if (kept.isEmpty) null
+                    else {
+                      val r2 = new org.apache.parquet.hadoop.ParquetFileReader(
+                        conf, meta, path, kept, projected.getColumns)
+                      r2.setRequestedSchema(projected)
+                      r2
+                    }
+                }
+              }
             }
             // else: stats exclude every row group — skip the file
           }
@@ -2999,4 +3032,11 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Long, Long, Array[Any])],
     if (scratchLane) decodeVecs.foreach(_.close()) // separate allocation
     batch.close()
   }
+}
+
+object GraftIndexColumnarReader {
+  /** Row groups killed by dictionary/bloom pruning that statistics
+    * could not kill — the spec's observable for the round-12 pass.
+    */
+  private[graft] val dictPruned = new java.util.concurrent.atomic.AtomicLong
 }

@@ -1412,6 +1412,29 @@ class GraftIndexSourceSpec extends SparkSpec {
     assert(got.exceptAll(batch.select(got.columns.map(col): _*)).count() == 0)
   }
 
+  test("dictionary row-group pruning (round-12): a point probe inside min/max but absent from the dictionary skips the group") {
+    import graft.sources.GraftIndexColumnarReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict").toString + "/t"
+    // g = even values 0..98: low cardinality ⇒ dictionary-encoded;
+    // stats span [0, 98] so an odd probe survives min/max everywhere
+    spark.range(0, 50000).selectExpr("id",
+      "CAST((id % 50) * 2 AS LONG) AS g", "concat('v', id % 7) AS s")
+      .coalesce(1).write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val before = GraftIndexColumnarReader.dictPruned.get
+    val miss = spark.read.format("graft-index").load(dir)
+      .where(col("g") === 51L)
+    assert(miss.count() == 0)
+    assert(GraftIndexColumnarReader.dictPruned.get > before,
+      "the dictionary must kill the stats-surviving group")
+    // positive control: a present value decodes normally and exactly
+    val hit = spark.read.format("graft-index").load(dir)
+      .where(col("g") === 50L)
+    val rhit = raw.where(col("g") === 50L)
+    assert(hit.count() == rhit.count() && hit.count() > 0)
+    assert(hit.exceptAll(rhit).count() == 0 && rhit.exceptAll(hit).count() == 0)
+  }
+
   test("within-file range splits (round-12): a big file plans multiple slices; every lane partitions its rows exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_range").toString + "/t"
     // one file, many small row groups — the big-file shape in miniature
