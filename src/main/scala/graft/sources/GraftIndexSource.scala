@@ -1528,13 +1528,94 @@ object GraftIndexFilters {
         }
       case other => throw new IllegalStateException(s"$op over $other")
     }
+    // IN as parquet's native SET predicate (round-12): one hash-set
+    // membership per record instead of an OR tree one node deep per
+    // list element — a 10k-id serving IN list used to build a 10k-node
+    // predicate tree (per-record visitor recursion AND stack depth
+    // both O(list)); the set form is also what parquet's dictionary
+    // pruning matches directly. Null semantics unchanged: in() never
+    // matches null (eq-like).
+    //
+    // NOT IN deliberately does NOT use FilterApi.notIn: parquet-mr
+    // 1.16's RECORD-LEVEL NotIn inspector is broken for sets with ≥2
+    // values — its update() returns keep=true as soon as the value
+    // differs from ANY set element (correct only for singletons), so a
+    // claimed notIn would silently keep every non-null row (caught by
+    // this repo's large-NOT-IN lane spec before it shipped). The old
+    // And-of-notEq chain is no better at scale: a 5000-element NOT IN
+    // builds a 5000-deep And tree and the record-level visitor
+    // recursion overflows the task stack (also caught by the spec).
+    // The claim instead rides [[GraftNotInSet]] — a UserDefinedPredicate
+    // over the same hash set: exact keep (null never matches, SQL's
+    // unknown→false by construction), one set lookup per record,
+    // depth 1 however long the list.
+    def inSet(n: String, vs: Array[Any]): FilterPredicate = dt(n) match {
+      case LongType =>
+        val s = new java.util.HashSet[java.lang.Long]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].longValue))
+        FilterApi.in(FilterApi.longColumn(n), s)
+      case IntegerType | ShortType | ByteType =>
+        val s = new java.util.HashSet[java.lang.Integer]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].intValue))
+        FilterApi.in(FilterApi.intColumn(n), s)
+      case DoubleType =>
+        val s = new java.util.HashSet[java.lang.Double]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].doubleValue))
+        FilterApi.in(FilterApi.doubleColumn(n), s)
+      case FloatType =>
+        val s = new java.util.HashSet[java.lang.Float]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].floatValue))
+        FilterApi.in(FilterApi.floatColumn(n), s)
+      case StringType =>
+        val s = new java.util.HashSet[Binary]()
+        vs.foreach(v => s.add(Binary.fromString(v.toString)))
+        FilterApi.in(FilterApi.binaryColumn(n), s)
+      case DateType =>
+        val s = new java.util.HashSet[java.lang.Integer]()
+        vs.foreach(v => s.add(GraftIndexDate.toDays(v)))
+        FilterApi.in(FilterApi.intColumn(n), s)
+      case other => throw new IllegalStateException(s"in over $other")
+    }
+    def notInSet(n: String, vs: Array[Any]): FilterPredicate = dt(n) match {
+      case LongType =>
+        val s = new java.util.HashSet[java.lang.Long]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].longValue))
+        FilterApi.userDefined(FilterApi.longColumn(n),
+          new GraftNotInSet[java.lang.Long](s))
+      case IntegerType | ShortType | ByteType =>
+        val s = new java.util.HashSet[java.lang.Integer]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].intValue))
+        FilterApi.userDefined(FilterApi.intColumn(n),
+          new GraftNotInSet[java.lang.Integer](s))
+      case DoubleType =>
+        val s = new java.util.HashSet[java.lang.Double]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].doubleValue))
+        FilterApi.userDefined(FilterApi.doubleColumn(n),
+          new GraftNotInSet[java.lang.Double](s))
+      case FloatType =>
+        val s = new java.util.HashSet[java.lang.Float]()
+        vs.foreach(v => s.add(v.asInstanceOf[Number].floatValue))
+        FilterApi.userDefined(FilterApi.floatColumn(n),
+          new GraftNotInSet[java.lang.Float](s))
+      case StringType =>
+        val s = new java.util.HashSet[Binary]()
+        vs.foreach(v => s.add(Binary.fromString(v.toString)))
+        FilterApi.userDefined(FilterApi.binaryColumn(n),
+          new GraftNotInSet[Binary](s))
+      case DateType =>
+        val s = new java.util.HashSet[java.lang.Integer]()
+        vs.foreach(v => s.add(GraftIndexDate.toDays(v)))
+        FilterApi.userDefined(FilterApi.intColumn(n),
+          new GraftNotInSet[java.lang.Integer](s))
+      case other => throw new IllegalStateException(s"notIn over $other")
+    }
     f match {
       case EqualTo(a, v) => eq(a, v)
       // `<>` / NOT IN under SQL semantics: parquet's bare notEq KEEPS
       // nulls, so the explicit not-null leg is mandatory for the claim
       case Not(EqualTo(a, v)) => FilterApi.and(notEqNull(a), notEq(a, v))
-      case Not(In(a, vs)) => (notEqNull(a) +: vs.map(v => notEq(a, v)))
-        .reduce(FilterApi.and)
+      case Not(In(a, vs)) =>
+        FilterApi.and(notEqNull(a), notInSet(a, vs))
       // string predicates: user-defined parquet predicates — exact
       // record-level keep() (null never matches), min/max row-group
       // pruning for the prefix shape
@@ -1544,7 +1625,7 @@ object GraftIndexFilters {
         FilterApi.binaryColumn(a), new GraftSubstring(v, atEnd = true))
       case StringContains(a, v) => FilterApi.userDefined(
         FilterApi.binaryColumn(a), new GraftSubstring(v, atEnd = false))
-      case In(a, vs) => vs.map(v => eq(a, v)).reduce(FilterApi.or)
+      case In(a, vs) => inSet(a, vs)
       case IsNull(a) => eq(a, null)
       case IsNotNull(a) => notEqNull(a)
       case GreaterThan(a, v) => rel(a, v, ">")
@@ -1595,6 +1676,29 @@ private[sources] class GraftStartsWith(prefix: String)
   override def inverseCanDrop(
       stat: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean =
     false
+}
+
+/** NOT IN as a parquet user-defined predicate (round-12): one hash-set
+  * lookup per record at predicate depth 1, however long the exclusion
+  * list. Exists because BOTH built-in routes fail at scale:
+  * FilterApi.notIn's record-level inspector is broken for ≥2-value
+  * sets in parquet-mr 1.16 (keeps any value differing from ANY
+  * element), and an And-of-notEq chain overflows the visitor's
+  * recursion at a few thousand elements. keep(null) = false — SQL's
+  * unknown→false — so the surrounding And(IsNotNull, …) claim stays
+  * exact. No stats pruning: an exclusion list says nothing useful
+  * about a group's min/max.
+  */
+private[sources] class GraftNotInSet[T <: Comparable[T]](
+    target: java.util.HashSet[T])
+    extends org.apache.parquet.filter2.predicate.UserDefinedPredicate[T]
+    with Serializable {
+  override def keep(value: T): Boolean =
+    value != null && !target.contains(value)
+  override def canDrop(
+      stat: org.apache.parquet.filter2.predicate.Statistics[T]): Boolean = false
+  override def inverseCanDrop(
+      stat: org.apache.parquet.filter2.predicate.Statistics[T]): Boolean = false
 }
 
 /** `endsWith` / `contains` twin: exact keep, no stats pruning (suffix

@@ -1412,6 +1412,39 @@ class GraftIndexSourceSpec extends SparkSpec {
     assert(got.exceptAll(batch.select(got.columns.map(col): _*)).count() == 0)
   }
 
+  test("large IN lists (round-12): set-predicate IN and hash-set NOT IN stay exact at 5000 elements on both lanes") {
+    // this lane caught TWO real failure modes before they shipped:
+    // FilterApi.notIn's record-level inspector keeps any value that
+    // differs from ANY set element (broken for ≥2-value sets in
+    // parquet-mr 1.16), and the And-of-notEq chain fallback overflows
+    // the record-level visitor's recursion at 5000 elements — NOT IN
+    // therefore rides the GraftNotInSet UserDefinedPredicate (one
+    // hash lookup per record, depth 1) while IN uses the native set
+    // predicate
+    val dir = java.nio.file.Files.createTempDirectory("graft_inset").toString + "/t"
+    spark.range(0, 20000).selectExpr("id",
+      "CASE WHEN id % 13 = 0 THEN CAST(NULL AS LONG) ELSE id % 9999 END AS g")
+      .write.parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val vals = (0 until 5000).map(i => (i * 2).toLong) // evens < 10000
+    for (rowlane <- Seq("false", "true")) {
+      val t = spark.read.format("graft-index").option("rowlane", rowlane)
+        .load(dir)
+      val in = t.where(col("g").isin(vals: _*))
+      val rin = raw.where(col("g").isin(vals: _*))
+      assert(in.count() == rin.count() && in.count() > 0,
+        s"IN rowlane=$rowlane")
+      assert(in.exceptAll(rin).count() == 0 && rin.exceptAll(in).count() == 0)
+      // NOT IN drops nulls (the not-null leg of the set claim)
+      val ni = t.where(!col("g").isin(vals: _*))
+      val rni = raw.where(!col("g").isin(vals: _*))
+      assert(ni.count() == rni.count() && ni.count() > 0,
+        s"NOT IN rowlane=$rowlane")
+      assert(ni.where(col("g").isNull).count() == 0)
+      assert(ni.exceptAll(rni).count() == 0 && rni.exceptAll(ni).count() == 0)
+    }
+  }
+
   test("dictionary row-group pruning (round-12): a point probe inside min/max but absent from the dictionary skips the group") {
     import graft.sources.GraftIndexColumnarReader
     val dir = java.nio.file.Files.createTempDirectory("graft_dict").toString + "/t"
