@@ -349,10 +349,14 @@ object Bench {
     // (1.07→3.52) and ext_layout_zorder_phys drifted 1.8× — both at
     // byte-identical suite shuffle (the contention fingerprint); their
     // isolated numbers land on the line from round 12 on
+    // ... plus the round-12 pair flagged >2.5× in-suite with no isolated
+    // baseline to falsify against (ext_cc_bfs, ext_dedup_tfidfcos) —
+    // first isolated numbers land from round 13 on
     val watchlist = Set("ext_split_leakfree", "ext_dedup_canonical",
       "ext_sketch_quantile", "ext_ann_hnsw_append", "ext_dedup_prf",
       "ext_dedup_incremental", "ext_dedup_incr_persist",
-      "ext_ann_recall", "ext_dedup_simhash", "ext_layout_zorder_phys") ++
+      "ext_ann_recall", "ext_dedup_simhash", "ext_layout_zorder_phys",
+      "ext_cc_bfs", "ext_dedup_tfidfcos") ++
       sys.env.get("SPARK_GRAFT_ISOLATE").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val roster = (results.filter(_._4).sortBy(r => (-r._3, r._1))

@@ -3105,6 +3105,44 @@ object ExtQueries extends QueryGroup {
        FROM events
        GROUP BY 1"""
 
+  /** NESTED columns through the serving connector (round-13): the
+    * events stream lands as a mounted-lake-table shape — a STRUCT
+    * `props`-style column plus a MAP of counters next to flat metadata
+    * — and is read back through the connector with a filter touching
+    * both a struct FIELD and a flat column. Nested-bearing tables
+    * refuse data claims wholesale (the filtered lanes are flat-only),
+    * so the scan rides the delegated vectorized lane — Spark's own
+    * nested decode — with Spark re-filtering above: exact by
+    * construction, pinned here by cents-exact aggregates folded from
+    * the struct field AND the map value independently (a single
+    * mis-assembled repetition/definition level breaks both).
+    */
+  private def eventsIndexNested(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2nest", d)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        struct(col("user_id").as("uid"),
+          round(col("value") * 100).cast("long").as("cents")).as("s"),
+        map(lit("cents"), round(col("value") * 100).cast("long"),
+          lit("uid"), col("user_id")).as("m"),
+        (col("user_id") % 4).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.format("graft-index").load(path)
+      .where(col("s.uid") % 7 === 3 && col("event_type") =!= "error")
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("s.cents")).as("sum_cents"),
+        sum(element_at(col("m"), "cents")).as("map_cents"))
+  }
+
+  private val eventsIndexNestedSql =
+    s"""SELECT user_id % 4 AS bucket, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS map_cents
+       FROM events
+       WHERE user_id % 7 = 3 AND event_type <> 'error'
+       GROUP BY 1"""
+
   /** CATALOG-routed twin of ext_ann_ivf_v2: the same persisted IVF
     * probe, but the index resolves by NAME through a registered
     * GraftIndexCatalog (`SELECT ... FROM graft_idx.<index>.cells`) —
@@ -9559,6 +9597,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_events_index_datepart", eventsIndexDatePart, Some(eventsIndexDatePartSql), "DATE partition directories (ed=YYYY-MM-DD) through the connector: DateType inference + planning-time directory pruning on a date predicate"),
     GQuery("ext_docs_index_binary", docsIndexBinary, Some(docsIndexBinarySql), "BINARY payloads through the connector: multimodal-shape blobs decoded byte-exact on the vectorized lane, md5 fingerprints + byte totals per bucket"),
     GQuery("ext_events_index_decimal", eventsIndexDecimal, Some(eventsIndexDecimalSql), "DECIMAL(24,2) money column (FLBA physical) + SMALLINT bucket through the connector: claimed short `<>`, row-lane decimal decode, exact-cents fold"),
+    GQuery("ext_events_index_nested", eventsIndexNested, Some(eventsIndexNestedSql), "nested struct + map columns through the connector (mounted-lake-table shape): claims refused wholesale, delegated-lane nested decode, Spark re-filter; cents folded from the struct field and the map value independently"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),

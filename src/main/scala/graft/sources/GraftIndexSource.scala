@@ -244,7 +244,7 @@ object GraftIndexTable {
           SparkSession.active.read.parquet(path).schema)
       s.foreach(f => require(supported(f.dataType),
         s"graft-index: unsupported column type ${f.dataType.catalogString} " +
-          s"for '${f.name}' (index schemas are primitives + flat arrays)"))
+          s"for '${f.name}' (primitives, arrays, and struct/map over them)"))
       val parts = partitionColumns(path).toSet
       s.filter(f => parts(f.name)).foreach(f => require(partSupported(f.dataType),
         s"graft-index: unsupported PARTITION column type " +
@@ -259,14 +259,20 @@ object GraftIndexTable {
     */
   private[graft] val footerInfers = new java.util.concurrent.atomic.AtomicLong
 
-  /** File-source relations report every column (and array element)
-    * nullable regardless of the footer's repetition — mirror that.
+  /** File-source relations report every column — and every nested
+    * field, array element, and map value — nullable regardless of the
+    * footer's repetition (Spark's asNullable): mirror that recursively.
     */
   private def deepNullable(f: StructField): StructField =
-    f.copy(nullable = true, dataType = f.dataType match {
-      case ArrayType(e, _) => ArrayType(e, containsNull = true)
-      case dt => dt
-    })
+    f.copy(nullable = true, dataType = nullableType(f.dataType))
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(nullableType(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(nullableType(k), nullableType(v), valueContainsNull = true)
+    case StructType(fields) => StructType(fields.map(deepNullable))
+    case other => other
+  }
 
   /** One-footer inference. None = a layout shape the fast path can't
     * reproduce byte-for-byte against Spark's inference — caller falls
@@ -323,7 +329,11 @@ object GraftIndexTable {
     Some(StructType(data.fields ++ partField))
   } catch { case _: Exception => None }
 
-  private def supported(dt: DataType): Boolean = dt match {
+  /** Types the FILTERED in-house lanes decode (columnar scratch-residue
+    * reader and Group-walk row reader are flat-only). Tables made
+    * entirely of these keep the full claim surface.
+    */
+  private[sources] def flatLane(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | StringType |
          BooleanType | TimestampType | DateType | BinaryType |
          ShortType | ByteType | TimestampNTZType => true
@@ -333,6 +343,27 @@ object GraftIndexTable {
                    StringType, _) => true
     case _ => false
   }
+
+  /** A table carrying any column the filtered lanes can't decode
+    * (struct/map/deep arrays — the mounted-lake-table `props` shape).
+    * Such tables refuse DATA claims wholesale: every filtered scan then
+    * arrives at the connector unfiltered, rides Spark's own vectorized
+    * reader (which decodes nested natively), and Spark re-filters above
+    * — exact by construction. Partition pruning and footer aggregates
+    * stay on (decode-free).
+    */
+  private[sources] def hasNested(s: StructType): Boolean =
+    !s.forall(f => flatLane(f.dataType))
+
+  private def supported(dt: DataType): Boolean = flatLane(dt) || (dt match {
+    // nested (round-13): struct/map/array over supported leaves — decode
+    // rides the delegated lane only; claims refused on nested-bearing
+    // tables (see hasNested)
+    case StructType(fields) => fields.forall(f => supported(f.dataType))
+    case MapType(k, v, _) => supported(k) && supported(v)
+    case ArrayType(e, _) => supported(e)
+    case _ => false
+  })
 
   /** Partition-column types: the original primitive set plus DATE
     * (round-12) — the `dt=2026-08-16` daily layout is THE canonical
@@ -544,7 +575,16 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (part, rest0) = filters.partition(partPushable)
-    val (data, rest) = rest0.partition(dataPushable)
+    // nested-bearing tables (round-13): data claims refused WHOLESALE —
+    // the filtered lanes are flat-only and the projection isn't known
+    // yet at pushFilters time, so a claim could strand a nested column
+    // with no decoder. Refusal routes every filtered scan to the
+    // delegated vectorized lane + Spark's own re-filter: exact by
+    // construction. Partition filters still prune directories (no
+    // decode involved).
+    val (data, rest) =
+      if (GraftIndexTable.hasNested(tableSchema)) (Array.empty[Filter], rest0)
+      else rest0.partition(dataPushable)
     pushedPart = part
     pushedData = data
     rest
@@ -949,8 +989,10 @@ object GraftIndexScan {
       openCost: Long, maxBytes: Long, parallelism: Int,
       typedPartOrder: Seq[(String, DataType)]): Array[InputPartition] = {
     val totalBytes = files.map(_._2 + openCost).sum
-    val maxSplit = math.min(maxBytes,
-      math.max(openCost, totalBytes / math.max(1, parallelism)))
+    // clamp ≥ 1: openCostInBytes=0 with parallelism > totalBytes would
+    // compute 0 and turn the slice range's step into a crash
+    val maxSplit = math.max(1L, math.min(maxBytes,
+      math.max(openCost, totalBytes / math.max(1, parallelism))))
     // slice big files into [start, start+len) ranges of maxSplit
     val slices: Seq[(String, Long, Long, Map[String, Any])] =
       files.flatMap { case (f, len, parts) =>
@@ -1829,31 +1871,40 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
     */
   private[graft] val columnarEligible: Boolean = {
     val dataFields = readSchema.fields.zip(isPart).collect { case (f, false) => f }
-    // DECIMAL is deliberately absent: the delegated lane decodes it
-    // natively on unfiltered scans, and filtered scans fall back to
-    // the row lane's annotation-driven convert
-    def ok(dt: DataType): Boolean = dt match {
-      case LongType | IntegerType | DoubleType | FloatType | StringType |
-           BooleanType | TimestampType | DateType | BinaryType |
-           ShortType | ByteType | TimestampNTZType => true
-      case ArrayType(LongType | IntegerType | DoubleType | FloatType |
-                     StringType, _) => true
-      case _ => false
-    }
-    // pushed filters only ever reference flat primitives (dataPushable),
-    // but verify against the table schema — an unknown shape must fall
-    // back to the row lane, never decode wrong
-    def flatPrim(n: String): Boolean =
-      tableSchema.find(_.name == n).map(_.dataType).exists {
+    // UNFILTERED scans delegate to Spark's own vectorized reader, which
+    // decodes every type spark.read.parquet does — including DECIMAL
+    // and nested struct/map/array (round-13): eligibility there is just
+    // "something to decode". The type gates below govern only the
+    // in-house lanes (forced graft lane, or filtered scans).
+    if (pushedData.isEmpty && !forceGraftLane)
+      !forceRowLane && dataFields.nonEmpty
+    else {
+      // DECIMAL is deliberately absent from the in-house columnar set:
+      // filtered decimal scans fall back to the row lane's
+      // annotation-driven convert
+      def ok(dt: DataType): Boolean = dt match {
         case LongType | IntegerType | DoubleType | FloatType | StringType |
-             BooleanType | TimestampType | DateType | ShortType |
-             ByteType => true
+             BooleanType | TimestampType | DateType | BinaryType |
+             ShortType | ByteType | TimestampNTZType => true
+        case ArrayType(LongType | IntegerType | DoubleType | FloatType |
+                       StringType, _) => true
         case _ => false
       }
-    !forceRowLane &&
-      (dataFields.nonEmpty || pushedData.nonEmpty) &&
-      dataFields.forall(f => ok(f.dataType)) &&
-      pushedData.forall(_.references.forall(flatPrim))
+      // pushed filters only ever reference flat primitives (dataPushable),
+      // but verify against the table schema — an unknown shape must fall
+      // back to the row lane, never decode wrong
+      def flatPrim(n: String): Boolean =
+        tableSchema.find(_.name == n).map(_.dataType).exists {
+          case LongType | IntegerType | DoubleType | FloatType | StringType |
+               BooleanType | TimestampType | DateType | ShortType |
+               ByteType => true
+          case _ => false
+        }
+      !forceRowLane &&
+        (dataFields.nonEmpty || pushedData.nonEmpty) &&
+        dataFields.forall(f => ok(f.dataType)) &&
+        pushedData.forall(_.references.forall(flatPrim))
+    }
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnarEligible
@@ -1949,7 +2000,15 @@ object GraftIndexReaderFactory {
 case class GraftSessionSql(tz: String, caseSensitive: Boolean,
     binaryAsString: Boolean, int96AsTimestamp: Boolean,
     inferTimestampNtz: Boolean, nanosAsLong: Boolean,
-    fieldIdRead: Boolean, ignoreMissingFieldId: Boolean)
+    fieldIdRead: Boolean, ignoreMissingFieldId: Boolean,
+    // rebase-mode session fallbacks + INT96 zone conversion (round-13):
+    // files with NO Spark version metadata (non-Spark or pre-3.0
+    // writers) honor spark.sql.parquet.*RebaseModeInRead exactly as
+    // DataSourceUtils does (default EXCEPTION — refuse, don't guess);
+    // int96TimestampConversion mirrors ParquetFileFormat's
+    // Impala-compat zone shift for non-parquet-mr-created files
+    dtRebaseRead: String = "EXCEPTION", i96RebaseRead: String = "EXCEPTION",
+    int96TsConversion: Boolean = false)
     extends Serializable {
   import org.apache.spark.sql.internal.SQLConf
   def stamp(conf: Configuration): Unit = {
@@ -1969,10 +2028,14 @@ case class GraftSessionSql(tz: String, caseSensitive: Boolean,
 object GraftSessionSql {
   def capture(): GraftSessionSql = {
     val c = SparkSession.active.sessionState.conf
+    import org.apache.spark.sql.internal.SQLConf
     GraftSessionSql(c.sessionLocalTimeZone, c.caseSensitiveAnalysis,
       c.isParquetBinaryAsString, c.isParquetINT96AsTimestamp,
       c.parquetInferTimestampNTZEnabled, c.legacyParquetNanosAsLong,
-      c.parquetFieldIdReadEnabled, c.ignoreMissingParquetFieldId)
+      c.parquetFieldIdReadEnabled, c.ignoreMissingParquetFieldId,
+      dtRebaseRead = c.getConf(SQLConf.PARQUET_REBASE_MODE_IN_READ).toString,
+      i96RebaseRead = c.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_READ).toString,
+      int96TsConversion = c.isParquetINT96TimestampConversion)
   }
 }
 
@@ -2056,16 +2119,30 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any]
         GraftIndexRange.blocksIn(footer0, start, sliceLen))
     val splitLen =
       if (whole) fileLen else math.min(sliceLen, fileLen - start)
-    // rebase modes from the file's own writer metadata — the same
-    // markers Spark's DataSourceUtils reads: files stamped legacy
-    // rebase LEGACY, everything else (Spark 3+/parquet-mr/arrow)
-    // decodes verbatim (CORRECTED)
+    // rebase modes — DataSourceUtils' exact spec (round-13, was
+    // two-state): legacy-stamped files rebase LEGACY; files carrying a
+    // Spark 3+ version stamp decode verbatim (CORRECTED); files with NO
+    // Spark version metadata (non-Spark or pre-3.0 writers) fall back
+    // to the session's *RebaseModeInRead — default EXCEPTION, i.e.
+    // refuse ancient values rather than guess a calendar
     val kv = Option(footer.getFileMetaData.getKeyValueMetaData)
       .getOrElse(java.util.Collections.emptyMap[String, String]())
-    val dtMode = if (kv.containsKey("org.apache.spark.legacyDateTime"))
-      "LEGACY" else "CORRECTED"
-    val i96Mode = if (kv.containsKey("org.apache.spark.legacyINT96"))
-      "LEGACY" else "CORRECTED"
+    def rebase(legacyKey: String, fallback: String): String =
+      if (kv.containsKey(legacyKey)) "LEGACY"
+      else if (kv.containsKey("org.apache.spark.version")) "CORRECTED"
+      else fallback
+    val dtMode = rebase("org.apache.spark.legacyDateTime", sql.dtRebaseRead)
+    val i96Mode = rebase("org.apache.spark.legacyINT96", sql.i96RebaseRead)
+    // INT96 zone conversion (round-13): ParquetFileFormat shifts
+    // Impala-written INT96 into the session zone when
+    // int96TimestampConversion is on and the file was NOT created by
+    // parquet-mr (Spark's own files always are)
+    val convertTz =
+      if (sql.int96TsConversion &&
+          !Option(footer.getFileMetaData.getCreatedBy)
+            .exists(_.startsWith("parquet-mr")))
+        java.time.ZoneId.of(sql.tz)
+      else null
     // mapred.FileSplit (which extends the mapreduce one): the reader
     // base downcasts to the OLD interface internally
     val split = new org.apache.hadoop.mapred.FileSplit(
@@ -2073,7 +2150,7 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any]
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       fc, new org.apache.hadoop.mapreduce.TaskAttemptID())
     val r = new VectorizedParquetRecordReader(
-      null, dtMode, sql.tz, i96Mode, sql.tz, false, BatchRows)
+      convertTz, dtMode, sql.tz, i96Mode, sql.tz, false, BatchRows)
     var ok = false
     try {
       r.initialize(split, ctx,
@@ -2346,6 +2423,10 @@ class GraftIndexRowReader(fileParts: Seq[(String, Long, Long, Array[Any])],
       // record-level filter needs its inputs materialized); footer via
       // the executor-side cache (round-12)
       val footer = GraftFooterCache.footer(file, conf).getFileMetaData
+      GraftIndexTs.vetNoLegacyRebase(footer.getKeyValueMetaData,
+        (dataFields.map(_.dataType) ++ pushedData.flatMap(_.references)
+          .flatMap(n => tableSchema.find(_.name == n)).map(_.dataType)).toSeq,
+        file)
       val fileSchema = footer.getSchema
       val present = fileSchema.getFields
         .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
@@ -2522,6 +2603,33 @@ object GraftIndexTs {
   private val JulianDayOfEpoch = 2440588L
   private val MicrosPerDay = 86400000000L
 
+  /** The in-house lanes decode temporal values VERBATIM (CORRECTED
+    * calendar). A file stamped with Spark's legacy-rebase markers may
+    * carry pre-Gregorian values that Spark's own reader would shift —
+    * decoding them verbatim here would silently diverge from the
+    * delegated lane, so refuse loudly instead (round-13). Only fires
+    * when the decode/filter set actually touches a temporal column;
+    * index writers (Spark 3+) never stamp legacy, so this bites only
+    * mounted legacy files — which still read correctly via the
+    * delegated lane (unfiltered scans).
+    */
+  def vetNoLegacyRebase(kv: java.util.Map[String, String],
+      touched: Iterable[DataType], file: String): Unit = {
+    val legacy = kv != null && (kv.containsKey("org.apache.spark.legacyDateTime") ||
+      kv.containsKey("org.apache.spark.legacyINT96"))
+    if (legacy && touched.exists {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+      throw new IllegalStateException(
+        s"graft-index: $file is stamped with Spark's LEGACY datetime " +
+          "rebase and this scan decodes a date/timestamp column on an " +
+          "in-house lane, which reads the proleptic calendar verbatim. " +
+          "Read the column unfiltered (the delegated lane rebases " +
+          "exactly like spark.read.parquet) or rewrite the file with a " +
+          "Spark 3+ writer.")
+  }
+
   def int96ToMicros(b: Binary): Long = {
     val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val nanosOfDay = buf.getLong
@@ -2671,6 +2779,8 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Long, Long, Array[Any])],
         // dominated filtered shapes at index file sizes
         val footer = GraftFooterCache.footer(file, conf)
         val meta = footer.getFileMetaData
+        GraftIndexTs.vetNoLegacyRebase(meta.getKeyValueMetaData,
+          decodeFields.map(_.dataType).toSeq, file)
         val present = meta.getSchema.getFields
           .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
           .stream().map[String](_.getName).toArray.map(_.toString).toSet

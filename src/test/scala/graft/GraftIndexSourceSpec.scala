@@ -1782,4 +1782,76 @@ class GraftIndexSourceSpec extends SparkSpec {
       assert(scan.supportsColumnar, "binary projection must stay columnar")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("nested struct/map/array columns (round-13): admitted, delegated-lane decode, claims refused, parity with spark.read.parquet") {
+    import graft.sources.GraftIndexSparkVectorReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested").toString + "/t"
+    spark.range(0, 500)
+      .selectExpr("id",
+        // struct with int/double/string fields, one sometimes-null field
+        "named_struct('k', CAST(id % 7 AS INT), 'v', CAST(id AS DOUBLE) / 4, 'tag', concat('t', id % 3)) AS s",
+        // whole-struct nulls exercise definition levels above the leaves
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE named_struct('k', CAST(id AS INT)) END AS ns",
+        "map('a', id, 'b', id * 2) AS m",
+        "array(named_struct('x', id), named_struct('x', id + 1)) AS arr",
+        "id % 4 AS bucket")
+      .write.partitionBy("bucket").parquet(dir)
+    val raw = spark.read.parquet(dir)
+    def nested = spark.read.format("graft-index").load(dir)
+    val cols = raw.columns.toSeq
+    // schema parity (nested + flat mix, partition column included)
+    assert(nested.select(cols.map(col): _*).schema ==
+      raw.select(cols.map(col): _*).schema, "nested schema diverges")
+    // row parity: maps refuse set-ops, so compare sorted entry lists
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("id", "s", "ns", "sort_array(map_entries(m)) AS me",
+        "arr", "bucket")
+    assert(canon(nested).count() == 500)
+    assert(canon(nested).exceptAll(canon(raw)).count() == 0 &&
+      canon(raw).exceptAll(canon(nested)).count() == 0,
+      "nested rows diverge from spark.read.parquet")
+    // FILTERED scan on a nested-bearing table: claims refused wholesale
+    // — the flat id predicate would have been claimable, but a claim
+    // could strand the struct projection with no decoder; Spark
+    // re-filters over delegated decode instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val f = nested.where(col("s.k") === 3 && col("id") =!= 11L)
+      val scan = f.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.scan.description().contains("pushedDataFilters=[]"),
+        s"nested-bearing tables must refuse data claims: ${scan.scan.description()}")
+      val rf = raw.where(col("s.k") === 3 && col("id") =!= 11L)
+      assert(f.count() == rf.count() && f.count() > 0)
+      assert(canon(f).exceptAll(canon(rf)).count() == 0 &&
+        canon(rf).exceptAll(canon(f)).count() == 0,
+        "filtered nested rows diverge")
+      // partition pruning stays on (no decode involved): fewer splits
+      def parts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b
+        }.get.inputRDD.getNumPartitions
+      assert(parts(nested.where(col("bucket") === 2)) < parts(nested),
+        "partition filters must still prune directories")
+      // the delegated Spark reader serves the decode (filtered or not —
+      // pushedData is always empty here)
+      val before = GraftIndexSparkVectorReader.opens.get
+      nested.where(col("s.k") === 3).select("s", "m").collect()
+      assert(GraftIndexSparkVectorReader.opens.get > before,
+        "nested decode must ride the delegated lane")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // count(*) still rides the zero-decode footer counter
+    assert(nested.count() == 500)
+    // the force-knob row lane has no struct decode — refuse loudly, not
+    // silently misread
+    val e = intercept[Exception] {
+      spark.read.format("graft-index").option("rowlane", "true")
+        .load(dir).select("s").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("unsupported")),
+      s"row lane must refuse nested decode loudly: ${chain(e)}")
+  }
 }
