@@ -215,6 +215,28 @@ object LaneBench {
       try l1Decode(spark.read.format("graft-index").load(b1))
       finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
     }
+    // PAGE-level pruning (round-13): a narrow range probe over a SORTED
+    // column in one big row group — group-level stats keep the group,
+    // the column index sheds everything but the matching pages. Small
+    // pages so the index has granularity to work with; the wide payload
+    // column is what pruning saves decoding.
+    val pdir = java.nio.file.Files.createTempDirectory("lane_page").toString + "/t"
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "user_id",
+        "concat(event_type, '-', repeat(props, 2)) AS payload")
+      .orderBy("event_id").coalesce(1)
+      .write.option("parquet.page.row.count.limit", "5000").parquet(pdir)
+    val pRaw = spark.read.parquet(pdir)
+    val pMax = pRaw.agg(max("event_id")).collect().head.getLong(0)
+    val (pLo, pHi) = (pMax / 2, pMax / 2 + pMax / 100)
+    def pageProbe(df: org.apache.spark.sql.DataFrame): Long =
+      df.where(col("event_id") >= pLo && col("event_id") < pHi)
+        .agg(sum(col("user_id")), sum(length(col("payload"))))
+        .collect().length.toLong
+    timed("parquet sorted-range probe") { pageProbe(pRaw) }
+    timed("v2 sorted-range probe") {
+      pageProbe(spark.read.format("graft-index").load(pdir))
+    }
     spark.stop()
   }
 }

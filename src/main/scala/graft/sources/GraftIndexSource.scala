@@ -441,7 +441,14 @@ class GraftIndexTable(path: String, tableSchema: StructType,
           s"graft-index: maxFilesPerTrigger out of Int range: $n")
         n.toInt
       },
-      maxBytesPerTrigger = positive("maxBytesPerTrigger"))
+      maxBytesPerTrigger = positive("maxBytesPerTrigger"),
+      logRetention = Option(options.get("admissionLogRetention"))
+        .map(_.toLowerCase(java.util.Locale.ROOT)).map {
+          case v @ ("all" | "committed") => v
+          case other => throw new IllegalArgumentException(
+            "graft-index: admissionLogRetention must be 'all' or " +
+              s"'committed', got '$other'")
+        }.getOrElse("all"))
   }
 }
 
@@ -449,7 +456,8 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     partColsOrdered: Seq[String], forceRowLane: Boolean = false,
     forceGraftLane: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    logRetention: String = "all")
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -660,7 +668,7 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
   override def build(): Scan =
     new GraftIndexScan(path, tableSchema, required, pushedPart, pushedData,
       partColsOrdered, agg, Option(aggSchema), limit, forceRowLane,
-      forceGraftLane, maxFilesPerTrigger, maxBytesPerTrigger)
+      forceGraftLane, maxFilesPerTrigger, maxBytesPerTrigger, logRetention)
 }
 
 class GraftIndexScan(path: String, tableSchema: StructType,
@@ -670,7 +678,8 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     limit: Option[Int] = None, forceRowLane: Boolean = false,
     forceGraftLane: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    logRetention: String = "all")
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -852,10 +861,32 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     val files = selectedFiles
     val typedPartOrder = partColsOrdered.map(c => c -> partType(c))
     if (agg.nonEmpty && !grouped) {
-      // one split per file: the footer-agg reader emits one partial row
-      files.map { case (f, _, parts) =>
-        GraftIndexInputPartition(Seq(f), parts, typedPartOrder): InputPartition
-      }.toArray
+      // Partial (ungrouped) pushdown packs ~core-count splits: the
+      // footer-agg reader already folds every file of a split into ONE
+      // partial row, and a zero-IO footer fold is pure task overhead —
+      // one split per FILE (round-12's plan) ran 40 tasks where the
+      // equivalent parquet decode ran 28 on the tiny-file fixture, and
+      // the scheduling delta WAS the measured count-shape gap. Only
+      // when the partial row carries partition columns (an agg grouped
+      // by a partition-column subset) must splits stay same-partition.
+      val aggUsesParts =
+        aggSchema.exists(_.fields.exists(f => partCols(f.name)))
+      if (!aggUsesParts) {
+        val par = math.max(1,
+          SparkSession.active.sparkContext.defaultParallelism)
+        val per = math.max(1, (files.size + par - 1) / par)
+        files.map(_._1).sorted.grouped(per).map(fs =>
+          GraftIndexInputPartition(fs, Map.empty,
+            Seq.empty): InputPartition).toArray
+      } else {
+        files.groupBy(_._3).toSeq
+          .sortBy(_._1.toSeq.sortBy(_._1)
+            .map(kv => String.valueOf(kv._2)).mkString("/"))
+          .map { case (parts, fs) =>
+            GraftIndexInputPartition(fs.map(_._1).sorted, parts,
+              typedPartOrder): InputPartition
+          }.toArray
+      }
     } else if (grouped) {
       files.groupBy(_._3).toSeq
         .sortBy(_._1.toSeq.sortBy(_._1).map(kv => String.valueOf(kv._2)).mkString("/"))
@@ -928,7 +959,7 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     new GraftIndexMicroBatchStream(path, checkpointLocation,
       () => admitted(), partValuesOf,
       partColsOrdered.map(c => c -> partType(c)),
-      maxFilesPerTrigger, maxBytesPerTrigger,
+      maxFilesPerTrigger, maxBytesPerTrigger, logRetention == "committed",
       () => {
         val conf = SparkSession.active.sparkContext.broadcast(
           new SerializableConfiguration(GraftIndexTable.activeHadoopConf()))
@@ -1010,11 +1041,20 @@ object GraftIndexScan {
       splits += GraftIndexPackedPartition(cur.toSeq, typedPartOrder)
       cur.clear(); curBytes = 0L
     }
+    // Spark's exact close rule (FilePartition.getFilePartitions): a bin
+    // closes when the accumulated cost plus the next slice's DATA bytes
+    // would pass maxSplit; the openCost joins the accumulator only
+    // after admission. Testing `accumulated + len + openCost` instead
+    // (round-12's rule) closed tiny-file bins one file early — on an
+    // index-cell table (~100 KB files, 4 MB openCost) that planned ~2×
+    // Spark's task count, and the per-task overhead WAS the measured
+    // full-projection gap to the parquet twin (LaneBench: 41 vs 28
+    // tasks at identical ms/task).
     slices.sortBy(s => (-costOf(s._3, lenOf(s._1)), s._1, s._2))
       .foreach { case (f, start, len, parts) =>
-        val c = costOf(len, lenOf(f))
-        if (curBytes + c > maxSplit) closeSplit()
-        cur += ((f, start, len, parts)); curBytes += c
+        val dataLen = if (len == GraftIndexRange.Whole) lenOf(f) else len
+        if (cur.nonEmpty && curBytes + dataLen > maxSplit) closeSplit()
+        cur += ((f, start, len, parts)); curBytes += dataLen + openCost
       }
     closeSplit()
     splits.toArray
@@ -1168,6 +1208,7 @@ class GraftIndexMicroBatchStream(
     typedPartOrder: Seq[(String, DataType)],
     maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
+    retainCommittedOnly: Boolean,
     readerFactory: () => PartitionReaderFactory)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1184,10 +1225,22 @@ class GraftIndexMicroBatchStream(
     * stream per source), so the in-memory counter stays authoritative.
     */
   private lazy val initialMaxSeq: Long = {
+    // compact snapshots count: after the retention janitor folds and
+    // deletes every committed entry, a fully-drained log is just
+    // `<seq>.compact` — restarting at 0 would admit a lower offset than
+    // the WAL already holds
     if (!fs.exists(logDir)) 0L
-    else fs.listStatus(logDir).flatMap(s =>
-      s.getPath.getName.toLongOption).foldLeft(0L)(math.max)
+    else fs.listStatus(logDir).flatMap(s => seqOfName(s.getPath.getName))
+      .foldLeft(0L)(math.max)
   }
+
+  /** Entry or snapshot name → its log position (None for `.tmp`,
+    * `0.base`, and anything else).
+    */
+  private def seqOfName(n: String): Option[Long] =
+    n.toLongOption.orElse(
+      if (n.endsWith(".compact")) n.stripSuffix(".compact").toLongOption
+      else None)
   private var maxSeqState: Long = -1L
   private def maxSeq: Long = {
     if (maxSeqState < 0) maxSeqState = initialMaxSeq
@@ -1252,9 +1305,20 @@ class GraftIndexMicroBatchStream(
   private var loadedSeq = 0L
   private val seenFiles = scala.collection.mutable.HashSet[String]()
   private def loadThrough(seq: Long): Unit = {
-    if (loadedSeq == 0 && seq >= CompactEvery) {
-      val snap = (seq - seq % CompactEvery) to CompactEvery by -CompactEvery
-      snap.find(s => fs.exists(compactPath(s))).foreach { s =>
+    if (loadedSeq == 0 && seq > 0) {
+      // newest snapshot ≤ seq, found by ONE listing (was an exists-probe
+      // walk over CompactEvery multiples — the retention janitor also
+      // writes snapshots at commit seqs, which land on arbitrary
+      // positions, and after it deletes folded entries the snapshot is
+      // the only source for them)
+      val snaps =
+        if (!fs.exists(logDir)) Array.empty[Long]
+        else fs.listStatus(logDir).map(_.getPath.getName)
+          .filter(_.endsWith(".compact"))
+          .flatMap(_.stripSuffix(".compact").toLongOption)
+          .filter(_ <= seq)
+      if (snaps.nonEmpty) {
+        val s = snaps.max
         seenFiles ++= readList(compactPath(s))
         loadedSeq = s
       }
@@ -1393,7 +1457,42 @@ class GraftIndexMicroBatchStream(
     else GraftIndexLogOffset.fromJson(json).getOrElse(
       throw new IllegalStateException(
         s"graft-index: unparseable stream offset: $json"))
-  override def commit(end: Offset): Unit = ()
+  /** Retention janitor (round-13, opt-in via
+    * `.option("admissionLogRetention", "committed")`). Entry files are
+    * what committed ranges replan from, so by default they are retained
+    * forever — but an entry at or below the newest COMMITTED offset can
+    * never be replanned (Spark restarts at the last commit), and on a
+    * year-lived stream the log directory itself becomes an
+    * O(admissions) listing. On each commit: fold entries 1..committed
+    * into a `<committed>.compact` snapshot (the restart seen-set fold
+    * already prefers the newest snapshot), then delete the folded
+    * entries and the older, now-redundant snapshots. Entries PAST the
+    * committed offset — the only ones a restart replans — are never
+    * touched, and neither is the v1-migration `0.base`.
+    */
+  private var janitorSeq = 0L
+  override def commit(end: Offset): Unit = if (retainCommittedOnly) {
+    val s = seqOf(end)
+    if (s > janitorSeq) {
+      // snapshot at the seen-set's position (≥ s after the fold —
+      // loadedSeq usually already runs one entry ahead of the commit):
+      // a snapshot is valid at ANY position, it just says "the union
+      // of entries 1..here", and the restart fold always starts from
+      // the newest one ≤ its target (= maxSeq ≥ this)
+      loadThrough(s)
+      val snapSeq = loadedSeq
+      if (!fs.exists(compactPath(snapSeq)))
+        writeList(compactPath(snapSeq), seenFiles)
+      fs.listStatus(logDir).foreach { st =>
+        val n = st.getPath.getName
+        val deletable = n.toLongOption.exists(_ <= s) ||
+          (n.endsWith(".compact") &&
+            n.stripSuffix(".compact").toLongOption.exists(_ < snapSeq))
+        if (deletable) fs.delete(st.getPath, false)
+      }
+      janitorSeq = s
+    }
+  }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset,
@@ -1411,14 +1510,25 @@ class GraftIndexMicroBatchStream(
         s"graft-index: unplannable offset range $other")
     }
     if (fresh.isEmpty) return Array.empty
-    val par = math.max(1,
-      SparkSession.active.sparkContext.defaultParallelism)
-    val perSplit = math.max(1, (fresh.size + par - 1) / par)
-    fresh.grouped(perSplit).map { fp =>
-      GraftIndexPackedPartition(
-        fp.map(f => (f, 0L, GraftIndexRange.Whole, partValuesOf(f))),
-        typedPartOrder): InputPartition
-    }.toArray
+    // size-aware packing with within-file range slices (round-13): the
+    // batch lane's binPack, so a big admitted file (a compaction output,
+    // a mounted bulk load) splits into byte ranges exactly like Spark's
+    // own parquet scans instead of wedging the whole batch behind one
+    // task — readers already honor ranges via the row-group midpoint
+    // rule, so slices partition the file's rows exactly. Index-sized
+    // files keep whole-file packing (len ≤ effective split size).
+    // Lengths come from one getFileStatus per fresh file; admitted files
+    // are immutable, so a committed range replans to the same rows
+    // regardless of when the status is taken.
+    val sconf = SparkSession.active.sessionState.conf
+    val dataFs = new Path(path).getFileSystem(
+      GraftIndexTable.activeHadoopConf())
+    GraftIndexScan.binPack(
+      fresh.map(f => (f, dataFs.getFileStatus(new Path(f)).getLen,
+        partValuesOf(f))),
+      sconf.filesOpenCostInBytes, sconf.filesMaxPartitionBytes,
+      math.max(1, SparkSession.active.sparkContext.defaultParallelism),
+      typedPartOrder)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory()
@@ -2754,19 +2864,38 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Long, Long, Array[Any])],
   private var valuesLeft: Array[Long] = _
   private var rowsLeftInGroup: Long = 0L
 
+  // PAGE-level pruning state (round-13): when the current file reads
+  // through readNextFilteredRowGroup, surviving row groups shed the
+  // pages the column index proves can't match — rowsExpected/rowsSeen
+  // make the shed rows observable (spec + LaneBench probe)
+  private var useFilteredRead = false
+  private var rowsExpected = 0L
+  private var rowsSeen = 0L
+
   /** Advance to the next non-empty row group, opening files as needed.
     * False when every file is exhausted. Files are vetted at open:
     * filters over absent columns either pass wholesale (IsNull) or skip
     * the file (per-file constant false); in-file filters prune row
     * groups by statistics on the already-read footer — ONE footer read
-    * per file, however the scan is filtered (round-12).
+    * per file, however the scan is filtered (round-12) — then PAGES
+    * within surviving groups by the column index (round-13).
     */
   private def advance(): Boolean = {
     while (true) {
       if (reader != null) {
-        val pages = reader.readNextRowGroup()
-        if (pages == null) { reader.close(); reader = null }
-        else if (pages.getRowCount > 0) { bind(pages); return true }
+        val pages =
+          if (useFilteredRead) reader.readNextFilteredRowGroup()
+          else reader.readNextRowGroup()
+        if (pages == null) {
+          if (useFilteredRead && rowsExpected > rowsSeen)
+            GraftIndexColumnarReader.pageFilteredRows
+              .addAndGet(rowsExpected - rowsSeen)
+          reader.close(); reader = null
+        }
+        else if (pages.getRowCount > 0) {
+          rowsSeen += pages.getRowCount
+          bind(pages); return true
+        }
       }
       if (reader == null) {
         if (fileQueue.isEmpty) return false
@@ -2828,11 +2957,55 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Long, Long, Array[Any])],
                     ranged, meta.getSchema)
               }
             if (!toRead.isEmpty) {
+              // PAGE-level (column-index) pruning (round-13): the
+              // filtered-row-group read binds SynchronizingColumnReaders
+              // that present exactly the rows whose pages can match the
+              // claim — a range probe over a SORTED column (the
+              // event-time cutoff shape) decodes a few pages of a
+              // surviving group instead of all of them. Exactness is
+              // parquet's own contract (ranges are a superset of
+              // matching rows; the vectorized residue above still
+              // enforces the claim row by row), and files without
+              // column indexes fall back to whole-group ranges inside
+              // parquet itself. The LIST decode walks repetition levels
+              // with its own value accounting, which filtered pages
+              // would break — array-projecting scans keep whole-group
+              // reads.
+              useFilteredRead = inFile.nonEmpty &&
+                !decodeFields.exists(_.dataType.isInstanceOf[ArrayType])
+              def mkReader(blocks: java.util.List[org.apache.parquet.hadoop.metadata.BlockMetaData]) = {
+                val r =
+                  if (useFilteredRead) {
+                    val pred = inFile
+                      .map(GraftIndexFilters.toParquet(_, tableSchema))
+                      .reduce(FilterApi.and)
+                    // stats/dictionary/bloom re-pruning OFF — the block
+                    // list is already pruned on the cached footer above;
+                    // only the column-index level is parquet's to apply
+                    val opts = org.apache.parquet.HadoopReadOptions
+                      .builder(conf, path)
+                      .withRecordFilter(FilterCompat.get(pred))
+                      .useStatsFilter(false).useDictionaryFilter(false)
+                      .useBloomFilter(false).useColumnIndexFilter(true)
+                      .build()
+                    new org.apache.parquet.hadoop.ParquetFileReader(conf,
+                      path,
+                      new org.apache.parquet.hadoop.metadata.ParquetMetadata(
+                        meta, blocks), opts)
+                  } else new org.apache.parquet.hadoop.ParquetFileReader(
+                    conf, meta, path, blocks, projected.getColumns)
+                r.setRequestedSchema(projected)
+                r
+              }
+              rowsExpected = {
+                var t = 0L; val it = toRead.iterator()
+                while (it.hasNext) t += it.next().getRowCount
+                t
+              }
+              rowsSeen = 0L
               // block-list reader over the cached metadata: opens the
               // DATA stream only, never re-reads the footer
-              reader = new org.apache.parquet.hadoop.ParquetFileReader(
-                conf, meta, path, toRead, projected.getColumns)
-              reader.setRequestedSchema(projected)
+              reader = mkReader(toRead)
               // DICTIONARY/BLOOM pruning (round-12): stats can't kill a
               // point probe whose value sits INSIDE a group's min/max
               // but never occurs — the dictionary (or bloom filter) can.
@@ -2856,14 +3029,12 @@ class GraftIndexColumnarReader(fileParts: Seq[(String, Long, Long, Array[Any])],
                   GraftIndexColumnarReader.dictPruned
                     .addAndGet(toRead.size() - kept.size())
                   reader.close()
-                  reader =
-                    if (kept.isEmpty) null
-                    else {
-                      val r2 = new org.apache.parquet.hadoop.ParquetFileReader(
-                        conf, meta, path, kept, projected.getColumns)
-                      r2.setRequestedSchema(projected)
-                      r2
-                    }
+                  reader = if (kept.isEmpty) null else mkReader(kept)
+                  rowsExpected = {
+                    var t = 0L; val it = kept.iterator()
+                    while (it.hasNext) t += it.next().getRowCount
+                    t
+                  }
                 }
               }
             }
@@ -3253,4 +3424,10 @@ object GraftIndexColumnarReader {
     * could not kill — the spec's observable for the round-12 pass.
     */
   private[graft] val dictPruned = new java.util.concurrent.atomic.AtomicLong
+
+  /** Rows inside SURVIVING row groups that the column index proved
+    * can't match — pages never decoded (round-13). The page-pruning
+    * spec's observable.
+    */
+  private[graft] val pageFilteredRows = new java.util.concurrent.atomic.AtomicLong
 }

@@ -35,10 +35,16 @@ object IndexAdmissionStream {
     * at least one file, so an oversized file still makes progress).
     */
   def admissions(spark: SparkSession, subTablePath: String,
-      maxFiles: Option[Int] = None, maxBytes: Option[Long] = None): DataFrame = {
+      maxFiles: Option[Int] = None, maxBytes: Option[Long] = None,
+      logRetention: Option[String] = None): DataFrame = {
     val r = spark.readStream.format("graft-index")
     maxFiles.foreach(n => r.option("maxFilesPerTrigger", n.toString))
     maxBytes.foreach(n => r.option("maxBytesPerTrigger", n.toString))
+    // "committed" turns on the admission-log retention janitor: entries
+    // at or below the newest committed offset fold into a compact
+    // snapshot and delete — on a year-lived stream the log directory
+    // stays O(uncommitted), not O(admissions)
+    logRetention.foreach(v => r.option("admissionLogRetention", v))
     r.load(subTablePath)
   }
 

@@ -497,6 +497,13 @@ class GraftIndexSourceSpec extends SparkSpec {
     val tinySplits = GraftIndexScan.binPack(tiny, openCost, maxBytes, 32, order)
     assert(tinySplits.length <= 48 && tinySplits.length > 1,
       s"tiny files must amortize toward core count: ${tinySplits.length}")
+    // Spark's exact close rule (accumulate len + openCost, close on
+    // accumulated + NEXT len only): maxSplit = 332 MB/32 ≈ 10.4 MB
+    // admits 3 × (100 KB + 4 MB) per bin → 27 bins — round-12's
+    // close-on-(len + openCost) packed 2 per bin (41 bins), and the
+    // extra tasks were the measured tiny-file full-projection gap
+    assert(tinySplits.length == 27,
+      s"tiny-file packing must mirror FilePartition: ${tinySplits.length}")
     // every file lands in exactly one split, partition values intact
     val placed = tinySplits.flatMap(
       _.asInstanceOf[GraftIndexPackedPartition].files)
@@ -1374,6 +1381,168 @@ class GraftIndexSourceSpec extends SparkSpec {
       s"fold must start from the snapshot, read ${s2.entryReads.get - before} entries")
   }
 
+  test("admission-log retention janitor (round-13): committed entries fold into a snapshot and delete; replanning and restart stay exact") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.GraftIndexLogOffset
+    val dir = java.nio.file.Files.createTempDirectory("graft_logj").toString + "/t"
+    (1 to 9).foreach(i =>
+      spark.range(i * 10L, i * 10L + 5).repartition(1)
+        .write.mode("append").parquet(dir))
+    val opts = Map("admissionLogRetention" -> "committed")
+    val s = microBatchStream(dir, opts)
+    def logNames = {
+      val d = new java.io.File(s"${s.ckptForTest}/graft-admitted")
+      // drop LocalFileSystem checksum sidecars (.<name>.crc)
+      Option(d.list()).map(_.toSeq).getOrElse(Seq.empty)
+        .filterNot(_.startsWith("."))
+    }
+    // admit 1..5 one file at a time, then commit through 3
+    var cur = s.initialOffset()
+    (1 to 5).foreach { _ =>
+      cur = s.latestOffset(cur, ReadLimit.maxFiles(1))
+    }
+    assert(cur == GraftIndexLogOffset(5))
+    val files45 = s.filesBetween(3, 5)
+    s.commit(GraftIndexLogOffset(3))
+    // entries 1..3 folded into a snapshot and gone; entries 4..5
+    // (replannable: past the commit) retained; exactly one snapshot,
+    // at wherever the seen-set fold stood (≥ the committed position)
+    assert(logNames.flatMap(_.toLongOption).sorted == Seq(4L, 5L),
+      s"janitor must delete exactly the committed entries: $logNames")
+    assert(logNames.count(_.endsWith(".compact")) == 1 &&
+      logNames.exists(n => n.endsWith(".compact") &&
+        n.stripSuffix(".compact").toLong >= 3L),
+      s"janitor must leave one covering snapshot: $logNames")
+    // the uncommitted range still replans from its retained entries
+    assert(s.filesBetween(3, 5) == files45)
+    // drain the remaining files, commit everything: the log folds to
+    // ONE snapshot, bounded forever
+    (6 to 9).foreach(_ => cur = s.latestOffset(cur, ReadLimit.maxFiles(1)))
+    assert(cur == GraftIndexLogOffset(9), s"expected full drain, got $cur")
+    s.commit(GraftIndexLogOffset(9))
+    assert(logNames.toSet == Set("9.compact"),
+      s"a fully-committed log must drain to one snapshot: $logNames")
+    // restart over the janitored checkpoint: the seen-set folds from
+    // the snapshot alone (zero entry reads), nothing re-admits, and
+    // the log position survives even with every entry file gone
+    val s2 = microBatchStream(dir, opts, ckpt = s.ckptForTest)
+    val before = s2.entryReads.get
+    assert(s2.latestOffset(GraftIndexLogOffset(9),
+      ReadLimit.allAvailable()) == GraftIndexLogOffset(9))
+    assert(s2.entryReads.get == before,
+      "restart fold must read the snapshot, not entries")
+    // new admissions continue PAST the drained position (never reuse a
+    // committed seq), and the next janitor pass keeps only the newest
+    // snapshot
+    spark.range(500, 505).repartition(1).write.mode("append").parquet(dir)
+    val nxt = s2.latestOffset(GraftIndexLogOffset(9), ReadLimit.allAvailable())
+    assert(nxt == GraftIndexLogOffset(10), s"expected seq 10, got $nxt")
+    s2.commit(nxt)
+    val d2 = Option(new java.io.File(s"${s2.ckptForTest}/graft-admitted")
+      .list()).map(_.toSeq).getOrElse(Seq.empty).filterNot(_.startsWith("."))
+    assert(d2.toSet == Set("10.compact"),
+      s"janitor must supersede older snapshots: $d2")
+    // default retention = "all": commit never deletes (entries are the
+    // replan source of record)
+    val sAll = microBatchStream(dir, Map.empty)
+    var c2 = sAll.initialOffset()
+    (1 to 3).foreach(_ => c2 = sAll.latestOffset(c2, ReadLimit.maxFiles(1)))
+    sAll.commit(c2)
+    val allNames = Option(new java.io.File(s"${sAll.ckptForTest}/graft-admitted")
+      .list()).map(_.toSeq).getOrElse(Seq.empty).filterNot(_.startsWith("."))
+    assert(Seq("1", "2", "3").forall(allNames.contains),
+      s"default retention must keep every entry: $allNames")
+    // bogus values refuse loudly at scan-build time
+    val bad = intercept[IllegalArgumentException] {
+      microBatchStream(dir, Map("admissionLogRetention" -> "weekly"))
+    }
+    assert(bad.getMessage.contains("admissionLogRetention"))
+    // END-TO-END: a real engine-driven query (engine calls commit) keeps
+    // the log bounded and the replayed rows exact
+    val q = graft.streaming.IndexAdmissionStream
+      .admissions(spark, dir, maxFiles = Some(2),
+        logRetention = Some("committed"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_logj_e2e").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_logj_e2e")
+      val batch = spark.read.parquet(dir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch.select(streamed.columns.map(col): _*))
+        .count() == 0, "janitored replay must accumulate the batch state")
+      // engine commit lags construction by one trigger, so a couple of
+      // tail entries may outlive the drain — but never the whole log
+      val ck = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.resolvedCheckpointRoot
+      val ckPath = Option(new java.net.URI(ck).getPath).getOrElse(ck)
+      val names = Option(new java.io.File(
+        ckPath, "sources/0/graft-admitted").list())
+        .map(_.toSeq).getOrElse(Seq.empty).filterNot(_.startsWith("."))
+      val entries = names.flatMap(_.toLongOption)
+      assert(names.exists(_.endsWith(".compact")) && entries.size <= 2,
+        s"engine-driven janitor must keep the log bounded: $names")
+    } finally q.stop()
+  }
+
+  test("streaming range slices (round-13): a big admitted file plans as byte-range slices that partition its rows exactly") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{GraftIndexPackedPartition, GraftIndexRange}
+    val dir = java.nio.file.Files.createTempDirectory("graft_strslice").toString + "/t"
+    // one multi-row-group big file + one index-sized small file
+    spark.range(0, 60000)
+      .selectExpr("id", "concat('pad-', id, '-', repeat('x', 96)) AS s")
+      .repartition(1)
+      .write.option("parquet.block.size", "262144").parquet(dir)
+    spark.range(0, 10).selectExpr("id", "concat('s', id) AS s")
+      .repartition(1).write.mode("append").parquet(dir)
+    val lens = graft.sources.GraftIndexTable.listFiles(dir)
+      .map(t => t._1 -> t._2).toMap
+    val big = lens.maxBy(_._2)._1
+    val small = lens.minBy(_._2)._1
+    assert(lens(big) > 600000L, s"big file too small: ${lens(big)}")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val s = microBatchStream(dir, Map.empty)
+      val off = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+      val slices = s.planInputPartitions(s.initialOffset(), off).flatMap {
+        case p: GraftIndexPackedPartition => p.files.map(f => (f._1, f._2, f._3))
+      }
+      // the big file splits; the small one stays whole-file
+      val bigSlices = slices.filter(_._1 == big)
+      assert(bigSlices.length > 1,
+        s"a ${lens(big)}-byte file must slice at 128 KB: $bigSlices")
+      assert(slices.filter(_._1 == small).toSeq ==
+        Seq((small, 0L, GraftIndexRange.Whole)),
+        "index-sized files keep whole-file packing")
+      // the slices PARTITION the file's rows: row-group midpoints land
+      // in exactly one slice, totals add up to the file's count
+      val conf = spark.sessionState.newHadoopConf()
+      val total = bigSlices.map(sl =>
+        GraftIndexRange.rows(big, conf, sl._2, sl._3)).sum
+      assert(total == spark.read.parquet(big).count(),
+        "slice row counts must sum to the file's rows")
+      // END-TO-END under the same confs: engine-driven replay of the
+      // sliced plan accumulates exactly the batch state, once
+      val q = graft.streaming.IndexAdmissionStream
+        .admissions(spark, dir)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_strslice_e2e").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("graft_strslice_e2e")
+        val batch = spark.read.parquet(dir)
+        assert(streamed.count() == batch.count())
+        assert(streamed.exceptAll(batch.select(streamed.columns.map(col): _*))
+          .count() == 0, "sliced stream replay must match the batch read")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("admission control: a live maxFilesPerTrigger stream drains in capped batches; AvailableNow terminates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_admitcap").toString
     val emb = Tables.embeddings(spark, sf0001)
@@ -1783,6 +1952,105 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("unfiltered DECIMAL projections ride the delegated vectorized lane (round-13 ADVICE); filtered ones keep the row lane") {
+    import graft.sources.GraftIndexSparkVectorReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_declane").toString + "/t"
+    spark.range(0, 1000)
+      .selectExpr("id", "CAST(CAST(id AS DOUBLE) / 7 AS DECIMAL(24,2)) AS amt")
+      .write.parquet(dir)
+    def idx = spark.read.format("graft-index").load(dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = idx.select("id", "amt")
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(scan.supportsColumnar,
+        "unfiltered decimal projection must be columnar (delegated)")
+      val before = GraftIndexSparkVectorReader.opens.get
+      val got = df.agg(sum("amt")).collect().head.getDecimal(0)
+      assert(GraftIndexSparkVectorReader.opens.get > before,
+        "unfiltered decimal decode must ride the delegated lane")
+      val want = spark.read.parquet(dir).agg(sum("amt"))
+        .collect().head.getDecimal(0)
+      assert(got == want, s"decimal fold diverges: $got vs $want")
+      // filtered decimal projections stay on the row lane (the in-house
+      // columnar set excludes DECIMAL) — and stay exact
+      val f = idx.where(col("id") > 500L).select("id", "amt")
+      val fscan = f.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      assert(!fscan.supportsColumnar,
+        "filtered decimal projection must fall back to the row lane")
+      val gotF = f.agg(sum("amt")).collect().head.getDecimal(0)
+      val wantF = spark.read.parquet(dir).where(col("id") > 500L)
+        .agg(sum("amt")).collect().head.getDecimal(0)
+      assert(gotF == wantF)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("page-level pruning (round-13): a sorted-column range probe decodes fewer pages than group pruning alone; claims stay exact") {
+    import graft.sources.GraftIndexColumnarReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_pagep").toString + "/t"
+    // ONE row group, many small pages, ts sorted — group-level stats
+    // can't prune anything for a range inside [0, 100k), but the column
+    // index can prove most pages out
+    spark.range(0, 100000).orderBy("id")
+      .selectExpr("id AS ts", "id % 97 AS v",
+        "concat('d-', id, '-', repeat('y', 40)) AS payload")
+      .coalesce(1)
+      .write
+      .option("parquet.page.size", "2048")
+      .option("parquet.page.row.count.limit", "1000")
+      .option("parquet.block.size", (256L * 1024 * 1024).toString)
+      .parquet(dir)
+    def idx = spark.read.format("graft-index").load(dir)
+    val raw = spark.read.parquet(dir)
+    // POSITIVE control: a narrow event-time cutoff probe — the column
+    // index sheds the pages outside [60000, 61000)
+    val before = GraftIndexColumnarReader.pageFilteredRows.get
+    val got = idx.where(col("ts") >= 60000L && col("ts") < 61000L)
+      .selectExpr("ts", "v", "payload").collect()
+    val shed = GraftIndexColumnarReader.pageFilteredRows.get - before
+    assert(shed > 50000L,
+      s"column index must shed most of the sorted group's rows, shed=$shed")
+    val want = raw.where(col("ts") >= 60000L && col("ts") < 61000L)
+      .selectExpr("ts", "v", "payload").collect()
+    assert(got.map(_.toString).sorted.toSeq == want.map(_.toString).sorted.toSeq,
+      "page-pruned probe must match spark.read.parquet exactly")
+    assert(got.length == 1000)
+    // the residue still enforces the claim row-by-row on page-boundary
+    // survivors: an UNSORTED column probe keeps ranges wide but stays
+    // exact (pages hold matching and non-matching rows)
+    val gotV = idx.where(col("v") === 13L).agg(sum("ts")).collect()
+    val wantV = raw.where(col("v") === 13L).agg(sum("ts")).collect()
+    assert(gotV.head.getLong(0) == wantV.head.getLong(0))
+    // NEGATIVE control: a predicate every page can satisfy sheds nothing
+    val b2 = GraftIndexColumnarReader.pageFilteredRows.get
+    assert(idx.where(col("ts") >= 0L).count() == 100000L)
+    assert(GraftIndexColumnarReader.pageFilteredRows.get == b2,
+      "an all-pass predicate must not shed pages")
+    // ARRAY projections keep whole-group reads (the list decode walks
+    // repetition levels with its own accounting) — and stay exact
+    val adir = java.nio.file.Files.createTempDirectory("graft_pagea").toString + "/t"
+    spark.range(0, 20000).orderBy("id")
+      .selectExpr("id AS ts", "array(id, id + 1, id + 2) AS arr")
+      .coalesce(1)
+      .write.option("parquet.page.size", "2048")
+      .option("parquet.page.row.count.limit", "500").parquet(adir)
+    val b3 = GraftIndexColumnarReader.pageFilteredRows.get
+    val gotA = spark.read.format("graft-index").load(adir)
+      .where(col("ts") >= 5000L && col("ts") < 5100L)
+      .selectExpr("ts", "arr").collect()
+    assert(GraftIndexColumnarReader.pageFilteredRows.get == b3,
+      "array projections must keep whole-group reads")
+    val wantA = spark.read.parquet(adir)
+      .where(col("ts") >= 5000L && col("ts") < 5100L)
+      .selectExpr("ts", "arr").collect()
+    assert(gotA.map(_.toString).sorted.toSeq ==
+      wantA.map(_.toString).sorted.toSeq)
+  }
+
   test("nested struct/map/array columns (round-13): admitted, delegated-lane decode, claims refused, parity with spark.read.parquet") {
     import graft.sources.GraftIndexSparkVectorReader
     val dir = java.nio.file.Files.createTempDirectory("graft_nested").toString + "/t"
@@ -1827,12 +2095,18 @@ class GraftIndexSourceSpec extends SparkSpec {
       assert(canon(f).exceptAll(canon(rf)).count() == 0 &&
         canon(rf).exceptAll(canon(f)).count() == 0,
         "filtered nested rows diverge")
-      // partition pruning stays on (no decode involved): fewer splits
-      def parts(df: org.apache.spark.sql.DataFrame) =
+      // partition pruning stays on (no decode involved): fewer planned
+      // FILES (bin-packing can even out the partition count itself)
+      def plannedFiles(df: org.apache.spark.sql.DataFrame) =
         df.queryExecution.executedPlan.collectFirst {
           case b: BatchScanExec => b
-        }.get.inputRDD.getNumPartitions
-      assert(parts(nested.where(col("bucket") === 2)) < parts(nested),
+        }.get.inputPartitions.map {
+          case p: graft.sources.GraftIndexPackedPartition => p.files.length
+          case p: graft.sources.GraftIndexInputPartition => p.files.length
+          case _ => 0
+        }.sum
+      assert(plannedFiles(nested.where(col("bucket") === 2)) <
+        plannedFiles(nested),
         "partition filters must still prune directories")
       // the delegated Spark reader serves the decode (filtered or not —
       // pushedData is always empty here)
