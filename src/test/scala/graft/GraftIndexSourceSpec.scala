@@ -1952,6 +1952,53 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("nested schema pruning + nested streaming (round-13): a struct-field projection reads a pruned struct; admissions stream nested rows exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nestprune").toString + "/t"
+    spark.range(0, 300)
+      .selectExpr("id",
+        "named_struct('uid', id % 50, 'cents', id * 7, 'tag', concat('t', id % 3)) AS s",
+        "map('a', id) AS m")
+      .write.parquet(dir)
+    def idx = spark.read.format("graft-index").load(dir)
+    // Catalyst's nested-schema pruning reaches the connector: projecting
+    // one struct field must scan a ONE-field struct, not the whole thing
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = idx.select(col("s.uid"))
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get
+      val scanned = scan.scan.readSchema()
+      val sField = scanned.fields.find(_.name == "s").getOrElse(
+        fail(s"struct column missing from read schema: $scanned"))
+      assert(sField.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("uid"),
+        s"struct must prune to the projected field: $scanned")
+      assert(!scanned.fieldNames.contains("m"),
+        s"unprojected map column must prune away: $scanned")
+      assert(df.agg(sum("uid")).collect().head.getLong(0) ==
+        spark.read.parquet(dir).select(col("s.uid"))
+          .agg(sum("uid")).collect().head.getLong(0))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // the admissions stream serves nested tables through the same
+    // delegated lane: replayed rows == batch rows, exactly
+    val q = graft.streaming.IndexAdmissionStream
+      .admissions(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_nest_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_nest_stream")
+        .selectExpr("id", "s", "sort_array(map_entries(m)) AS me")
+      val batch = spark.read.parquet(dir)
+        .selectExpr("id", "s", "sort_array(map_entries(m)) AS me")
+      assert(streamed.count() == 300)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "streamed nested rows must match the batch read")
+    } finally q.stop()
+  }
+
   test("unfiltered DECIMAL projections ride the delegated vectorized lane (round-13 ADVICE); filtered ones keep the row lane") {
     import graft.sources.GraftIndexSparkVectorReader
     val dir = java.nio.file.Files.createTempDirectory("graft_declane").toString + "/t"
