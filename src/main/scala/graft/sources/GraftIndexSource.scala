@@ -466,6 +466,7 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
   private var required: StructType = tableSchema
   private var pushedPart: Array[Filter] = Array.empty
   private var pushedData: Array[Filter] = Array.empty
+  private var hintData: Array[Filter] = Array.empty
   private var agg: Option[Aggregation] = None
   private var aggSchema: StructType = _
   private var limit: Option[Int] = None
@@ -593,6 +594,15 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
     val (data, rest) =
       if (GraftIndexTable.hasNested(tableSchema)) (Array.empty[Filter], rest0)
       else rest0.partition(dataPushable)
+    // HINTS (round-13): the pushable data filters a nested-bearing
+    // table refuses as claims still reach the delegated reader's conf
+    // as parquet predicates — Spark's own vectorized reader then prunes
+    // row groups (stats/dict) and pages (column index) with them while
+    // Spark re-filters above. Exactness is untouched: pruning is
+    // conservative by parquet's contract and the filter still runs.
+    hintData =
+      if (GraftIndexTable.hasNested(tableSchema)) rest0.filter(dataPushable)
+      else Array.empty
     pushedPart = part
     pushedData = data
     rest
@@ -668,7 +678,8 @@ class GraftIndexScanBuilder(path: String, tableSchema: StructType,
   override def build(): Scan =
     new GraftIndexScan(path, tableSchema, required, pushedPart, pushedData,
       partColsOrdered, agg, Option(aggSchema), limit, forceRowLane,
-      forceGraftLane, maxFilesPerTrigger, maxBytesPerTrigger, logRetention)
+      forceGraftLane, maxFilesPerTrigger, maxBytesPerTrigger, logRetention,
+      hintData)
 }
 
 class GraftIndexScan(path: String, tableSchema: StructType,
@@ -679,7 +690,8 @@ class GraftIndexScan(path: String, tableSchema: StructType,
     forceGraftLane: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    logRetention: String = "all")
+    logRetention: String = "all",
+    hintData: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -965,7 +977,8 @@ class GraftIndexScan(path: String, tableSchema: StructType,
           new SerializableConfiguration(GraftIndexTable.activeHadoopConf()))
         new GraftIndexReaderFactory(readSchema(),
           readSchema().fields.map(f => constCol(f.name)),
-          pushedData, tableSchema, limit, conf, forceRowLane, forceGraftLane)
+          pushedData, tableSchema, limit, conf, forceRowLane, forceGraftLane,
+          hintData)
       })
   }
 
@@ -997,7 +1010,8 @@ class GraftIndexScan(path: String, tableSchema: StructType,
         aggSchema.get.fields.map(f => partCols.contains(f.name)), conf)
       case None => new GraftIndexReaderFactory(schema,
         schema.fields.map(f => constCol(f.name)),
-        pushedData, tableSchema, limit, conf, forceRowLane, forceGraftLane)
+        pushedData, tableSchema, limit, conf, forceRowLane, forceGraftLane,
+        hintData)
     }
   }
 }
@@ -1957,6 +1971,10 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
     limit: Option[Int] = None,
     private[graft] val conf: org.apache.spark.broadcast.Broadcast[SerializableConfiguration],
     forceRowLane: Boolean = false, forceGraftLane: Boolean = false,
+    // refused-claim HINTS for the delegated lane (nested-bearing
+    // tables): parquet predicates for group/page pruning only — Spark
+    // re-filters above, so they carry no exactness weight
+    hintData: Array[Filter] = Array.empty,
     // session-SQL knobs captured at PLANNING time (the executor has no
     // SparkSession): exactly the keys Spark's own parquet scan copies
     // into its per-task Hadoop conf before handing it to the
@@ -2059,7 +2077,7 @@ class GraftIndexReaderFactory(readSchema: StructType, isPart: Array[Boolean],
     // already bench in the parquet twin's noise band.
     if (pushedData.isEmpty && !forceGraftLane)
       new GraftIndexSparkVectorReader(fileParts(p), readSchema, isPart,
-        dataFields, limit, sql, conf.value.value)
+        dataFields, limit, sql, conf.value.value, hintData, tableSchema)
     else
       new GraftIndexColumnarReader(fileParts(p), readSchema, isPart,
         dataFields, pushedData, tableSchema, limit, conf.value.value)
@@ -2168,7 +2186,9 @@ object GraftSessionSql {
 class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any])],
     readSchema: StructType, isPart: Array[Boolean],
     dataFields: Array[StructField], limit: Option[Int],
-    sql: GraftSessionSql, baseConf: Configuration)
+    sql: GraftSessionSql, baseConf: Configuration,
+    hintFilters: Array[Filter] = Array.empty,
+    tableSchema: StructType = StructType(Nil))
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
@@ -2212,11 +2232,53 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any]
   }
 
   private def openNext(): Boolean = {
+    // loop, not recursion: a constant-false hint fold skips a file, and
+    // a bin can hold many skippable files (openCostInBytes=0 unbounds
+    // the per-bin file count)
+    while (true) {
+      openNextStep() match {
+        case 1 => return true
+        case 2 => return false
+        case _ => // skipped: next file
+      }
+    }
+    false
+  }
+
+  /** 1 = opened, 2 = exhausted, 0 = file skipped (hint folded FALSE). */
+  private def openNextStep(): Int = {
     if (inner != null) { inner.close(); inner = null }
-    if (fileQueue.isEmpty) return false
+    if (fileQueue.isEmpty) return 2
     val (file, start, sliceLen, const) = fileQueue.dequeue()
     val p = new Path(file)
     val (footer0, fileLen) = GraftFooterCache.footerWithLen(file, fc)
+    // refused-claim HINTS (round-13, nested-bearing tables): fold the
+    // pushable-but-refused filters against THIS file's columns (absent
+    // column = all-null, exactly the claim lanes' rule) and stamp the
+    // residual on a per-file conf — Spark's own reader then prunes row
+    // groups by stats/dictionary and pages by the column index
+    // (ParquetRowGroupReaderImpl reads via readNextFilteredRowGroup).
+    // A conjunct that folds to constant FALSE skips the file with zero
+    // IO. Spark still runs the full Filter above: the hints only shed
+    // work, never rows that could match.
+    val ctxConf: Configuration =
+      if (hintFilters.isEmpty) fc
+      else {
+        val present = footer0.getFileMetaData.getSchema.getFields
+          .asInstanceOf[java.util.List[org.apache.parquet.schema.Type]]
+          .stream().map[String](_.getName).toArray.map(_.toString).toSet
+        val folded = hintFilters.map(GraftIndexFilters.forFile(_, present))
+        if (folded.contains(Left(false))) return 0
+        val inFile = folded.collect { case Right(f) => f }
+        if (inFile.isEmpty) fc
+        else {
+          val c = new Configuration(fc)
+          org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c,
+            inFile.map(GraftIndexFilters.toParquet(_, tableSchema))
+              .reduce(FilterApi.and))
+          c
+        }
+      }
     // range slice: hand the reader a footer holding ONLY the slice's
     // midpoint-owned row groups (what Spark's own scans do — they read
     // the footer with the split's range filter), plus the matching
@@ -2258,7 +2320,7 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any]
     val split = new org.apache.hadoop.mapred.FileSplit(
       p, start, splitLen, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-      fc, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      ctxConf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     val r = new VectorizedParquetRecordReader(
       convertTz, dtMode, sql.tz, i96Mode, sql.tz, false, BatchRows)
     var ok = false
@@ -2275,7 +2337,7 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any]
     val rb = r.resultBatch()
     out = new ColumnarBatch(order.map(j => rb.column(j): ColumnVector), 0)
     GraftIndexSparkVectorReader.opens.incrementAndGet()
-    true
+    1
   }
 
   override def next(): Boolean = {
@@ -2287,6 +2349,7 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any]
         if (n > 0) {
           val emit = math.min(n.toLong, rowsRemaining).toInt
           rowsRemaining -= emit
+          GraftIndexSparkVectorReader.rowsRead.addAndGet(emit)
           out.setNumRows(emit)
           return true
         }
@@ -2304,6 +2367,11 @@ class GraftIndexSparkVectorReader(fileParts: Seq[(String, Long, Long, Array[Any]
 object GraftIndexSparkVectorReader {
   /** Per-file open counter — the lane-routing pin for the spec. */
   private[graft] val opens = new java.util.concurrent.atomic.AtomicLong
+
+  /** Rows emitted by delegated readers — the hint-pruning observable:
+    * with refused-claim hints stamped, pruned groups/pages never emit.
+    */
+  private[graft] val rowsRead = new java.util.concurrent.atomic.AtomicLong
 }
 
 /** Footer-count-only reader for zero-data-column, zero-data-filter

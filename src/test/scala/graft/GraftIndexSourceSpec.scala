@@ -1952,6 +1952,62 @@ class GraftIndexSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("refused-claim hints (round-13): nested-bearing tables still prune groups/pages through the delegated reader; rows stay exact") {
+    import graft.sources.GraftIndexSparkVectorReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_hint").toString + "/t"
+    // several files, disjoint sorted ts ranges per file, nested payload
+    (0 until 5).foreach { i =>
+      spark.range(i * 10000L, (i + 1) * 10000L).orderBy("id")
+        .selectExpr("id AS ts", "named_struct('uid', id % 50, 'c', id) AS s")
+        .coalesce(1).write.mode("append")
+        .option("parquet.page.row.count.limit", "1000").parquet(dir)
+    }
+    def idx = spark.read.format("graft-index").load(dir)
+    val raw = spark.read.parquet(dir)
+    // the ts range lives in ONE file: stats hints skip the other four
+    // files' row groups, the column index sheds pages within the hit
+    val before = GraftIndexSparkVectorReader.rowsRead.get
+    val got = idx.where(col("ts") >= 23000L && col("ts") < 24000L)
+      .selectExpr("ts", "s").collect()
+    val emitted = GraftIndexSparkVectorReader.rowsRead.get - before
+    assert(emitted < 5000L,
+      s"hints must prune groups/pages on the delegated lane, emitted=$emitted")
+    val want = raw.where(col("ts") >= 23000L && col("ts") < 24000L)
+      .selectExpr("ts", "s").collect()
+    assert(got.map(_.toString).sorted.toSeq == want.map(_.toString).sorted.toSeq)
+    assert(got.length == 1000)
+    // claims remain REFUSED (the hint is conf-level, not a claim)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = idx.where(col("ts") >= 23000L)
+        .queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b
+        }.get
+      assert(scan.scan.description().contains("pushedDataFilters=[]"))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // a filter over the struct FIELD is not hintable — full decode,
+    // still exact (Spark's filter does all the work)
+    val gotS = idx.where(col("s.uid") === 7L).count()
+    assert(gotS == raw.where(col("s.uid") === 7L).count() && gotS > 0)
+    // evolved set: a file MISSING the hinted column folds per the
+    // claim lanes' all-null rule — a range hint over the absent column
+    // is constant FALSE there, so the file skips with zero IO; rows
+    // stay exact against spark.read.parquet on the merged schema
+    spark.range(0, 100)
+      .selectExpr("named_struct('uid', id % 50, 'c', id) AS s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    val idx2 = spark.read.format("graft-index")
+      .schema(merged.schema).load(dir)
+    val b2 = GraftIndexSparkVectorReader.rowsRead.get
+    val gotE = idx2.where(col("ts") >= 23000L && col("ts") < 24000L).count()
+    assert(gotE == 1000L, "evolved set must stay exact under hints")
+    assert(GraftIndexSparkVectorReader.rowsRead.get - b2 < 5000L,
+      "the ts-less file must fold constant-false and skip")
+    // and an IsNull hint over the absent column passes that file whole
+    assert(idx2.where(col("ts").isNull).count() == 100L)
+  }
+
   test("nested schema pruning + nested streaming (round-13): a struct-field projection reads a pruned struct; admissions stream nested rows exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nestprune").toString + "/t"
     spark.range(0, 300)
