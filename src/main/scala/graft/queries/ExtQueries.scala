@@ -3143,6 +3143,46 @@ object ExtQueries extends QueryGroup {
        WHERE user_id % 7 = 3 AND event_type <> 'error'
        GROUP BY 1"""
 
+  /** PAGE-pruned range probe (round-13): the event-time-cutoff shape —
+    * a table sorted by its probe column, written with small pages, hit
+    * with a claimed range predicate. Group-level stats can't prune
+    * inside the sorted run's covering row groups; the column index
+    * sheds the non-matching pages on the in-house columnar lane
+    * (readNextFilteredRowGroup + SynchronizingColumnReaders), and the
+    * vectorized residue keeps the claim exact at page granularity.
+    * Cutoffs derive from max(event_id) on BOTH sides (floor division),
+    * so the oracle is scale-factor-free.
+    */
+  private def eventsIndexTsRange(s: SparkSession, d: String): DataFrame = {
+    val path = scratchPath(s, "events_v2tsr", d)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy("event_id").coalesce(2)
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "2000")
+      .parquet(path)
+    val maxId = Tables.events(s, d)
+      .agg(max("event_id")).head().getLong(0)
+    val (lo, hi) = (maxId / 2, maxId / 2 + maxId / 10)
+    s.read.format("graft-index").load(path)
+      .where(col("event_id") >= lo && col("event_id") < hi)
+      .groupBy((col("user_id") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  private val eventsIndexTsRangeSql =
+    s"""SELECT user_id % 4 AS bucket, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              min(event_id) AS min_id, max(event_id) AS max_id
+       FROM events
+       WHERE event_id >= (SELECT max(event_id) // 2 FROM events)
+         AND event_id < (SELECT max(event_id) // 2 + max(event_id) // 10 FROM events)
+       GROUP BY 1"""
+
   /** CATALOG-routed twin of ext_ann_ivf_v2: the same persisted IVF
     * probe, but the index resolves by NAME through a registered
     * GraftIndexCatalog (`SELECT ... FROM graft_idx.<index>.cells`) —
@@ -9598,6 +9638,7 @@ object ExtQueries extends QueryGroup {
     GQuery("ext_docs_index_binary", docsIndexBinary, Some(docsIndexBinarySql), "BINARY payloads through the connector: multimodal-shape blobs decoded byte-exact on the vectorized lane, md5 fingerprints + byte totals per bucket"),
     GQuery("ext_events_index_decimal", eventsIndexDecimal, Some(eventsIndexDecimalSql), "DECIMAL(24,2) money column (FLBA physical) + SMALLINT bucket through the connector: claimed short `<>`, row-lane decimal decode, exact-cents fold"),
     GQuery("ext_events_index_nested", eventsIndexNested, Some(eventsIndexNestedSql), "nested struct + map columns through the connector (mounted-lake-table shape): claims refused wholesale, delegated-lane nested decode, Spark re-filter; cents folded from the struct field and the map value independently"),
+    GQuery("ext_events_index_tsrange", eventsIndexTsRange, Some(eventsIndexTsRangeSql), "page-pruned range probe: sorted column, small pages, claimed range — the column index sheds non-matching pages inside surviving row groups on the in-house columnar lane; exact-cents fold"),
     GQuery("ext_ann_ivf_cat", annIvfCat, Some(annIvfSql), "catalog-routed IVF probe: the index resolves by NAME through the read-only GraftIndexCatalog (no paths in the query)"),
     GQuery("ext_ann_hnsw_cat", annHnswCat, Some(annHnswSql), "catalog-routed graph probe: vecs + edges resolved by NAME through the GraftIndexCatalog"),
     GQuery("ext_ann_hnsw_v2", annHnswV2, Some(annHnswSql), "persisted graph probe through the graft-index DataSourceV2 table (projection-pruned edge scan)"),
