@@ -205,23 +205,41 @@ object Similarity {
     // centroid array (the former window-over-crossJoin shuffled the
     // |corpus| × |cents| product — O(n²/centroidEvery) at scale)
     val ranked2 = cellAssignment(base, cents, 2).drop("rn")
+    val edges = edgeList(ranked2, m)
+      .localCheckpoint(false) // one build, read once per round; LAZY —
+      // materializes inside the consuming job instead of one extra
+      // eager job per query run (blocks still computed exactly once)
+    val qF = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      VectorOps.normSq(col(vecCol)).as("qn"))
+    beamSearch(base, edges, qF, entryEvery, k, beam, rounds, levels)
+  }
+
+  /** Top-m co-bucket edge list over a 2-nearest-cell assignment — the
+    * build shared by [[graphTopK]] and [[writeGraphIndex]]. `ranked2`
+    * is (vid, vec, nsq, cell) with ≤2 rows per vid.
+    *
+    * dense_rank BEFORE the dedupe (r13 opt): a pair sharing both cells
+    * appears twice with the SAME ecos, so dense_rank over (ecos desc,
+    * dst asc) ranks distinct neighbors exactly like the former
+    * row_number-after-distinct — but the candidate-pair stream now
+    * crosses ONE exchange (the window's hash(src)) instead of two (the
+    * old 3-column distinct's plus the window's), and the residual
+    * dedupe runs on the top-m output (n·m rows), not the pair stream.
+    */
+  private[graft] def edgeList(ranked2: DataFrame, m: Int): DataFrame = {
     val aSide = ranked2.select(col("vid").as("src"), col("vec").as("sv"),
       col("nsq").as("sn"), col("cell"))
     val bSide = ranked2.select(col("vid").as("dst"), col("vec").as("dv"),
       col("nsq").as("dn"), col("cell"))
     val ew = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst").asc)
-    val edges = aSide.join(bSide, Seq("cell"))
+    aSide.join(bSide, Seq("cell"))
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         VectorOps.cosine(col("sv"), col("dv"), col("sn"), col("dn")).as("ecos"))
-      .distinct() // a pair sharing both cells appears twice, same ecos
-      .withColumn("ern", row_number().over(ew))
+      .withColumn("ern", dense_rank().over(ew))
       .where(col("ern") <= m)
       .select("src", "dst")
-      .localCheckpoint() // one build, read once per round
-    val qF = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
-      VectorOps.normSq(col(vecCol)).as("qn"))
-    beamSearch(base, edges, qF, entryEvery, k, beam, rounds, levels)
+      .distinct() // both-cell pairs kept twice by the window, same rank
   }
 
   /** The fixed-round beam-expansion search core shared by [[graphTopK]]
@@ -316,8 +334,14 @@ object Similarity {
     val (frontier, _) = entryDescent(vecs, qF, entryEvery, beam, levels)
     // visited pool starts as the entry frontier (the descent result),
     // not the whole entry level — matching HNSW, where upper-layer
-    // nodes only seed layer 0, they don't pad the result candidates
-    var pool = topB(frontier, beam).drop("rnk").localCheckpoint()
+    // nodes only seed layer 0, they don't pad the result candidates.
+    // LAZY checkpoints (r13 opt): each round's pool is still computed
+    // exactly once (the blocks materialize on first use and both
+    // consumers — next round's frontier and the union — read them), but
+    // the materialization happens INSIDE the single consuming job
+    // instead of one eager job per round: a (1 + rounds)-job barrier
+    // chain per probe collapses into one job
+    var pool = topB(frontier, beam).drop("rnk").localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val frontier = topB(pool, beam).drop("rnk")
       val cand = frontier.select(col("q_id"), col("vec_b").as("src"))
@@ -329,7 +353,7 @@ object Similarity {
         .withColumn("cosine",
           VectorOps.cosine(col("qv"), col("vb"), col("qn"), col("nb")))
         .select("q_id", "vec_b", "cosine")
-      pool = pool.unionByName(nb).distinct().localCheckpoint()
+      pool = pool.unionByName(nb).distinct().localCheckpoint(false)
     }
     topB(pool, k).select(col("q_id"), col("rnk"), col("vec_b").as("neighbor_id"))
   }
@@ -352,33 +376,47 @@ object Similarity {
     // top-2 fold + posexplode: map-only assignment, rn = position + 1
     // reproduces the ranked window's 1-based rank (same total order)
     val ranked2 = cellAssignment(base, cents, 2)
-    val aSide = ranked2.select(col("vid").as("src"), col("vec").as("sv"),
-      col("nsq").as("sn"), col("cell"))
-    val bSide = ranked2.select(col("vid").as("dst"), col("vec").as("dv"),
-      col("nsq").as("dn"), col("cell"))
-    val ew = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst").asc)
-    val edges = aSide.join(bSide, Seq("cell"))
-      .where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        VectorOps.cosine(col("sv"), col("dv"), col("sn"), col("dn")).as("ecos"))
-      .distinct()
-      .withColumn("ern", row_number().over(ew))
-      .where(col("ern") <= m)
-      .select("src", "dst")
+    // dense_rank-then-dedupe, the [[edgeList]] build shared with
+    // [[graphTopK]] (r13 opt): one exchange over the candidate-pair
+    // stream instead of two, and the dedupe shrinks from the pair
+    // stream to the n·m top-m output.
+    val edges = edgeList(ranked2, m)
     // edges land in the src's PRIMARY cell partition: admission
     // ([[appendToGraphIndex]]) then rewrites only the partitions whose
     // srcs gained candidates — the dynamic-overwrite discipline of the
     // IVF lane, on the graph structure
     val prim = ranked2.where(col("rn") === 1)
       .select(col("vid").as("src"), col("cell").as("pcell"))
-    edges.join(prim, Seq("src"))
-      .write.mode("overwrite").partitionBy("pcell").parquet(s"$path/edges")
-    base.write.mode("overwrite").parquet(s"$path/vecs")
-    // cell assignments + centroids persist so admission never re-ranks
-    // the stored corpus (and never retrains the quantizer)
-    ranked2.select("vid", "cell", "rn")
-      .write.mode("overwrite").parquet(s"$path/cells")
-    cents.write.mode("overwrite").parquet(s"$path/cents")
+    // the four index tables are independent jobs writing disjoint paths
+    // — submit them from a thread pool so the three trivial per-node
+    // writes (vecs / cells / cents) back-fill the executors the edge
+    // build's straggler tail leaves idle, instead of running serially
+    // after it (guide §2.6; FIFO scheduling gives the edge job priority)
+    // (cell assignments + centroids persist so admission never re-ranks
+    // the stored corpus and never retrains the quantizer)
+    parallelJobs(
+      () => edges.join(prim, Seq("src"))
+        .write.mode("overwrite").partitionBy("pcell").parquet(s"$path/edges"),
+      () => base.write.mode("overwrite").parquet(s"$path/vecs"),
+      () => ranked2.select("vid", "cell", "rn")
+        .write.mode("overwrite").parquet(s"$path/cells"),
+      () => cents.write.mode("overwrite").parquet(s"$path/cents"))
+  }
+
+  /** Run independent Spark actions concurrently and propagate the first
+    * failure. Spark's scheduler runs jobs from several driver threads at
+    * once (FIFO: earlier submissions get resources first, later ones
+    * back-fill the tail) — the standard move for a write fan-out whose
+    * jobs touch disjoint outputs.
+    */
+  private def parallelJobs(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** PROBE a [[writeGraphIndex]]-persisted graph index — identical
@@ -421,16 +459,23 @@ object Similarity {
     val (vecs, edges, qF) = tombstones match {
       case None => (vecs0, edges0, qF0)
       case Some(t) =>
+        // no checkpoint (r13 opt): the four anti-joins share one
+        // identical broadcast subtree, so ReuseExchange builds the
+        // tombstone broadcast once per executed plan — a separate
+        // eager materialization job bought nothing
         val tomb = t.select(col(t.columns.head).as("__tid")).distinct()
-          .localCheckpoint()
         (vecs0.join(broadcast(tomb), col("vid") === col("__tid"), "left_anti"),
           edges0
             .join(broadcast(tomb), col("src") === col("__tid"), "left_anti")
             .join(broadcast(tomb), col("dst") === col("__tid"), "left_anti"),
           qF0.join(broadcast(tomb), col("q_id") === col("__tid"), "left_anti"))
     }
-    beamSearch(vecs, edges.localCheckpoint(), qF, entryEvery, k, beam, rounds,
-      levels)
+    // the stored edge table is already materialized (it IS parquet) —
+    // checkpointing the scan into block-manager blocks was a full extra
+    // copy plus an eager job; per-round reads are column-pruned scans
+    // (and at bench/broadcastable sizes ReuseExchange collapses the
+    // per-round edge broadcasts into one)
+    beamSearch(vecs, edges, qF, entryEvery, k, beam, rounds, levels)
   }
 
   /** ADMIT a new batch into a [[writeGraphIndex]]-persisted graph index —
@@ -525,14 +570,19 @@ object Similarity {
     val prev = s.conf.getOption(key)
     try {
       s.conf.set(key, "dynamic")
-      out.write.mode("overwrite").partitionBy("pcell")
-        .parquet(s"$path/edges")
+      // the three writes touch disjoint outputs (edges overwrite, two
+      // appends of already-checkpointed frames) — overlap them (§2.6);
+      // the appends ignore partitionOverwriteMode, so the conf window
+      // around the fan-out is safe
+      parallelJobs(
+        () => out.write.mode("overwrite").partitionBy("pcell")
+          .parquet(s"$path/edges"),
+        () => newBase.write.mode("append").parquet(s"$path/vecs"),
+        () => newCells.write.mode("append").parquet(s"$path/cells"))
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
-    newBase.write.mode("append").parquet(s"$path/vecs")
-    newCells.write.mode("append").parquet(s"$path/cells")
   }
 
   /** TOMBSTONE COMPACTION of a [[writeGraphIndex]]-persisted graph
@@ -604,13 +654,18 @@ object Similarity {
       }
     }
     // per-node side tables: masked rows drop, surviving rows rewrite
-    // (flat O(n) frames — vecs carries one row per node, not per edge)
-    Seq("vecs" -> "vid", "cells" -> "vid").foreach { case (sub, idc) =>
-      val remain = s.read.parquet(s"$path/$sub")
-        .join(broadcast(tomb), col(idc) === col("__tid"), "left_anti")
-        .localCheckpoint()
-      remain.write.mode("overwrite").parquet(s"$path/$sub")
-    }
+    // (flat O(n) frames — vecs carries one row per node, not per edge).
+    // The two rewrites are independent — overlap them (§2.6); each
+    // frame still checkpoints eagerly BEFORE its own overwrite (the
+    // overwrite target is in the plan)
+    parallelJobs(Seq("vecs" -> "vid", "cells" -> "vid").map {
+      case (sub, idc) => () => {
+        val remain = s.read.parquet(s"$path/$sub")
+          .join(broadcast(tomb), col(idc) === col("__tid"), "left_anti")
+          .localCheckpoint()
+        remain.write.mode("overwrite").parquet(s"$path/$sub")
+      }
+    }: _*)
   }
 
   /** Integer grid for cross-engine-exact centroid means: 2^20. A float
