@@ -42,6 +42,29 @@ object Probe {
       println(f"[probe] $tag%-28s ${dt}%7.3f s  jobs=${j1._1 - j0._1}%3d tasks=${j1._2 - j0._2}%5d taskMs=${j1._3 - j0._3}%7d")
       r
     }
+    // r13: shingle edge-list plan, old shape (multiset generator +
+    // corpus-wide distinct) vs current (distinct-in-generator)
+    if (args.headOption.contains("shingleplan")) {
+      graft.functions.GraftFunctions.register(spark)
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("text").as("__t"))
+      println("========== shingle_edges_before (generator + corpus-wide distinct) ==========")
+      docs.selectExpr("doc_id",
+          s"${graft.functions.GraftFunctions.ShinglesName}(__t) AS shingle")
+        .distinct().explain("formatted")
+      println("========== shingle_edges_after (distinct inside the generator) ==========")
+      graft.operators.Dedup.shingleEdges(
+        Tables.documents(spark, d), "doc_id", "text").explain("formatted")
+      spark.stop(); return
+    }
+    // r13: executed plan of dupShingleCoverage (ReusedExchange check)
+    if (args.headOption.contains("covplan")) {
+      val df = graft.operators.Dedup.dupShingleCoverage(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 2)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     // r13: dump the graph-ANN edge-build plan, old shape (distinct →
     // row_number) vs current (dense_rank → distinct), for plans/r13
     if (args.headOption.contains("edgeplan")) {

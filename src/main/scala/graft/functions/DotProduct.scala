@@ -100,6 +100,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val PolyHashName = "graft_polyhash"
   val ShinglesName = "graft_shingles"
+  val ShinglesDistinctName = "graft_shingles_distinct"
   val NearestCentroidName = "graft_nearest_centroid"
   val NearestCellsName = "graft_nearest_cells"
 
@@ -120,6 +121,12 @@ object GraftFunctions {
     require(exprs.length == 1,
       s"$ShinglesName requires exactly 1 argument (string), got ${exprs.length}")
     ShingleGenerator(exprs.head)
+  }
+
+  def buildShinglesDistinct(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"$ShinglesDistinctName requires exactly 1 argument (string), got ${exprs.length}")
+    ShingleGenerator(exprs.head, distinct = true)
   }
 
   def buildNearestCentroid(exprs: Seq[Expression]): Expression = {
@@ -144,6 +151,8 @@ object GraftFunctions {
       PolyHashName, buildPolyHash, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName, buildShingles, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShinglesDistinctName, buildShinglesDistinct, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NearestCentroidName, buildNearestCentroid, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

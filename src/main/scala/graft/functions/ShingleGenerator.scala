@@ -35,7 +35,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * by design: GenerateExec evaluates the generator itself outside
   * whole-stage codegen either way; the surrounding pipeline stays codegen.
   */
-case class ShingleGenerator(child: Expression)
+/** `distinct = true` (`graft_shingles_distinct`) additionally drops
+  * repeated shingles WITHIN the document, emitting each doc's shingle
+  * SET in first-occurrence order (r13 opt): shingle dedupe is
+  * document-local by definition, so doing it here — a per-row hash set
+  * bounded by the doc's own shingle count — replaces the corpus-wide
+  * `.distinct()` exchange the pair family used to pay after the
+  * explode. Multiset semantics (term frequency et al.) stay on the
+  * default form.
+  */
+case class ShingleGenerator(child: Expression, distinct: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -70,11 +79,19 @@ case class ShingleGenerator(child: Expression)
           i += 1
         }
         ends(w) = nb
-        (0 until nWords - 2).iterator.map { k =>
+        val all = (0 until nWords - 2).iterator.map { k =>
           val from = starts(k)
-          new GenericInternalRow(Array[Any](
-            UTF8String.fromBytes(bytes, from, ends(k + 2) - from)))
+          UTF8String.fromBytes(bytes, from, ends(k + 2) - from)
         }
+        val out =
+          if (!distinct) all
+          else {
+            // per-document dedupe: the set is bounded by this doc's own
+            // shingle count, and UTF8String hashes/compares by bytes
+            val seen = new java.util.HashSet[UTF8String]()
+            all.filter(seen.add)
+          }
+        out.map(s => new GenericInternalRow(Array[Any](s)))
       }
     }
   }

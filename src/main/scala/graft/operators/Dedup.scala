@@ -44,10 +44,14 @@ object Dedup {
     */
   def shingleEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // per-document dedupe INSIDE the generator (r13 opt): a doc's
+    // shingle set is local to its row, so the distinct variant's
+    // per-row hash set replaces the corpus-wide `.distinct()` exchange
+    // this function used to pay — the edge list's first shuffle now
+    // happens only where a consumer actually needs a new key
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .selectExpr("doc_id",
-        s"${graft.functions.GraftFunctions.ShinglesName}(__t) AS shingle")
-      .distinct()
+        s"${graft.functions.GraftFunctions.ShinglesDistinctName}(__t) AS shingle")
   }
 
   /** Built-in-HOF twin of [[shingleEdges]] (split -> sequence ->
@@ -1125,7 +1129,14 @@ object Dedup {
     */
   def dupShingleCoverage(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int): DataFrame = {
-    val edges = shingleEdges(docs, idCol, textCol)
+    // the distinct is a DEDUPE no-op (the generator already emits each
+    // doc's shingle set) kept as the shared-exchange barrier: both
+    // consumers need (doc_id, shingle), so column pruning cannot split
+    // their subtrees and the df aggregate + coverage join read ONE
+    // exchange of the edge list (ReusedExchange, spec-pinned). A bare
+    // repartition(shingle) loses the reuse — pruning drops doc_id below
+    // one copy and the subtrees stop being identical (measured r13).
+    val edges = shingleEdges(docs, idCol, textCol).distinct()
     val df = edges.groupBy("shingle").agg(count(lit(1)).as("__df"))
     edges.join(df, Seq("shingle"))
       .groupBy("doc_id")

@@ -1014,13 +1014,16 @@ object Similarity {
     val cents = corpus.where(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), vecD.as("cvec"),
         VectorOps.normSq(vecD).as("cn"))
-    corpus.select(col(idCol).as("vec_b"), vecD.as("vb"),
-        VectorOps.normSq(vecD).as("nb"))
-      .crossJoin(broadcast(centArray(cents)))
-      .withColumn("cell", argmaxCell(col("vb"), col("nb")))
-      .drop("__cents")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    cents.write.mode("overwrite").parquet(s"$path/cents")
+    // two independent outputs — overlap them (§2.6): the tiny centroid
+    // write back-fills the partitioned corpus write's tail
+    parallelJobs(
+      () => corpus.select(col(idCol).as("vec_b"), vecD.as("vb"),
+          VectorOps.normSq(vecD).as("nb"))
+        .crossJoin(broadcast(centArray(cents)))
+        .withColumn("cell", argmaxCell(col("vb"), col("nb")))
+        .drop("__cents")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells"),
+      () => cents.write.mode("overwrite").parquet(s"$path/cents"))
   }
 
   /** ADMIT a new batch into a [[writeIvfIndex]]-persisted index — the

@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleGenerator].getName, GraftFunctions.ShinglesName),
       GraftFunctions.buildShingles))
     e.injectFunction((
+      new FunctionIdentifier(GraftFunctions.ShinglesDistinctName),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, GraftFunctions.ShinglesDistinctName),
+      GraftFunctions.buildShinglesDistinct))
+    e.injectFunction((
       new FunctionIdentifier(GraftFunctions.NearestCentroidName),
       new ExpressionInfo(classOf[NearestCentroid].getName, GraftFunctions.NearestCentroidName),
       GraftFunctions.buildNearestCentroid))
