@@ -509,11 +509,14 @@ object Similarity {
     val storedVecs = s.read.parquet(s"$path/vecs")
     val storedCells = s.read.parquet(s"$path/cells")
     val edges0 = s.read.parquet(s"$path/edges")
+    // lazy checkpoints (r13): both frames materialize during `out`'s
+    // eager checkpoint below and the appends then reuse the blocks —
+    // same once-only compute, two fewer barrier jobs per admission
     val newBase = newVecs.select(col(idCol).as("vid"), col(vecCol).as("vec"),
-      VectorOps.normSq(col(vecCol)).as("nsq")).localCheckpoint()
+      VectorOps.normSq(col(vecCol)).as("nsq")).localCheckpoint(eager = false)
     val newCells = cellAssignment(newBase, cents, 2)
       .select(col("vid"), col("cell"), col("rn"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val allVecs = storedVecs.unionByName(newBase)
     val allCells = storedCells.select("vid", "cell")
       .unionByName(newCells.select("vid", "cell"))
@@ -525,9 +528,12 @@ object Similarity {
     // stored srcs sharing a cell with the batch merge: stored top-m ∪
     // the new co-bucket candidates, re-cut
     val landed = newCells.select("cell").distinct()
+    // lazy (r13): every consumer sits inside `out`'s eager
+    // materialization, so the blocks still compute once without a
+    // separate barrier job
     val touchedSrc = storedCells
       .join(broadcast(landed), Seq("cell"), "left_semi")
-      .select("vid").distinct().localCheckpoint()
+      .select("vid").distinct().localCheckpoint(eager = false)
     val touchedNewPairs = storedCells
       .join(broadcast(landed), Seq("cell"), "left_semi")
       .select(col("vid").as("src"), col("cell"))

@@ -590,22 +590,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .persist()
 
+    // LAZY checkpoints across the loop (r13 opt): every consumer —
+    // next round's weight join, the misclassified delta, the per-round
+    // stats — lands in the ONE action that materializes the returned
+    // frame, so blocks still compute exactly once but no per-round
+    // barrier job is forced (the beamSearch discipline); the callers'
+    // final eager checkpoint still gates feat.unpersist()
     var w = spark.range(dim).select(col("id").as("bucket"), lit(0L).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var stats = Seq.empty[DataFrame]
     for (t <- 1 to rounds) {
       val margins = feat.join(broadcast(w), Seq("bucket"))
         .groupBy("doc_id", "y")
         .agg(sum(col("cnt") * col("w")).as("margin"))
         .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(-1L))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val wrong = margins.where(col("pred") =!= col("y")).select("doc_id")
       val delta = feat.join(wrong, Seq("doc_id"))
         .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("__du"))
       w = w.join(delta, Seq("bucket"), "left")
         .select(col("bucket"),
           (col("w") + coalesce(col("__du"), lit(0L))).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val roundStats = margins.agg(
           sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
           sum(when(col("pred") =!= col("y"), 1L).otherwise(0L)).as("n_wrong"))
